@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Flink window TVFs re-expressed as Spark DataFrame transforms.
+  *
+  * Reference surface: TUMBLE/HOP/SESSION/CUMULATE table-valued functions
+  * (reference test/syntax-test.fsql:196-239, snippets/flink.code-snippets:45-68,
+  * grammar syntaxes/flink.tmLanguage.json:391). Flink exposes the window as
+  * `window_start`/`window_end` columns; we do the same so downstream GROUP BY
+  * window_start, window_end works verbatim.
+  *
+  * TUMBLE/HOP map 1:1 onto Spark's `window()` expression and SESSION onto
+  * `session_window()` — both are native, codegen'd, and streaming-capable
+  * (watermark-aware), so they scale: the window assignment is a per-row
+  * projection (HOP explodes into size/slide rows), and the aggregation that
+  * follows is an ordinary partial+final hash aggregate on the shuffle key
+  * (window_start, keys...).
+  *
+  * CUMULATE has no Spark counterpart: we expand each row into its open
+  * cumulative windows with `explode(sequence(...))` — a pure projection, no
+  * shuffle, no driver state — then the caller aggregates. Expansion factor is
+  * size/step (bounded, known at plan time), identical to what Flink's
+  * cumulate operator materializes in state.
+  */
+object Windows {
+
+  /** TUMBLE(TABLE t, DESCRIPTOR(ts), size) — fixed, non-overlapping windows. */
+  def tumble(df: DataFrame, tsCol: String, size: String): DataFrame =
+    withStartEnd(df, window(col(tsCol), size))
+
+  /** HOP(TABLE t, DESCRIPTOR(ts), slide, size) — sliding windows. */
+  def hop(df: DataFrame, tsCol: String, slide: String, size: String): DataFrame =
+    withStartEnd(df, window(col(tsCol), size, slide))
+
+  /** SESSION(TABLE t, DESCRIPTOR(ts), gap): session_window() must live in the
+    * groupBy itself, so this returns the grouping column. Window is
+    * [first event, last event + gap) — Flink's session semantics. */
+  def sessionWindow(tsCol: String, gap: String): Column = session_window(col(tsCol), gap)
+
+  /** CUMULATE(TABLE t, DESCRIPTOR(ts), step, size) — expanding windows that
+    * share a start aligned to `size` and grow by `step` until `size`:
+    * [0,step), [0,2*step), ..., [0,size). A row at offset o from the aligned
+    * start belongs to every window whose end > o, i.e. ends
+    * (floor(o/step)+1)*step .. size.
+    *
+    * stepSec/sizeSec in whole seconds; sizeSec % stepSec must be 0 (Flink
+    * enforces the same).
+    */
+  def cumulate(df: DataFrame, tsCol: String, stepSec: Long, sizeSec: Long): DataFrame = {
+    require(sizeSec % stepSec == 0, s"CUMULATE size ($sizeSec s) must be a multiple of step ($stepSec s)")
+    df.withColumn("window_start", window(col(tsCol), s"$sizeSec seconds").getField("start"))
+      .withColumn("__off_sec",
+        expr(s"(unix_micros(cast(`$tsCol` as timestamp)) - unix_micros(cast(window_start as timestamp))) div 1000000"))
+      .withColumn("__end_sec",
+        explode(sequence(
+          (expr(s"__off_sec div $stepSec") + lit(1L)) * lit(stepSec),
+          lit(sizeSec), lit(stepSec))))
+      .withColumn("window_end", expr("window_start + make_dt_interval(0, 0, 0, __end_sec)"))
+      .drop("__off_sec", "__end_sec")
+  }
+
+  private def withStartEnd(df: DataFrame, w: Column): DataFrame =
+    df.withColumn("__w", w)
+      .withColumn("window_start", col("__w.start"))
+      .withColumn("window_end", col("__w.end"))
+      .drop("__w")
+}
