@@ -14,10 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Joins.queries ++ SetsAndSubqueries.queries ++
+      Aggregates.queries ++ OverWindows.queries ++ WindowTVFs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ Joins.oracle ++ SetsAndSubqueries.oracle ++
+      Aggregates.oracle ++ OverWindows.oracle ++ WindowTVFs.oracle
 }
