@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Flink-SQL scalar functions Spark lacks (SURVEY.md §2.10, bold items).
+  *
+  * Gap-fillers are declared as SQL UDFs (`CREATE TEMPORARY FUNCTION ... RETURN
+  * expr`) — Catalyst inlines their bodies into the calling plan, so they stay
+  * inside whole-stage codegen, unlike Scala/Python UDFs. Only functions whose
+  * semantics can't be a single SQL expression (recursive GCD/LCM) fall back to
+  * registered Scala UDFs.
+  *
+  * Generic-over-element-type gaps (ELEMENT(arr), 1-based `arr[i]`) can't be
+  * SQL UDFs (those need concrete parameter types) — they are rewritten at the
+  * dialect layer instead (engine/FlinkDialect.scala).
+  *
+  * Reference declarations: grammar syntaxes/flink.tmLanguage.json:431-467,
+  * corpus test/syntax-test.fsql:346-461.
+  */
+object FlinkFunctions {
+
+  /** SQL-defined functions, inlined by the optimizer. */
+  val sqlUdfs: Seq[String] = Seq(
+    // --- string (G:431) ---
+    // Flink SPLIT_INDEX(s, sep, i) is 0-based and splits on a LITERAL
+    // separator; Spark split() takes a regex, so the separator is \Q..\E-quoted.
+    """CREATE OR REPLACE TEMPORARY FUNCTION SPLIT_INDEX(s STRING, sep STRING, i INT)
+      |RETURNS STRING RETURN element_at(split(s, concat('\\Q', sep, '\\E')), i + 1)""".stripMargin,
+    // Flink SIMILARITY(a, b): normalized Levenshtein in [0, 1]
+    """CREATE OR REPLACE TEMPORARY FUNCTION SIMILARITY(a STRING, b STRING)
+      |RETURNS DOUBLE RETURN CASE
+      |  WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS DOUBLE)
+      |  WHEN length(a) = 0 AND length(b) = 0 THEN 1.0D
+      |  ELSE 1.0D - levenshtein(a, b) / CAST(greatest(length(a), length(b)) AS DOUBLE)
+      |END""".stripMargin,
+
+    // --- JSON predicates (G:431; Spark has no IS_JSON family) ---
+    """CREATE OR REPLACE TEMPORARY FUNCTION IS_JSON(s STRING)
+      |RETURNS BOOLEAN RETURN s IS NOT NULL AND try_parse_json(s) IS NOT NULL""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION IS_JSON_OBJECT(s STRING)
+      |RETURNS BOOLEAN RETURN s IS NOT NULL AND try_parse_json(s) IS NOT NULL
+      |  AND startswith(ltrim(s), '{')""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION IS_JSON_ARRAY(s STRING)
+      |RETURNS BOOLEAN RETURN s IS NOT NULL AND try_parse_json(s) IS NOT NULL
+      |  AND startswith(ltrim(s), '[')""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION IS_JSON_SCALAR(s STRING)
+      |RETURNS BOOLEAN RETURN s IS NOT NULL AND try_parse_json(s) IS NOT NULL
+      |  AND NOT startswith(ltrim(s), '{') AND NOT startswith(ltrim(s), '[')""".stripMargin,
+    // JSON_VALUE / JSON_EXISTS over Spark's JSONPath support
+    """CREATE OR REPLACE TEMPORARY FUNCTION JSON_VALUE(s STRING, p STRING)
+      |RETURNS STRING RETURN get_json_object(s, p)""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION JSON_EXISTS(s STRING, p STRING)
+      |RETURNS BOOLEAN RETURN get_json_object(s, p) IS NOT NULL""".stripMargin,
+
+    // --- math (G:435) ---
+    // Flink TRUNCATE(x, d): truncate toward zero at d decimals
+    """CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE(x DOUBLE, d INT)
+      |RETURNS DOUBLE RETURN CASE
+      |  WHEN x >= 0 THEN floor(x * power(10, d)) / power(10, d)
+      |  ELSE ceil(x * power(10, d)) / power(10, d)
+      |END""".stripMargin,
+    // Flink RAND_INTEGER(n): uniform int in [0, n)
+    """CREATE OR REPLACE TEMPORARY FUNCTION RAND_INTEGER(n INT)
+      |RETURNS INT RETURN CAST(floor(rand() * n) AS INT)""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITAND(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITOR(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITXOR(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITNOT(a BIGINT) RETURNS BIGINT RETURN ~a""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BIT_LSHIFT(a BIGINT, n INT) RETURNS BIGINT RETURN shiftleft(a, n)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BIT_RSHIFT(a BIGINT, n INT) RETURNS BIGINT RETURN shiftright(a, n)""",
+
+    // --- date/time (G:439) ---
+    """CREATE OR REPLACE TEMPORARY FUNCTION IS_LEAP_YEAR(y INT)
+      |RETURNS BOOLEAN RETURN (y % 4 = 0 AND y % 100 != 0) OR y % 400 = 0""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION DAYNAME(ts TIMESTAMP_NTZ)
+      |RETURNS STRING RETURN date_format(ts, 'EEEE')""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION MONTHNAME(ts TIMESTAMP_NTZ)
+      |RETURNS STRING RETURN date_format(ts, 'MMMM')""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION CURRENT_ROW_TIMESTAMP()
+      |RETURNS TIMESTAMP RETURN current_timestamp()""".stripMargin,
+    // TO_TIMESTAMP_LTZ(numeric, precision): epoch seconds (p=0) or millis (p=3)
+    """CREATE OR REPLACE TEMPORARY FUNCTION TO_TIMESTAMP_LTZ(x BIGINT, p INT)
+      |RETURNS TIMESTAMP RETURN CASE p
+      |  WHEN 0 THEN timestamp_seconds(x)
+      |  WHEN 3 THEN timestamp_millis(x)
+      |  WHEN 6 THEN timestamp_micros(x)
+      |END""".stripMargin,
+    // Flink TIME_TRUNC-ish FLOOR(ts TO unit) handled by dialect; DATE_TRUNC native.
+
+    // --- hash (G:463) ---
+    """CREATE OR REPLACE TEMPORARY FUNCTION HASH_CODE(s STRING) RETURNS INT RETURN hash(s)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MURMUR_HASH(s STRING) RETURNS INT RETURN hash(s)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MURMUR_HASH_64(s STRING) RETURNS BIGINT RETURN xxhash64(s)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION XXH3_64(s STRING) RETURNS BIGINT RETURN xxhash64(s)""",
+  )
+
+  /** Register everything into the session (idempotent). Names that Spark
+    * already ships as builtins (e.g. dayname/monthname/to_timestamp_ltz in
+    * 4.1) are left alone — the builtin wins. */
+  def registerAll(spark: SparkSession): Unit = {
+    sqlUdfs.foreach { ddl =>
+      try spark.sql(ddl)
+      catch {
+        case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("CANNOT_REPLACE_NON_SQL_UDF") => ()
+      }
+    }
+    // GCD/LCM need iteration — Scala UDFs (rarely on a hot path).
+    if (!spark.catalog.functionExists("gcd")) {
+      spark.udf.register("GCD", (a: Long, b: Long) => {
+        var x = math.abs(a); var y = math.abs(b)
+        while (y != 0) { val t = x % y; x = y; y = t }
+        x
+      })
+      spark.udf.register("LCM", (a: Long, b: Long) => {
+        if (a == 0 || b == 0) 0L
+        else {
+          var x = math.abs(a); var y = math.abs(b)
+          val a0 = x; val b0 = y
+          while (y != 0) { val t = x % y; x = y; y = t }
+          a0 / x * b0
+        }
+      })
+    }
+  }
+}
