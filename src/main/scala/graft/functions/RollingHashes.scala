@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `rolling_hashes(text, k, seed)` — all k-byte-gram polynomial hashes of a
+  * string in O(n), as ARRAY<BIGINT>.
+  *
+  * This is the shingle primitive behind document fingerprinting and
+  * MinHash-family dedup (reference surface: the LLM-pipeline operators the
+  * engine adds beyond Flink SQL): materializing n-k+1 substring objects to
+  * hash them is O(n·k) and allocation-heavy, while the rolling recurrence
+  * (h·B + c, drop the leading c·B^(k-1) term) is O(n) with zero allocation
+  * besides the output. Each window hash is finalized with murmur's fmix64
+  * xor-mixed with `seed`, so independent hash families (MinHash permutations)
+  * come from the same single pass.
+  *
+  * Implemented as a native Catalyst expression with `doGenCode` so it stays
+  * inside whole-stage codegen (a Scala UDF here would box every row and break
+  * the codegen stage in the dedup hot path).
+  */
+case class RollingHashes(str: Expression, k: Expression, seed: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = str
+  override def second: Expression = k
+  override def third: Expression = seed
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hashes"
+
+  override def nullSafeEval(s: Any, kk: Any, sd: Any): Any = {
+    val out = RollingHashes.compute(
+      s.asInstanceOf[UTF8String].getBytes, kk.asInstanceOf[Int], sd.asInstanceOf[Long])
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, kk, sd) => {
+      val bytes = ctx.freshName("bytes")
+      val n = ctx.freshName("n")
+      val res = ctx.freshName("res")
+      val h = ctx.freshName("h")
+      val bk = ctx.freshName("bk")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      s"""
+        |byte[] $bytes = $s.getBytes();
+        |int $n = $bytes.length - $kk + 1;
+        |if ($n < 1) $n = 0;
+        |long[] $res = new long[$n];
+        |long $bk = 1L;
+        |for (int $i = 1; $i < $kk; $i++) $bk *= ${RollingHashes.B}L;
+        |long $h = 0L;
+        |for (int $i = 0; $i < $bytes.length; $i++) {
+        |  if ($i >= $kk) $h -= $bk * (long)($bytes[$i - $kk] & 0xFF);
+        |  $h = $h * ${RollingHashes.B}L + (long)($bytes[$i] & 0xFF);
+        |  if ($i >= $kk - 1) {
+        |    long $m = $h ^ $sd;
+        |    $m ^= $m >>> 33; $m *= 0xff51afd7ed558ccdL;
+        |    $m ^= $m >>> 33; $m *= 0xc4ceb9fe1a85ec53L;
+        |    $m ^= $m >>> 33;
+        |    $res[$i - $kk + 1] = $m;
+        |  }
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(str = newFirst, k = newSecond, seed = newThird)
+}
+
+object RollingHashes {
+  /** Polynomial base; odd and large enough to diffuse bytes before fmix64. */
+  final val B: Long = 1000003L
+
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** Interpreted twin of the generated code (must stay in lockstep). */
+  def compute(bytes: Array[Byte], k: Int, seed: Long): Array[Long] = {
+    val n = math.max(bytes.length - k + 1, 0)
+    val res = new Array[Long](n)
+    var bk = 1L
+    var i = 1
+    while (i < k) { bk *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < bytes.length) {
+      if (i >= k) h -= bk * (bytes(i - k) & 0xff).toLong
+      h = h * B + (bytes(i) & 0xff).toLong
+      if (i >= k - 1) res(i - k + 1) = fmix64(h ^ seed)
+      i += 1
+    }
+    res
+  }
+
+  /** Column-API entry point. */
+  def rolling_hashes(str: Column, k: Int, seed: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.Shims
+    Shims.column(RollingHashes(Shims.expression(str), Literal(k), Literal(seed)))
+  }
+}

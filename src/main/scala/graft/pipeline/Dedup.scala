@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHashes.rolling_hashes
+
+/** Deduplication operators for large-scale text corpora: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * 100 TB design rules baked in:
+  *  - no cross joins: candidate generation is always a shuffle on a bounded
+  *    blocking key (hash group, LSH band bucket, simhash value);
+  *  - signatures are fixed-width (32 longs) regardless of document length;
+  *  - shingle hashing is the O(n) `rolling_hashes` codegen expression — the
+  *    corpus is scanned once per document, not once per (document × seed);
+  *  - oversized LSH buckets (degenerate near-identical content) are capped so
+  *    one hot key can't quadratically blow up a band join — the cap is a
+  *    tunable and capped pairs are still caught by other bands.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: one row per duplicate group with the
+    * keeper (min id) and group size. Single hash-shuffle on the digest. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(normalize(col(textCol))).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
+
+  /** Flink-style normalization used before hashing: lower-case + collapse
+    * whitespace. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** MinHash signature: ARRAY<BIGINT> of `numHashes` minima over char
+    * `shingleLen`-gram rolling hashes. One text scan; hash families are
+    * xxhash64 re-mixes of the shared shingle hashes. */
+  def minhashSignature(textCol: Column, numHashes: Int = 32, shingleLen: Int = 9): Column = {
+    val shingles = rolling_hashes(normalize(textCol), shingleLen, 0L)
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles, h => xxhash64(h, j))))
+  }
+
+  /** LSH candidate pairs from MinHash signatures: band the signature, bucket
+    * by (band index, band hash), emit intra-bucket pairs. `maxBucket` caps
+    * degenerate buckets (skew guard). Returns (id_a, id_b) with id_a < id_b. */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 9,
+      maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleLen).as("sig"))
+    val banded = sigs.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard between two text columns (verification step after
+    * LSH, or standalone for bounded candidate sets). */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    def grams(c: Column) = array_distinct(rolling_hashes(normalize(c), n, 0L))
+    val ga = grams(a); val gb = grams(b)
+    val inter = size(array_intersect(ga, gb)).cast("double")
+    inter / (size(ga) + size(gb) - size(array_intersect(ga, gb)))
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard.
+    * The verify join re-reads only candidate ids — linear in candidates. */
+  def nearDuplicatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      shingleLen: Int = 9): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands, shingleLen)
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cands
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b"), shingleLen))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * xxhash64s. Fixed-width output; exact-duplicate clusters = equal simhash;
+    * near-dup = small hamming distance (join on rotated bands if needed). */
+  def simhash(textCol: Column): Column = {
+    val tokenHashes = transform(split(normalize(textCol), " "), t => xxhash64(t))
+    // bit b of result = 1 iff sum over tokens of (bit set ? +1 : -1) > 0
+    val bitVotes = transform(
+      sequence(lit(0), lit(63)),
+      b => aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitVotes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+}

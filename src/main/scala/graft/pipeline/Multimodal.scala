@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque BINARY
+  * columns with typed metadata, decoded/feature-extracted in partition-local
+  * batches.
+  *
+  * The actual codec step is a clearly-marked STUB (no image/audio libraries
+  * in this environment): `decodeStub` derives deterministic fake metadata
+  * from the raw bytes. Everything around it — the binary column, the schema
+  * of the decoded struct, the `mapPartitions` batch shape (the Scala analog
+  * of `mapInPandas`: one iterator per partition, library handles initialized
+  * once per partition, rows streamed through), and the chunked frame-sampling
+  * explode — is real and is what survives a swap-in of a real codec.
+  *
+  * Scale: decode is partition-local (no shuffle); frame sampling is a
+  * projection-explode with bounded fanout (numFrames), so output size is
+  * predictable at planning time.
+  */
+object Multimodal {
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType)))
+
+  /** STUB codec: deterministic pseudo-metadata from payload bytes.
+    * A real implementation would hand `bytes` to an image library here;
+    * the function signature and batch shape are the contract. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
+    val n = bytes.length
+    val first = if (n > 0) bytes(0) & 0xff else 0
+    val width = 64 + n % 448
+    val height = 64 + (n * 7) % 448
+    val format = (first % 3) match {
+      case 0 => "jpeg"
+      case 1 => "png"
+      case _ => "webp"
+    }
+    (width, height, format)
+  }
+
+  /** Attach a synthetic binary payload column (UTF-8 bytes of a string col) —
+    * stands in for real image bytes in the fixtures. */
+  def withBinaryPayload(df: DataFrame, srcCol: String): DataFrame =
+    df.withColumn("payload", encode(col(srcCol), "UTF-8"))
+
+  /** Decode binary payloads to typed metadata in partition-local batches
+    * (mapPartitions ≈ mapInPandas: per-partition init, streamed rows). */
+  def decodeImages(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val withBin = df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    withBin.mapPartitions { rows =>
+      // per-partition codec init would go here (once, not per row)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, fmt) = decodeStub(bytes)
+        Row(id, bytes.length.toLong, w, h, fmt)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for "video" payloads: explode fixed-size byte chunks with
+    * a per-frame digest — the Spark-side shape of decode-every-Nth-frame. */
+  def sampleFrames(df: DataFrame, idCol: String, chunkBytes: Int = 128): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1),
+            greatest(ceil(length(col("payload")) / lit(chunkBytes.toDouble)), lit(1)).cast("int")),
+          i => call_function("substring", col("payload"), (i - 1) * chunkBytes + 1, lit(chunkBytes))))
+          .as(Seq("frame_no", "frame_bytes")))
+      .select(col("doc_id"), (col("frame_no") + 1).cast("bigint").as("frame_no"),
+        length(col("frame_bytes")).cast("bigint").as("frame_len"),
+        md5(col("frame_bytes")).as("frame_digest"))
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Two paths, per the 100 TB design rule:
+  *  - `bruteForceTopK`: exact cosine top-k for a SMALL broadcast query set —
+  *    the scored stream is (query_id, vec_id, sim) triples only, and the
+  *    top-k is a per-query window over that narrow stream. Linear scans,
+  *    no quadratic blowup; this is the correctness baseline.
+  *  - `ivfTopK`: inverted-file ANN — vectors are bucketed once by nearest
+  *    centroid (a broadcast argmin, one linear pass), and each query probes
+  *    only its `nProbe` nearest buckets. At 1000 executors the bucket
+  *    assignment is a narrow shuffle on centroid id and probe joins touch
+  *    ~nProbe/C of the data instead of all of it.
+  *
+  * All arithmetic is double-precision left-fold (`aggregate(zip_with(...)`)
+  * so scores are bit-deterministic.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, sequential fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbours for each query vector.
+    * @param queries small DataFrame (query_id, query_vec) — broadcast. */
+  def bruteForceTopK(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(queries.select(
+        col(queryIdCol).as("query_id"), col(queryVecCol).as("q"))))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("q")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rnk").cast("bigint").as("rnk"))
+  }
+
+  /** IVF index: assign every vector to its nearest centroid.
+    * Centroids are taken deterministically as the first `nCentroids` vectors
+    * by id (k-means iterations would refine them; assignment mechanics — the
+    * scale-critical part — are identical). */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame = {
+    val centroids = vectors.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        cosine(col("v"), col("cvec")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
+        first(col("v")).as("v"))
+  }
+
+  /** ANN top-k: probe the `nProbe` centroids nearest to each query, exact
+    * rerank within those buckets only. */
+  def ivfTopK(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(vectors, idCol, vecCol, nCentroids)
+    val centroids = vectors.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("q"))
+    // probe set per query (tiny: queries × centroids, both broadcastable)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q"), col("centroid_id"),
+        cosine(col("q"), col("cvec")).as("csim"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id").asc)
+    val probeSet = probes.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q"), col("centroid_id"))
+    // rerank only vectors in probed buckets
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probeSet), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("q")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rnk").cast("bigint").as("rnk"))
+  }
+}

