@@ -1,0 +1,206 @@
+package graft.engine
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.matching.Regex
+
+/** Flink SQL → Spark SQL dialect layer: statement splitting and text-level
+  * rewriting of the constructs Spark's parser rejects or interprets
+  * differently (SURVEY.md §7.4).
+  *
+  * This is deliberately a TEXT-level shim, not a forked parser: everything
+  * after the rewrite is Catalyst's own parsing/analysis/optimization, so the
+  * whole surface keeps predicate pushdown, codegen, AQE etc. for free.
+  *
+  * Handled here (reference locations in test/syntax-test.fsql):
+  *  - statement split on ';' respecting strings, quoted idents, comments and
+  *    BEGIN STATEMENT SET ... END blocks (the reference's own splitter at
+  *    notebookController.ts:88 naively splits inside strings — fixed here);
+  *  - window TVFs TUMBLE/HOP/CUMULATE/SESSION (F:196-239) → window()/
+  *    session_window() grouping;
+  *  - 1-based array subscripts arr[i] → element_at(arr, i) (F:453);
+  *  - PROCTIME() → current_timestamp() (F:19);
+  *  - ELEMENT(x) → guarded single-element extraction (generic over type);
+  *  - SIMILAR TO → anchored regexp_like translation (G:279);
+  *  - Flink join-strategy hints → Spark hint names (G:54);
+  *  - streaming-runtime hints (STATE_TTL, MINI_BATCH, LOOKUP...) → stripped;
+  *  - TIMESTAMP_LTZ type name → TIMESTAMP (instant semantics).
+  */
+object FlinkDialect {
+
+  // ---------------------------------------------------------------- split --
+
+  /** Split a script into statements on ';', ignoring separators inside
+    * '...'/"..."/`...` literals, -- line comments, block comments, and
+    * keeping BEGIN STATEMENT SET ... END; together as one statement. */
+  def split(script: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    val n = script.length
+    var inSet = false
+    def flush(): Unit = {
+      val s = cur.toString.trim
+      if (s.nonEmpty) out += s
+      cur.clear()
+    }
+    while (i < n) {
+      val c = script.charAt(i)
+      def startsWithWord(w: String): Boolean =
+        script.regionMatches(true, i, w, 0, w.length) &&
+          (i + w.length >= n || !Character.isLetterOrDigit(script.charAt(i + w.length))) &&
+          (i == 0 || !Character.isLetterOrDigit(script.charAt(i - 1)))
+      c match {
+        case '\'' | '"' | '`' =>
+          val q = c
+          cur += c; i += 1
+          while (i < n && script.charAt(i) != q) {
+            // '' escape inside single quotes
+            cur += script.charAt(i); i += 1
+          }
+          if (i < n) { cur += q; i += 1 }
+          // doubled quote: keep consuming
+          if (i < n && script.charAt(i) == q && q == '\'') { /* handled next loop */ }
+        case '-' if i + 1 < n && script.charAt(i + 1) == '-' =>
+          while (i < n && script.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < n && script.charAt(i + 1) == '*' =>
+          val hint = i + 2 < n && script.charAt(i + 2) == '+'
+          val start = i
+          i += 2
+          while (i + 1 < n && !(script.charAt(i) == '*' && script.charAt(i + 1) == '/')) i += 1
+          i = math.min(i + 2, n)
+          if (hint) cur ++= script.substring(start, i) // keep optimizer hints
+        case ';' =>
+          if (inSet) cur += c else flush()
+          i += 1
+        case _ =>
+          if (startsWithWord("BEGIN") &&
+              script.substring(i).toUpperCase.replaceAll("\\s+", " ").startsWith("BEGIN STATEMENT SET"))
+            inSet = true
+          else if (inSet && startsWithWord("END"))
+            inSet = false
+          cur += c; i += 1
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  // -------------------------------------------------------------- rewrite --
+
+  private val TumbleTvf: Regex =
+    """(?is)TABLE\s*\(\s*TUMBLE\s*\(\s*(?:TABLE|DATA\s*=>\s*TABLE)\s+([\w.`]+)\s*,\s*DESCRIPTOR\s*\(\s*([\w.`]+)\s*\)\s*,\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*\)\s*\)""".r
+  private val HopTvf: Regex =
+    """(?is)TABLE\s*\(\s*HOP\s*\(\s*(?:TABLE|DATA\s*=>\s*TABLE)\s+([\w.`]+)\s*,\s*DESCRIPTOR\s*\(\s*([\w.`]+)\s*\)\s*,\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*,\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*\)\s*\)""".r
+  private val CumulateTvf: Regex =
+    """(?is)TABLE\s*\(\s*CUMULATE\s*\(\s*(?:TABLE|DATA\s*=>\s*TABLE)\s+([\w.`]+)\s*,\s*DESCRIPTOR\s*\(\s*([\w.`]+)\s*\)\s*,\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*,\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*\)\s*\)""".r
+  private val SessionTvf: Regex =
+    """(?is)TABLE\s*\(\s*SESSION\s*\(\s*(?:TABLE|DATA\s*=>\s*TABLE)\s+([\w.`]+)(?:\s+PARTITION\s+BY\s+[\w.`,\s]+?)?\s*,\s*DESCRIPTOR\s*\(\s*([\w.`]+)\s*\)\s*,\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*\)\s*\)""".r
+
+  private def dur(v: String, unit: String): String = {
+    val u = unit.toUpperCase.stripSuffix("S")
+    val name = u match {
+      case "MINUTE" => "minutes"
+      case "HOUR"   => "hours"
+      case "SECOND" => "seconds"
+      case "DAY"    => "days"
+      case other    => other.toLowerCase + "s"
+    }
+    s"$v $name"
+  }
+
+  private def durSeconds(v: String, unit: String): Long = {
+    val mult = unit.toUpperCase.stripSuffix("S") match {
+      case "SECOND" => 1L
+      case "MINUTE" => 60L
+      case "HOUR"   => 3600L
+      case "DAY"    => 86400L
+    }
+    v.trim.toLong * mult
+  }
+
+  /** Rewrite one Flink statement into Spark SQL text. */
+  def rewrite(stmt0: String): String = {
+    var s = stmt0
+
+    // window TVFs → inline subqueries projecting window_start/window_end
+    s = TumbleTvf.replaceAllIn(s, m => Regex.quoteReplacement {
+      val (t, ts, v, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      s"(SELECT *, window(`$ts`, '${dur(v, u)}').start AS window_start, " +
+        s"window(`$ts`, '${dur(v, u)}').end AS window_end FROM $t)"
+    })
+    s = HopTvf.replaceAllIn(s, m => Regex.quoteReplacement {
+      val (t, ts, sv, su, zv, zu) =
+        (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
+      // HOP(table, descriptor, slide, size)
+      s"(SELECT *, window(`$ts`, '${dur(zv, zu)}', '${dur(sv, su)}').start AS window_start, " +
+        s"window(`$ts`, '${dur(zv, zu)}', '${dur(sv, su)}').end AS window_end FROM $t)"
+    })
+    s = CumulateTvf.replaceAllIn(s, m => Regex.quoteReplacement {
+      val (t, ts, sv, su, zv, zu) =
+        (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
+      val step = durSeconds(sv, su); val size = durSeconds(zv, zu)
+      s"""(SELECT *, window_start + make_dt_interval(0, 0, 0, __end_sec) AS window_end FROM (
+         |  SELECT *, window(`$ts`, '$size seconds').start AS window_start,
+         |    explode(sequence(
+         |      ((unix_micros(cast(`$ts` as timestamp)) - unix_micros(cast(window(`$ts`, '$size seconds').start as timestamp))) div 1000000 div $step + 1) * $step,
+         |      ${size}L, ${step}L)) AS __end_sec
+         |  FROM $t))""".stripMargin
+    })
+    // SESSION TVF: needs the GROUP BY rewritten onto session_window(); handle
+    // the canonical "GROUP BY window_start, window_end[, ...]" shape.
+    // SESSION TVF canonical shape:
+    //   SELECT window_start, window_end, ... GROUP BY window_start, window_end[, keys]
+    // → group on session_window(ts, gap); select its .start/.end fields
+    // (Spark names the grouping struct `session_window`); later references
+    // (ORDER BY window_start) then resolve against the SELECT aliases.
+    SessionTvf.findFirstMatchIn(s).foreach { m =>
+      val (t, ts, v, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val gap = dur(v, u)
+      s = SessionTvf.replaceAllIn(s, Regex.quoteReplacement(t))
+      s = s.replaceAll("(?i)GROUP\\s+BY\\s+window_start\\s*,\\s*window_end",
+        Regex.quoteReplacement(s"GROUP BY session_window(`$ts`, '$gap')"))
+      s = s.replaceAll("(?i)\\bwindow_start\\s*,\\s*window_end\\b",
+        "session_window.start AS window_start, session_window.end AS window_end")
+    }
+
+    // PROCTIME() → current_timestamp()
+    s = s.replaceAll("(?i)\\bPROCTIME\\s*\\(\\s*\\)", "current_timestamp()")
+
+    // ELEMENT(x) → guarded single-element access (Flink: exactly-one or error)
+    s = s.replaceAll("(?i)\\bELEMENT\\s*\\(([^()]+)\\)",
+      "(CASE WHEN size($1) = 1 THEN element_at($1, 1) " +
+        "WHEN $1 IS NULL THEN NULL " +
+        "ELSE raise_error('ELEMENT() argument must have exactly one element') END)")
+
+    // 1-based subscript on identifiers: arr[2] → element_at(arr, 2)
+    // (only integer-literal subscripts; map['key'] string subscripts are
+    // identical in both dialects and left alone)
+    s = """([\w.`]+)\s*\[\s*(\d+)\s*\]""".r.replaceAllIn(s,
+      m => Regex.quoteReplacement(s"element_at(${m.group(1)}, ${m.group(2)})"))
+
+    // SIMILAR TO pattern → anchored regexp_like ('%'→'.*', '_'→'.')
+    s = """(?i)([\w.`()']+)\s+SIMILAR\s+TO\s+'([^']*)'""".r.replaceAllIn(s, m => {
+      val rx = m.group(2).replace("%", ".*").replace("_", ".")
+      Regex.quoteReplacement(s"regexp_like(${m.group(1)}, '^$rx$$')")
+    })
+
+    // TIMESTAMP_LTZ → TIMESTAMP (instant semantics in Spark)
+    s = s.replaceAll("(?i)\\bTIMESTAMP_LTZ\\b(\\s*\\(\\d\\))?", "TIMESTAMP")
+    // TIMESTAMP(p) precision in DDL/CAST → TIMESTAMP_NTZ (Flink wall-clock)
+    s = s.replaceAll("(?i)\\bTIMESTAMP\\s*\\(\\d\\)", "TIMESTAMP_NTZ")
+
+    // hint translation (G:54): Flink names → Spark hint names; runtime-tuning
+    // hints are stripped (no Spark counterpart; Catalyst already mini-batches
+    // via partial aggregation)
+    s = s.replaceAll("(?i)\\bSHUFFLE_MERGE\\b", "MERGE")
+    s = s.replaceAll("(?i)\\bNEST_LOOP\\b", "SHUFFLE_REPLICATE_NL")
+    s = """(?is)/\*\+\s*(?:OPTIONS|LOOKUP|STATE_TTL|MINI_BATCH|SPLIT_DISTINCT_AGG|AGG_STRATEGY|ASYNC_LOOKUP|RETRY_STRATEGY)\s*\([^)]*\)\s*\*/""".r
+      .replaceAllIn(s, "")
+
+    s.trim
+  }
+
+  /** Convenience: rewrite + run one statement. */
+  def sql(spark: org.apache.spark.sql.SparkSession, stmt: String): org.apache.spark.sql.DataFrame =
+    spark.sql(rewrite(stmt))
+}

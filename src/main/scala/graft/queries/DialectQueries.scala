@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.engine.FlinkDialect
+import graft.functions.FlinkFunctions
+
+/** Queries written in FLINK SQL and executed through the dialect layer
+  * (engine/FlinkDialect.scala) — this puts the text-rewrite engine itself
+  * inside the DuckDB correctness gate. Each statement below is the verbatim
+  * shape from the reference corpus/snippets (window TVFs F:196-239, snippets
+  * S:45-68; 1-based subscripts F:453; SIMILAR TO G:279).
+  */
+object DialectQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def fsql(s: SparkSession, dir: String, q: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    FlinkFunctions.registerAll(s)
+    FlinkDialect.sql(s, q)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // the reference's hello-world (snippets S:45-56), verbatim Flink SQL
+    "q_flink_tumble" -> { (s, dir) => fsql(s, dir,
+      """SELECT window_start, window_end, event_type, COUNT(*) AS cnt
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+        |GROUP BY window_start, window_end, event_type
+        |ORDER BY window_start, event_type""".stripMargin)
+    },
+
+    "q_flink_hop" -> { (s, dir) => fsql(s, dir,
+      """SELECT window_start, window_end, event_type, COUNT(*) AS cnt
+        |FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES, INTERVAL '15' MINUTES))
+        |GROUP BY window_start, window_end, event_type
+        |ORDER BY window_start, event_type""".stripMargin)
+    },
+
+    "q_flink_cumulate" -> { (s, dir) => fsql(s, dir,
+      """SELECT window_start, window_end, event_type, COUNT(*) AS cnt
+        |FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTES, INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end, event_type
+        |ORDER BY window_start, window_end, event_type""".stripMargin)
+    },
+
+    "q_flink_session" -> { (s, dir) => fsql(s, dir,
+      """SELECT window_start, window_end, user_id, COUNT(*) AS cnt
+        |FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+        |GROUP BY window_start, window_end, user_id
+        |ORDER BY user_id, window_start""".stripMargin)
+    },
+
+    // Flink 1-based array subscript + SIMILAR TO + SPLIT_INDEX shim
+    "q_flink_misc" -> { (s, dir) => fsql(s, dir,
+      """WITH toks AS (SELECT doc_id, lang, text, split(text, ' ') AS a FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  a[1] AS first_token,
+        |  a[3] AS third_token,
+        |  CASE WHEN lang SIMILAR TO '(en|de)' THEN 'germanic' ELSE 'other' END AS family,
+        |  split_index(text, ' ', 1) AS second_token
+        |FROM toks ORDER BY doc_id""".stripMargin)
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_flink_tumble" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '10 minutes' AS window_end,
+        |       event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_flink_hop" ->
+      """WITH h AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+        |           - (k * INTERVAL '5 minutes') AS window_start,
+        |         event_type
+        |  FROM events, (SELECT UNNEST([0,1,2]) AS k))
+        |SELECT window_start, window_start + INTERVAL '15 minutes' AS window_end,
+        |       event_type, COUNT(*) AS cnt
+        |FROM h GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_flink_cumulate" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |         event_type,
+        |         UNNEST(generate_series(
+        |           ((epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))) // 1000000 // 900 + 1) * 900,
+        |           3600, 900)) AS end_sec
+        |  FROM events)
+        |SELECT window_start,
+        |       window_start + end_sec * INTERVAL '1 second' AS window_end,
+        |       event_type, COUNT(*) AS cnt
+        |FROM c GROUP BY 1, 2, 3 ORDER BY window_start, window_end, event_type""".stripMargin,
+
+    "q_flink_session" ->
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CASE WHEN CAST(ts AS TIMESTAMP)
+        |                   - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL '30 minutes'
+        |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |y AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT MIN(ts) AS window_start, MAX(ts) + INTERVAL '30 minutes' AS window_end,
+        |       user_id, COUNT(*) AS cnt
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, window_start""".stripMargin,
+
+    "q_flink_misc" ->
+      """SELECT doc_id,
+        |  string_split(text, ' ')[1] AS first_token,
+        |  string_split(text, ' ')[3] AS third_token,
+        |  CASE WHEN regexp_matches(lang, '^(en|de)$') THEN 'germanic' ELSE 'other' END AS family,
+        |  string_split(text, ' ')[2] AS second_token
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+  )
+}
