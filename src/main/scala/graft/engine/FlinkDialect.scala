@@ -96,17 +96,16 @@ object FlinkDialect {
   private val SessionTvf: Regex =
     """(?is)TABLE\s*\(\s*SESSION\s*\(\s*(?:TABLE|DATA\s*=>\s*TABLE)\s+([\w.`]+)(?:\s+PARTITION\s+BY\s+[\w.`,\s]+?)?\s*,\s*DESCRIPTOR\s*\(\s*([\w.`]+)\s*\)\s*,\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*\)\s*\)""".r
 
-  private def dur(v: String, unit: String): String = {
-    val u = unit.toUpperCase.stripSuffix("S")
-    val name = u match {
-      case "MINUTE" => "minutes"
-      case "HOUR"   => "hours"
-      case "SECOND" => "seconds"
-      case "DAY"    => "days"
-      case other    => other.toLowerCase + "s"
-    }
-    s"$v $name"
+  /** 'MINUTE'/'MINUTES' → "minutes" etc. (Spark duration strings). */
+  def unitName(unit: String): String = unit.toUpperCase.stripSuffix("S") match {
+    case "MINUTE" => "minutes"
+    case "HOUR"   => "hours"
+    case "SECOND" => "seconds"
+    case "DAY"    => "days"
+    case other    => other.toLowerCase + "s"
   }
+
+  private def dur(v: String, unit: String): String = s"$v ${unitName(unit)}"
 
   private def durSeconds(v: String, unit: String): Long = {
     val mult = unit.toUpperCase.stripSuffix("S") match {

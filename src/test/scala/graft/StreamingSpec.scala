@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming semantics (SURVEY.md §2.8): windowed aggregation over
+  * event time, watermark late-data drop, session windows in streaming mode,
+  * and the upsert-by-primary-key sink pattern (foreachBatch merge).
+  *
+  * Batch equivalence of the window TVFs is covered by the DuckDB gate; these
+  * specs pin the streaming-only behaviors the oracle can't see.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window over event time with watermark drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("k"), col("cnt"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("tumble_out").start()
+
+    // batch 1: events in [00:00, 00:10) and [00:10, 00:20)
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "a", 1.0),
+      (ts("2024-01-01 00:05:00"), "a", 1.0),
+      (ts("2024-01-01 00:12:00"), "a", 1.0),
+      (ts("2024-01-01 00:31:00"), "a", 1.0)) // advances watermark to 00:21
+    q.processAllAvailable()
+
+    // batch 2: a LATE event for the 00:00 window (< watermark) must be dropped
+    mem.addData((ts("2024-01-01 00:02:00"), "a", 99.0))
+    q.processAllAvailable()
+    // close remaining windows
+    mem.addData((ts("2024-01-01 01:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumble_out")
+      .collect().map(r => (r.getAs[Timestamp]("ws").toString, r.getLong(2))).toMap
+    assert(rows("2024-01-01 00:00:00.0") == 2L, s"late row must not count: $rows")
+    assert(rows("2024-01-01 00:10:00.0") == 1L)
+  }
+
+  test("session window merges events within gap in streaming mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("uid"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("ss"), col("session_window.end").as("se"),
+        col("uid"), col("cnt"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("session_out").start()
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 00:05:00"), 1L),  // same session (gap < 10m)
+      (ts("2024-01-01 00:30:00"), 1L))  // new session
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 02:00:00"), 1L)) // advance watermark, close sessions
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("session_out").orderBy("ss").collect()
+      .map(r => (r.getAs[Timestamp]("ss").toString, r.getAs[Timestamp]("se").toString, r.getLong(3)))
+    assert(rows.length >= 2)
+    assert(rows(0) == ("2024-01-01 00:00:00.0", "2024-01-01 00:15:00.0", 2L))
+    assert(rows(1) == ("2024-01-01 00:30:00.0", "2024-01-01 00:40:00.0", 1L))
+  }
+
+  test("upsert sink: foreachBatch merge keyed by primary key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    // upsert state — what an upsert-kafka/JDBC sink would hold
+    val state = scala.collection.concurrent.TrieMap.empty[Long, (String, Double)]
+    val q = mem.toDF().toDF("id", "status", "amount")
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // keep last row per key within the batch, then merge into state
+        batch.withColumn("__rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("id")).orderBy(monotonically_increasing_id().desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+          .collect().foreach(r => state.put(r.getLong(0), (r.getString(1), r.getDouble(2))))
+      }
+      .start()
+    mem.addData((1L, "open", 10.0), (2L, "open", 20.0), (1L, "paid", 15.0))
+    q.processAllAvailable()
+    mem.addData((2L, "cancelled", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(state(1L) == ("paid", 15.0))
+    assert(state(2L) == ("cancelled", 0.0))
+  }
+
+  test("datagen (rate) streaming source produces typed rows continuously") {
+    engine.TableEnv.clear()
+    val b = engine.TableEnv.parseCreateTable(
+      "CREATE TABLE r (id BIGINT, name STRING, amount DOUBLE) WITH ('connector'='datagen','rows-per-second'='500')")
+    val df = engine.TableEnv.streamDF(spark, b)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSet == Set("timestamp", "id", "name", "amount"))
+    val q = df.writeStream.format("memory").queryName("rate_out")
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    try {
+      var tries = 0
+      while (spark.table("rate_out").isEmpty && tries < 50) { Thread.sleep(200); tries += 1 }
+      val rows = spark.table("rate_out")
+      assert(!rows.isEmpty, "rate source produced no rows in 10s")
+      assert(rows.schema("id").dataType.typeName == "long")
+    } finally q.stop()
+  }
+}
