@@ -27,7 +27,18 @@ object Tables {
       spark.read.parquet(s"$sfDir/$other.parquet")
   }
 
-  /** Register every test table as a temp view (idempotent). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+
+  /** Register every test table as a temp view. Memoized per session (keyed on
+    * the currently-registered dir, so switching dirs re-registers):
+    * re-registration re-reads 10 parquet footers (~seconds) and was the
+    * dominant cost of every SQL-surface query before this guard. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val key = System.identityHashCode(spark)
+    if (!registered.get(key).contains(sfDir)) {
+      names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      registered.put(key, sfDir)
+    }
+  }
 }

@@ -188,6 +188,17 @@ object FlinkDialect {
     // TIMESTAMP(p) precision in DDL/CAST → TIMESTAMP_NTZ (Flink wall-clock)
     s = s.replaceAll("(?i)\\bTIMESTAMP\\s*\\(\\d\\)", "TIMESTAMP_NTZ")
 
+    // EXPLAIN variants (F:535-539): Flink modifiers → Spark EXPLAIN forms
+    s = s.replaceAll("(?i)\\bEXPLAIN\\s+PLAN\\s+FOR\\b", "EXPLAIN")
+    s = s.replaceAll("(?i)\\bEXPLAIN\\s+ESTIMATED_COST\\b", "EXPLAIN COST")
+    s = s.replaceAll("(?i)\\bEXPLAIN\\s+CHANGELOG_MODE\\b", "EXPLAIN")
+    s = s.replaceAll("(?i)\\bEXPLAIN\\s+JSON_EXECUTION_PLAN\\b", "EXPLAIN FORMATTED")
+
+    // temporal join `FOR SYSTEM_TIME AS OF x` (F:159-162): batch semantics =
+    // join against the dimension snapshot, so the clause drops; true
+    // versioned-as-of is the AsOfJoin operator (operators/AsOfJoin.scala)
+    s = s.replaceAll("(?i)\\bFOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+[\\w.`()]+", "")
+
     // hint translation (G:54): Flink names → Spark hint names; runtime-tuning
     // hints are stripped (no Spark counterpart; Catalyst already mini-batches
     // via partial aggregation)

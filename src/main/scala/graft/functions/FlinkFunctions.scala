@@ -94,10 +94,14 @@ object FlinkFunctions {
     """CREATE OR REPLACE TEMPORARY FUNCTION XXH3_64(s STRING) RETURNS BIGINT RETURN xxhash64(s)""",
   )
 
-  /** Register everything into the session (idempotent). Names that Spark
-    * already ships as builtins (e.g. dayname/monthname/to_timestamp_ltz in
-    * 4.1) are left alone — the builtin wins. */
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[Int, Boolean]
+
+  /** Register everything into the session (memoized per session). Names that
+    * Spark already ships as builtins (e.g. dayname/monthname/to_timestamp_ltz
+    * in 4.1) are left alone — the builtin wins. */
   def registerAll(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(System.identityHashCode(spark), true).nonEmpty) return
     sqlUdfs.foreach { ddl =>
       try spark.sql(ddl)
       catch {

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop hash kernels for the dedup hot path, exposed as codegen'd
+  * Catalyst expressions.
+  *
+  * The first implementation of SimHash/MinHash composed SQL lambda
+  * expressions (`transform`/`aggregate`): semantically right, but the
+  * interpreter walks an expression tree per token per hash family —
+  * 64 passes per row. These kernels do one pass per row in a static Java
+  * method invoked from generated code (no boxing, no virtual dispatch),
+  * which cut the sf0.1 simhash/minhash bench times by ~10×.
+  */
+object HashKernels {
+  final val GOLDEN = 0x9e3779b97f4a7c15L
+
+  def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** 64-bit SimHash over space-delimited tokens of `bytes` (one pass):
+    * per-token polynomial hash + fmix64, ±1 bit votes, majority sign. */
+  def simhash(bytes: Array[Byte]): Long = {
+    val votes = new Array[Int](64)
+    var h = 0L
+    var inTok = false
+    var i = 0
+    def vote(th: Long): Unit = {
+      var b = 0
+      while (b < 64) { if (((th >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    }
+    while (i < bytes.length) {
+      val c = bytes(i)
+      if (c == ' ') {
+        if (inTok) { vote(fmix64(h)); h = 0L; inTok = false }
+      } else {
+        h = h * RollingHashes.B + (c & 0xff).toLong
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) vote(fmix64(h))
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash signature: for every char k-gram rolling hash, track the min of
+    * fmix64(h ^ seed_j) per hash family j — one pass over the text. */
+  def minhash(bytes: Array[Byte], k: Int, n: Int): Array[Long] = {
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var bk = 1L
+    var i = 1
+    while (i < k) { bk *= RollingHashes.B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < bytes.length) {
+      if (i >= k) h -= bk * (bytes(i - k) & 0xff).toLong
+      h = h * RollingHashes.B + (bytes(i) & 0xff).toLong
+      if (i >= k - 1) {
+        var j = 0
+        while (j < n) {
+          val v = fmix64(h ^ (GOLDEN * (j + 1)))
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+/** dot(a, b) over ARRAY<FLOAT>/ARRAY<DOUBLE> in double precision, strictly
+  * sequential accumulation — bit-identical to the SQL
+  * `aggregate(zip_with(a,b,(x,y)->double(x)*double(y)),0d,(s,v)->s+v)` fold it
+  * replaces (DuckDB oracle parity), ~50× faster than the interpreted lambda. */
+object VecKernels {
+  def dotF(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def dotD(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+case class VecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  private def kernel: String = left.dataType match {
+    case ArrayType(FloatType, _) => "dotF"
+    case _ => "dotD"
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (kernel == "dotF") VecKernels.dotF(x, y) else VecKernels.dotD(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.$kernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.simhash(s.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c.getBytes())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class MinHashSig(str: Expression, k: Expression, n: Expression) extends TernaryExpression {
+  override def first: Expression = str
+  override def second: Expression = k
+  override def third: Expression = n
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(s: Any, kk: Any, nn: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(HashKernels.minhash(
+      s.asInstanceOf[UTF8String].getBytes, kk.asInstanceOf[Int], nn.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, kk, nn) => {
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.HashKernels.minhash($s.getBytes(), $kk, $nn));"
+    })
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
+}
+
+object HashExprs {
+  def simhash64(c: Column): Column = Shims.column(SimHash64(Shims.expression(c)))
+  def minhash_sig(c: Column, k: Int, n: Int): Column =
+    Shims.column(MinHashSig(Shims.expression(c), Literal(k), Literal(n)))
+  def vec_dot(a: Column, b: Column): Column =
+    Shims.column(VecDot(Shims.expression(a), Shims.expression(b)))
+}

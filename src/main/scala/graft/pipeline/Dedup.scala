@@ -32,14 +32,10 @@ object Dedup {
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
   /** MinHash signature: ARRAY<BIGINT> of `numHashes` minima over char
-    * `shingleLen`-gram rolling hashes. One text scan; hash families are
-    * xxhash64 re-mixes of the shared shingle hashes. */
-  def minhashSignature(textCol: Column, numHashes: Int = 32, shingleLen: Int = 9): Column = {
-    val shingles = rolling_hashes(normalize(textCol), shingleLen, 0L)
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles, h => xxhash64(h, j))))
-  }
+    * `shingleLen`-gram rolling hashes. One text scan in a native kernel
+    * expression (HashKernels.minhash) — fixed-width output, codegen'd. */
+  def minhashSignature(textCol: Column, numHashes: Int = 32, shingleLen: Int = 9): Column =
+    graft.functions.HashExprs.minhash_sig(normalize(textCol), shingleLen, numHashes)
 
   /** LSH candidate pairs from MinHash signatures: band the signature, bucket
     * by (band index, band hash), emit intra-bucket pairs. `maxBucket` caps
@@ -93,18 +89,9 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * xxhash64s. Fixed-width output; exact-duplicate clusters = equal simhash;
-    * near-dup = small hamming distance (join on rotated bands if needed). */
-  def simhash(textCol: Column): Column = {
-    val tokenHashes = transform(split(normalize(textCol), " "), t => xxhash64(t))
-    // bit b of result = 1 iff sum over tokens of (bit set ? +1 : -1) > 0
-    val bitVotes = transform(
-      sequence(lit(0), lit(63)),
-      b => aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(bitVotes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * hashes, one pass in a native kernel expression (HashKernels.simhash).
+    * Fixed-width output; exact-duplicate clusters = equal simhash; near-dup =
+    * small hamming distance (join on rotated bands if needed). */
+  def simhash(textCol: Column): Column =
+    graft.functions.HashExprs.simhash64(normalize(textCol))
 }

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision, sequential fold (deterministic). */
+  /** dot(a, b) in double precision, sequential accumulation (deterministic —
+    * bit-identical to a left fold, so DuckDB list_sum oracles still match);
+    * native kernel expression, stays in codegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.HashExprs.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
