@@ -33,6 +33,8 @@ class Gateway(root: SparkSession) {
   final case class Finished(df: DataFrame) extends OpResult
   final case class StreamingOp(jobName: String, buffer: RingBuffer) extends OpResult
   final case class Statement(message: String) extends OpResult
+  /** failed statement with the extracted root cause (flinkClient.ts:78-125) */
+  final case class Failed(error: String) extends OpResult
 
   /** Drop-oldest bounded buffer with running offset (ref buffer semantics). */
   final class RingBuffer(val capacity: Int = 1000) {
@@ -87,7 +89,10 @@ class Gateway(root: SparkSession) {
     val sess = session(sessionHandle)
     val spark = sess.spark
     val stmt = stmt0.trim.stripSuffix(";").trim
-    val op = new Operation(UUID.randomUUID().toString, route(spark, stmt))
+    val result =
+      try route(spark, stmt)
+      catch { case e: Exception => Failed(Results.rootCauseMessage(e)) }
+    val op = new Operation(UUID.randomUUID().toString, result)
     operations.put(op.handle, op)
     op.handle
   }
@@ -151,6 +156,8 @@ class Gateway(root: SparkSession) {
     val op = operations.getOrElse(opHandle,
       throw new IllegalStateException(s"Operation does not exist: $opHandle"))
     op.result match {
+      case Failed(err) =>
+        Page(Seq("error"), if (token == 0) Seq(Seq(err)) else Nil, None, eos = true)
       case Statement(msg) =>
         Page(Seq("result"), if (token == 0) Seq(Seq(msg)) else Nil, None, eos = true)
       case Finished(df) =>

@@ -39,6 +39,15 @@ object Windows {
     * [first event, last event + gap) — Flink's session semantics. */
   def sessionWindow(tsCol: String, gap: String): Column = session_window(col(tsCol), gap)
 
+  /** Streaming-mode grouping column for TUMBLE/HOP: in append mode the
+    * event-time tag lives on the window STRUCT, so streaming aggregations
+    * must group by the struct itself (then select `window.start/end` as
+    * window_start/window_end after the agg). Batch mode can use the
+    * projected tumble()/hop() columns directly. */
+  def tumbleWindow(tsCol: String, size: String): Column = window(col(tsCol), size)
+  def hopWindow(tsCol: String, slide: String, size: String): Column =
+    window(col(tsCol), size, slide)
+
   /** CUMULATE(TABLE t, DESCRIPTOR(ts), step, size) — expanding windows that
     * share a start aligned to `size` and grow by `step` until `size`:
     * [0,step), [0,2*step), ..., [0,size). A row at offset o from the aligned

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.FlinkFunctions
+import graft.operators.Windows
+
+/** Functions whose outputs are engine-defined (no cross-engine oracle):
+  * hashes, soundex, initcap, parse_url, width_bucket, RAND_INTEGER, GCD/LCM
+  * edges, TRUNCATE sign behavior — plus streaming-mode use of the window
+  * TVF operators (batch equivalence is DuckDB-gated).
+  */
+class FuncsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(sqlText: String) = {
+    FlinkFunctions.registerAll(spark)
+    spark.sql(s"SELECT $sqlText AS v").head().get(0)
+  }
+
+  test("engine-defined string functions behave per Spark contract") {
+    assert(one("soundex('Robert')") == "R163")
+    assert(one("initcap('flink sql toolkit')") == "Flink Sql Toolkit")
+    assert(one("parse_url('https://h.io/p?q=1', 'HOST')") == "h.io")
+    assert(one("parse_url('https://h.io/p?q=1', 'QUERY', 'q')") == "1")
+    assert(one("crc32('abc')") == 891568578L)
+    assert(one("conv('255', 10, 16)") == "FF")
+  }
+
+  test("Flink shims: TRUNCATE toward zero, RAND_INTEGER bounds, GCD/LCM edges") {
+    assert(one("truncate(3.789, 1)") == 3.7)
+    assert(one("truncate(-3.789, 1)") == -3.7) // toward zero, not floor
+    assert(one("truncate(123.456, 0)") == 123.0)
+    val r = (1 to 50).map(_ => one("rand_integer(10)").asInstanceOf[Int])
+    assert(r.forall(x => x >= 0 && x < 10))
+    assert(one("gcd(0, 5)") == 5L)
+    assert(one("gcd(-12, 18)") == 6L)
+    assert(one("lcm(4, 6)") == 12L)
+    assert(one("lcm(0, 7)") == 0L)
+    assert(one("width_bucket(5.5, 0, 10, 5)") == 3L)
+  }
+
+  test("Flink hash-name shims are deterministic and stable") {
+    assert(one("murmur_hash('abc')") == one("hash_code('abc')"))
+    assert(one("murmur_hash_64('abc')") == one("xxh3_64('abc')"))
+    assert(one("murmur_hash_64('abc')") != one("murmur_hash_64('abd')"))
+  }
+
+  test("IS_JSON family distinguishes objects, arrays, scalars, junk") {
+    assert(one("is_json('{\"a\":1}')") == true)
+    assert(one("is_json_object('{\"a\":1}')") == true)
+    assert(one("is_json_array('[1,2]')") == true)
+    assert(one("is_json_object('[1,2]')") == false)
+    assert(one("is_json_scalar('42')") == true)
+    assert(one("is_json('{broken')") == false)
+  }
+
+  test("window TVF operators run under Structured Streaming") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    // streaming append mode: group by the window STRUCT (event-time tag),
+    // expose window_start/window_end after the aggregation
+    val windowed = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(Windows.tumbleWindow("ts", "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"), col("cnt"))
+    assert(windowed.isStreaming)
+    val q = windowed.writeStream.outputMode("append").format("memory")
+      .queryName("tvf_stream_out").start()
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 3.0))
+    q.processAllAvailable()
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tvf_stream_out").orderBy("window_start").collect()
+    assert(rows.head.getAs[Long]("cnt") == 2L)
+  }
+
+  test("CUMULATE operator is streaming-compatible (projection only)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val c = Windows.cumulate(mem.toDF().toDF("ts", "v"), "ts", stepSec = 900, sizeSec = 3600)
+    assert(c.isStreaming)
+    assert(c.schema.fieldNames.contains("window_start") && c.schema.fieldNames.contains("window_end"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.engine.{FlinkDialect, Gateway, Results}
+
+class ResultsSpec extends SparkTestBase {
+
+  test("CSV export quotes commas, quotes, and newlines (RFC-ish)") {
+    val csv = Results.toCsv(
+      Seq("a", "b"),
+      Seq(Seq("plain", "with,comma"), Seq("say \"hi\"", "line\nbreak"), Seq(null, 1)))
+    val lines = csv.split("\n", -1)
+    assert(lines(0) == "a,b")
+    assert(lines(1) == "plain,\"with,comma\"")
+    assert(lines(2) == "\"say \"\"hi\"\"\",\"line")
+    assert(csv.contains("\"say \"\"hi\"\"\""))
+    assert(csv.endsWith(",1"))
+  }
+
+  test("metadata dedup keeps first occurrence in order") {
+    val rows = Seq(Seq("a", 1), Seq("b", 2), Seq("a", 1), Seq("c", 3))
+    assert(Results.dedupRows(rows) == Seq(Seq("a", 1), Seq("b", 2), Seq("c", 3)))
+  }
+
+  test("client filter/sort/page behave like the renderer") {
+    val rows = Seq(Seq("apple", 3), Seq("Banana", 1), Seq("cherry", 2))
+    assert(Results.filterRows(rows, "AN") == Seq(Seq("Banana", 1)))
+    assert(Results.sortRows(rows, 1, asc = true).map(_(1)) == Seq(1, 2, 3))
+    assert(Results.sortRows(rows, 0, asc = false).head.head == "cherry")
+    assert(Results.page(rows, 1, 2) == Seq(Seq("cherry", 2)))
+  }
+
+  test("gateway surfaces root cause for failing SQL instead of throwing") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val op = gw.executeStatement(h, "SELECT * FROM table_that_does_not_exist_xyz")
+    val page = gw.fetchResults(op, 0)
+    assert(page.columns == Seq("error"))
+    assert(page.rows.head.head.toString.toUpperCase.contains("TABLE_THAT_DOES_NOT_EXIST_XYZ"))
+  }
+
+  test("gateway passes through catalog metadata statements natively") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val s = gw.session(h).spark
+    Tables.registerAll(s, sfDir)
+    val tabs = gw.fetchResults(gw.executeStatement(h, "SHOW TABLES"), 0)
+    assert(tabs.rows.exists(_.exists(v => v != null && v.toString == "nation")))
+    val desc = gw.fetchResults(gw.executeStatement(h, "DESCRIBE nation"), 0)
+    assert(desc.rows.map(_.head.toString).toSet == Set("n_nationkey", "n_name", "n_regionkey"))
+    val expl = gw.fetchResults(gw.executeStatement(h,
+      "EXPLAIN PLAN FOR SELECT * FROM nation WHERE n_nationkey = 1"), 0)
+    assert(expl.rows.head.head.toString.contains("Physical Plan"))
+    val view = gw.executeStatement(h,
+      "CREATE OR REPLACE TEMPORARY VIEW big_nations AS SELECT * FROM nation WHERE n_nationkey > 10")
+    gw.fetchResults(view, 0)
+    val cnt = gw.fetchResults(gw.executeStatement(h, "SELECT COUNT(*) AS n FROM big_nations"), 0)
+    assert(cnt.rows.head.head.toString.toLong == 14)
+  }
+
+  test("temporal join clause FOR SYSTEM_TIME AS OF is rewritten to snapshot join") {
+    val r = FlinkDialect.rewrite(
+      "SELECT * FROM fact_table JOIN dim_table FOR SYSTEM_TIME AS OF fact_table.proc_time ON fact_table.dim_id = dim_table.id")
+    assert(!r.toUpperCase.contains("SYSTEM_TIME"))
+    assert(r.contains("JOIN dim_table  ON"))
+  }
+}
