@@ -183,6 +183,11 @@ object FlinkDialect {
       Regex.quoteReplacement(s"regexp_like(${m.group(1)}, '^$rx$$')")
     })
 
+    // Flink hex literals 0xFF (F:573) — Spark's parser reads 0xFF as an
+    // identifier, so rewrite to the decimal value
+    s = """\b0[xX]([0-9a-fA-F]+)\b""".r.replaceAllIn(s,
+      m => java.lang.Long.parseLong(m.group(1), 16).toString)
+
     // TIMESTAMP_LTZ → TIMESTAMP (instant semantics in Spark)
     s = s.replaceAll("(?i)\\bTIMESTAMP_LTZ\\b(\\s*\\(\\d\\))?", "TIMESTAMP")
     // TIMESTAMP(p) precision in DDL/CAST → TIMESTAMP_NTZ (Flink wall-clock)

@@ -83,6 +83,8 @@ class Gateway(root: SparkSession) {
   private val ResetRe = """(?is)RESET\s+'?([\w.\-]+)'?\s*;?""".r
   private val StopJobRe = """(?is)STOP\s+JOB\s+'([^']+)'(\s+WITH\s+(SAVEPOINT|DRAIN))?\s*;?""".r
   private val InsertIntoRe = """(?is)INSERT\s+INTO\s+([\w.`]+)\s+(SELECT.*)""".r
+  private val InsertOverwriteRe = """(?is)INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.`]+)\s+(SELECT.*)""".r
+  private val ShowCreateRe = """(?is)SHOW\s+CREATE\s+TABLE\s+([\w.`]+)""".r
 
   /** Execute one statement; returns an operation handle. */
   def executeStatement(sessionHandle: String, stmt0: String): String = {
@@ -129,6 +131,12 @@ class Gateway(root: SparkSession) {
         val df = spark.sql(FlinkDialect.rewrite(select))
         if (df.isStreaming) Statement(s"Job ${TableEnv.startStreamingInsert(spark, b, df)} started")
         else { TableEnv.batchInsert(spark, b, df); Statement(s"Inserted into ${b.name}") }
+      case InsertOverwriteRe(target, select) if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        val b = TableEnv.lookup(target.replace("`", "")).get
+        TableEnv.batchInsert(spark, b, spark.sql(FlinkDialect.rewrite(select)), overwrite = true)
+        Statement(s"Overwrote ${b.name}")
+      case ShowCreateRe(target) if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        Statement(TableEnv.showCreateTable(TableEnv.lookup(target.replace("`", "")).get))
       case s if graft.operators.MatchRecognize.isMatchRecognize(s) =>
         Finished(graft.operators.MatchRecognize.sql(spark, s))
       case s =>

@@ -316,14 +316,34 @@ object TableEnv {
     name
   }
 
-  /** Batch INSERT INTO a bound sink. */
-  def batchInsert(spark: SparkSession, b: Binding, df: DataFrame): Unit = b.connector match {
+  /** Batch INSERT INTO / INSERT OVERWRITE a bound sink. */
+  def batchInsert(spark: SparkSession, b: Binding, df: DataFrame,
+      overwrite: Boolean = false): Unit = b.connector match {
     case "filesystem" =>
-      val w = df.write.format(b.format).mode("append")
+      val w = df.write.format(b.format).mode(if (overwrite) "overwrite" else "append")
       (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
         .save(b.options("path"))
     case "print" => df.show(numRows = 20, truncate = false)
     case "blackhole" => df.write.format("noop").mode("overwrite").save()
     case c => throw new IllegalArgumentException(s"connector '$c' is not batch-writable")
+  }
+
+  /** SHOW CREATE TABLE for a binding: reconstruct the Flink DDL
+    * (objectDetailsProvider.ts:80 renders this for the user). */
+  def showCreateTable(b: Binding): String = {
+    val cols = b.cols.map {
+      case ColumnDef(n, _, Some(e), _) => s"  `$n` AS $e"
+      case ColumnDef(n, t, _, Some(m)) => s"  `$n` $t METADATA FROM '$m' VIRTUAL"
+      case ColumnDef(n, t, _, _) => s"  `$n` $t"
+    }
+    val wm = b.watermark.map { case (c, d) => s"  WATERMARK FOR `$c` AS `$c` - INTERVAL '${d.split(" ")(0)}' ${d.split(" ")(1).toUpperCase}" }
+    val pk = if (b.primaryKey.nonEmpty)
+      Seq(s"  PRIMARY KEY (${b.primaryKey.mkString(", ")}) NOT ENFORCED") else Nil
+    val part = if (b.partitionedBy.nonEmpty)
+      s" PARTITIONED BY (${b.partitionedBy.mkString(", ")})" else ""
+    val opts = b.options.toSeq.sortBy(_._1).map { case (k, v) => s"  '$k' = '$v'" }
+    s"CREATE ${if (b.temporary) "TEMPORARY " else ""}TABLE `${b.name}` (\n" +
+      (cols ++ wm ++ pk).mkString(",\n") + s"\n)$part WITH (\n" +
+      opts.mkString(",\n") + "\n)"
   }
 }

@@ -57,6 +57,28 @@ class ResultsSpec extends SparkTestBase {
     assert(cnt.rows.head.head.toString.toLong == 14)
   }
 
+  test("INSERT OVERWRITE replaces filesystem sink contents; SHOW CREATE TABLE reconstructs DDL") {
+    import graft.engine.TableEnv
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val out = java.nio.file.Files.createTempDirectory("graft-ow").toString
+    gw.executeStatement(h,
+      "CREATE TABLE ow_src (id BIGINT, v DOUBLE) WITH ('connector'='datagen','number-of-rows'='50')")
+    gw.executeStatement(h,
+      s"CREATE TABLE ow_snk (id BIGINT) WITH ('connector'='filesystem','path'='$out','format'='parquet')")
+    gw.fetchResults(gw.executeStatement(h, "INSERT INTO ow_snk SELECT id FROM ow_src"), 0)
+    assert(spark.read.parquet(out).count() == 50)
+    gw.fetchResults(gw.executeStatement(h, "INSERT OVERWRITE ow_snk SELECT id FROM ow_src LIMIT 10"), 0)
+    assert(spark.read.parquet(out).count() == 10)
+    val ddl = gw.fetchResults(gw.executeStatement(h, "SHOW CREATE TABLE ow_snk"), 0)
+      .rows.head.head.toString
+    assert(ddl.contains("CREATE TABLE `ow_snk`"))
+    assert(ddl.contains("'connector' = 'filesystem'"))
+    // round-trip: the generated DDL re-parses to the same binding shape
+    val b2 = TableEnv.parseCreateTable(ddl)
+    assert(b2.name == "ow_snk" && b2.connector == "filesystem")
+  }
+
   test("temporal join clause FOR SYSTEM_TIME AS OF is rewritten to snapshot join") {
     val r = FlinkDialect.rewrite(
       "SELECT * FROM fact_table JOIN dim_table FOR SYSTEM_TIME AS OF fact_table.proc_time ON fact_table.dim_id = dim_table.id")
