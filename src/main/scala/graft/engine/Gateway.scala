@@ -31,7 +31,7 @@ class Gateway(root: SparkSession) {
 
   sealed trait OpResult
   final case class Finished(df: DataFrame) extends OpResult
-  final case class StreamingOp(jobName: String, buffer: RingBuffer) extends OpResult
+  final case class StreamingOp(jobName: String, buffer: RingBuffer, cols: Seq[String]) extends OpResult
   final case class Statement(message: String) extends OpResult
   /** failed statement with the extracted root cause (flinkClient.ts:78-125) */
   final case class Failed(error: String) extends OpResult
@@ -140,8 +140,25 @@ class Gateway(root: SparkSession) {
       case s if graft.operators.MatchRecognize.isMatchRecognize(s) =>
         Finished(graft.operators.MatchRecognize.sql(spark, s))
       case s =>
-        Finished(spark.sql(FlinkDialect.rewrite(s)))
+        val df = spark.sql(FlinkDialect.rewrite(s))
+        if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
     }
+  }
+
+  /** Streaming SELECT (the notebook's continuous-query path,
+    * notebookController.ts:219-294): run the query into the drop-oldest ring
+    * buffer via foreachBatch and page it by token. */
+  private def startStreamingSelect(spark: SparkSession, df: DataFrame): OpResult = {
+    val buffer = new RingBuffer()
+    val name = s"select_${System.nanoTime()}"
+    val cols = df.columns.toSeq
+    val q = df.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        buffer.append(batch.limit(buffer.capacity).collect().toSeq)
+      }
+      .queryName(name).start()
+    Jobs.register(name, q)
+    StreamingOp(name, buffer, cols)
   }
 
   /** Flink config keys with a Spark equivalent (rest pass through as-is). */
@@ -179,9 +196,11 @@ class Gateway(root: SparkSession) {
             if (token + 1 < pages.length) Some(token + 1) else None,
             eos = token + 1 >= pages.length)
         else Page(op.resultColumns, Nil, None, eos = true)
-      case StreamingOp(_, buffer) =>
+      case StreamingOp(_, buffer, cols) =>
+        // token = running row offset; rows older than the buffer are gone
+        // (drop-oldest), newer rows stream in on later fetches
         val (offset, rows) = buffer.snapshot
-        Page(Seq(), rows.drop((token - offset).toInt.max(0)).map(_.toSeq),
+        Page(cols, rows.drop((token - offset).toInt.max(0)).map(_.toSeq),
           Some((offset + rows.size).toInt), eos = false)
     }
   }
@@ -196,7 +215,7 @@ class Gateway(root: SparkSession) {
   def cancelOperation(opHandle: String): Unit =
     operations.get(opHandle).foreach {
       _.result match {
-        case StreamingOp(job, _) => Jobs.stop(job)
+        case StreamingOp(job, _, _) => Jobs.stop(job)
         case _ => ()
       }
     }

@@ -193,9 +193,15 @@ object TableEnv {
     val b = parseCreateTable(stmt)
     registry.put(b.name, b)
     b.connector match {
+      case "datagen" if !b.options.contains("number-of-rows") =>
+        // unbounded datagen = streaming source: register the STREAMING df as
+        // the view so SELECT against it plans a streaming query (§3.1)
+        try streamDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
       case "filesystem" | "datagen" | "values" =>
         try batchDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
-      case _ => () // kafka/print/blackhole/jdbc: no bounded view
+      case "kafka" | "upsert-kafka" =>
+        try streamDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
+      case _ => () // print/blackhole/jdbc: sink-only
     }
     b
   }

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dumps `.explain("formatted")` for representative queries — the plan-audit
+  * artifact behind PLANS.md. Run:
+  *   sbt "runMain graft.tools.PlanAudit /root/testdata/sf0.01"
+  */
+object PlanAudit {
+  val audited: Seq[String] = Seq(
+    "q_agg_pricing_summary",  // scan + partial/final hash agg
+    "q_join_orders_nation",   // broadcast joins
+    "q_join_interval",        // sort-merge + range predicates
+    "q_join_asof",            // single shuffle + window carry-forward
+    "q_tumble_agg",           // window projection + hash agg
+    "q_dedup_minhash_lsh",    // kernel expr + band shuffle + self-join
+    "q_sim_topk_brute",       // broadcast queries + windowed top-k
+    "q_cep_low_runs",         // secondary sort + mapPartitions NFA
+    "q_fn_regex",             // pushdown + codegen'd functions
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    audited.foreach { name =>
+      println(s"\n########## $name ##########")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -154,6 +154,27 @@ class EngineSpec extends SparkTestBase {
     } finally Jobs.stopAll()
   }
 
+  test("gateway: streaming SELECT feeds the ring buffer, paged by offset token") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    gw.executeStatement(h,
+      "CREATE TABLE live_src (id BIGINT, amount DOUBLE) WITH ('connector'='datagen','rows-per-second'='200')")
+    val op = gw.executeStatement(h, "SELECT id, amount FROM live_src")
+    try {
+      var page = gw.fetchResults(op, 0)
+      var tries = 0
+      while (page.rows.isEmpty && tries < 100) { Thread.sleep(200); page = gw.fetchResults(op, 0); tries += 1 }
+      assert(page.rows.nonEmpty, "streaming SELECT produced no rows in 20s")
+      assert(page.columns == Seq("id", "amount"))
+      assert(!page.eos)
+      // token-follow: fetching at nextToken returns only newer rows
+      val token = page.nextToken.get
+      Thread.sleep(500)
+      val page2 = gw.fetchResults(op, token)
+      assert(page2.nextToken.get >= token)
+    } finally { gw.cancelOperation(op); Jobs.stopAll() }
+  }
+
   test("gateway: MATCH_RECOGNIZE routes to the CEP operator") {
     val gw = new Gateway(spark)
     val h = gw.openSession()
