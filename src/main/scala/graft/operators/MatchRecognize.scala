@@ -170,8 +170,16 @@ object MatchRecognize {
                     case "sum" | "avg" =>
                       val xs = rowsOfVar.map(r => num(grp(r).get(fieldIdx(m.field))))
                       if (xs.isEmpty) null
-                      else if (m.kind == "sum") xs.sum
-                      else xs.sum / xs.size
+                      else {
+                        // exact 4-decimal accumulation (matches Spark/DuckDB
+                        // SUM(CAST(x AS DECIMAL(18,4)))): plain double
+                        // summation drifts an ULP from any SQL oracle
+                        val s = xs.map(v => new java.math.BigDecimal(v)
+                          .setScale(4, java.math.RoundingMode.HALF_UP))
+                          .reduce(_.add(_))
+                        if (m.kind == "sum") s.doubleValue()
+                        else s.doubleValue() / xs.size
+                      }
                     case "min" => if (rowsOfVar.isEmpty) null
                       else rowsOfVar.map(grp(_).get(fieldIdx(m.field))).minBy(ordKey)
                     case "max" => if (rowsOfVar.isEmpty) null

@@ -56,7 +56,7 @@ object Funcs {
         |  abs(l_discount - 0.05) AS d_abs,
         |  CAST(ceil(l_extendedprice) AS DOUBLE) AS p_ceil,
         |  CAST(floor(l_extendedprice) AS DOUBLE) AS p_floor,
-        |  round(l_extendedprice * l_tax, 2) AS tax_amt,
+        |  round(l_extendedprice * l_tax, 4) AS tax_amt,
         |  round(sqrt(l_extendedprice), 6) AS p_sqrt,
         |  round(exp(l_discount), 6) AS d_exp,
         |  round(ln(l_extendedprice + 1), 6) AS p_ln,
@@ -180,7 +180,7 @@ object Funcs {
         |  abs(l_discount - 0.05) AS d_abs,
         |  CAST(ceil(l_extendedprice) AS DOUBLE) AS p_ceil,
         |  CAST(floor(l_extendedprice) AS DOUBLE) AS p_floor,
-        |  round(l_extendedprice * l_tax, 2) AS tax_amt,
+        |  round(l_extendedprice * l_tax, 4) AS tax_amt,
         |  round(sqrt(l_extendedprice), 6) AS p_sqrt,
         |  round(exp(l_discount), 6) AS d_exp,
         |  round(ln(l_extendedprice + 1), 6) AS p_ln,

@@ -49,7 +49,10 @@ object Relational {
           dsum("l_quantity").as("sum_qty"),
           dsum("l_extendedprice").as("sum_base_price"),
           dsum("l_extendedprice * (1 - l_discount)").as("sum_disc_price"),
-          expr("cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,8))) as double)").as("sum_charge"),
+          // 8-decimal sum reaches 17 significant digits at sf0.1 — beyond
+          // double precision, and decimal→double conversion differs across
+          // engines at that width. Emit the exact decimal as text instead.
+          expr("cast(cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,8))) as decimal(30,8)) as string)").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -110,7 +113,7 @@ object Relational {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DOUBLE) AS sum_charge,
+        |       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DECIMAL(30,8)) AS VARCHAR) AS sum_charge,
         |       COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
