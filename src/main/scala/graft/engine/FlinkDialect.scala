@@ -165,6 +165,16 @@ object FlinkDialect {
     // PROCTIME() → current_timestamp()
     s = s.replaceAll("(?i)\\bPROCTIME\\s*\\(\\s*\\)", "current_timestamp()")
 
+    // COLLECT(x) → MULTISET as element→count map (SURVEY §1.2 convention;
+    // F:269). Pure SQL composition, generic over the element type.
+    s = """(?i)(?<![\w_])COLLECT\s*\(([^()]+)\)""".r.replaceAllIn(s, m => {
+      val e = m.group(1).trim
+      Regex.quoteReplacement(
+        s"map_from_arrays(array_distinct(collect_list($e)), " +
+          s"transform(array_distinct(collect_list($e)), __v -> " +
+          s"size(filter(collect_list($e), __e -> __e <=> __v))))")
+    })
+
     // ELEMENT(x) → guarded single-element access (Flink: exactly-one or error)
     s = s.replaceAll("(?i)\\bELEMENT\\s*\\(([^()]+)\\)",
       "(CASE WHEN size($1) = 1 THEN element_at($1, 1) " +

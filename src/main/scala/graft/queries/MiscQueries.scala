@@ -39,6 +39,18 @@ object MiscQueries {
         |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // ANSI special argument syntaxes (F:354, F:361; G:431): TRIM(BOTH/
+    // LEADING/TRAILING ... FROM), SUBSTRING(FROM FOR), POSITION(IN)
+    "q_ansi_syntax" -> { (s, dir) => sql(s, dir,
+      """SELECT doc_id,
+        |  TRIM(BOTH 's' FROM source) AS t_both,
+        |  TRIM(LEADING 's' FROM source) AS t_lead,
+        |  TRIM(TRAILING '0123456789' FROM source) AS t_trail,
+        |  SUBSTRING(text FROM 3 FOR 8) AS sub_ff,
+        |  CAST(POSITION('c' IN source) AS INT) AS pos_c
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)
+    },
+
     // literal forms (F:566-591): hex, scientific, string escapes, intervals
     "q_literals" -> { (s, dir) => sql(s, dir,
       """SELECT event_id,
@@ -70,6 +82,15 @@ object MiscQueries {
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE o_orderpriority ILIKE '%urgent%'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_ansi_syntax" ->
+      """SELECT doc_id,
+        |  TRIM(BOTH 's' FROM source) AS t_both,
+        |  TRIM(LEADING 's' FROM source) AS t_lead,
+        |  TRIM(TRAILING '0123456789' FROM source) AS t_trail,
+        |  SUBSTRING(text FROM 3 FOR 8) AS sub_ff,
+        |  CAST(POSITION('c' IN source) AS INT) AS pos_c
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "q_literals" ->
       """SELECT event_id,

@@ -175,6 +175,57 @@ class EngineSpec extends SparkTestBase {
     } finally { gw.cancelOperation(op); Jobs.stopAll() }
   }
 
+  test("COLLECT(x) rewrites to a multiset (element → count map)") {
+    Tables.registerAll(spark, sfDir)
+    val df = FlinkDialect.sql(spark,
+      "SELECT n_regionkey, COLLECT(n_name) AS names FROM nation GROUP BY n_regionkey")
+    val m = df.filter(col("n_regionkey") === 0).head().getMap[String, Int](1)
+    assert(m.size == 5 && m.values.forall(_ == 1))
+  }
+
+  test("lookup join: rate stream against a static dimension (stream-static)") {
+    TableEnv.clear()
+    val dim = Tables.load(spark, sfDir, "nation")
+    val b = TableEnv.parseCreateTable(
+      "CREATE TABLE lk (id BIGINT) WITH ('connector'='datagen','rows-per-second'='500')")
+    val stream = TableEnv.streamDF(spark, b)
+      .withColumn("nk", pmod(col("id"), lit(25)).cast("int"))
+      .join(broadcast(dim), col("nk") === col("n_nationkey")) // per-batch dim snapshot
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("lookup_out").start()
+    try {
+      var tries = 0
+      while (spark.table("lookup_out").isEmpty && tries < 50) { Thread.sleep(200); tries += 1 }
+      val rows = spark.table("lookup_out")
+      assert(!rows.isEmpty)
+      assert(rows.schema.fieldNames.contains("n_name")) // dim columns attached
+    } finally q.stop()
+  }
+
+  test("bucketed tables join without a shuffle on the join key") {
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"spark-warehouse/$t"))
+    }
+    Tables.load(spark, sfDir, "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.load(spark, sfDir, "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      assert(joined.count() == Tables.load(spark, sfDir, "lineitem").count())
+      val plan = joined.queryExecution.executedPlan.toString // final (post-AQE)
+      // co-located bucketed join: no Exchange feeding the SortMergeJoin
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("gateway: MATCH_RECOGNIZE routes to the CEP operator") {
     val gw = new Gateway(spark)
     val h = gw.openSession()
