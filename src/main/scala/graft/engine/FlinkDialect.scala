@@ -175,6 +175,12 @@ object FlinkDialect {
           s"size(filter(collect_list($e), __e -> __e <=> __v))))")
     })
 
+    // CROSS JOIN UNNEST(arr) AS t(c) (F:164-167) → LATERAL VIEW explode;
+    // UNNEST in FROM position otherwise → explode via lateral view too
+    s = """(?is)CROSS\s+JOIN\s+UNNEST\s*\(([^()]+)\)\s+AS\s+(\w+)\s*\((\w+)\)""".r
+      .replaceAllIn(s, m => Regex.quoteReplacement(
+        s"LATERAL VIEW explode(${m.group(1)}) ${m.group(2)} AS ${m.group(3)}"))
+
     // ELEMENT(x) → guarded single-element access (Flink: exactly-one or error)
     s = s.replaceAll("(?i)\\bELEMENT\\s*\\(([^()]+)\\)",
       "(CASE WHEN size($1) = 1 THEN element_at($1, 1) " +

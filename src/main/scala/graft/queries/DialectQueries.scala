@@ -20,7 +20,25 @@ object DialectQueries {
     FlinkDialect.sql(s, q)
   }
 
-  val queries: Map[String, Q] = Map(
+  private val extraQueries: Map[String, Q] = Map(
+    // CROSS JOIN LATERAL UNNEST — verbatim Flink shape (F:164-167)
+    "q_flink_unnest" -> { (s, dir) => fsql(s, dir,
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS tags FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, tag, CAST(1 AS BIGINT) AS one
+        |FROM d CROSS JOIN UNNEST(tags) AS t(tag)
+        |ORDER BY doc_id, tag""".stripMargin)
+    },
+    // typed Aggregator UDAF: exact decimal sum registered as SQL function
+    "q_agg_typed_udaf" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.Aggregators.registerAll(s)
+      s.sql(
+        """SELECT l_returnflag, dsum4(l_quantity) AS sum_qty, COUNT(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+  )
+
+  val queries: Map[String, Q] = extraQueries ++ Map(
     // the reference's hello-world (snippets S:45-56), verbatim Flink SQL
     "q_flink_tumble" -> { (s, dir) => fsql(s, dir,
       """SELECT window_start, window_end, event_type, COUNT(*) AS cnt
@@ -62,7 +80,18 @@ object DialectQueries {
     },
   )
 
+
   val oracle: Map[String, String] = Map(
+    "q_flink_unnest" ->
+      """SELECT doc_id, UNNEST(string_split(text, ' ')) AS tag, CAST(1 AS BIGINT) AS one
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id, tag""".stripMargin,
+
+    "q_agg_typed_udaf" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_flink_tumble" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         |       time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '10 minutes' AS window_end,

@@ -33,6 +33,11 @@ def cell(v):
 
 
 def main(sfdir, outdir):
+    # guard against stale outputs from an aborted Verify run
+    import time
+    age = time.time() - os.path.getmtime(f"{outdir}/oracle_sql.json")
+    if age > 600:
+        print(f"WARNING: oracle_sql.json is {int(age)}s old - stale Verify output?")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
