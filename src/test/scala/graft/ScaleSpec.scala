@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.TableEnv
+import graft.operators.SkewJoin
+
+/** Scale primitives: salted skew joins, typed Dataset path, and the verbatim
+  * corpus kafka DDL parse (F:11-30).
+  */
+object ScaleSpec {
+  case class Line(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+}
+
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join equals plain join and spreads the hot key across salts") {
+    // heavily skewed: 10k rows on key 1, a handful elsewhere
+    val big = (Seq.fill(10000)(1) ++ Seq(2, 2, 3)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+    val small = Seq((1, "one"), (2, "two"), (3, "three"), (4, "four")).toDF("sk", "label")
+    val plain = big.join(small, col("k") === col("sk")).count()
+    val salted = SkewJoin.saltedInnerJoin(big, "k", "row_id", small, "sk", salts = 8)
+    assert(salted.count() == plain)
+    // the hot key's rows really occupy multiple salt buckets
+    val buckets = big.withColumn("__salt", pmod(xxhash64(col("row_id")), lit(8)))
+      .filter(col("k") === 1).select("__salt").distinct().count()
+    assert(buckets > 4)
+  }
+
+  test("typed Dataset[T] path: case-class encoder + groupByKey aggregation") {
+    import ScaleSpec.Line
+    val ds = Tables.load(spark, sfDir, "lineitem")
+      .selectExpr("l_orderkey", "l_quantity", "l_returnflag").as[Line]
+    val byFlag = ds.groupByKey(_.l_returnflag)
+      .mapGroups((k, rows) => (k, rows.map(_.l_quantity).sum))
+      .collect().toMap
+    val sqlSide = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byFlag.keySet == sqlSide.keySet)
+    byFlag.foreach { case (k, v) => assert(math.abs(v - sqlSide(k)) < 1e-6) }
+  }
+
+  test("verbatim corpus kafka DDL (F:11-30) parses completely") {
+    val b = TableEnv.parseCreateTable(
+      """CREATE TABLE orders_kafka (
+        |    order_id BIGINT,
+        |    customer_id INT,
+        |    product_name VARCHAR,
+        |    price DECIMAL(10, 2),
+        |    quantity INT,
+        |    order_time TIMESTAMP(3),
+        |    order_time_ltz TIMESTAMP_LTZ(3),
+        |    ts AS PROCTIME(),
+        |    WATERMARK FOR order_time AS order_time - INTERVAL '5' SECOND,
+        |    PRIMARY KEY (order_id) NOT ENFORCED
+        |) WITH (
+        |    'connector' = 'kafka',
+        |    'topic' = 'orders',
+        |    'properties.bootstrap.servers' = 'localhost:9092',
+        |    'properties.group.id' = 'flink-consumer',
+        |    'format' = 'json',
+        |    'scan.startup.mode' = 'earliest-offset',
+        |    'json.ignore-parse-errors' = 'true'
+        |)""".stripMargin)
+    assert(b.connector == "kafka")
+    assert(b.options("topic") == "orders")
+    assert(b.watermark.contains(("order_time", "5 seconds")))
+    assert(b.primaryKey == Seq("order_id"))
+    val types = b.cols.map(c => c.name -> c.sparkType).toMap
+    assert(types("order_time") == "TIMESTAMP_NTZ")   // wall-clock
+    assert(types("order_time_ltz") == "TIMESTAMP")   // instant
+    assert(types("price") == "DECIMAL(10, 2)")
+    assert(b.cols.find(_.name == "ts").get.computed.contains("current_timestamp()"))
+    // metadata-column corpus table (F:33-43)
+    val m = TableEnv.parseCreateTable(
+      """CREATE TABLE kafka_table (
+        |    id BIGINT,
+        |    name STRING,
+        |    event_time TIMESTAMP(3) METADATA FROM 'timestamp' VIRTUAL,
+        |    partition_id BIGINT METADATA FROM 'partition' VIRTUAL,
+        |    WATERMARK FOR event_time AS event_time - INTERVAL '10' SECOND
+        |) WITH ('connector' = 'kafka', 'topic' = 'test-topic', 'format' = 'debezium-json')""".stripMargin)
+    assert(m.cols.find(_.name == "event_time").get.metadataFrom.contains("timestamp"))
+    assert(m.cols.find(_.name == "partition_id").get.metadataFrom.contains("partition"))
+  }
+}
