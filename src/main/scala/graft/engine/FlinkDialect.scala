@@ -76,8 +76,13 @@ object FlinkDialect {
           if (startsWithWord("BEGIN") &&
               script.substring(i).toUpperCase.replaceAll("\\s+", " ").startsWith("BEGIN STATEMENT SET"))
             inSet = true
-          else if (inSet && startsWithWord("END"))
-            inSet = false
+          else if (inSet && startsWithWord("END")) {
+            // only a STANDALONE END terminates the set: nothing but whitespace
+            // since the last ';' (a CASE ... END inside an insert is
+            // mid-statement and must not close the block)
+            val sinceSemi = cur.toString.substring(cur.toString.lastIndexOf(';') + 1)
+            if (sinceSemi.trim.isEmpty) inSet = false
+          }
           cur += c; i += 1
       }
     }
@@ -113,6 +118,8 @@ object FlinkDialect {
       case "MINUTE" => 60L
       case "HOUR"   => 3600L
       case "DAY"    => 86400L
+      case other => throw new IllegalArgumentException(
+        s"Unsupported CUMULATE interval unit '$other' (use SECOND/MINUTE/HOUR/DAY)")
     }
     v.trim.toLong * mult
   }
@@ -162,6 +169,21 @@ object FlinkDialect {
         "session_window.start AS window_start, session_window.end AS window_end")
     }
 
+    // SIMILAR TO pattern → anchored regexp_like ('%'→'.*', '_'→'.')
+    // (must run before literal masking: it consumes its pattern literal)
+    s = """(?i)([\w.`()']+)\s+SIMILAR\s+TO\s+'([^']*)'""".r.replaceAllIn(s, m => {
+      val rx = m.group(2).replace("%", ".*").replace("_", ".")
+      Regex.quoteReplacement(s"regexp_like(${m.group(1)}, '^$rx$$')")
+    })
+
+    // ---- mask string literals: none of the remaining rewrites may touch
+    // the INSIDE of a quoted constant ('code 0xFF', 'a[1]', 'SHUFFLE_MERGE')
+    val literals = ArrayBuffer.empty[String]
+    s = """'(?:[^']|'')*'""".r.replaceAllIn(s, m => {
+      literals += m.matched
+      s"__GRAFT_LIT_${literals.size - 1}__"
+    })
+
     // PROCTIME() → current_timestamp()
     s = s.replaceAll("(?i)\\bPROCTIME\\s*\\(\\s*\\)", "current_timestamp()")
 
@@ -193,12 +215,6 @@ object FlinkDialect {
     s = """([\w.`]+)\s*\[\s*(\d+)\s*\]""".r.replaceAllIn(s,
       m => Regex.quoteReplacement(s"element_at(${m.group(1)}, ${m.group(2)})"))
 
-    // SIMILAR TO pattern → anchored regexp_like ('%'→'.*', '_'→'.')
-    s = """(?i)([\w.`()']+)\s+SIMILAR\s+TO\s+'([^']*)'""".r.replaceAllIn(s, m => {
-      val rx = m.group(2).replace("%", ".*").replace("_", ".")
-      Regex.quoteReplacement(s"regexp_like(${m.group(1)}, '^$rx$$')")
-    })
-
     // Flink hex literals 0xFF (F:573) — Spark's parser reads 0xFF as an
     // identifier, so rewrite to the decimal value
     s = """\b0[xX]([0-9a-fA-F]+)\b""".r.replaceAllIn(s,
@@ -227,6 +243,11 @@ object FlinkDialect {
     s = s.replaceAll("(?i)\\bNEST_LOOP\\b", "SHUFFLE_REPLICATE_NL")
     s = """(?is)/\*\+\s*(?:OPTIONS|LOOKUP|STATE_TTL|MINI_BATCH|SPLIT_DISTINCT_AGG|AGG_STRATEGY|ASYNC_LOOKUP|RETRY_STRATEGY)\s*\([^)]*\)\s*\*/""".r
       .replaceAllIn(s, "")
+
+    // ---- restore masked string literals
+    literals.zipWithIndex.reverse.foreach { case (lit, i) =>
+      s = s.replace(s"__GRAFT_LIT_${i}__", lit)
+    }
 
     s.trim
   }

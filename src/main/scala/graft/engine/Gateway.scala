@@ -61,7 +61,13 @@ class Gateway(root: SparkSession) {
 
   def openSession(name: String = "default"): String = {
     val handle = s"$name-${UUID.randomUUID()}"
-    sessions.put(handle, new Session(handle, root.newSession()))
+    val s = root.newSession()
+    // newSession() isolates the function registry along with conf/temp views
+    // — re-register the Flink-dialect functions so every gateway session
+    // speaks the full surface
+    graft.functions.FlinkFunctions.registerAll(s)
+    graft.functions.Aggregators.registerAll(s)
+    sessions.put(handle, new Session(handle, s))
     handle
   }
 
@@ -106,7 +112,7 @@ class Gateway(root: SparkSession) {
   private def route(spark: SparkSession, stmt: String): OpResult = {
     val upper = stmt.toUpperCase
     stmt match {
-      case s if TableEnv.isCreateTableWith(s) && s.contains("WITH") =>
+      case s if TableEnv.isCreateTableWith(s) && upper.contains("WITH") =>
         val b = TableEnv.createTable(spark, s)
         Statement(s"Table ${b.name} created (connector=${b.connector})")
       case SetRe(k, v) =>
@@ -120,11 +126,14 @@ class Gateway(root: SparkSession) {
         else Statement(s"Job $id not found")
       case _ if upper == "SHOW JOBS" =>
         Finished(Jobs.showJobs(spark))
-      case _ if upper.startsWith("BEGIN STATEMENT SET") =>
-        // END was kept inside by the splitter
-        val inner = stmt.substring("BEGIN STATEMENT SET".length)
-          .stripSuffix("END").trim
-        val handles = FlinkDialect.split(inner).map(s => route(spark, s.stripSuffix(";")))
+      case _ if upper.replaceAll("\\s+", " ").startsWith("BEGIN STATEMENT SET") =>
+        // strip the (case-insensitive) BEGIN header; split keeps the trailing
+        // standalone END as its own token — drop it, not a CASE's END
+        val inner = stmt.replaceFirst("(?is)^BEGIN\\s+STATEMENT\\s+SET\\s*;?", "")
+        val stmts = FlinkDialect.split(inner)
+          .filterNot(_.trim.equalsIgnoreCase("END"))
+          .filter(_.trim.nonEmpty)
+        val handles = stmts.map(s => route(spark, s.stripSuffix(";")))
         Statement(s"Statement set: ${handles.size} inserts submitted")
       case InsertIntoRe(target, select) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         val b = TableEnv.lookup(target.replace("`", "")).get

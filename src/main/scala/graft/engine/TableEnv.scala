@@ -88,11 +88,21 @@ object TableEnv {
     s.startsWith("CREATE TABLE") || s.startsWith("CREATE TEMPORARY TABLE")
   }
 
-  /** Split on commas at depth 0 w.r.t. (), <>, and quotes. */
+  /** Split on commas at depth 0 w.r.t. (), quotes, and TYPE generics.
+    * '<' only opens a bracket after a generic type keyword (ROW/MAP/ARRAY/
+    * MULTISET/STRUCT) or while already inside one — a comparison operator in
+    * a computed-column expression (`flag AS qty > 10`) must not shift depth. */
   private def splitTop(s: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var depth = 0
+    var parens = 0
+    var generics = 0
+    def beforeIsGenericKeyword: Boolean = {
+      val t = cur.toString
+      val word = t.reverseIterator.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+        .toSeq.reverse.mkString.toUpperCase
+      Set("ROW", "MAP", "ARRAY", "MULTISET", "STRUCT").contains(word)
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -101,9 +111,15 @@ object TableEnv {
           cur += c; i += 1
           while (i < s.length && s.charAt(i) != '\'') { cur += s.charAt(i); i += 1 }
           if (i < s.length) cur += '\''
-        case '(' | '<' => depth += 1; cur += c
-        case ')' | '>' => depth -= 1; cur += c
-        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case '(' => parens += 1; cur += c
+        case ')' => parens -= 1; cur += c
+        case '<' =>
+          if (generics > 0 || beforeIsGenericKeyword) generics += 1
+          cur += c
+        case '>' =>
+          if (generics > 0) generics -= 1
+          cur += c
+        case ',' if parens == 0 && generics == 0 => out += cur.toString.trim; cur.clear()
         case _ => cur += c
       }
       i += 1
@@ -229,7 +245,8 @@ object TableEnv {
       val n = b.options.getOrElse("number-of-rows", "1000").toLong
       finishSource(synthesize(spark.range(n).toDF("__seq"), b), b, stream = false)
     case "values" =>
-      throw new IllegalArgumentException("values connector: use INSERT INTO ... VALUES")
+      throw new IllegalArgumentException(
+        "values connector is unsupported in v1 — use Spark SQL `VALUES (...)` inline relations instead")
     case c =>
       throw new IllegalArgumentException(s"connector '$c' is not batch-readable")
   }

@@ -48,8 +48,13 @@ object AsOfJoin {
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // carry the LATEST right row even when its payload is legitimately NULL:
+    // wrap payloads in a struct that is non-null exactly for right rows, so
+    // last(ignoreNulls) tracks row recency, not payload nullability
     val carried = rightValueCols.foldLeft(r.unionByName(l)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      df.withColumn(c,
+        last(when(col("__side") === 0, struct(col(c).as("v"))), ignoreNulls = true)
+          .over(w).getField("v"))
     }
     carried.filter(col("__side") === 1).drop("__side", "__ts")
   }

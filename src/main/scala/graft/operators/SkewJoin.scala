@@ -27,10 +27,12 @@ object SkewJoin {
       small: DataFrame, smallKey: String,
       salts: Int = 8): DataFrame = {
     require(salts >= 1)
+    // dataset-qualified references: identically-named key columns on the two
+    // sides would otherwise resolve ambiguously
     val salted = big.withColumn("__salt", pmod(xxhash64(col(distributor)), lit(salts)).cast("int"))
     val exploded = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted.join(exploded,
-        salted("__salt") === exploded("__salt") && col(bigKey) === col(smallKey))
-      .drop("__salt")
+        salted("__salt") === exploded("__salt") && salted(bigKey) === exploded(smallKey))
+      .drop(salted("__salt")).drop(exploded("__salt"))
   }
 }

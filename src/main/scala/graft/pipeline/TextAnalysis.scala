@@ -15,8 +15,11 @@ import graft.functions.RollingHashes.rolling_hashes
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+")).cast("bigint")
+  /** Whitespace token count (0 for empty/blank text — split of an empty
+    * string yields one empty token, which must not count). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("bigint"))
 
   /** BPE-ish subword count: runs of letters, digit runs, and single
     * punctuation each count as one token (the usual pre-tokenizer shape). */
@@ -30,7 +33,7 @@ object TextAnalysis {
     val t = col(textCol)
     val nChars = length(t).cast("double")
     val toks = split(trim(t), "\\s+")
-    val nToks = size(toks).cast("double")
+    val nToks = when(length(trim(t)) === 0, lit(0.0)).otherwise(size(toks).cast("double"))
     val punct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
     val stop = size(filter(toks, w => lower(w).isin(StopWords: _*))).cast("double")
     df.select(
@@ -74,14 +77,13 @@ object TextAnalysis {
     when(hanChars > 0, lit("zh")).otherwise(best._1)
   }
 
-  /** Winnowed rolling-hash fingerprint: min k-gram hash per window of `w`
-    * consecutive hashes — robust to small edits, O(n) via rolling_hashes. */
-  def winnowFingerprint(text: Column, k: Int = 16, w: Int = 8): Column = {
-    val hashes = rolling_hashes(Dedup.normalize(text), k, 0L)
-    // global min of per-window minima == global min; expose both a compact
-    // 64-bit fp (global min) and the winnow set size for diagnostics
-    array_min(hashes)
-  }
+  /** 64-bit content fingerprint: minimum k-gram rolling hash of the
+    * normalized text (the MinHash-1 fingerprint) — robust to reordering of
+    * large blocks, O(n) via rolling_hashes. For edit-locality-sensitive
+    * winnowing (min per sliding window of hashes), use
+    * `Dedup.minhashSignature` with banding instead. */
+  def fingerprint64(text: Column, k: Int = 16): Column =
+    array_min(rolling_hashes(Dedup.normalize(text), k, 0L))
 
   /** Content digest fingerprint (md5 of normalized text) — the exact-dedup key. */
   def digest(text: Column): Column = md5(Dedup.normalize(text))

@@ -28,6 +28,61 @@ class EngineSpec extends SparkTestBase {
     assert(stmts.size == 2)
   }
 
+  test("split: CASE ... END inside a STATEMENT SET does not close the block") {
+    val stmts = FlinkDialect.split(
+      """BEGIN STATEMENT SET;
+        |INSERT INTO t SELECT CASE WHEN x > 0 THEN 1 ELSE 2 END FROM s;
+        |INSERT INTO u SELECT 1;
+        |END;
+        |SELECT 9""".stripMargin)
+    assert(stmts.size == 2, stmts.mkString("\n---\n"))
+    assert(stmts.head.contains("INSERT INTO u"))
+    assert(stmts.head.trim.toUpperCase.endsWith("END"))
+  }
+
+  test("rewrite never touches the inside of string literals") {
+    val r = FlinkDialect.rewrite(
+      "SELECT * FROM logs WHERE msg = 'code 0xFF' AND tag = 'a[1]' AND h = 'SHUFFLE_MERGE'")
+    assert(r.contains("'code 0xFF'"))
+    assert(r.contains("'a[1]'"))
+    assert(r.contains("'SHUFFLE_MERGE'"))
+    // ...but the same constructs outside literals are still rewritten
+    val r2 = FlinkDialect.rewrite("SELECT 0xFF AS m, arr[1] AS e FROM t")
+    assert(r2.contains("255") && r2.contains("element_at(arr, 1)"))
+  }
+
+  test("lowercase DDL routes to TableEnv and statement sets tolerate lowercase end") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val out = java.nio.file.Files.createTempDirectory("graft-lc").toString
+    val p1 = gw.fetchResults(gw.executeStatement(h,
+      "create temporary table lc_src (id bigint) with ('connector'='datagen','number-of-rows'='20')"), 0)
+    assert(p1.rows.head.head.toString.contains("lc_src"), p1.rows)
+    gw.executeStatement(h,
+      s"create table lc_snk (id bigint) with ('connector'='filesystem','path'='$out','format'='parquet')")
+    val op = gw.executeStatement(h,
+      "begin statement set;\ninsert into lc_snk select id from lc_src;\nend")
+    assert(gw.fetchResults(op, 0).rows.head.head.toString.contains("1 inserts"))
+    assert(spark.read.parquet(out).count() == 20)
+  }
+
+  test("DDL parses computed columns containing comparison operators") {
+    val b = TableEnv.parseCreateTable(
+      "CREATE TABLE t (a INT, is_big AS quantity > 10, c INT, d STRING) WITH ('connector'='datagen')")
+    assert(b.cols.map(_.name) == Seq("a", "is_big", "c", "d"))
+    assert(b.cols.find(_.name == "is_big").get.computed.isDefined)
+  }
+
+  test("gateway sessions have the Flink function surface registered") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val page = gw.fetchResults(gw.executeStatement(h,
+      "SELECT split_index('a,b,c', ',', 1) AS x, dsum4(CAST(v AS DOUBLE)) AS s FROM VALUES (1.0), (2.5) AS t(v)"), 0)
+    assert(page.columns != Seq("error"), page.rows)
+    assert(page.rows.head(0) == "b")
+    assert(page.rows.head(1) == 3.5)
+  }
+
   // ------------------------------------------------------------- rewriter --
 
   test("rewrite translates hints, PROCTIME, ELEMENT, subscripts") {

@@ -95,6 +95,32 @@ class PipelineSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("token counts are 0 for empty or whitespace-only text") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "two words")).toDF("doc_id", "text")
+    val counts = df.select(col("doc_id"), graft.pipeline.TextAnalysis.tokenCount(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
+    val q = graft.pipeline.TextAnalysis.qualityFeatures(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(q(1L) == 0L && q(2L) == 0L)
+  }
+
+  test("as-of join carries the latest right row even when its payload is null") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "lid", "lts")
+    val right = Seq((1L, 5L, Some("old")), (1L, 50L, None: Option[String]))
+      .toDF("k", "rts", "payload")
+    val out = graft.operators.AsOfJoin.leftAsOf(left, right, "k", "lts", "rts", Seq("payload"))
+    // latest right row at ts=50 has a NULL payload; must NOT fall back to 'old'
+    assert(out.collect().head.getAs[String]("payload") == null)
+  }
+
+  test("salted join works when both key columns share a name") {
+    val big = Seq((1, 100L), (2, 200L)).toDF("id", "row_id")
+    val small = Seq((1, "one"), (2, "two")).toDF("id", "label")
+    val out = graft.operators.SkewJoin.saltedInnerJoin(big, "id", "row_id", small, "id", salts = 4)
+    assert(out.count() == 2)
+  }
+
   test("exact dedup groups duplicate normalized texts") {
     val df = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "other doc")

@@ -29,6 +29,12 @@ class ResultsSpec extends SparkTestBase {
     assert(Results.page(rows, 1, 2) == Seq(Seq("cherry", 2)))
   }
 
+  test("sort keeps nulls last in both directions") {
+    val rows = Seq(Seq[Any](3), Seq[Any](null), Seq[Any](1))
+    assert(Results.sortRows(rows, 0, asc = true).map(_.head) == Seq(1, 3, null))
+    assert(Results.sortRows(rows, 0, asc = false).map(_.head) == Seq(3, 1, null))
+  }
+
   test("gateway surfaces root cause for failing SQL instead of throwing") {
     val gw = new Gateway(spark)
     val h = gw.openSession()
