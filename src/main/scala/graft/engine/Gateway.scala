@@ -126,6 +126,16 @@ class Gateway(root: SparkSession) {
         else Statement(s"Job $id not found")
       case _ if upper == "SHOW JOBS" =>
         Finished(Jobs.showJobs(spark))
+      case _ if upper == "SHOW JARS" =>
+        { import spark.implicits._
+          Finished(spark.sparkContext.listJars().toSeq.toDF("jar")) }
+      case _ if upper == "SHOW MODULES" =>
+        Statement("Modules are not supported (Flink module system has no Spark counterpart)")
+      case s if upper.startsWith("USE CATALOG ") =>
+        spark.sql("SET CATALOG " + s.substring("USE CATALOG ".length))
+        Statement(s"Catalog switched")
+      case _ if upper.startsWith("CURRENT_WATERMARK") =>
+        Statement("CURRENT_WATERMARK() is unsupported — read StreamingQueryProgress.eventTime.watermark instead")
       case _ if upper.replaceAll("\\s+", " ").startsWith("BEGIN STATEMENT SET") =>
         // strip the (case-insensitive) BEGIN header; split keeps the trailing
         // standalone END as its own token — drop it, not a CASE's END

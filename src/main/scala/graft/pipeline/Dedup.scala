@@ -68,8 +68,9 @@ object Dedup {
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     def grams(c: Column) = array_distinct(rolling_hashes(normalize(c), n, 0L))
     val ga = grams(a); val gb = grams(b)
-    val inter = size(array_intersect(ga, gb)).cast("double")
-    inter / (size(ga) + size(gb) - size(array_intersect(ga, gb)))
+    // |A∩B| / (|A| + |B| - |A∩B|) with the intersection computed once
+    val inter = size(array_intersect(ga, gb))
+    inter.cast("double") / (size(ga) + size(gb) - inter)
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard.

@@ -85,6 +85,17 @@ class ResultsSpec extends SparkTestBase {
     assert(b2.name == "ow_snk" && b2.connector == "filesystem")
   }
 
+  test("admin statements: SHOW JARS / SHOW MODULES / ANALYZE / TRUNCATE-ish routes") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val jars = gw.fetchResults(gw.executeStatement(h, "SHOW JARS"), 0)
+    assert(jars.columns == Seq("jar")) // empty list is fine in local mode
+    val mods = gw.fetchResults(gw.executeStatement(h, "SHOW MODULES"), 0)
+    assert(mods.rows.head.head.toString.contains("not supported"))
+    val fns = gw.fetchResults(gw.executeStatement(h, "SHOW FUNCTIONS LIKE 'split*'"), 0)
+    assert(fns.rows.exists(_.head.toString.contains("split")))
+  }
+
   test("temporal join clause FOR SYSTEM_TIME AS OF is rewritten to snapshot join") {
     val r = FlinkDialect.rewrite(
       "SELECT * FROM fact_table JOIN dim_table FOR SYSTEM_TIME AS OF fact_table.proc_time ON fact_table.dim_id = dim_table.id")
