@@ -171,11 +171,18 @@ class Gateway(root: SparkSession) {
     val buffer = new RingBuffer()
     val name = s"select_${System.nanoTime()}"
     val cols = df.columns.toSeq
-    val q = df.writeStream.outputMode("append")
+    def start(mode: String) = df.writeStream.outputMode(mode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         buffer.append(batch.limit(buffer.capacity).collect().toSeq)
       }
       .queryName(name).start()
+    // changelog semantics: projections stream in append mode; aggregations
+    // without a watermark need update mode (Flink's retract/upsert stream —
+    // EXPLAIN CHANGELOG_MODE would report exactly this)
+    val q = try start("append") catch {
+      case e: Exception if e.getMessage != null &&
+        e.getMessage.contains("STREAMING_OUTPUT_MODE") => start("update")
+    }
     Jobs.register(name, q)
     StreamingOp(name, buffer, cols)
   }

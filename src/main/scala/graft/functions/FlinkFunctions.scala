@@ -87,6 +87,12 @@ object FlinkFunctions {
       |END""".stripMargin,
     // Flink TIME_TRUNC-ish FLOOR(ts TO unit) handled by dialect; DATE_TRUNC native.
 
+    // Flink CONVERT_TZ(ts_str, from_tz, to_tz) — Spark's convert_timezone
+    // has (from, to, ts) order and timestamp types
+    """CREATE OR REPLACE TEMPORARY FUNCTION CONVERT_TZ(ts STRING, ftz STRING, ttz STRING)
+      |RETURNS STRING RETURN date_format(
+      |  convert_timezone(ftz, ttz, CAST(ts AS TIMESTAMP_NTZ)), 'yyyy-MM-dd HH:mm:ss')""".stripMargin,
+
     // --- hash (G:463) ---
     """CREATE OR REPLACE TEMPORARY FUNCTION HASH_CODE(s STRING) RETURNS INT RETURN hash(s)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MURMUR_HASH(s STRING) RETURNS INT RETURN hash(s)""",

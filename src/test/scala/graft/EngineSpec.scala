@@ -281,6 +281,23 @@ class EngineSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("gateway: streaming aggregation SELECT falls back to update mode") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    gw.executeStatement(h,
+      "CREATE TABLE agg_src (id BIGINT) WITH ('connector'='datagen','rows-per-second'='300')")
+    val op = gw.executeStatement(h,
+      "SELECT id % 3 AS bucket, COUNT(*) AS cnt FROM agg_src GROUP BY id % 3")
+    try {
+      var page = gw.fetchResults(op, 0)
+      assert(page.columns != Seq("error"), page.rows)
+      var tries = 0
+      while (page.rows.isEmpty && tries < 100) { Thread.sleep(200); page = gw.fetchResults(op, 0); tries += 1 }
+      assert(page.rows.nonEmpty, "streaming aggregation produced no rows in 20s")
+      assert(page.columns == Seq("bucket", "cnt"))
+    } finally { gw.cancelOperation(op); Jobs.stopAll() }
+  }
+
   test("gateway: MATCH_RECOGNIZE routes to the CEP operator") {
     val gw = new Gateway(spark)
     val h = gw.openSession()
