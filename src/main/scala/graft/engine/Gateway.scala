@@ -126,6 +126,18 @@ class Gateway(root: SparkSession) {
         else Statement(s"Job $id not found")
       case _ if upper == "SHOW JOBS" =>
         Finished(Jobs.showJobs(spark))
+      case s if upper.startsWith("EXPLAIN CHANGELOG_MODE") =>
+        // report the changelog mode of the query (F:537): bounded queries are
+        // one-shot; streaming projections append; unwatermarked streaming
+        // aggregations retract/update
+        val df = spark.sql(FlinkDialect.rewrite(s.substring("EXPLAIN CHANGELOG_MODE".length)))
+        val mode =
+          if (!df.isStreaming) "BOUNDED (batch result, no changelog)"
+          else if (df.queryExecution.analyzed.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          }.isDefined) "UPDATE (retract stream: aggregated rows are re-emitted)"
+          else "APPEND (insert-only stream)"
+        Statement(s"CHANGELOG_MODE: $mode")
       case _ if upper == "SHOW JARS" =>
         { import spark.implicits._
           Finished(spark.sparkContext.listJars().toSeq.toDF("jar")) }

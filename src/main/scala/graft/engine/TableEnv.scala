@@ -231,7 +231,11 @@ object TableEnv {
       df = df.withColumn(c.name, expr(c.computed.get))
     }
     b.watermark match {
-      case Some((c, delay)) if stream => df.withWatermark(c, delay)
+      case Some((c, delay)) if stream =>
+        // Spark event-time watermarks require TimestampType (instant), not
+        // TIMESTAMP_NTZ; with the session pinned to UTC the cast is a pure
+        // relabeling of the same wall-clock values
+        df.withColumn(c, col(c).cast("timestamp")).withWatermark(c, delay)
       case _ => df
     }
   }

@@ -85,6 +85,23 @@ class ResultsSpec extends SparkTestBase {
     assert(b2.name == "ow_snk" && b2.connector == "filesystem")
   }
 
+  test("EXPLAIN CHANGELOG_MODE reports bounded / append / update") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    Tables.registerAll(gw.session(h).spark, sfDir)
+    val bounded = gw.fetchResults(gw.executeStatement(h,
+      "EXPLAIN CHANGELOG_MODE SELECT COUNT(*) FROM nation"), 0)
+    assert(bounded.rows.head.head.toString.contains("BOUNDED"))
+    gw.executeStatement(h,
+      "CREATE TABLE clm_src (id BIGINT) WITH ('connector'='datagen','rows-per-second'='10')")
+    val append = gw.fetchResults(gw.executeStatement(h,
+      "EXPLAIN CHANGELOG_MODE SELECT id FROM clm_src"), 0)
+    assert(append.rows.head.head.toString.contains("APPEND"))
+    val update = gw.fetchResults(gw.executeStatement(h,
+      "EXPLAIN CHANGELOG_MODE SELECT id % 2, COUNT(*) FROM clm_src GROUP BY id % 2"), 0)
+    assert(update.rows.head.head.toString.contains("UPDATE"))
+  }
+
   test("admin statements: SHOW JARS / SHOW MODULES / ANALYZE / TRUNCATE-ish routes") {
     val gw = new Gateway(spark)
     val h = gw.openSession()

@@ -101,6 +101,44 @@ class StreamingSpec extends SparkTestBase {
     assert(state(2L) == ("cancelled", 0.0))
   }
 
+  test("flagship tumble aggregation: streaming result == batch result on real data") {
+    // stream the events parquet as a file source and run the flagship window
+    // aggregation; on bounded input the streamed result must equal batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("events.parquet")),
+      dir.resolve("events.parquet"))
+    val batchEvents = Tables.load(spark, sfDir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // watermarks require TimestampType (not NTZ); UTC session = same wall clock
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = streamEvents
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("cnt"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("flagship_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("flagship_stream")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // append mode emits only windows closed by the final watermark — every
+    // emitted window must match batch exactly, and nearly all windows close
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"window $k: stream $v vs batch ${batch(k)}") }
+    assert(streamed.size >= batch.size - 10, s"${streamed.size} vs ${batch.size}")
+  }
+
   test("datagen (rate) streaming source produces typed rows continuously") {
     engine.TableEnv.clear()
     val b = engine.TableEnv.parseCreateTable(
