@@ -1,0 +1,80 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.engine.FlinkDialect
+import graft.functions.RollingHashes
+
+/** Property-based tests (scalacheck generators, 100 samples per property)
+  * for the hand-rolled parsers/kernels — the components most likely to
+  * break on adversarial input.
+  */
+class PropertySpec extends SparkTestBase {
+
+  private def forAll[A](gen: Gen[A])(check: A => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(100).foreach(check)
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  // ---- statement splitter: join-then-split is the identity ----
+
+  private val word = Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8))
+  private val tricky = Gen.oneOf(
+    "'a;b'", "';'", "'it''s'", "`q;id`", "x", "1.5", "(a, b)",
+    "'--not a comment'", "'/*still a string*/'")
+  private val statement: Gen[String] = for {
+    n <- Gen.choose(1, 5)
+    parts <- Gen.listOfN(n, Gen.oneOf(word, tricky))
+  } yield "SELECT " + parts.mkString(" ")
+
+  test("split(join(statements)) == statements for arbitrary tricky content") {
+    forAll(Gen.listOfN(4, statement)) { stmts =>
+      whenever(stmts.forall(_.trim.nonEmpty)) {
+        val script = stmts.mkString(";\n") + ";"
+        assert(FlinkDialect.split(script).map(_.trim) == stmts.map(_.trim))
+      }
+    }
+  }
+
+  test("split drops comments but never statement content") {
+    forAll(Gen.listOfN(3, statement)) { stmts =>
+      whenever(stmts.nonEmpty) {
+        val script = stmts.mkString("; -- trailing; comment\n") + "; /* tail; */"
+        assert(FlinkDialect.split(script).size == stmts.size)
+      }
+    }
+  }
+
+  // ---- rolling hashes: kernel == naive per-window polynomial hash ----
+
+  test("rolling hash equals naive window hash for arbitrary strings and k") {
+    forAll(Gen.zip(Gen.asciiPrintableStr, Gen.choose(1, 12), Gen.long)) { case (s, k, seed) =>
+      val bytes = s.getBytes("UTF-8")
+      val out = RollingHashes.compute(bytes, k, seed)
+      assert(out.length == math.max(bytes.length - k + 1, 0))
+      out.indices.foreach { i =>
+        var h = 0L
+        (i until i + k).foreach(j => h = h * RollingHashes.B + (bytes(j) & 0xff).toLong)
+        var x = h ^ seed
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33
+        assert(out(i) == x, s"window $i of '$s' (k=$k)")
+      }
+    }
+  }
+
+  // ---- rewriter: idempotent on already-Spark SQL, literal-preserving ----
+
+  test("rewrite preserves arbitrary string literals verbatim") {
+    val litGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const("0xFF"), Gen.const("a[1]"),
+      Gen.const("SHUFFLE_MERGE"), Gen.const("PROCTIME()")))
+      .map(ws => ws.mkString(" "))
+    forAll(litGen) { content =>
+      whenever(!content.contains("'")) {
+        val r = FlinkDialect.rewrite(s"SELECT '$content' AS c FROM t")
+        assert(r.contains(s"'$content'"), r)
+      }
+    }
+  }
+}
