@@ -91,6 +91,7 @@ class Gateway(root: SparkSession) {
   private val InsertIntoRe = """(?is)INSERT\s+INTO\s+([\w.`]+)\s+(SELECT.*)""".r
   private val InsertOverwriteRe = """(?is)INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.`]+)\s+(SELECT.*)""".r
   private val ShowCreateRe = """(?is)SHOW\s+CREATE\s+TABLE\s+([\w.`]+)""".r
+  private val DescribeRe = """(?is)(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.`]+)""".r
 
   /** Execute one statement; returns an operation handle. */
   def executeStatement(sessionHandle: String, stmt0: String): String = {
@@ -168,6 +169,20 @@ class Gateway(root: SparkSession) {
         Statement(s"Overwrote ${b.name}")
       case ShowCreateRe(target) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         Statement(TableEnv.showCreateTable(TableEnv.lookup(target.replace("`", "")).get))
+      case DescribeRe(target) if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        // Flink-shaped DESCRIBE: (name, type, null, key, extras, watermark) —
+        // objectDetailsProvider.ts:123-128 renders exactly these columns
+        val b = TableEnv.lookup(target.replace("`", "")).get
+        import spark.implicits._
+        Finished(b.cols.map { c =>
+          val extras = c.computed.map(e => s"AS $e")
+            .orElse(c.metadataFrom.map(m => s"METADATA FROM '$m' VIRTUAL"))
+            .getOrElse("")
+          val wm = if (b.watermark.exists(_._1 == c.name))
+            s"`${c.name}` - INTERVAL '${b.watermark.get._2}'" else ""
+          (c.name, if (c.sparkType.isEmpty) "COMPUTED" else c.sparkType,
+            "true", if (b.primaryKey.contains(c.name)) "PRI" else "", extras, wm)
+        }.toDF("name", "type", "null", "key", "extras", "watermark"))
       case s if graft.operators.MatchRecognize.isMatchRecognize(s) =>
         Finished(graft.operators.MatchRecognize.sql(spark, s))
       case s =>

@@ -266,14 +266,9 @@ object TableEnv {
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
       finishSource(r.load(b.options("path")), b, stream = true)
     case "kafka" | "upsert-kafka" =>
-      val raw = spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", b.options.getOrElse("properties.bootstrap.servers", "localhost:9092"))
-        .option("subscribe", b.options.getOrElse("topic", b.name))
-        .option("startingOffsets", b.options.get("scan.startup.mode") match {
-          case Some("latest-offset") => "latest"
-          case _ => "earliest"
-        })
-        .load()
+      val raw = kafkaSourceOptions(b).foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
       // payload decode (json) + METADATA columns from Kafka's native fields
       val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
       val parsed = raw.select(
@@ -287,6 +282,22 @@ object TableEnv {
     case c =>
       throw new IllegalArgumentException(s"connector '$c' is not stream-readable")
   }
+
+  /** Flink kafka connector options → Spark kafka source options
+    * (G:508 property keys; startup modes G:523). Pure translation so it is
+    * testable without the kafka connector jar on the classpath. */
+  def kafkaSourceOptions(b: Binding): Map[String, String] = Map(
+    "kafka.bootstrap.servers" ->
+      b.options.getOrElse("properties.bootstrap.servers", "localhost:9092"),
+    "subscribe" -> b.options.getOrElse("topic", b.name),
+    "startingOffsets" -> (b.options.get("scan.startup.mode") match {
+      case Some("latest-offset") => "latest"
+      case Some("timestamp") =>
+        // startingTimestamp wants epoch millis; pass through the Flink option
+        b.options.getOrElse("scan.startup.timestamp-millis", "earliest")
+      case _ => "earliest" // earliest-offset / group-offsets / unset
+    }),
+  ) ++ b.options.get("properties.group.id").map("kafka.group.id" -> _)
 
   /** Deterministic typed columns for datagen from a sequence column. */
   private def synthesize(seqDf: DataFrame, b: Binding): DataFrame = {

@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Scale probe beyond the driver's sf0.1: synthesizes a corpus N× larger than
+  * the bench documents table (plus planted near-duplicates) and times the
+  * dedup/similarity/text paths. Results are recorded in PLANS.md. Run:
+  *   sbt "runMain graft.tools.ScaleProbe 2000000"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // synthetic docs: 15 tokens from a 64-word vocab, deterministic per doc_id
+    val vocab = (0 until 64).map(i => s"w$i")
+    val docs = spark.range(n).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        (0 until 15).map(j =>
+          element_at(typedLit(vocab),
+            (pmod(xxhash64(col("doc_id"), lit(j)), lit(64)) + 1).cast("int"))): _*))
+    docs.cache().count()
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s   result=$r")
+    }
+
+    time(s"exact dedup ($n docs)") {
+      Dedup.exactGroups(docs, "doc_id", "text").filter(col("group_size") > 1).count()
+    }
+    time("simhash groups") {
+      docs.select(Dedup.simhash(col("text")).as("h")).groupBy("h").count()
+        .filter(col("count") > 1).count()
+    }
+    time("minhash signatures") {
+      // aggregate over the signature so Catalyst can't prune the computation
+      docs.select(Dedup.minhashSignature(col("text")).as("sig"))
+        .agg(sum(pmod(element_at(col("sig"), 1), lit(1000)))).head(); n
+    }
+    time("quality features") {
+      TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+        .agg(sum(col("n_tokens"))).head().getLong(0)
+    }
+    spark.stop()
+  }
+}

@@ -85,6 +85,25 @@ class ResultsSpec extends SparkTestBase {
     assert(b2.name == "ow_snk" && b2.connector == "filesystem")
   }
 
+  test("DESCRIBE on a connector binding returns the Flink-shaped schema") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    gw.executeStatement(h,
+      """CREATE TABLE desc_t (
+        |  id BIGINT,
+        |  t TIMESTAMP(3),
+        |  p AS PROCTIME(),
+        |  WATERMARK FOR t AS t - INTERVAL '5' SECOND,
+        |  PRIMARY KEY (id) NOT ENFORCED
+        |) WITH ('connector' = 'kafka', 'topic' = 'x', 'format' = 'json')""".stripMargin)
+    val d = gw.fetchResults(gw.executeStatement(h, "DESCRIBE desc_t"), 0)
+    assert(d.columns == Seq("name", "type", "null", "key", "extras", "watermark"))
+    val byName = d.rows.map(r => r.head.toString -> r).toMap
+    assert(byName("id")(3) == "PRI")
+    assert(byName("t")(5).toString.contains("INTERVAL"))
+    assert(byName("p")(4).toString.startsWith("AS "))
+  }
+
   test("EXPLAIN CHANGELOG_MODE reports bounded / append / update") {
     val gw = new Gateway(spark)
     val h = gw.openSession()
