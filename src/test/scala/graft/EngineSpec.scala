@@ -5,6 +5,20 @@ import graft.engine.{FlinkDialect, Gateway, Jobs, TableEnv}
 
 class EngineSpec extends SparkTestBase {
 
+  test("driver contract: entry() returns rows and every query has unique aliased columns") {
+    assert(SparkEntry.entry(spark).count() > 0) // driver's t1 smoke
+    // every oracle key must have a query; columns must be analyzable
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle without query: $k")
+    }
+    // spot-check that query column names are unique (the driver sorts
+    // columns by name before hashing — duplicates would be ambiguous)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sfDir).columns
+      assert(cols.distinct.length == cols.length, s"$name duplicate columns: ${cols.mkString(",")}")
+    }
+  }
+
   // ------------------------------------------------------------- splitter --
 
   test("split respects strings, comments and STATEMENT SET blocks") {
