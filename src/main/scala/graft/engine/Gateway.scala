@@ -49,8 +49,17 @@ class Gateway(root: SparkSession) {
   }
 
   final class Operation(val handle: String, val result: OpResult) {
-    /** batch pages, lazily materialized */
-    private[Gateway] var pages: Option[Vector[Seq[Seq[Any]]]] = None
+    // Lazily-paged batch result: rows are pulled from `toLocalIterator` one
+    // partition at a time as the client walks tokens — the driver never holds
+    // more than the retention window of pages, no matter how large the
+    // result (the reference's token paging exists for exactly this;
+    // flinkClient.ts:154-172).
+    private[Gateway] var iter: Iterator[Row] = _
+    private[Gateway] var nextPageIdx = 0
+    /** total page count, once the iterator has been exhausted */
+    private[Gateway] var pageCount: Option[Int] = None
+    /** trailing window of materialized pages (idempotent re-fetch/retry) */
+    private[Gateway] val cache = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[Seq[Any]]]
   }
 
   private val sessions = TrieMap.empty[String, Session]
@@ -238,17 +247,11 @@ class Gateway(root: SparkSession) {
         Page(Seq("error"), if (token == 0) Seq(Seq(err)) else Nil, None, eos = true)
       case Statement(msg) =>
         Page(Seq("result"), if (token == 0) Seq(Seq(msg)) else Nil, None, eos = true)
-      case Finished(df) =>
-        val pages = op.pages.getOrElse {
-          val all = df.collect().toVector
-          val p = all.grouped(pageSize).map(_.map(_.toSeq).toSeq).toVector
-          op.pages = Some(p); p
-        }
-        if (token < pages.length)
-          Page(op.resultColumns, pages(token),
-            if (token + 1 < pages.length) Some(token + 1) else None,
-            eos = token + 1 >= pages.length)
-        else Page(op.resultColumns, Nil, None, eos = true)
+      case Finished(df) => op.synchronized {
+        val rows = batchPage(op, df, token)
+        val eos = op.pageCount.exists(token + 1 >= _)
+        Page(op.resultColumns, rows, if (eos) None else Some(token + 1), eos)
+      }
       case StreamingOp(_, buffer, cols) =>
         // token = running row offset; rows older than the buffer are gone
         // (drop-oldest), newer rows stream in on later fetches
@@ -257,6 +260,40 @@ class Gateway(root: SparkSession) {
           Some((offset + rows.size).toInt), eos = false)
     }
   }
+
+  /** Pages kept for idempotent re-fetch before being dropped; older tokens
+    * restart the iterator (re-executes the query — rare client behavior,
+    * bounded driver memory is the priority). */
+  private val retainedPages = 8
+
+  /** Materialize page `token` of a batch result from a lazily-consumed
+    * `toLocalIterator` — one partition collected at a time, never a full
+    * `collect()`. Caller holds `op`'s lock. */
+  private def batchPage(op: Operation, df: DataFrame, token: Int): Seq[Seq[Any]] =
+    op.cache.get(token) match {
+      case Some(p) => p
+      case None if op.pageCount.exists(token >= _) => Nil // past end-of-stream
+      case None =>
+        if (op.iter == null || token < op.nextPageIdx) {
+          // first fetch, or a token older than the retention window: restart
+          import scala.jdk.CollectionConverters._
+          op.iter = df.toLocalIterator().asScala
+          op.nextPageIdx = 0
+          op.cache.clear()
+        }
+        var page: Seq[Seq[Any]] = Nil
+        // after a restart pageCount is already known — stop at it, not at token
+        while (op.nextPageIdx <= token && op.pageCount.forall(op.nextPageIdx < _)) {
+          val buf = new ArrayBuffer[Seq[Any]](pageSize min 1024)
+          while (buf.length < pageSize && op.iter.hasNext) buf += op.iter.next().toSeq
+          page = buf.toSeq
+          op.cache.put(op.nextPageIdx, page)
+          while (op.cache.size > retainedPages) op.cache.remove(op.cache.head._1)
+          if (!op.iter.hasNext) op.pageCount = Some(op.nextPageIdx + 1)
+          op.nextPageIdx += 1
+        }
+        if (op.nextPageIdx > token) op.cache.getOrElse(token, page) else Nil
+    }
 
   private implicit class OpCols(op: Operation) {
     def resultColumns: Seq[String] = op.result match {

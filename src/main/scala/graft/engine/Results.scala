@@ -28,8 +28,40 @@ object Results {
       .map(_.mkString(",")).mkString("\n")
   }
 
-  /** JSON-lines export (one object per row). */
-  def toJsonLines(df: DataFrame): Seq[String] = df.toJSON.collect().toSeq
+  /** JSON-lines export (one object per row), over already-paged rows like
+    * `toCsv` — never hands a full DataFrame to the driver. */
+  def toJsonLines(columns: Seq[String], rows: Seq[Seq[Any]]): Seq[String] =
+    rows.map { r =>
+      columns.zip(r).map { case (c, v) => s"${jsonStr(c)}:${jsonVal(v)}" }
+        .mkString("{", ",", "}")
+    }
+
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def jsonVal(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
+              _: java.math.BigDecimal | _: BigDecimal) => n.toString
+    case s: Seq[_] => s.map(jsonVal).mkString("[", ",", "]")
+    case m: Map[_, _] =>
+      m.map { case (k, mv) => s"${jsonStr(k.toString)}:${jsonVal(mv)}" }
+        .mkString("{", ",", "}")
+    case r: Row => toJsonLines(r.schema.fieldNames.toSeq, Seq(r.toSeq)).head
+    case other => jsonStr(other.toString)
+  }
 
   /** Metadata-fetch dedup: distinct rows preserving first-seen order
     * (the reference dedups on JSON-stringified rows). */

@@ -132,6 +132,46 @@ class ResultsSpec extends SparkTestBase {
     assert(fns.rows.exists(_.head.toString.contains("split")))
   }
 
+  test("batch paging is lazy: page 0 never materializes the full result") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val s = gw.session(h).spark
+    import s.implicits._
+    val acc = s.sparkContext.longAccumulator("rowsRead")
+    // 10 pages across 20 partitions; the accumulator counts rows actually
+    // deserialized, i.e. partitions the iterator has pulled to the driver
+    s.range(0, 10000, 1, 20).map { x => acc.add(1); x }.toDF("id")
+      .createOrReplaceTempView("lazy_src")
+    val op = gw.executeStatement(h, "SELECT id FROM lazy_src")
+    val page0 = gw.fetchResults(op, 0)
+    assert(page0.rows.size == 1000 && !page0.eos && page0.nextToken.contains(1))
+    assert(acc.value < 10000, s"page 0 pulled ${acc.value} rows — full materialization")
+    // idempotent re-fetch of the same token serves the cached page
+    val before = acc.value
+    assert(gw.fetchResults(op, 0).rows == page0.rows && acc.value == before)
+    // walk to EOS; total rows add up
+    var total = page0.rows.size
+    var tok = 1
+    var eos = false
+    while (!eos) {
+      val p = gw.fetchResults(op, tok)
+      total += p.rows.size; eos = p.eos; tok += 1
+    }
+    assert(total == 10000 && tok == 10)
+    // token older than the retention window restarts the iterator (page 0
+    // was evicted after 10 pages with an 8-page window) — same rows back
+    val again = gw.fetchResults(op, 0)
+    assert(again.rows == page0.rows && !again.eos)
+  }
+
+  test("JSON-lines export escapes and types values over paged rows") {
+    val lines = Results.toJsonLines(
+      Seq("s", "n", "b", "arr"),
+      Seq(Seq("say \"hi\"\nnow", 42L, true, Seq(1, 2)), Seq(null, 1.5, false, Nil)))
+    assert(lines(0) == """{"s":"say \"hi\"\nnow","n":42,"b":true,"arr":[1,2]}""")
+    assert(lines(1) == """{"s":null,"n":1.5,"b":false,"arr":[]}""")
+  }
+
   test("temporal join clause FOR SYSTEM_TIME AS OF is rewritten to snapshot join") {
     val r = FlinkDialect.rewrite(
       "SELECT * FROM fact_table JOIN dim_table FOR SYSTEM_TIME AS OF fact_table.proc_time ON fact_table.dim_id = dim_table.id")
