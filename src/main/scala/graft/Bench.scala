@@ -10,7 +10,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // session warmup (not charged to any query): table registration, function
     // registration, codegen/JIT of a trivial plan
     Tables.registerAll(spark, sfDir)
@@ -24,7 +24,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // machine-parseability: the JSON goes out (a) as the last stdout line,
+    // after spark.stop() so no shutdown logs trail it, and (b) to a file the
+    // driver can read regardless of sbt's log prefixes/interleaving
     spark.stop()
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    Console.out.println(line)
+    Console.out.flush()
   }
 }

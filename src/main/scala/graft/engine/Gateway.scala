@@ -194,6 +194,13 @@ class Gateway(root: SparkSession) {
         }.toDF("name", "type", "null", "key", "extras", "watermark"))
       case s if graft.operators.MatchRecognize.isMatchRecognize(s) =>
         Finished(graft.operators.MatchRecognize.sql(spark, s))
+      case s if graft.operators.AsOfJoin.isTemporalSql(s) =>
+        // versioned temporal join → carry-forward as-of; unresolvable version
+        // time (processing-time dims) falls through to the snapshot rewrite
+        graft.operators.AsOfJoin.sql(spark, s).map(Finished(_)).getOrElse {
+          val df = spark.sql(FlinkDialect.rewrite(s))
+          if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
+        }
       case s =>
         val df = spark.sql(FlinkDialect.rewrite(s))
         if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)

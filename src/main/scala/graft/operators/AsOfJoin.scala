@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Temporal / as-of join: for each left row, the latest right row whose
   * timestamp is <= the left timestamp, per key — Flink's
@@ -57,5 +58,87 @@ object AsOfJoin {
           .over(w).getField("v"))
     }
     carried.filter(col("__side") === 1).drop("__side", "__ts")
+  }
+
+  // ------------------------------------------------------------- SQL form --
+
+  /** `SELECT ... FROM lt [AS] la [LEFT] JOIN rt FOR SYSTEM_TIME AS OF la.ts
+    * [AS ra] ON la.k = ra.k [rest]` (test/syntax-test.fsql:159-162,
+    * grammar :359). */
+  private val TemporalRe =
+    ("""(?is)^\s*(SELECT\s+.*?)\s+FROM\s+([\w.`]+)""" +
+      """(?:\s+(?:AS\s+)?(?!(?:LEFT|JOIN|RIGHT|INNER|CROSS|FULL)\b)(\w+))?\s+""" +
+      """(LEFT\s+(?:OUTER\s+)?)?JOIN\s+([\w.`]+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+""" +
+      """(\w+)\.(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+""" +
+      """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*(.*)$""").r
+
+  def isTemporalSql(stmt: String): Boolean =
+    stmt.toUpperCase.contains("FOR SYSTEM_TIME AS OF")
+
+  /** Route the SQL form of the temporal join to the carry-forward pattern —
+    * same one-shuffle/one-sort shape as [[leftAsOf]], expressed as Spark SQL
+    * text so the surrounding SELECT/WHERE/ORDER BY survive verbatim and stay
+    * in Catalyst. Returns None when the statement doesn't match the canonical
+    * shape or the right side's version-time column can't be resolved (the
+    * caller then falls back to snapshot semantics — correct for processing-
+    * time temporal joins, where "AS OF now" IS the current snapshot). */
+  def sql(spark: SparkSession, stmt0: String): Option[DataFrame] = {
+    val stmt = stmt0.trim.stripSuffix(";")
+    for {
+      m <- TemporalRe.findFirstMatchIn(stmt)
+      sel = m.group(1)
+      lt = m.group(2)
+      la = Option(m.group(3)).getOrElse(lt)
+      isLeft = m.group(4) != null
+      rt = m.group(5)
+      ra = Option(m.group(8)).getOrElse(rt)
+      if m.group(6).equalsIgnoreCase(la) // AS OF must use the left time
+      aofCol = m.group(7)
+      keys <- (m.group(9), m.group(11)) match {
+        case (a, b) if a.equalsIgnoreCase(la) && b.equalsIgnoreCase(ra) =>
+          Some((m.group(10), m.group(12)))
+        case (a, b) if a.equalsIgnoreCase(ra) && b.equalsIgnoreCase(la) =>
+          Some((m.group(12), m.group(10)))
+        case _ => None
+      }
+      rts <- rightTimeColumn(spark, rt)
+    } yield {
+      val (lk, rk) = keys
+      def subst(t: String): String = t
+        .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(la) + "\\.", "__lrow.")
+        .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(ra) + "\\.", "__rmatch.")
+      val innerFilter = if (isLeft) "" else " AND __rmatch IS NOT NULL"
+      val q =
+        s"""${subst(sel)} FROM (
+           |  SELECT __lrow, __rmatch FROM (
+           |    SELECT __lrow, __side,
+           |      last_value(CASE WHEN __side = 0 THEN __rrow END) IGNORE NULLS OVER (
+           |        PARTITION BY __k ORDER BY __ts ASC, __side ASC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __rmatch
+           |    FROM (
+           |      SELECT `$rk` AS __k, `$rts` AS __ts, 0 AS __side,
+           |             NULL AS __lrow, struct($ra.*) AS __rrow FROM $rt AS $ra
+           |      UNION ALL
+           |      SELECT `$lk`, `$aofCol`, 1, struct($la.*), NULL FROM $lt AS $la
+           |    )
+           |  ) WHERE __side = 1$innerFilter
+           |) ${subst(m.group(13))}""".stripMargin
+      spark.sql(q)
+    }
+  }
+
+  /** The right side's version-time column: the binding's WATERMARK column if
+    * the table is a connector binding, else its single timestamp column. */
+  private def rightTimeColumn(spark: SparkSession, rt: String): Option[String] = {
+    val name = rt.replace("`", "")
+    graft.engine.TableEnv.lookup(name).flatMap(_.watermark.map(_._1)).orElse {
+      scala.util.Try(spark.table(name).schema).toOption.flatMap { sch =>
+        sch.fields.filter(f =>
+          f.dataType == TimestampType || f.dataType == TimestampNTZType) match {
+          case Array(one) => Some(one.name)
+          case _ => None
+        }
+      }
+    }
   }
 }

@@ -109,6 +109,26 @@ object Joins {
         .orderBy(col("user_id"), col("purchase_id"))
     },
 
+    // SQL-form temporal join (F:159-162): same semantics as q_join_asof but
+    // entering through the `FOR SYSTEM_TIME AS OF` clause router
+    "q_flink_asof_sql" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .createOrReplaceTempView("asof_purchases")
+      ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("event_id")).as("signup_id"))
+        .createOrReplaceTempView("asof_signups")
+      AsOfJoin.sql(s,
+        """SELECT p.user_id, p.event_id AS purchase_id, s.signup_id
+          |FROM asof_purchases AS p
+          |LEFT JOIN asof_signups FOR SYSTEM_TIME AS OF p.ts AS s
+          |ON p.user_id = s.user_id
+          |ORDER BY p.user_id, purchase_id""".stripMargin)
+        .getOrElse(sys.error("temporal SQL route did not match"))
+    },
+
     // CROSS JOIN LATERAL UNNEST (F:164-167): explode document tokens
     "q_join_lateral_unnest" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -165,6 +185,14 @@ object Joins {
         |ORDER BY a.user_id, signup_id, purchase_id""".stripMargin,
 
     "q_join_asof" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS signup_ts, MAX(event_id) AS signup_id
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT p.user_id, p.event_id AS purchase_id, s.signup_id
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+
+    "q_flink_asof_sql" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
         |     s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS signup_ts, MAX(event_id) AS signup_id
         |           FROM events WHERE event_type = 'signup' GROUP BY user_id, CAST(ts AS TIMESTAMP))

@@ -187,6 +187,40 @@ class EngineSpec extends SparkTestBase {
     intercept[IllegalStateException](gw.session(h))
   }
 
+  test("gateway routes FOR SYSTEM_TIME AS OF SQL to the as-of operator") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val s = gw.session(h).spark
+    import s.implicits._
+    Seq((1, "2024-01-01 00:00:00", 100.0), (1, "2024-01-01 00:00:08", 200.0))
+      .toDF("id", "rts", "rate").withColumn("rts", $"rts".cast("timestamp"))
+      .createOrReplaceTempView("rates_v")
+    Seq((1, 1000, "2023-12-31 00:00:00"), (1, 1001, "2024-01-01 00:00:05"),
+        (1, 1002, "2024-01-01 00:00:09"))
+      .toDF("id", "oid", "ots").withColumn("ots", $"ots".cast("timestamp"))
+      .createOrReplaceTempView("orders_v")
+    // INNER: pre-history order 1000 drops; 1001 sees v100, 1002 sees v200
+    val inner = gw.fetchResults(gw.executeStatement(h,
+      """SELECT o.oid, r.rate FROM orders_v AS o
+        |JOIN rates_v FOR SYSTEM_TIME AS OF o.ots AS r
+        |ON o.id = r.id ORDER BY o.oid""".stripMargin), 0)
+    assert(inner.rows.map(_.toList) == Seq(List(1001, 100.0), List(1002, 200.0)))
+    // LEFT: pre-history order kept with NULL rate
+    val left = gw.fetchResults(gw.executeStatement(h,
+      """SELECT o.oid, r.rate FROM orders_v AS o
+        |LEFT JOIN rates_v FOR SYSTEM_TIME AS OF o.ots AS r
+        |ON o.id = r.id ORDER BY o.oid""".stripMargin), 0)
+    assert(left.rows.map(_.toList) ==
+      Seq(List(1000, null), List(1001, 100.0), List(1002, 200.0)))
+    // unresolvable version time (no timestamp column) → snapshot fallback
+    Seq((1, "a"), (2, "b")).toDF("id", "name").createOrReplaceTempView("dim_nots")
+    val snap = gw.fetchResults(gw.executeStatement(h,
+      """SELECT o.oid, d.name FROM orders_v AS o
+        |JOIN dim_nots FOR SYSTEM_TIME AS OF o.ots AS d
+        |ON o.id = d.id ORDER BY o.oid""".stripMargin), 0)
+    assert(snap.rows.size == 3 && snap.rows.forall(_(1) == "a"))
+  }
+
   test("gateway: STATEMENT SET groups inserts; filesystem sink written") {
     val gw = new Gateway(spark)
     val h = gw.openSession()
