@@ -213,11 +213,13 @@ object TableEnv {
         // unbounded datagen = streaming source: register the STREAMING df as
         // the view so SELECT against it plans a streaming query (§3.1)
         try streamDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
-      case "filesystem" | "datagen" | "values" =>
+      case "filesystem" | "datagen" | "values" | "jdbc" =>
+        // jdbc registers lazily: the view is a live scan of the remote table,
+        // so a later lookup join always sees the current dimension rows
         try batchDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
       case "kafka" | "upsert-kafka" =>
         try streamDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
-      case _ => () // print/blackhole/jdbc: sink-only
+      case _ => () // print/blackhole: sink-only
     }
     b
   }
@@ -249,11 +251,43 @@ object TableEnv {
       val n = b.options.getOrElse("number-of-rows", "1000").toLong
       finishSource(synthesize(spark.range(n).toDF("__seq"), b), b, stream = false)
     case "values" =>
-      throw new IllegalArgumentException(
-        "values connector is unsupported in v1 — use Spark SQL `VALUES (...)` inline relations instead")
+      // Flink's test connector: rows registered programmatically under a
+      // data-id (G:513); no data-id → empty relation with the declared schema
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+      val rows = b.options.get("data-id").flatMap(valuesData.get).getOrElse(Nil)
+      import scala.jdk.CollectionConverters._
+      finishSource(spark.createDataFrame(rows.asJava, schema), b, stream = false)
+    case "jdbc" =>
+      finishSource(spark.read.format("jdbc").options(jdbcOptions(b)).load(),
+        b, stream = false)
     case c =>
       throw new IllegalArgumentException(s"connector '$c' is not batch-readable")
   }
+
+  /** data registry for the `values` connector (Flink registers rows under a
+    * data-id the same way; it is a test/fixture connector). */
+  private val valuesData = TrieMap.empty[String, Seq[org.apache.spark.sql.Row]]
+  def registerValues(dataId: String, rows: Seq[org.apache.spark.sql.Row]): Unit =
+    valuesData.put(dataId, rows)
+
+  /** Flink jdbc connector options → Spark JDBC source/sink options
+    * (corpus F:639-651: url/table-name/username/password/buffer-flush;
+    * scan.partition.* → Spark's partitioned parallel read — the 100 TB path:
+    * N executors each read a key-range slice instead of one serial cursor). */
+  def jdbcOptions(b: Binding): Map[String, String] =
+    Map(
+      "url" -> b.options.getOrElse("url",
+        throw new IllegalArgumentException(s"jdbc binding '${b.name}' requires 'url'")),
+      "dbtable" -> b.options.getOrElse("table-name", b.name)) ++
+      b.options.get("username").map("user" -> _) ++
+      b.options.get("password").map("password" -> _) ++
+      b.options.get("driver").map("driver" -> _) ++
+      b.options.get("sink.buffer-flush.max-rows").map("batchsize" -> _) ++
+      b.options.get("scan.fetch-size").map("fetchsize" -> _) ++
+      b.options.get("scan.partition.column").map("partitionColumn" -> _) ++
+      b.options.get("scan.partition.num").map("numPartitions" -> _) ++
+      b.options.get("scan.partition.lower-bound").map("lowerBound" -> _) ++
+      b.options.get("scan.partition.upper-bound").map("upperBound" -> _)
 
   def streamDF(spark: SparkSession, b: Binding): DataFrame = b.connector match {
     case "datagen" =>
@@ -347,6 +381,12 @@ object TableEnv {
           .option("kafka.bootstrap.servers", b.options.getOrElse("properties.bootstrap.servers", "localhost:9092"))
           .option("topic", b.options.getOrElse("topic", b.name))
           .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      case "jdbc" =>
+        // streaming jdbc sink = per-microbatch buffered write (the analog of
+        // Flink's buffer-flush); PK bindings upsert, others append
+        df.writeStream.outputMode(if (b.primaryKey.nonEmpty) "update" else "append")
+          .foreachBatch { (batch: DataFrame, _: Long) => batchInsert(spark, b, batch) }
+          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
       case c => throw new IllegalArgumentException(s"connector '$c' is not stream-writable")
     }
     val q = w.queryName(name).start()
@@ -363,7 +403,61 @@ object TableEnv {
         .save(b.options("path"))
     case "print" => df.show(numRows = 20, truncate = false)
     case "blackhole" => df.write.format("noop").mode("overwrite").save()
+    case "jdbc" =>
+      val opts = jdbcOptions(b)
+      if (b.primaryKey.nonEmpty && !overwrite) {
+        // ensure the table exists (empty append creates it), then PK-upsert;
+        // one row per key per batch (changelog semantics: latest write wins,
+        // and delete-then-insert would otherwise keep every duplicate)
+        df.limit(0).write.format("jdbc").options(opts).mode("append").save()
+        jdbcUpsert(df.dropDuplicates(b.primaryKey), b.primaryKey, opts)
+      } else
+        df.write.format("jdbc").options(opts)
+          .mode(if (overwrite) "overwrite" else "append").save()
     case c => throw new IllegalArgumentException(s"connector '$c' is not batch-writable")
+  }
+
+  /** DB-agnostic PK upsert: delete-then-insert batches inside one transaction
+    * per partition (MERGE/ON CONFLICT syntax is per-vendor; this shape works
+    * on every JDBC database and batches like Flink's buffer-flush.max-rows).
+    * Runs on the executors — each partition opens its own connection, so a
+    * 1000-partition write is 1000 parallel bulk upserts, not a driver loop. */
+  private def jdbcUpsert(df: DataFrame, pk: Seq[String], opts: Map[String, String]): Unit = {
+    val cols = df.columns.toSeq
+    val table = opts("dbtable")
+    val url = opts("url")
+    val user = opts.get("user")
+    val password = opts.get("password")
+    val driver = opts.get("driver")
+    val batchSize = opts.getOrElse("batchsize", "1000").toInt
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      driver.foreach(Class.forName)
+      val props = new java.util.Properties()
+      user.foreach(props.setProperty("user", _))
+      password.foreach(props.setProperty("password", _))
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        // Spark's JDBC writer quotes column identifiers at CREATE time, so
+        // they are case-sensitive — quote with the vendor's own quote string
+        val qs = Option(conn.getMetaData.getIdentifierQuoteString).map(_.trim).getOrElse("")
+        def quote(c: String) = s"$qs$c$qs"
+        val del = conn.prepareStatement(
+          s"DELETE FROM $table WHERE " + pk.map(k => s"${quote(k)} = ?").mkString(" AND "))
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})")
+        var n = 0
+        rows.foreach { r =>
+          pk.zipWithIndex.foreach { case (k, i) => del.setObject(i + 1, r.getAs[Any](k)) }
+          del.addBatch()
+          cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
+          ins.addBatch()
+          n += 1
+          if (n % batchSize == 0) { del.executeBatch(); ins.executeBatch(); conn.commit() }
+        }
+        del.executeBatch(); ins.executeBatch(); conn.commit()
+      } finally conn.close()
+    }
   }
 
   /** SHOW CREATE TABLE for a binding: reconstruct the Flink DDL
