@@ -32,6 +32,48 @@ object CepQueries {
         .withColumn("avg_low", round(col("avg_low"), 6))
         .orderBy(col("user_id"), col("start_event"))
     },
+
+    // PREV navigation through the SQL form: any anchor row, then a maximal
+    // strictly-rising run (B.value > PREV(B.value)) — the gaps-and-islands
+    // dual is exact, so DuckDB oracles the lag-based DEFINE path
+    "q_cep_rising" -> { (s, dir) =>
+      Tables.load(s, dir, "events").createOrReplaceTempView("cep_events")
+      MatchRecognize.sql(s,
+        """SELECT * FROM cep_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY event_id
+          |  MEASURES FIRST(A.event_id) AS start_event,
+          |           FIRST(A.value) AS base_val,
+          |           LAST(B.value) AS peak_val,
+          |           COUNT(B.*) AS n_rise
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A B+)
+          |  DEFINE B AS B.value > PREV(B.value)
+          |)""".stripMargin)
+        .orderBy(col("user_id"), col("start_event"))
+    },
+
+    // alternation group (A|B)+ C: runs of low values split by sub-threshold
+    // class, closed by a high event — same islands as q_cep_low_runs but the
+    // matcher must route each row to the first matching alternative
+    "q_cep_alternation" -> { (s, dir) =>
+      Tables.load(s, dir, "events").createOrReplaceTempView("cep_events")
+      MatchRecognize.sql(s,
+        """SELECT * FROM cep_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY event_id
+          |  MEASURES COUNT(A.*) AS n_verylow,
+          |           COUNT(B.*) AS n_low,
+          |           LAST(C.value) AS high_val,
+          |           MATCH_NUMBER() AS match_no
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN ((A|B)+ C)
+          |  DEFINE A AS A.value < 50,
+          |         B AS B.value >= 50 AND B.value < 100,
+          |         C AS C.value >= 100
+          |)""".stripMargin)
+        .orderBy(col("user_id"), col("match_no"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -59,5 +101,49 @@ object CepQueries {
         |SELECT a.user_id, a.start_event, a.first_low, a.avg_low, a.n_low, b.high_val
         |FROM a JOIN b ON a.user_id = b.user_id AND b.bgrp = a.bgrp + 1
         |ORDER BY a.user_id, a.start_event""".stripMargin,
+
+    // rising runs: islands keyed by the running count of "break" rows (a row
+    // not strictly above its predecessor starts a new island); every island
+    // of size >= 2 is anchor + rising stretch — exactly A B+ with
+    // B AS value > PREV(value) under SKIP PAST LAST ROW
+    "q_cep_rising" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         CASE WHEN value > lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM e)
+        |SELECT user_id,
+        |       MIN(event_id) AS start_event,
+        |       MIN_BY(value, event_id) AS base_val,
+        |       MAX_BY(value, event_id) AS peak_val,
+        |       COUNT(*) - 1 AS n_rise
+        |FROM g GROUP BY user_id, grp HAVING COUNT(*) >= 2
+        |ORDER BY user_id, start_event""".stripMargin,
+
+    // (A|B)+ C islands with per-class counts; match_no = island ordinal per
+    // user (our MATCH_NUMBER() numbering)
+    "q_cep_alternation" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         CASE WHEN value >= 100 THEN 1 ELSE 0 END AS is_c
+        |  FROM events),
+        |x AS (
+        |  SELECT *, SUM(is_c) OVER (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cgrp
+        |  FROM e),
+        |l AS (
+        |  SELECT user_id, cgrp,
+        |         CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_verylow,
+        |         CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |  FROM x WHERE is_c = 0 GROUP BY user_id, cgrp),
+        |c AS (SELECT user_id, cgrp, value AS high_val FROM x WHERE is_c = 1)
+        |SELECT l.user_id, l.n_verylow, l.n_low, c.high_val,
+        |       ROW_NUMBER() OVER (PARTITION BY l.user_id ORDER BY l.cgrp) AS match_no
+        |FROM l JOIN c ON l.user_id = c.user_id AND c.cgrp = l.cgrp + 1
+        |ORDER BY l.user_id, match_no""".stripMargin,
   )
 }

@@ -83,4 +83,77 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(r.head.getAs[Int]("end_time") == 3)
     assert(r.head.getAs[Double]("avg_price") == 55.0)
   }
+
+  test("alternation group (A|B)+ routes each row to the first matching alt") {
+    // A: <50, B: 50..99, C: >=100 — run L(10) B(60) L(20) then C(150)
+    val df = mk(Seq((1, 1, 10.0), (1, 2, 60.0), (1, 3, 20.0), (1, 4, 150.0)))
+    val out = MatchRecognize.matchRecognize(
+      df, Seq("k"), "seq",
+      defines = Seq(
+        "A" -> (col("price") < 50),
+        "B" -> (col("price") >= 50 && col("price") < 100),
+        "C" -> (col("price") >= 100)),
+      pattern = parsePattern("(A|B)+ C"),
+      measures = Seq(
+        Measure("n_a", "count", "A", "*"),
+        Measure("n_b", "count", "B", "*"),
+        Measure("c_val", "last", "C", "price")))
+    val rows = out.collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((2L, 1L, 150.0)))
+  }
+
+  test("PREV navigation: rising run detected via lag bits, no extra shuffle") {
+    // prices 1 3 5 2 4 | k=1: anchor(1) rise(3,5) | anchor(2) rise(4)
+    val df = mk(Seq((1, 1, 1.0), (1, 2, 3.0), (1, 3, 5.0), (1, 4, 2.0), (1, 5, 4.0)))
+    df.createOrReplaceTempView("mr_rise")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_rise MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(A.price) AS base, LAST(B.price) AS peak, COUNT(B.*) AS n
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+)
+        |  DEFINE B AS B.price > PREV(B.price)
+        |)""".stripMargin)
+    val rows = out.orderBy("base").collect().map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1.0, 5.0, 2L), (2.0, 4.0, 1L)))
+    // plan audit: navigation must not add a second shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"PREV navigation added shuffles:\n$plan")
+  }
+
+  test("ALL ROWS PER MATCH emits matched input rows with CLASSIFIER/MATCH_NUMBER") {
+    val df = mk(Seq((1, 1, 10.0), (1, 2, 150.0), (1, 3, 20.0), (1, 4, 200.0), (1, 5, 7.0)))
+    df.createOrReplaceTempView("mr_all")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_all MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES CLASSIFIER() AS label, MATCH_NUMBER() AS mno
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+ B)
+        |  DEFINE A AS A.price < 100, B AS B.price >= 100
+        |)""".stripMargin)
+    val rows = out.orderBy("seq").collect()
+      .map(r => (r.getAs[Int]("seq"), r.getAs[String]("label"), r.getAs[Long]("mno")))
+    assert(rows.toSeq == Seq(
+      (1, "A", 1L), (2, "B", 1L), (3, "A", 2L), (4, "B", 2L))) // seq 5 unmatched
+  }
+
+  test("undefined pattern variables are always-true (Flink semantics)") {
+    val df = mk(Seq((1, 1, 500.0), (1, 2, 150.0)))
+    df.createOrReplaceTempView("mr_any")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_any MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(X.price) AS anchor, LAST(B.price) AS bval
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (X B)
+        |  DEFINE B AS B.price >= 100
+        |)""".stripMargin)
+    val rows = out.collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((500.0, 150.0)))
+  }
 }
