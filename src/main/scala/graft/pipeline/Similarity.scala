@@ -51,33 +51,64 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rnk").cast("bigint").as("rnk"))
   }
 
-  /** IVF index: assign every vector to its nearest centroid.
-    * Centroids are taken deterministically as the first `nCentroids` vectors
-    * by id (k-means iterations would refine them; assignment mechanics — the
-    * scale-critical part — are identical). */
-  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String, nCentroids: Int): DataFrame = {
-    val centroids = vectors.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
-    vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+  /** k-means refinement of IVF centroids: seeded deterministically with the
+    * first `nCentroids` vectors by id, then `iters` rounds of broadcast-
+    * assign + per-dimension mean over a bounded training sample (how FAISS
+    * trains IVF too — clustering quality needs a sample, not the corpus, so
+    * the training cost is constant in the table size). Assignment uses
+    * cosine, so un-normalized means are fine (cosine is scale-invariant).
+    * Clusters that lose all members drop out (fewer, denser buckets). */
+  def kmeansCentroids(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 3, trainLimit: Int = 4096): DataFrame = {
+    val train = vectors.orderBy(col(idCol)).limit(math.max(trainLimit, nCentroids))
+      .select(col(idCol).as("tid"), col(vecCol).cast("array<double>").as("tv"))
+      .cache()
+    var centroids = train.limit(nCentroids)
+      .select(col("tid").as("centroid_id"), col("tv").as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned = train.crossJoin(broadcast(centroids))
+        .select(col("tid"), col("tv"), col("centroid_id"),
+          cosine(col("tv"), col("cvec")).as("csim"))
+        .groupBy(col("tid"))
+        .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
+          first(col("tv")).as("tv"))
+      // per-dimension mean: explode to (centroid, pos) — one narrow shuffle
+      // over sample×dim rows, then reassemble ordered arrays
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("tv")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e("m")).as("cvec"))
+    }
+    centroids
+  }
+
+  /** IVF index: assign every vector to its nearest centroid (one linear pass
+    * against the broadcast centroid set — the scale-critical step). */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    vectors.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("centroid_id"),
         cosine(col("v"), col("cvec")).as("csim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
         first(col("v")).as("v"))
-  }
 
   /** ANN top-k: probe the `nProbe` centroids nearest to each query, exact
     * rerank within those buckets only. */
   def ivfTopK(
       vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssign(vectors, idCol, vecCol, nCentroids)
-    val centroids = vectors.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("q"))
+    val centroids = kmeansCentroids(vectors, idCol, vecCol, nCentroids, kmeansIters)
+    val assigned = ivfAssign(vectors, idCol, vecCol, centroids)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).cast("array<double>").as("q"))
     // probe set per query (tiny: queries × centroids, both broadcastable)
     val probes = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q"), col("centroid_id"),

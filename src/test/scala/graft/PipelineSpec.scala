@@ -95,6 +95,32 @@ class PipelineSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("k-means centroids beat first-N seeding on skewed clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 3 tight orthogonal clusters, sizes 500/60/40 — first-N-by-id seeds all
+    // land inside cluster 0, scattering the minority clusters across buckets
+    val centers = Seq(Array(10.0, 0, 0, 0), Array(0.0, 10, 0, 0), Array(0.0, 0, 10, 0))
+    val data = (0 until 600).map { i =>
+      val c = if (i < 500) 0 else if (i < 560) 1 else 2
+      (i.toLong, centers(c).map(_ + rnd.nextGaussian() * 0.1))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id".isin(0L, 510L, 570L))
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallWith(iters: Int) = {
+      val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", 10,
+        nCentroids = 6, nProbe = 1, kmeansIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val naive = recallWith(0) // = round-1 first-N centroids
+    val kmeans = recallWith(3)
+    assert(kmeans >= naive, s"k-means recall $kmeans below naive $naive")
+    assert(kmeans >= 0.95, s"k-means recall too low: $kmeans")
+  }
+
   test("token counts are 0 for empty or whitespace-only text") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "two words")).toDF("doc_id", "text")
     val counts = df.select(col("doc_id"), graft.pipeline.TextAnalysis.tokenCount(col("text")))
