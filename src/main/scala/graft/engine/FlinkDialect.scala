@@ -188,14 +188,10 @@ object FlinkDialect {
     s = s.replaceAll("(?i)\\bPROCTIME\\s*\\(\\s*\\)", "current_timestamp()")
 
     // COLLECT(x) → MULTISET as element→count map (SURVEY §1.2 convention;
-    // F:269). Pure SQL composition, generic over the element type.
-    s = """(?i)(?<![\w_])COLLECT\s*\(([^()]+)\)""".r.replaceAllIn(s, m => {
-      val e = m.group(1).trim
-      Regex.quoteReplacement(
-        s"map_from_arrays(array_distinct(collect_list($e)), " +
-          s"transform(array_distinct(collect_list($e)), __v -> " +
-          s"size(filter(collect_list($e), __e -> __e <=> __v))))")
-    })
+    // F:269). Single-pass kernel over the collected list — linear per group,
+    // not O(distinct × n) like a filter-per-distinct lambda.
+    s = """(?i)(?<![\w_])COLLECT\s*\(([^()]+)\)""".r.replaceAllIn(s, m =>
+      Regex.quoteReplacement(s"multiset_from_array(collect_list(${m.group(1).trim}))"))
 
     // CROSS JOIN UNNEST(arr) AS t(c) (F:164-167) → LATERAL VIEW explode;
     // UNNEST in FROM position otherwise → explode via lateral view too
@@ -209,11 +205,21 @@ object FlinkDialect {
         "WHEN $1 IS NULL THEN NULL " +
         "ELSE raise_error('ELEMENT() argument must have exactly one element') END)")
 
-    // 1-based subscript on identifiers: arr[2] → element_at(arr, 2)
-    // (only integer-literal subscripts; map['key'] string subscripts are
-    // identical in both dialects and left alone)
-    s = """([\w.`]+)\s*\[\s*(\d+)\s*\]""".r.replaceAllIn(s,
-      m => Regex.quoteReplacement(s"element_at(${m.group(1)}, ${m.group(2)})"))
+    // ARRAY[...] / MAP[...] constructors (G:447) → array(...) / map(...)
+    // (innermost-first so nesting unwinds)
+    var ctorChanged = true
+    while (ctorChanged) {
+      val s2 = s
+        .replaceAll("(?i)\\bARRAY\\s*\\[([^\\[\\]]*)\\]", "array($1)")
+        .replaceAll("(?i)\\bMAP\\s*\\[([^\\[\\]]*)\\]", "map($1)")
+      ctorChanged = s2 != s
+      s = s2
+    }
+
+    // 1-based subscripts x[e] → element_at(x, e) — any index expression
+    // (F:453): element_at is 1-based for arrays (Flink semantics) and
+    // identical for map keys; handles chains a[1][2] and call bases f(x)[i]
+    s = rewriteSubscripts(s)
 
     // Flink hex literals 0xFF (F:573) — Spark's parser reads 0xFF as an
     // identifier, so rewrite to the decimal value
@@ -250,6 +256,49 @@ object FlinkDialect {
     }
 
     s.trim
+  }
+
+  private val IdentSubRe = """([\w.`]+)\s*\[([^\[\]]+)\]""".r
+
+  /** Innermost-first subscript rewriting. Identifier bases go through the
+    * regex; `)`-ended bases (function calls, or chains this rewrite itself
+    * produced) are resolved by a balanced-paren backscan. String literals
+    * are already masked when this runs, so brackets inside constants are
+    * untouchable by construction. */
+  private def rewriteSubscripts(s0: String): String = {
+    var s = s0
+    var changed = true
+    while (changed) {
+      changed = false
+      IdentSubRe.findFirstMatchIn(s) match {
+        case Some(m) =>
+          s = s.substring(0, m.start) +
+            s"element_at(${m.group(1)}, ${m.group(2).trim})" + s.substring(m.end)
+          changed = true
+        case None =>
+          val idx = s.indexOf(")[")
+          if (idx >= 0) {
+            // walk back to the balanced '(' and its leading identifier chain
+            var depth = 1
+            var i = idx - 1
+            while (i >= 0 && depth > 0) {
+              val c = s.charAt(i)
+              if (c == ')') depth += 1 else if (c == '(') depth -= 1
+              if (depth > 0) i -= 1
+            }
+            var j = i - 1
+            while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_' || s.charAt(j) == '.')) j -= 1
+            val close = s.indexOf(']', idx + 2)
+            if (i >= 0 && close > idx) {
+              val base = s.substring(j + 1, idx + 1)
+              val inner = s.substring(idx + 2, close).trim
+              s = s.substring(0, j + 1) + s"element_at($base, $inner)" + s.substring(close + 1)
+              changed = true
+            }
+          }
+      }
+    }
+    s
   }
 
   /** Convenience: rewrite + run one statement. */

@@ -115,6 +115,9 @@ object FlinkFunctions {
           e.getMessage.contains("CANNOT_REPLACE_NON_SQL_UDF") => ()
       }
     }
+    // COLLECT(x) multiset kernel (single-pass element→count)
+    org.apache.spark.sql.graft.Shims.registerFunction(spark, "multiset_from_array",
+      args => MultisetFromArray(args.head))
     // GCD/LCM need iteration — Scala UDFs (rarely on a hot path).
     if (!spark.catalog.functionExists("gcd")) {
       spark.udf.register("GCD", (a: Long, b: Long) => {

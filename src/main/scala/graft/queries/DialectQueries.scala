@@ -74,6 +74,7 @@ object DialectQueries {
         |SELECT doc_id,
         |  a[1] AS first_token,
         |  a[3] AS third_token,
+        |  a[CAST(doc_id % 3 AS INT) + 1] AS var_token,
         |  CASE WHEN lang SIMILAR TO '(en|de)' THEN 'germanic' ELSE 'other' END AS family,
         |  split_index(text, ' ', 1) AS second_token
         |FROM toks ORDER BY doc_id""".stripMargin)
@@ -142,6 +143,7 @@ object DialectQueries {
       """SELECT doc_id,
         |  string_split(text, ' ')[1] AS first_token,
         |  string_split(text, ' ')[3] AS third_token,
+        |  string_split(text, ' ')[(doc_id % 3) + 1] AS var_token,
         |  CASE WHEN regexp_matches(lang, '^(en|de)$') THEN 'germanic' ELSE 'other' END AS family,
         |  string_split(text, ' ')[2] AS second_token
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,

@@ -280,10 +280,43 @@ class EngineSpec extends SparkTestBase {
 
   test("COLLECT(x) rewrites to a multiset (element → count map)") {
     Tables.registerAll(spark, sfDir)
+    graft.functions.FlinkFunctions.registerAll(spark)
     val df = FlinkDialect.sql(spark,
       "SELECT n_regionkey, COLLECT(n_name) AS names FROM nation GROUP BY n_regionkey")
     val m = df.filter(col("n_regionkey") === 0).head().getMap[String, Int](1)
     assert(m.size == 5 && m.values.forall(_ == 1))
+    // duplicate elements count, first-seen order
+    spark.sql("SELECT explode(array('b','a','b','c','a','b')) AS x")
+      .createOrReplaceTempView("ms_src")
+    val ms = FlinkDialect.sql(spark, "SELECT COLLECT(x) AS m FROM ms_src")
+      .head().getMap[String, Int](0)
+    assert(ms == Map("b" -> 3, "a" -> 2, "c" -> 1))
+    // linearity: 100k rows over 10k distinct keys in one group stays fast
+    spark.range(100000).selectExpr("cast(id % 10000 as string) AS x")
+      .createOrReplaceTempView("ms_big")
+    val t0 = System.nanoTime()
+    val big = FlinkDialect.sql(spark, "SELECT COLLECT(x) AS m FROM ms_big")
+      .head().getMap[String, Int](0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(big.size == 10000 && big.values.sum == 100000)
+    assert(secs < 10.0, s"multiset over 10k distinct took ${secs}s") // O(d*n) took minutes
+  }
+
+  test("subscripts: computed index, chained, call base, map key, constructors") {
+    val r1 = FlinkDialect.rewrite("SELECT a[i + 1] AS x FROM t")
+    assert(r1.contains("element_at(a, i + 1)"))
+    val r2 = FlinkDialect.rewrite("SELECT a[1][2] AS x FROM t")
+    assert(r2.contains("element_at(element_at(a, 1), 2)"))
+    val r3 = FlinkDialect.rewrite("SELECT split(s, ',')[2] AS x FROM t")
+    assert(r3.contains("element_at(split(s, ','), 2)"))
+    val r4 = FlinkDialect.rewrite("SELECT m['key'] AS x FROM t")
+    assert(r4.contains("element_at(m, 'key')"))
+    val r5 = FlinkDialect.rewrite("SELECT ARRAY[1, 2, 3][2] AS x, MAP['a', 1]['a'] AS y FROM t")
+    assert(r5.contains("element_at(array(1, 2, 3), 2)"))
+    assert(r5.contains("element_at(map('a', 1), 'a')"))
+    // end-to-end 1-based semantics
+    val v = spark.sql(FlinkDialect.rewrite("SELECT ARRAY[10, 20, 30][2] AS x")).head().getInt(0)
+    assert(v == 20)
   }
 
   test("lookup join: rate stream against a static dimension (stream-static)") {
