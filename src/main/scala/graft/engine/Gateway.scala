@@ -101,6 +101,13 @@ class Gateway(root: SparkSession) {
   private val InsertOverwriteRe = """(?is)INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.`]+)\s+(SELECT.*)""".r
   private val ShowCreateRe = """(?is)SHOW\s+CREATE\s+TABLE\s+([\w.`]+)""".r
   private val DescribeRe = """(?is)(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.`]+)""".r
+  private val CreateViewRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.*)""".r
+  private val ShowCreateViewRe = """(?is)SHOW\s+CREATE\s+VIEW\s+([\w.`]+)""".r
+  private val DropViewRe = """(?is)DROP\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)""".r
+  private val AlterSetRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+SET\s*\((.*)\)\s*$""".r
+  private val AlterRenameRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*$""".r
+  private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
 
   /** Execute one statement; returns an operation handle. */
   def executeStatement(sessionHandle: String, stmt0: String): String = {
@@ -176,6 +183,33 @@ class Gateway(root: SparkSession) {
         val b = TableEnv.lookup(target.replace("`", "")).get
         TableEnv.batchInsert(spark, b, spark.sql(FlinkDialect.rewrite(select)), overwrite = true)
         Statement(s"Overwrote ${b.name}")
+      case CreateViewRe(temp, name, select) =>
+        // Flink views are catalog objects; the engine registry is in-memory,
+        // so both forms land as session temp views + a stored definition
+        // (F:77-90). The view body goes through the dialect layer.
+        val viewName = name.replace("`", "")
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$viewName` AS " +
+          FlinkDialect.rewrite(select))
+        TableEnv.registerView(viewName, select.trim, temp != null)
+        Statement(s"View $viewName created")
+      case ShowCreateViewRe(target) =>
+        TableEnv.viewDef(target.replace("`", "")) match {
+          case Some((sql, temp)) => Statement(
+            s"CREATE ${if (temp) "TEMPORARY " else ""}VIEW `${target.replace("`", "")}` AS $sql")
+          case None => Finished(spark.sql(s"SHOW CREATE TABLE $target"))
+        }
+      case DropViewRe(target) =>
+        val n = target.replace("`", "")
+        val hadDef = TableEnv.dropView(n)
+        if (spark.catalog.dropTempView(n) || hadDef) Statement(s"View $n dropped")
+        else { spark.sql(stmt); Statement(s"View $n dropped") } // catalog view
+      case AlterSetRe(target, optStr) if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        val opts = OptRe.findAllMatchIn(optStr).map(x => x.group(1) -> x.group(2)).toMap
+        val b = TableEnv.alterOptions(spark, target.replace("`", ""), opts)
+        Statement(s"Table ${b.name} options updated (${opts.keys.mkString(", ")})")
+      case AlterRenameRe(from, to) if TableEnv.lookup(from.replace("`", "")).isDefined =>
+        val b = TableEnv.rename(spark, from.replace("`", ""), to.replace("`", ""))
+        Statement(s"Table renamed to ${b.name}")
       case ShowCreateRe(target) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         Statement(TableEnv.showCreateTable(TableEnv.lookup(target.replace("`", "")).get))
       case DescribeRe(target) if TableEnv.lookup(target.replace("`", "")).isDefined =>

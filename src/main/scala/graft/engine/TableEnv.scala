@@ -53,7 +53,51 @@ object TableEnv {
   def bindings: Map[String, Binding] = registry.toMap
   def lookup(name: String): Option[Binding] = registry.get(name.toLowerCase)
   def drop(name: String): Boolean = registry.remove(name.toLowerCase).isDefined
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); viewDefs.clear() }
+
+  // ------------------------------------------------- views + ALTER TABLE --
+
+  /** view definitions (original Flink SQL text) for SHOW CREATE VIEW
+    * (reference F:77-90; the reference's tree UI lists views per database). */
+  private val viewDefs = TrieMap.empty[String, (String, Boolean)]
+  def registerView(name: String, sql: String, temporary: Boolean): Unit =
+    viewDefs.put(name.toLowerCase, (sql, temporary))
+  def viewDef(name: String): Option[(String, Boolean)] = viewDefs.get(name.toLowerCase)
+  def dropView(name: String): Boolean = viewDefs.remove(name.toLowerCase).isDefined
+
+  /** ALTER TABLE t SET ('k'='v', ...) on a binding (F:96-98): merge options
+    * and refresh the materialized view so later reads see the change. */
+  def alterOptions(spark: SparkSession, name: String, opts: Map[String, String]): Binding = {
+    val b = lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"Unknown binding: $name"))
+    val nb = b.copy(options = b.options ++ opts)
+    registry.put(nb.name, nb)
+    rebind(spark, nb)
+    nb
+  }
+
+  /** ALTER TABLE t RENAME TO t2 on a binding. */
+  def rename(spark: SparkSession, from: String, to: String): Binding = {
+    val b = lookup(from).getOrElse(
+      throw new IllegalArgumentException(s"Unknown binding: $from"))
+    val nb = b.copy(name = to.toLowerCase)
+    registry.remove(b.name)
+    registry.put(nb.name, nb)
+    spark.catalog.dropTempView(b.name)
+    rebind(spark, nb)
+    nb
+  }
+
+  /** Re-materialize a binding's session view after a definition change. */
+  private def rebind(spark: SparkSession, b: Binding): Unit = b.connector match {
+    case "datagen" if !b.options.contains("number-of-rows") =>
+      try streamDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
+    case "filesystem" | "datagen" | "values" | "jdbc" =>
+      try batchDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
+    case "kafka" | "upsert-kafka" =>
+      try streamDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
+    case _ => ()
+  }
 
   // ------------------------------------------------------------- parsing --
 
@@ -208,19 +252,10 @@ object TableEnv {
   def createTable(spark: SparkSession, stmt: String): Binding = {
     val b = parseCreateTable(stmt)
     registry.put(b.name, b)
-    b.connector match {
-      case "datagen" if !b.options.contains("number-of-rows") =>
-        // unbounded datagen = streaming source: register the STREAMING df as
-        // the view so SELECT against it plans a streaming query (§3.1)
-        try streamDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
-      case "filesystem" | "datagen" | "values" | "jdbc" =>
-        // jdbc registers lazily: the view is a live scan of the remote table,
-        // so a later lookup join always sees the current dimension rows
-        try batchDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
-      case "kafka" | "upsert-kafka" =>
-        try streamDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
-      case _ => () // print/blackhole: sink-only
-    }
+    // materialize a session view: unbounded datagen/kafka register their
+    // STREAMING df so SELECT plans a streaming query (§3.1); jdbc registers a
+    // live scan so later lookup joins see current dimension rows
+    rebind(spark, b)
     b
   }
 

@@ -187,6 +187,43 @@ class EngineSpec extends SparkTestBase {
     intercept[IllegalStateException](gw.session(h))
   }
 
+  test("views over bindings: CREATE/SHOW CREATE/DESCRIBE/DROP VIEW; ALTER TABLE SET/RENAME") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val s = gw.session(h).spark
+    gw.executeStatement(h,
+      "CREATE TABLE v_src (id BIGINT, v DOUBLE) WITH ('connector'='datagen','number-of-rows'='40')")
+    // CREATE TEMPORARY VIEW over the binding, body in Flink dialect (F:77-90)
+    val mk = gw.fetchResults(gw.executeStatement(h,
+      "CREATE TEMPORARY VIEW v_even AS SELECT id FROM v_src WHERE id >= 0"), 0)
+    assert(mk.rows.head.head.toString.contains("v_even"))
+    val cnt = gw.fetchResults(gw.executeStatement(h, "SELECT COUNT(*) AS n FROM v_even"), 0)
+    assert(cnt.rows.head.head.toString.toLong == 40)
+    // DESCRIBE of the view shows columns (native path)
+    val d = gw.fetchResults(gw.executeStatement(h, "DESCRIBE v_even"), 0)
+    assert(d.rows.exists(_.head.toString == "id"))
+    // SHOW CREATE VIEW reconstructs the stored definition
+    val sc = gw.fetchResults(gw.executeStatement(h, "SHOW CREATE VIEW v_even"), 0)
+    assert(sc.rows.head.head.toString.contains("CREATE TEMPORARY VIEW `v_even` AS SELECT id"))
+    // ALTER TABLE SET on the binding takes effect for subsequent reads (F:96)
+    gw.executeStatement(h, "ALTER TABLE v_src SET ('number-of-rows' = '10')")
+    val cnt2 = gw.fetchResults(gw.executeStatement(h, "SELECT COUNT(*) AS n FROM v_src"), 0)
+    assert(cnt2.rows.head.head.toString.toLong == 10)
+    assert(TableEnv.lookup("v_src").get.options("number-of-rows") == "10")
+    // ALTER TABLE RENAME TO (F:98)
+    gw.executeStatement(h, "ALTER TABLE v_src RENAME TO v_src2")
+    assert(TableEnv.lookup("v_src").isEmpty && TableEnv.lookup("v_src2").isDefined)
+    val cnt3 = gw.fetchResults(gw.executeStatement(h, "SELECT COUNT(*) AS n FROM v_src2"), 0)
+    assert(cnt3.rows.head.head.toString.toLong == 10)
+    val gone = gw.fetchResults(gw.executeStatement(h, "SELECT * FROM v_src"), 0)
+    assert(gone.columns == Seq("error"))
+    // DROP VIEW
+    gw.fetchResults(gw.executeStatement(h, "DROP VIEW v_even"), 0)
+    val gone2 = gw.fetchResults(gw.executeStatement(h, "SELECT * FROM v_even"), 0)
+    assert(gone2.columns == Seq("error"))
+  }
+
   test("gateway routes FOR SYSTEM_TIME AS OF SQL to the as-of operator") {
     val gw = new Gateway(spark)
     val h = gw.openSession()
