@@ -31,6 +31,8 @@ class Gateway(root: SparkSession) {
 
   sealed trait OpResult
   final case class Finished(df: DataFrame) extends OpResult
+  /** small, already-materialized result (cached metadata) */
+  final case class Rows(columns: Seq[String], rows: Seq[Seq[Any]]) extends OpResult
   final case class StreamingOp(jobName: String, buffer: RingBuffer, cols: Seq[String]) extends OpResult
   final case class Statement(message: String) extends OpResult
   /** failed statement with the extracted root cause (flinkClient.ts:78-125) */
@@ -65,6 +67,13 @@ class Gateway(root: SparkSession) {
   private val sessions = TrieMap.empty[String, Session]
   private val operations = TrieMap.empty[String, Operation]
   val pageSize = 1000
+
+  /** metadata TTL cache + in-flight dedup (catalogProvider.ts:22-26,349-377);
+    * keyed per session (temp views differ across sessions). */
+  val metaCache = new MetaCache[(Seq[String], Seq[Seq[Any]])]()
+  private val MetaStmtRe =
+    """(?is)^(SHOW\s+(TABLES|DATABASES|VIEWS|FUNCTIONS|CATALOGS|COLUMNS|PARTITIONS)\b.*|(?:DESCRIBE|DESC)\s+.*)$""".r
+  private val MutatingRe = """(?is)^\s*(CREATE|DROP|ALTER|USE|INSERT|TRUNCATE)\b.*""".r
 
   // ------------------------------------------------------------- sessions --
 
@@ -105,6 +114,9 @@ class Gateway(root: SparkSession) {
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.*)""".r
   private val ShowCreateViewRe = """(?is)SHOW\s+CREATE\s+VIEW\s+([\w.`]+)""".r
   private val DropViewRe = """(?is)DROP\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)""".r
+  private val CreateCatalogRe =
+    """(?is)CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s+WITH\s*\((.*)\)\s*$""".r
+  private val DropCatalogRe = """(?is)DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?([\w`]+)\s*$""".r
   private val AlterSetRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+SET\s*\((.*)\)\s*$""".r
   private val AlterRenameRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*$""".r
   private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
@@ -114,8 +126,9 @@ class Gateway(root: SparkSession) {
     val sess = session(sessionHandle)
     val spark = sess.spark
     val stmt = stmt0.trim.stripSuffix(";").trim
+    if (MutatingRe.pattern.matcher(stmt).matches()) metaCache.invalidateAll()
     val result =
-      try route(spark, stmt)
+      try routeCached(sessionHandle, spark, stmt)
       catch { case e: Exception => Failed(Results.rootCauseMessage(e)) }
     val op = new Operation(UUID.randomUUID().toString, result)
     operations.put(op.handle, op)
@@ -125,6 +138,25 @@ class Gateway(root: SparkSession) {
   /** Execute a whole script (splitting, STATEMENT SET handling). */
   def executeScript(sessionHandle: String, script: String): Seq[String] =
     FlinkDialect.split(script).map(executeStatement(sessionHandle, _))
+
+  /** Metadata statements fetch through the TTL cache (dedup'd); the rest
+    * route normally. Specially-shaped metadata (Flink DESCRIBE of a binding,
+    * SHOW CREATE) stays uncached — it reads the live registry for free. */
+  private def routeCached(sessionHandle: String, spark: SparkSession, stmt: String): OpResult =
+    stmt match {
+      case MetaStmtRe(_*) if !TableEnv.lookup(
+          DescribeRe.findFirstMatchIn(stmt).map(_.group(1).replace("`", "")).getOrElse("")).isDefined =>
+        val (cols, rows) = metaCache.getOrCompute(s"$sessionHandle::${stmt.toLowerCase}") {
+          route(spark, stmt) match {
+            case Finished(df) => (df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
+            case Rows(c, r) => (c, r)
+            case other => throw new IllegalStateException(
+              s"unexpected metadata result shape: ${other.getClass.getSimpleName}")
+          }
+        }
+        Rows(cols, rows)
+      case _ => route(spark, stmt)
+    }
 
   private def route(spark: SparkSession, stmt: String): OpResult = {
     val upper = stmt.toUpperCase
@@ -163,6 +195,37 @@ class Gateway(root: SparkSession) {
       case s if upper.startsWith("USE CATALOG ") =>
         spark.sql("SET CATALOG " + s.substring("USE CATALOG ".length))
         Statement(s"Catalog switched")
+      case CreateCatalogRe(name0, optStr) =>
+        // CREATE CATALOG (F:551, G:371): catalogs register as Spark
+        // CatalogPlugins. 'jdbc' maps to Spark's JDBCTableCatalog (the Flink
+        // JDBC catalog analog); 'generic_in_memory' gets a private in-memory
+        // Derby database behind the same plugin, so a second catalog is fully
+        // usable (CREATE/INSERT/SELECT/SHOW) without external services.
+        val name = name0.replace("`", "")
+        val opts = OptRe.findAllMatchIn(optStr).map(x => x.group(1) -> x.group(2)).toMap
+        val url = opts.getOrElse("type", "generic_in_memory") match {
+          case "jdbc" =>
+            val base = opts.getOrElse("base-url", throw new IllegalArgumentException(
+              "jdbc catalog requires 'base-url'"))
+            opts.get("default-database")
+              .map(db => if (base.endsWith("/")) base + db else s"$base/$db")
+              .getOrElse(base)
+          case "generic_in_memory" => s"jdbc:derby:memory:graft_cat_$name;create=true"
+          case other => throw new IllegalArgumentException(
+            s"catalog type '$other' is unsupported (supported: jdbc, generic_in_memory)")
+        }
+        spark.conf.set(s"spark.sql.catalog.$name",
+          "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+        spark.conf.set(s"spark.sql.catalog.$name.url", url)
+        opts.get("username").foreach(u => spark.conf.set(s"spark.sql.catalog.$name.user", u))
+        opts.get("password").foreach(p => spark.conf.set(s"spark.sql.catalog.$name.password", p))
+        opts.get("driver").foreach(d => spark.conf.set(s"spark.sql.catalog.$name.driver", d))
+        Statement(s"Catalog $name created")
+      case DropCatalogRe(name0) =>
+        val name = name0.replace("`", "")
+        Seq("", ".url", ".user", ".password", ".driver")
+          .foreach(sfx => spark.conf.unset(s"spark.sql.catalog.$name$sfx"))
+        Statement(s"Catalog $name dropped")
       case _ if upper.startsWith("CURRENT_WATERMARK") =>
         Statement("CURRENT_WATERMARK() is unsupported — read StreamingQueryProgress.eventTime.watermark instead")
       case _ if upper.replaceAll("\\s+", " ").startsWith("BEGIN STATEMENT SET") =>
@@ -288,6 +351,10 @@ class Gateway(root: SparkSession) {
         Page(Seq("error"), if (token == 0) Seq(Seq(err)) else Nil, None, eos = true)
       case Statement(msg) =>
         Page(Seq("result"), if (token == 0) Seq(Seq(msg)) else Nil, None, eos = true)
+      case Rows(cols, rows) =>
+        val page = rows.slice(token * pageSize, (token + 1) * pageSize)
+        val eos = (token + 1) * pageSize >= rows.size
+        Page(cols, page, if (eos) None else Some(token + 1), eos)
       case Finished(df) => op.synchronized {
         val rows = batchPage(op, df, token)
         val eos = op.pageCount.exists(token + 1 >= _)

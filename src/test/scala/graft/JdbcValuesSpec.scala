@@ -111,6 +111,33 @@ class JdbcValuesSpec extends SparkTestBase {
     } finally graft.engine.Jobs.stopAll()
   }
 
+  test("CREATE CATALOG: second catalog usable end-to-end, then dropped") {
+    import graft.engine.Gateway
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val s = gw.session(h).spark
+    val mk = gw.fetchResults(gw.executeStatement(h,
+      "CREATE CATALOG memcat WITH ('type' = 'generic_in_memory')"), 0)
+    assert(mk.rows.head.head.toString.contains("memcat"))
+    // full lifecycle inside the new catalog (3-level identifiers)
+    s.sql("CREATE TABLE memcat.APP.people (id BIGINT, name STRING)")
+    s.sql("INSERT INTO memcat.APP.people VALUES (1, 'ada'), (2, 'grace')")
+    assert(s.sql("SELECT COUNT(*) AS n FROM memcat.APP.people").head().getLong(0) == 2)
+    val tabs = gw.fetchResults(gw.executeStatement(h, "SHOW TABLES IN memcat.APP"), 0)
+    assert(tabs.rows.exists(_.exists(v => v != null && v.toString.toLowerCase.contains("people"))))
+    val cats = gw.fetchResults(gw.executeStatement(h, "SHOW CATALOGS"), 0)
+    assert(cats.rows.exists(_.exists(v => v != null && v.toString == "memcat")))
+    // jdbc catalog over an on-disk derby url binds the same way
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat")
+    gw.fetchResults(gw.executeStatement(h,
+      s"CREATE CATALOG dbycat WITH ('type'='jdbc','base-url'='jdbc:derby:$dir/cat;create=true')"), 0)
+    s.sql("CREATE TABLE dbycat.APP.kv (k BIGINT, v STRING)")
+    assert(s.sql("SELECT COUNT(*) AS n FROM dbycat.APP.kv").head().getLong(0) == 0)
+    // drop removes the registration
+    gw.fetchResults(gw.executeStatement(h, "DROP CATALOG dbycat"), 0)
+    assert(s.conf.getOption("spark.sql.catalog.dbycat").isEmpty)
+  }
+
   test("values connector: data-id rows bind and SELECT; empty without data") {
     TableEnv.clear()
     TableEnv.registerValues("fixture-1",

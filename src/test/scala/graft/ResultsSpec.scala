@@ -132,6 +132,47 @@ class ResultsSpec extends SparkTestBase {
     assert(fns.rows.exists(_.head.toString.contains("split")))
   }
 
+  test("metadata TTL cache: dedup, TTL expiry, DDL invalidation") {
+    import graft.engine.MetaCache
+    // TTL with injected clock
+    var now = 0L
+    val c = new MetaCache[Int](ttlMillis = 100, clock = () => now)
+    var computes = 0
+    def get() = c.getOrCompute("k") { computes += 1; computes }
+    assert(get() == 1 && get() == 1 && computes == 1) // cached
+    now = 150
+    assert(get() == 2 && computes == 2) // expired → recomputed
+    assert(c.hits.get() == 1 && c.misses.get() == 2)
+    // in-flight dedup: concurrent callers share one computation
+    val slow = new MetaCache[Int](ttlMillis = 10000)
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (1 to 4).map(_ => pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = slow.getOrCompute("s") { Thread.sleep(200); n.incrementAndGet() }
+    }))
+    assert(futures.map(_.get()).toSet == Set(1) && n.get() == 1)
+    pool.shutdown()
+    // failures are not cached
+    val f = new MetaCache[Int]()
+    intercept[RuntimeException](f.getOrCompute("x") { throw new RuntimeException("boom") })
+    assert(f.getOrCompute("x") { 7 } == 7)
+
+    // end-to-end: SHOW TABLES caches; CREATE TABLE invalidates
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    gw.executeStatement(h,
+      "CREATE TABLE mc_a (id BIGINT) WITH ('connector'='datagen','number-of-rows'='5')")
+    val t1 = gw.fetchResults(gw.executeStatement(h, "SHOW TABLES"), 0)
+    val misses0 = gw.metaCache.misses.get()
+    val t2 = gw.fetchResults(gw.executeStatement(h, "SHOW TABLES"), 0)
+    assert(t2.rows == t1.rows)
+    assert(gw.metaCache.misses.get() == misses0 && gw.metaCache.hits.get() >= 1)
+    gw.executeStatement(h,
+      "CREATE TABLE mc_b (id BIGINT) WITH ('connector'='datagen','number-of-rows'='5')")
+    val t3 = gw.fetchResults(gw.executeStatement(h, "SHOW TABLES"), 0)
+    assert(t3.rows.exists(_.exists(v => v != null && v.toString == "mc_b")))
+  }
+
   test("batch paging is lazy: page 0 never materializes the full result") {
     val gw = new Gateway(spark)
     val h = gw.openSession()
