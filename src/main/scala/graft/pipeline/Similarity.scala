@@ -61,29 +61,49 @@ object Similarity {
   def kmeansCentroids(
       vectors: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 3, trainLimit: Int = 4096): DataFrame = {
-    val train = vectors.orderBy(col(idCol)).limit(math.max(trainLimit, nCentroids))
-      .select(col(idCol).as("tid"), col(vecCol).cast("array<double>").as("tv"))
-      .cache()
-    var centroids = train.limit(nCentroids)
-      .select(col("tid").as("centroid_id"), col("tv").as("cvec"))
-    for (_ <- 0 until iters) {
-      val assigned = train.crossJoin(broadcast(centroids))
-        .select(col("tid"), col("tv"), col("centroid_id"),
-          cosine(col("tv"), col("cvec")).as("csim"))
-        .groupBy(col("tid"))
-        .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
-          first(col("tv")).as("tv"))
-      // per-dimension mean: explode to (centroid, pos) — one narrow shuffle
-      // over sample×dim rows, then reassemble ordered arrays
-      centroids = assigned
-        .select(col("centroid_id"), posexplode(col("tv")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e("m")).as("cvec"))
+    val spark = vectors.sparkSession
+    // one TakeOrdered job pulls the bounded sample (≤ trainLimit × dim
+    // doubles, a few MB); Lloyd's iterations then run on the driver — exact,
+    // deterministic, and free of the ~12 shuffles a distributed loop costs.
+    // Only full-table ASSIGNMENT (ivfAssign) needs the cluster.
+    val sample: Array[Array[Double]] = vectors
+      .orderBy(col(idCol)).limit(math.max(trainLimit, nCentroids))
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val k = math.min(nCentroids, sample.length)
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
     }
-    centroids
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotA(a, b) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(b, b)))
+    val cents = Array.tabulate(k)(i => sample(i).clone())
+    for (_ <- 0 until iters) {
+      val dim = if (sample.isEmpty) 0 else sample(0).length
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestSim = -2.0
+        var c = 0
+        while (c < k) {
+          val s = cos(v, cents(c))
+          if (s > bestSim) { bestSim = s; best = c } // ties keep lowest index
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0)
+        cents(c) = sums(c).map(_ / counts(c)) // empty clusters keep their seed
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "centroid_id INT, cvec ARRAY<DOUBLE>")
+    spark.createDataFrame(
+      cents.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i, v.toSeq) }.toSeq.asJava, schema)
   }
 
   /** IVF index: assign every vector to its nearest centroid (one linear pass
