@@ -258,6 +258,30 @@ object FlinkDialect {
     s.trim
   }
 
+  /** Split an UPDATE SET clause on top-level commas (quotes/parens safe). */
+  def splitAssignments(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' =>
+          cur += c; i += 1
+          while (i < s.length && s.charAt(i) != '\'') { cur += s.charAt(i); i += 1 }
+          if (i < s.length) cur += '\''
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
   private val IdentSubRe = """([\w.`]+)\s*\[([^\[\]]+)\]""".r
 
   /** Innermost-first subscript rewriting. Identifier bases go through the

@@ -114,6 +114,11 @@ class Gateway(root: SparkSession) {
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.*)""".r
   private val ShowCreateViewRe = """(?is)SHOW\s+CREATE\s+VIEW\s+([\w.`]+)""".r
   private val DropViewRe = """(?is)DROP\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)""".r
+  private val UpdateRe = """(?is)^UPDATE\s+([\w.`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+  private val DeleteRe = """(?is)^DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.*))?$""".r
+  private val CompilePlanRe =
+    """(?is)^COMPILE\s+PLAN\s+'([^']+)'\s+FOR\s+(.*)$""".r
+  private val ExecutePlanRe = """(?is)^EXECUTE\s+PLAN\s+'([^']+)'$""".r
   private val CreateCatalogRe =
     """(?is)CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s+WITH\s*\((.*)\)\s*$""".r
   private val DropCatalogRe = """(?is)DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?([\w`]+)\s*$""".r
@@ -237,6 +242,41 @@ class Gateway(root: SparkSession) {
           .filter(_.trim.nonEmpty)
         val handles = stmts.map(s => route(spark, s.stripSuffix(";")))
         Statement(s"Statement set: ${handles.size} inserts submitted")
+      case UpdateRe(target, setClause, where) if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        // batch UPDATE (corpus F:192): filesystem rewrites via directory
+        // swap; jdbc pushes the statement down to the database
+        val b = TableEnv.lookup(target.replace("`", "")).get
+        val assignments = FlinkDialect.splitAssignments(setClause).map { a =>
+          val Array(c, e) = a.split("=", 2)
+          c.trim.replace("`", "") -> FlinkDialect.rewrite(e.trim)
+        }
+        val n = TableEnv.update(spark, b, assignments,
+          Option(where).map(FlinkDialect.rewrite))
+        Statement(s"$n rows updated in ${b.name}")
+      case DeleteRe(target, where) if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        val b = TableEnv.lookup(target.replace("`", "")).get
+        val n = TableEnv.delete(spark, b, Option(where).map(FlinkDialect.rewrite))
+        Statement(s"$n rows deleted from ${b.name}")
+      case CompilePlanRe(path, insert) =>
+        // COMPILE PLAN (G:379): persist the statement plus its physical plan
+        // (diagnostic); EXECUTE PLAN replays the stored statement — the Spark
+        // analog of Flink's compiled-plan restore
+        val selectPart = insert.replaceFirst("(?is)^INSERT\\s+INTO\\s+[\\w.`]+\\s+", "")
+        val plan =
+          try spark.sql(FlinkDialect.rewrite(selectPart)).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          catch { case e: Exception => s"(plan unavailable: ${Results.rootCauseMessage(e)})" }
+        val b64 = java.util.Base64.getEncoder.encodeToString(insert.getBytes("UTF-8"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          s"GRAFT COMPILED PLAN v1\n$b64\n$plan\n".getBytes("UTF-8"))
+        Statement(s"Plan compiled to $path")
+      case ExecutePlanRe(path) =>
+        val lines = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(path)).toArray(Array.empty[String])
+        require(lines.length >= 2 && lines(0).startsWith("GRAFT COMPILED PLAN"),
+          s"Not a compiled plan file: $path")
+        val stmtStored = new String(java.util.Base64.getDecoder.decode(lines(1)), "UTF-8")
+        route(spark, stmtStored.trim.stripSuffix(";"))
       case InsertIntoRe(target, select) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         val b = TableEnv.lookup(target.replace("`", "")).get
         val df = spark.sql(FlinkDialect.rewrite(select))

@@ -278,6 +278,11 @@ object TableEnv {
   }
 
   def batchDF(spark: SparkSession, b: Binding): DataFrame = b.connector match {
+    case "filesystem" if b.format == "debezium-json" =>
+      val raw = spark.read.format("json").schema(debeziumEnvelope(b)).load(b.options("path"))
+      finishSource(decodeDebezium(raw
+        .select(struct(col("before"), col("after"), col("op"), col("ts_ms")).as("__e")), b),
+        b, stream = false)
     case "filesystem" =>
       val r = spark.read.format(b.format).schema(
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
@@ -330,6 +335,11 @@ object TableEnv {
       val raw = spark.readStream.format("rate").option("rowsPerSecond", rps).load()
         .withColumnRenamed("value", "__seq")
       finishSource(synthesize(raw, b), b, stream = true)
+    case "filesystem" if b.format == "debezium-json" =>
+      val raw = spark.readStream.format("json").schema(debeziumEnvelope(b)).load(b.options("path"))
+      finishSource(decodeDebezium(raw
+        .select(struct(col("before"), col("after"), col("op"), col("ts_ms")).as("__e")), b),
+        b, stream = true)
     case "filesystem" =>
       val r = spark.readStream.format(b.format).schema(
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
@@ -338,18 +348,56 @@ object TableEnv {
       val raw = kafkaSourceOptions(b).foldLeft(spark.readStream.format("kafka")) {
         case (r, (k, v)) => r.option(k, v)
       }.load()
-      // payload decode (json) + METADATA columns from Kafka's native fields
-      val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
-      val parsed = raw.select(
-        (from_json(col("value").cast("string"),
-          org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)).as("__d") +:
-          b.cols.filter(_.metadataFrom.isDefined).map(c =>
-            col(c.metadataFrom.get).cast(c.sparkType).as(c.name))): _*)
-        .select(dataCols.map(c => col(s"__d.${c.name}")) ++
-          b.cols.filter(_.metadataFrom.isDefined).map(c => col(c.name)): _*)
+      val parsed =
+        if (b.format == "debezium-json")
+          decodeDebezium(raw.withColumn("__e",
+            from_json(col("value").cast("string"), debeziumEnvelope(b))), b)
+        else {
+          // payload decode (json) + METADATA columns from Kafka's native fields
+          val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
+          raw.select(
+            (from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)).as("__d") +:
+              b.cols.filter(_.metadataFrom.isDefined).map(c =>
+                col(c.metadataFrom.get).cast(c.sparkType).as(c.name))): _*)
+            .select(dataCols.map(c => col(s"__d.${c.name}")) ++
+              b.cols.filter(_.metadataFrom.isDefined).map(c => col(c.name)): _*)
+        }
       finishSource(parsed, b, stream = true)
     case c =>
       throw new IllegalArgumentException(s"connector '$c' is not stream-readable")
+  }
+
+  /** debezium-json envelope schema (F:42): {before, after, op, ts_ms} with
+    * the declared table schema as the row images. */
+  private def debeziumEnvelope(b: Binding): org.apache.spark.sql.types.StructType = {
+    val payload = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+    new org.apache.spark.sql.types.StructType()
+      .add("before", payload).add("after", payload)
+      .add("op", org.apache.spark.sql.types.StringType)
+      .add("ts_ms", org.apache.spark.sql.types.LongType)
+  }
+
+  /** Decode a debezium envelope column `__e` into changelog rows: the after
+    * image for c/r/u, the before image for d. The op and source timestamp
+    * ride along as `__op`/`__ts_ms` so a PK sink can APPLY the changelog
+    * (delete on d, upsert otherwise); declare `x STRING METADATA FROM 'op'`
+    * to surface them as named columns. Kafka's native metadata fields
+    * (timestamp/partition/offset) remain addressable. */
+  private def decodeDebezium(parsed: DataFrame, b: Binding): DataFrame = {
+    val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
+    val img = when(col("__e.op") === "d", col("__e.before")).otherwise(col("__e.after"))
+    val metaCols = b.cols.filter(_.metadataFrom.isDefined).map { c =>
+      c.metadataFrom.get match {
+        case "op" => coalesce(col("__e.op"), lit("r")).cast(c.sparkType).as(c.name)
+        case "ts_ms" | "value.source.timestamp" | "value.ingestion-timestamp" =>
+          timestamp_millis(col("__e.ts_ms")).cast(c.sparkType).as(c.name)
+        case other => col(other).cast(c.sparkType).as(c.name) // kafka native
+      }
+    }
+    parsed.select(
+      dataCols.map(c => img.getField(c.name).as(c.name)) ++ metaCols ++
+        Seq(coalesce(col("__e.op"), lit("r")).as("__op"), col("__e.ts_ms").as("__ts_ms")): _*)
   }
 
   /** Flink kafka connector options → Spark kafka source options
@@ -441,15 +489,61 @@ object TableEnv {
     case "jdbc" =>
       val opts = jdbcOptions(b)
       if (b.primaryKey.nonEmpty && !overwrite) {
+        val isCdc = df.columns.contains("__op")
+        val data = df.drop("__op", "__ts_ms")
         // ensure the table exists (empty append creates it), then PK-upsert;
         // one row per key per batch (changelog semantics: latest write wins,
         // and delete-then-insert would otherwise keep every duplicate)
-        df.limit(0).write.format("jdbc").options(opts).mode("append").save()
-        jdbcUpsert(df.dropDuplicates(b.primaryKey), b.primaryKey, opts)
+        data.limit(0).write.format("jdbc").options(opts).mode("append").save()
+        if (isCdc) {
+          // changelog APPLY: keep only the latest event per key (by source
+          // timestamp when present), delete on d, upsert otherwise
+          import org.apache.spark.sql.expressions.Window
+          val latest =
+            if (df.columns.contains("__ts_ms"))
+              df.withColumn("__rn", row_number().over(Window
+                  .partitionBy(b.primaryKey.map(col): _*)
+                  .orderBy(col("__ts_ms").desc_nulls_last)))
+                .filter(col("__rn") === 1).drop("__rn")
+            else df.dropDuplicates(b.primaryKey)
+          jdbcUpsert(latest.filter(col("__op") =!= "d").drop("__op", "__ts_ms"),
+            b.primaryKey, opts)
+          jdbcDelete(latest.filter(col("__op") === "d").select(b.primaryKey.map(col): _*),
+            b.primaryKey, opts)
+        } else
+          jdbcUpsert(df.dropDuplicates(b.primaryKey), b.primaryKey, opts)
       } else
-        df.write.format("jdbc").options(opts)
+        df.drop("__op", "__ts_ms").write.format("jdbc").options(opts)
           .mode(if (overwrite) "overwrite" else "append").save()
     case c => throw new IllegalArgumentException(s"connector '$c' is not batch-writable")
+  }
+
+  /** Changelog delete: remove the given keys (runs per partition like the
+    * upsert — a wide delete fans out across executors). */
+  private def jdbcDelete(keys: DataFrame, pk: Seq[String], opts: Map[String, String]): Unit = {
+    val table = opts("dbtable")
+    val url = opts("url")
+    val user = opts.get("user")
+    val password = opts.get("password")
+    val driver = opts.get("driver")
+    keys.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      driver.foreach(Class.forName)
+      val props = new java.util.Properties()
+      user.foreach(props.setProperty("user", _))
+      password.foreach(props.setProperty("password", _))
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val qs = Option(conn.getMetaData.getIdentifierQuoteString).map(_.trim).getOrElse("")
+        val del = conn.prepareStatement(
+          s"DELETE FROM $table WHERE " + pk.map(k => s"$qs$k$qs = ?").mkString(" AND "))
+        rows.foreach { r =>
+          pk.zipWithIndex.foreach { case (k, i) => del.setObject(i + 1, r.getAs[Any](k)) }
+          del.addBatch()
+        }
+        del.executeBatch(); conn.commit()
+      } finally conn.close()
+    }
   }
 
   /** DB-agnostic PK upsert: delete-then-insert batches inside one transaction
@@ -493,6 +587,98 @@ object TableEnv {
         del.executeBatch(); ins.executeBatch(); conn.commit()
       } finally conn.close()
     }
+  }
+
+  // -------------------------------------------------- UPDATE / DELETE DML --
+
+  /** Batch UPDATE on a binding (corpus F:192). filesystem: read → rewrite →
+    * atomic directory swap (never overwrite the files being read — write to
+    * a sibling tmp dir, then swap). jdbc: push the statement down to the
+    * database — the engine never moves the rows at all. */
+  def update(spark: SparkSession, b: Binding,
+      assignments: Seq[(String, String)], where: Option[String]): Long = b.connector match {
+    case "filesystem" =>
+      val df = batchDF(spark, b)
+      val pred = where.map(expr).getOrElse(lit(true))
+      val touched = df.filter(pred).count()
+      val set = assignments.toMap
+      // SET expressions evaluate against the OLD row (standard SQL), so the
+      // guarded when() per column sees only original values
+      val updated = df.select(df.columns.map { c =>
+        set.get(c).map(e => when(pred, expr(e)).otherwise(col(c)).as(c)).getOrElse(col(c))
+      }.toSeq: _*)
+      swapRewrite(spark, b, updated)
+      touched
+    case "jdbc" =>
+      val cols = b.cols.map(_.name)
+      jdbcExecute(b, qs => {
+        val setSql = assignments.map { case (c, e) =>
+          s"$qs$c$qs = ${quoteIdentifiers(e, cols, qs)}" }.mkString(", ")
+        s"UPDATE ${jdbcOptions(b)("dbtable")} SET $setSql" +
+          where.map(w => s" WHERE ${quoteIdentifiers(w, cols, qs)}").getOrElse("")
+      })
+    case c => throw new IllegalArgumentException(s"UPDATE unsupported for connector '$c'")
+  }
+
+  /** Batch DELETE on a binding (corpus F:193). */
+  def delete(spark: SparkSession, b: Binding, where: Option[String]): Long = b.connector match {
+    case "filesystem" =>
+      val df = batchDF(spark, b)
+      val pred = where.map(expr).getOrElse(lit(true))
+      val touched = df.filter(pred).count()
+      swapRewrite(spark, b, df.filter(!pred || pred.isNull))
+      touched
+    case "jdbc" =>
+      jdbcExecute(b, qs => s"DELETE FROM ${jdbcOptions(b)("dbtable")}" +
+        where.map(w => s" WHERE ${quoteIdentifiers(w, b.cols.map(_.name), qs)}").getOrElse(""))
+    case c => throw new IllegalArgumentException(s"DELETE unsupported for connector '$c'")
+  }
+
+  /** Rewrite a filesystem binding's data without reading and clobbering the
+    * same files: write to a tmp sibling, delete the old dir, move tmp in. */
+  private def swapRewrite(spark: SparkSession, b: Binding, df: DataFrame): Unit = {
+    val path = new org.apache.hadoop.fs.Path(b.options("path"))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path.toString + s".rewrite-${System.nanoTime()}")
+    val w = df.write.format(b.format).mode("overwrite")
+    (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
+      .save(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    rebind(spark, b)
+  }
+
+  /** Execute one DML statement directly on the binding's database; the SQL
+    * is built with the vendor's identifier quote string (Spark's JDBC writer
+    * quotes column names at CREATE, so unquoted refs would case-fold).
+    * Returns the JDBC update count. */
+  private def jdbcExecute(b: Binding, mkSql: String => String): Long = {
+    val opts = jdbcOptions(b)
+    opts.get("driver").foreach(Class.forName)
+    val props = new java.util.Properties()
+    opts.get("user").foreach(props.setProperty("user", _))
+    opts.get("password").foreach(props.setProperty("password", _))
+    val conn = java.sql.DriverManager.getConnection(opts("url"), props)
+    try {
+      val qs = Option(conn.getMetaData.getIdentifierQuoteString).map(_.trim).getOrElse("")
+      conn.createStatement().executeUpdate(mkSql(qs)).toLong
+    } finally conn.close()
+  }
+
+  /** Quote every reference to a known column inside an expression fragment
+    * (string literals masked first so constants stay untouched). */
+  private def quoteIdentifiers(frag: String, cols: Seq[String], qs: String): String = {
+    if (qs.isEmpty) return frag
+    val lits = ArrayBuffer.empty[String]
+    var s = """'(?:[^']|'')*'""".r.replaceAllIn(frag, m => {
+      lits += m.matched; s"__GRAFT_L${lits.size - 1}__"
+    })
+    cols.foreach { c =>
+      s = s.replaceAll("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(c) + "(?![\\w`])",
+        java.util.regex.Matcher.quoteReplacement(s"$qs$c$qs"))
+    }
+    lits.zipWithIndex.reverse.foreach { case (l, i) => s = s.replace(s"__GRAFT_L${i}__", l) }
+    s
   }
 
   /** SHOW CREATE TABLE for a binding: reconstruct the Flink DDL

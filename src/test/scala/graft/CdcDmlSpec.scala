@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Gateway, Jobs, TableEnv}
+
+/** Batch UPDATE/DELETE (corpus F:189-193), the debezium-json CDC envelope
+  * format (F:42), and COMPILE/EXECUTE PLAN (G:379).
+  */
+class CdcDmlSpec extends SparkTestBase {
+
+  private def gwSession(): (Gateway, String) = {
+    val gw = new Gateway(spark)
+    (gw, gw.openSession())
+  }
+
+  test("UPDATE and DELETE rewrite a filesystem binding via directory swap") {
+    TableEnv.clear()
+    val (gw, h) = gwSession()
+    val out = java.nio.file.Files.createTempDirectory("graft-dml").toString
+    gw.executeStatement(h,
+      "CREATE TABLE dml_src (id BIGINT, v DOUBLE) WITH ('connector'='datagen','number-of-rows'='50')")
+    gw.executeStatement(h,
+      s"CREATE TABLE dml_t (id BIGINT, v DOUBLE) WITH ('connector'='filesystem','path'='$out','format'='parquet')")
+    gw.fetchResults(gw.executeStatement(h, "INSERT INTO dml_t SELECT id, v FROM dml_src"), 0)
+    val before = spark.read.parquet(out).agg(sum("v")).head().getDouble(0)
+    val up = gw.fetchResults(gw.executeStatement(h,
+      "UPDATE dml_t SET v = v * 2 WHERE id >= 0"), 0)
+    assert(up.rows.head.head.toString.contains("50 rows updated"))
+    val after = spark.read.parquet(out).agg(sum("v")).head().getDouble(0)
+    assert(math.abs(after - 2 * before) < 1e-6)
+    // partial update evaluates SET against OLD values only where matched
+    val median = spark.read.parquet(out).selectExpr("percentile(id, 0.5)").head().getDouble(0).toLong
+    gw.fetchResults(gw.executeStatement(h, s"UPDATE dml_t SET v = 0 WHERE id <= $median"), 0)
+    val zeros = spark.read.parquet(out).filter(col("v") === 0).count()
+    assert(zeros > 0 && zeros < 50)
+    val del = gw.fetchResults(gw.executeStatement(h, s"DELETE FROM dml_t WHERE id <= $median"), 0)
+    assert(del.rows.head.head.toString.contains("deleted"))
+    assert(spark.read.parquet(out).count() == 50 - zeros)
+    // binding still queryable after swaps
+    val n = gw.fetchResults(gw.executeStatement(h, "SELECT COUNT(*) AS n FROM dml_t"), 0)
+    assert(n.rows.head.head.toString.toLong == 50 - zeros)
+  }
+
+  test("UPDATE and DELETE push down to a jdbc binding") {
+    import spark.implicits._
+    TableEnv.clear()
+    val (gw, h) = gwSession()
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml-jdbc")
+    gw.executeStatement(h,
+      s"""CREATE TABLE jt (id BIGINT, v BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+         |WITH ('connector'='jdbc','url'='jdbc:derby:$dir/db;create=true','table-name'='jt_rows')""".stripMargin)
+    val b = TableEnv.lookup("jt").get
+    TableEnv.batchInsert(spark, b, (1L to 10L).map(i => (i, i)).toDF("id", "v"))
+    val up = gw.fetchResults(gw.executeStatement(h, "UPDATE jt SET v = v + 100 WHERE id <= 3"), 0)
+    assert(up.rows.head.head.toString.contains("3 rows updated"))
+    assert(TableEnv.batchDF(spark, b).filter($"v" > 100).count() == 3)
+    val del = gw.fetchResults(gw.executeStatement(h, "DELETE FROM jt WHERE id > 8"), 0)
+    assert(del.rows.head.head.toString.contains("2 rows deleted"))
+    assert(TableEnv.batchDF(spark, b).count() == 8)
+  }
+
+  private def writeDebezium(dir: java.nio.file.Path): Unit = {
+    val lines = Seq(
+      """{"before": null, "after": {"id": 1, "name": "ada"}, "op": "c", "ts_ms": 1000}""",
+      """{"before": null, "after": {"id": 2, "name": "bob"}, "op": "c", "ts_ms": 1001}""",
+      """{"before": {"id": 2, "name": "bob"}, "after": {"id": 2, "name": "bob2"}, "op": "u", "ts_ms": 1002}""",
+      """{"before": {"id": 1, "name": "ada"}, "after": null, "op": "d", "ts_ms": 1003}""")
+    java.nio.file.Files.write(dir.resolve("cdc.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("debezium-json decodes images, op and ts_ms metadata") {
+    TableEnv.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-dbz")
+    writeDebezium(dir)
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE dbz (
+         |  id BIGINT, name STRING,
+         |  op STRING METADATA FROM 'op' VIRTUAL,
+         |  src_ts TIMESTAMP(3) METADATA FROM 'ts_ms' VIRTUAL
+         |) WITH ('connector'='filesystem','path'='$dir','format'='debezium-json')""".stripMargin)
+    val rows = TableEnv.batchDF(spark, TableEnv.lookup("dbz").get)
+      .orderBy(col("__ts_ms"))
+      .collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[String]("op")).toSeq == Seq("c", "c", "u", "d"))
+    // after-image for c/u, before-image for d
+    assert(rows(2).getAs[String]("name") == "bob2")
+    assert(rows(3).getAs[Long]("id") == 1 && rows(3).getAs[String]("name") == "ada")
+    assert(rows.head.getAs[java.time.LocalDateTime]("src_ts") != null ||
+      rows.head.get(rows.head.fieldIndex("src_ts")) != null)
+  }
+
+  test("CDC end-to-end: debezium stream applied to a jdbc PK sink") {
+    import spark.implicits._
+    TableEnv.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-dbz-e2e")
+    writeDebezium(dir)
+    val dbdir = java.nio.file.Files.createTempDirectory("graft-dbz-db")
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE cdc_src (id BIGINT, name STRING)
+         |WITH ('connector'='filesystem','path'='$dir','format'='debezium-json')""".stripMargin)
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE cdc_snk (id BIGINT, name STRING, PRIMARY KEY (id) NOT ENFORCED)
+         |WITH ('connector'='jdbc','url'='jdbc:derby:$dbdir/db;create=true','table-name'='cdc_state')""".stripMargin)
+    val snk = TableEnv.lookup("cdc_snk").get
+    val stream = TableEnv.streamDF(spark, TableEnv.lookup("cdc_src").get)
+    assert(stream.isStreaming && stream.columns.contains("__op"))
+    TableEnv.startStreamingInsert(spark, snk, stream)
+    try {
+      var tries = 0
+      def state() = try TableEnv.batchDF(spark, snk).collect() catch { case _: Exception => Array.empty[org.apache.spark.sql.Row] }
+      while (state().isEmpty && tries < 100) { Thread.sleep(200); tries += 1 }
+      Thread.sleep(1000) // let the full batch apply
+      val rows = state()
+      // ada was inserted then deleted; bob was inserted then updated
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "bob2")),
+        rows.mkString(","))
+    } finally Jobs.stopAll()
+  }
+
+  test("COMPILE PLAN persists statement + plan; EXECUTE PLAN replays it") {
+    TableEnv.clear()
+    val (gw, h) = gwSession()
+    val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val planFile = s"$out/insert.plan"
+    gw.executeStatement(h,
+      "CREATE TABLE cp_src (id BIGINT) WITH ('connector'='datagen','number-of-rows'='10')")
+    gw.executeStatement(h,
+      s"CREATE TABLE cp_snk (id BIGINT) WITH ('connector'='filesystem','path'='$out/data','format'='parquet')")
+    val comp = gw.fetchResults(gw.executeStatement(h,
+      s"COMPILE PLAN '$planFile' FOR INSERT INTO cp_snk SELECT id FROM cp_src"), 0)
+    assert(comp.rows.head.head.toString.contains("compiled"))
+    val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(planFile)), "UTF-8")
+    assert(txt.startsWith("GRAFT COMPILED PLAN") && txt.contains("Physical Plan"))
+    val exec = gw.fetchResults(gw.executeStatement(h, s"EXECUTE PLAN '$planFile'"), 0)
+    assert(exec.rows.head.head.toString.contains("Inserted into cp_snk"))
+    assert(spark.read.parquet(s"$out/data").count() == 10)
+  }
+}
