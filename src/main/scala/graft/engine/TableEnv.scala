@@ -277,11 +277,13 @@ object TableEnv {
     }
   }
 
+  /** CDC envelope formats with a decoder here (G:518). */
+  val cdcFormats: Set[String] = Set("debezium-json", "canal-json", "maxwell-json")
+
   def batchDF(spark: SparkSession, b: Binding): DataFrame = b.connector match {
-    case "filesystem" if b.format == "debezium-json" =>
-      val raw = spark.read.format("json").schema(debeziumEnvelope(b)).load(b.options("path"))
-      finishSource(decodeDebezium(raw
-        .select(struct(col("before"), col("after"), col("op"), col("ts_ms")).as("__e")), b),
+    case "filesystem" if cdcFormats(b.format) =>
+      val raw = spark.read.format("json").schema(cdcEnvelope(b)).load(b.options("path"))
+      finishSource(decodeCdc(raw.select(struct(raw.columns.map(col): _*).as("__e")), b),
         b, stream = false)
     case "filesystem" =>
       val r = spark.read.format(b.format).schema(
@@ -335,10 +337,9 @@ object TableEnv {
       val raw = spark.readStream.format("rate").option("rowsPerSecond", rps).load()
         .withColumnRenamed("value", "__seq")
       finishSource(synthesize(raw, b), b, stream = true)
-    case "filesystem" if b.format == "debezium-json" =>
-      val raw = spark.readStream.format("json").schema(debeziumEnvelope(b)).load(b.options("path"))
-      finishSource(decodeDebezium(raw
-        .select(struct(col("before"), col("after"), col("op"), col("ts_ms")).as("__e")), b),
+    case "filesystem" if cdcFormats(b.format) =>
+      val raw = spark.readStream.format("json").schema(cdcEnvelope(b)).load(b.options("path"))
+      finishSource(decodeCdc(raw.select(struct(raw.columns.map(col): _*).as("__e")), b),
         b, stream = true)
     case "filesystem" =>
       val r = spark.readStream.format(b.format).schema(
@@ -349,9 +350,9 @@ object TableEnv {
         case (r, (k, v)) => r.option(k, v)
       }.load()
       val parsed =
-        if (b.format == "debezium-json")
-          decodeDebezium(raw.withColumn("__e",
-            from_json(col("value").cast("string"), debeziumEnvelope(b))), b)
+        if (cdcFormats(b.format))
+          decodeCdc(raw.withColumn("__e",
+            from_json(col("value").cast("string"), cdcEnvelope(b))), b)
         else {
           // payload decode (json) + METADATA columns from Kafka's native fields
           val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
@@ -368,37 +369,75 @@ object TableEnv {
       throw new IllegalArgumentException(s"connector '$c' is not stream-readable")
   }
 
-  /** debezium-json envelope schema (F:42): {before, after, op, ts_ms} with
-    * the declared table schema as the row images. */
-  private def debeziumEnvelope(b: Binding): org.apache.spark.sql.types.StructType = {
-    val payload = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
-    new org.apache.spark.sql.types.StructType()
-      .add("before", payload).add("after", payload)
-      .add("op", org.apache.spark.sql.types.StringType)
-      .add("ts_ms", org.apache.spark.sql.types.LongType)
+  /** CDC envelope schema per format: debezium-json (F:42) {before, after,
+    * op, ts_ms}; canal-json {data[], old[], type, ts}; maxwell-json {data,
+    * old, type, ts} — each with the declared table schema as row images. */
+  private def cdcEnvelope(b: Binding): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val payload = StructType.fromDDL(b.schemaDdl)
+    b.format match {
+      case "debezium-json" => new StructType()
+        .add("before", payload).add("after", payload)
+        .add("op", StringType).add("ts_ms", LongType)
+      case "canal-json" => new StructType()
+        .add("data", ArrayType(payload)).add("old", ArrayType(payload))
+        .add("type", StringType).add("ts", LongType)
+      case "maxwell-json" => new StructType()
+        .add("data", payload).add("old", payload)
+        .add("type", StringType).add("ts", LongType)
+      case f => throw new IllegalArgumentException(s"not a CDC format: $f")
+    }
   }
 
-  /** Decode a debezium envelope column `__e` into changelog rows: the after
-    * image for c/r/u, the before image for d. The op and source timestamp
-    * ride along as `__op`/`__ts_ms` so a PK sink can APPLY the changelog
-    * (delete on d, upsert otherwise); declare `x STRING METADATA FROM 'op'`
-    * to surface them as named columns. Kafka's native metadata fields
-    * (timestamp/partition/offset) remain addressable. */
-  private def decodeDebezium(parsed: DataFrame, b: Binding): DataFrame = {
+  /** Decode a CDC envelope column `__e` into changelog rows: the after image
+    * for inserts/updates, the before/deleted image for deletes. The op
+    * (debezium letters: c/u/d/r) and source timestamp (millis) ride along as
+    * `__op`/`__ts_ms` so a PK sink can APPLY the changelog (delete on d,
+    * upsert otherwise); declare `x STRING METADATA FROM 'op'` to surface
+    * them as named columns. Kafka's native metadata fields (timestamp/
+    * partition/offset) remain addressable. */
+  private def decodeCdc(parsed: DataFrame, b: Binding): DataFrame = {
     val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
-    val img = when(col("__e.op") === "d", col("__e.before")).otherwise(col("__e.after"))
+    // normalize to (__img STRUCT, __op STRING, __ts_ms LONG) per event row,
+    // keeping the source's native columns addressable for metadata
+    val rows = b.format match {
+      case "debezium-json" =>
+        parsed
+          .withColumn("__img",
+            when(col("__e.op") === "d", col("__e.before")).otherwise(col("__e.after")))
+          .withColumn("__op", coalesce(col("__e.op"), lit("r")))
+          .withColumn("__ts_ms", col("__e.ts_ms"))
+      case "canal-json" =>
+        // canal batches rows: one envelope carries data[] (deleted rows are
+        // IN data for DELETE); explode keeps this a narrow projection
+        parsed.select(col("*"), explode(col("__e.data")).as("__img"))
+          .withColumn("__op", canalOp(col("__e.type")))
+          .withColumn("__ts_ms", col("__e.ts"))
+      case "maxwell-json" =>
+        parsed
+          .withColumn("__img", col("__e.data"))
+          .withColumn("__op", canalOp(col("__e.type")))
+          .withColumn("__ts_ms", col("__e.ts") * 1000L) // maxwell ts is seconds
+    }
     val metaCols = b.cols.filter(_.metadataFrom.isDefined).map { c =>
       c.metadataFrom.get match {
-        case "op" => coalesce(col("__e.op"), lit("r")).cast(c.sparkType).as(c.name)
+        case "op" => col("__op").cast(c.sparkType).as(c.name)
         case "ts_ms" | "value.source.timestamp" | "value.ingestion-timestamp" =>
-          timestamp_millis(col("__e.ts_ms")).cast(c.sparkType).as(c.name)
+          timestamp_millis(col("__ts_ms")).cast(c.sparkType).as(c.name)
         case other => col(other).cast(c.sparkType).as(c.name) // kafka native
       }
     }
-    parsed.select(
-      dataCols.map(c => img.getField(c.name).as(c.name)) ++ metaCols ++
-        Seq(coalesce(col("__e.op"), lit("r")).as("__op"), col("__e.ts_ms").as("__ts_ms")): _*)
+    rows.select(
+      dataCols.map(c => col("__img").getField(c.name).as(c.name)) ++ metaCols ++
+        Seq(col("__op"), col("__ts_ms")): _*)
   }
+
+  /** canal/maxwell type names → debezium op letters. */
+  private def canalOp(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(upper(t) === "INSERT", "c")
+      .when(upper(t) === "UPDATE", "u")
+      .when(upper(t) === "DELETE", "d")
+      .otherwise("r")
 
   /** Flink kafka connector options → Spark kafka source options
     * (G:508 property keys; startup modes G:523). Pure translation so it is

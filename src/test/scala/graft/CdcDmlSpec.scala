@@ -91,6 +91,34 @@ class CdcDmlSpec extends SparkTestBase {
       rows.head.get(rows.head.fieldIndex("src_ts")) != null)
   }
 
+  test("canal-json and maxwell-json decode to the same changelog shape") {
+    TableEnv.clear()
+    val cdir = java.nio.file.Files.createTempDirectory("graft-canal")
+    java.nio.file.Files.write(cdir.resolve("c.json"), Seq(
+      """{"data": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}], "old": null, "type": "INSERT", "ts": 5000}""",
+      """{"data": [{"id": 1, "name": "a"}], "old": null, "type": "DELETE", "ts": 5001}""")
+      .mkString("\n").getBytes("UTF-8"))
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE canal_t (id BIGINT, name STRING, op STRING METADATA FROM 'op' VIRTUAL)
+         |WITH ('connector'='filesystem','path'='$cdir','format'='canal-json')""".stripMargin)
+    val canal = TableEnv.batchDF(spark, TableEnv.lookup("canal_t").get)
+      .orderBy(col("__ts_ms"), col("id")).collect()
+    assert(canal.map(r => (r.getAs[Long]("id"), r.getAs[String]("op"))).toSeq ==
+      Seq((1L, "c"), (2L, "c"), (1L, "d"))) // data[] exploded; DELETE carries the row
+    val mdir = java.nio.file.Files.createTempDirectory("graft-maxwell")
+    java.nio.file.Files.write(mdir.resolve("m.json"), Seq(
+      """{"data": {"id": 7, "name": "x"}, "old": null, "type": "insert", "ts": 9}""",
+      """{"data": {"id": 7, "name": "x2"}, "old": {"id": 7, "name": "x"}, "type": "update", "ts": 10}""")
+      .mkString("\n").getBytes("UTF-8"))
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE maxwell_t (id BIGINT, name STRING)
+         |WITH ('connector'='filesystem','path'='$mdir','format'='maxwell-json')""".stripMargin)
+    val mx = TableEnv.batchDF(spark, TableEnv.lookup("maxwell_t").get)
+      .orderBy(col("__ts_ms")).collect()
+    assert(mx.map(r => (r.getAs[String]("name"), r.getAs[String]("__op"), r.getAs[Long]("__ts_ms"))).toSeq ==
+      Seq(("x", "c", 9000L), ("x2", "u", 10000L))) // seconds → millis
+  }
+
   test("CDC end-to-end: debezium stream applied to a jdbc PK sink") {
     import spark.implicits._
     TableEnv.clear()
