@@ -107,6 +107,23 @@ object OverWindows {
             "range between 500 preceding and 500 following)").as("n_near"))
         .orderBy(col("o_orderkey"))
     },
+
+    // GROUPS frame (G:399 — no Spark counterpart): GROUPS BETWEEN n PRECEDING
+    // AND m FOLLOWING over (part, ord) ≡ RANGE of the same bounds over the
+    // dense_rank of ord — peer groups collapse to consecutive rank values, so
+    // the range frame walks whole tie-groups exactly like a GROUPS frame
+    "q_over_groups_frame" -> { (s, dir) =>
+      val wRank = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val wFrame = Window.partitionBy(col("l_returnflag")).orderBy(col("__grp"))
+        .rangeBetween(-1, 1)
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .withColumn("__grp", dense_rank().over(wRank))
+        .select(
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          sum(col("l_quantity").cast("decimal(18,4)")).over(wFrame)
+            .cast("double").as("grp_sum"))
+        .orderBy(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -172,5 +189,23 @@ object OverWindows {
         |         RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS n_near
         |FROM orders WHERE o_custkey < 50
         |ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB lacks GROUPS frames too — the oracle derives them from first
+    // principles: per-peer-group sums, a ROWS window over the distinct
+    // values, joined back to the rows (exact decimal math throughout)
+    "q_over_groups_frame" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_quantity,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qsum
+        |  FROM lineitem WHERE l_orderkey < 200 GROUP BY l_returnflag, l_quantity),
+        |w AS (
+        |  SELECT l_returnflag, l_quantity,
+        |         CAST(SUM(qsum) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum
+        |  FROM g)
+        |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_quantity, w.grp_sum
+        |FROM lineitem l JOIN w ON l.l_returnflag = w.l_returnflag AND l.l_quantity = w.l_quantity
+        |WHERE l.l_orderkey < 200
+        |ORDER BY l.l_returnflag, l.l_quantity, l.l_orderkey, l.l_linenumber""".stripMargin,
   )
 }
