@@ -249,8 +249,68 @@ object TableEnv {
 
   /** Execute CREATE TABLE: parse, register, and (when batch-materializable)
     * expose as a temp view so plain spark.sql can read it. */
+  /** Split a trailing `LIKE base (modifiers)` clause off a CREATE TABLE
+    * (depth-0 scan — LIKE inside a computed-column expression or a string
+    * stays put). Returns (coreStmt, Option(baseName, modifiersUpper)). */
+  private def splitLike(stmt: String): (String, Option[(String, String)]) = {
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0
+    var i = 0
+    while (i < stmt.length) {
+      stmt.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < stmt.length && stmt.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if depth == 0 && (c == 'L' || c == 'l') &&
+            stmt.regionMatches(true, i, "LIKE", 0, 4) &&
+            (i + 4 >= stmt.length || !isWordChar(stmt.charAt(i + 4))) &&
+            (i == 0 || !isWordChar(stmt.charAt(i - 1))) =>
+          val rest = stmt.substring(i + 4).trim.stripSuffix(";").trim
+          val m = """(?s)^([\w.`]+)\s*(?:\(\s*(.*?)\s*\))?\s*$""".r.findFirstMatchIn(rest)
+          m.foreach { mm =>
+            return (stmt.substring(0, i).trim,
+              Some((mm.group(1).replace("`", ""),
+                Option(mm.group(2)).getOrElse("").toUpperCase)))
+          }
+          i += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    (stmt, None)
+  }
+
   def createTable(spark: SparkSession, stmt: String): Binding = {
-    val b = parseCreateTable(stmt)
+    val (core0, like) = splitLike(stmt.trim.stripSuffix(";"))
+    // LIKE form may omit the column block entirely — synthesize an empty one
+    val core =
+      if ("""(?is)^CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+\s*\(""".r
+          .findFirstIn(core0).isDefined) core0
+      else core0.replaceFirst("""(?is)^(CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+)""", "$1 ()")
+    val parsed = parseCreateTable(core)
+    val b = like match {
+      case None => parsed
+      case Some((baseName, mods)) =>
+        // CREATE TABLE ... LIKE base: inherit schema/watermark/PK/options,
+        // then apply the new definition on top. Modifier subset: EXCLUDING
+        // OPTIONS / CONSTRAINTS / WATERMARKS (INCLUDING ALL is the default;
+        // OVERWRITING OPTIONS is the merge we always do)
+        val base = lookup(baseName).getOrElse(throw new IllegalArgumentException(
+          s"LIKE target is not a binding: $baseName"))
+        val exAll = mods.contains("EXCLUDING ALL")
+        def ex(kind: String) = exAll || mods.contains(s"EXCLUDING $kind")
+        parsed.copy(
+          cols = base.cols.filterNot(c => parsed.cols.exists(_.name == c.name)) ++ parsed.cols,
+          watermark = parsed.watermark.orElse(if (ex("WATERMARKS")) None else base.watermark),
+          primaryKey = if (parsed.primaryKey.nonEmpty) parsed.primaryKey
+            else if (ex("CONSTRAINTS")) Nil else base.primaryKey,
+          partitionedBy = if (parsed.partitionedBy.nonEmpty) parsed.partitionedBy
+            else if (ex("PARTITIONS")) Nil else base.partitionedBy,
+          options = (if (ex("OPTIONS")) Map.empty[String, String] else base.options)
+            ++ parsed.options)
+    }
     registry.put(b.name, b)
     // materialize a session view: unbounded datagen/kafka register their
     // STREAMING df so SELECT plans a streaming query (§3.1); jdbc registers a

@@ -224,6 +224,34 @@ class EngineSpec extends SparkTestBase {
     assert(gone2.columns == Seq("error"))
   }
 
+  test("CREATE TABLE ... LIKE inherits schema/options with modifier subset") {
+    TableEnv.clear()
+    TableEnv.createTable(spark,
+      """CREATE TABLE like_base (
+        |  id BIGINT, v DOUBLE,
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+        |  ts TIMESTAMP(3),
+        |  PRIMARY KEY (id) NOT ENFORCED
+        |) WITH ('connector' = 'kafka', 'topic' = 'base', 'format' = 'json')""".stripMargin)
+    // bare LIKE: full inheritance, options overridden on top
+    val t2 = TableEnv.createTable(spark,
+      "CREATE TABLE like_t2 WITH ('topic' = 'override') LIKE like_base")
+    assert(t2.cols.map(_.name) == Seq("id", "v", "ts"))
+    assert(t2.primaryKey == Seq("id") && t2.watermark.isDefined)
+    assert(t2.options("topic") == "override" && t2.options("connector") == "kafka")
+    // extra columns append; EXCLUDING OPTIONS/CONSTRAINTS drop those parts
+    val t3 = TableEnv.createTable(spark,
+      """CREATE TABLE like_t3 (extra STRING) WITH ('connector' = 'blackhole')
+        |LIKE like_base (EXCLUDING OPTIONS EXCLUDING CONSTRAINTS)""".stripMargin)
+    assert(t3.cols.map(_.name) == Seq("id", "v", "ts", "extra"))
+    assert(t3.primaryKey.isEmpty && t3.options == Map("connector" -> "blackhole"))
+    // a computed column containing LIKE must not trigger the clause
+    val t4 = TableEnv.createTable(spark,
+      """CREATE TABLE like_t4 (s STRING, flag AS s LIKE 'x%')
+        |WITH ('connector' = 'datagen', 'number-of-rows' = '3')""".stripMargin)
+    assert(t4.cols.exists(_.computed.isDefined))
+  }
+
   test("gateway routes FOR SYSTEM_TIME AS OF SQL to the as-of operator") {
     val gw = new Gateway(spark)
     val h = gw.openSession()
