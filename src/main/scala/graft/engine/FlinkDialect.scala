@@ -193,6 +193,27 @@ object FlinkDialect {
     s = """(?i)(?<![\w_])COLLECT\s*\(([^()]+)\)""".r.replaceAllIn(s, m =>
       Regex.quoteReplacement(s"multiset_from_array(collect_list(${m.group(1).trim}))"))
 
+    // JSON aggregates/constructors (G:431). Aggregation order is
+    // nondeterministic in any parallel engine, so the rewrites sort elements
+    // (by value / by key) — a deterministic refinement of Flink's semantics.
+    val arg = """(?:[^()]|\([^()]*\))""" // argument text with one paren level
+    s = ("""(?i)\bJSON_ARRAYAGG\s*\((""" + arg + """+)\)""").r.replaceAllIn(s, m =>
+      Regex.quoteReplacement(s"to_json(array_sort(collect_list(${m.group(1).trim})))"))
+    s = ("""(?i)\bJSON_OBJECTAGG\s*\(\s*KEY\s+(""" + arg + """+?)\s+VALUE\s+(""" + arg + """+?)\s*\)""").r
+      .replaceAllIn(s, m =>
+        Regex.quoteReplacement("to_json(map_from_entries(array_sort(collect_list(" +
+          s"struct(${m.group(1).trim}, ${m.group(2).trim})))))"))
+    s = ("""(?i)\bJSON_OBJECT\s*\((""" + arg + """*KEY""" + arg + """*)\)""").r.replaceAllIn(s, m => {
+      val pairs = m.group(1).split("(?i),\\s*(?=KEY\\b)").map { p =>
+        val mm = """(?is)KEY\s+(.+?)\s+VALUE\s+(.+)""".r.findFirstMatchIn(p.trim)
+          .getOrElse(throw new IllegalArgumentException(s"Bad JSON_OBJECT entry: $p"))
+        s"${mm.group(1).trim}, ${mm.group(2).trim}"
+      }
+      Regex.quoteReplacement(s"to_json(named_struct(${pairs.mkString(", ")}))")
+    })
+    s = """(?i)\bJSON_ARRAY\s*\(([^()]*)\)""".r.replaceAllIn(s, m =>
+      Regex.quoteReplacement(s"to_json(array(${m.group(1).trim}))"))
+
     // CROSS JOIN UNNEST(arr) AS t(c) (F:164-167) → LATERAL VIEW explode;
     // UNNEST in FROM position otherwise → explode via lateral view too
     s = """(?is)CROSS\s+JOIN\s+UNNEST\s*\(([^()]+)\)\s+AS\s+(\w+)\s*\((\w+)\)""".r

@@ -68,6 +68,16 @@ object DialectQueries {
         |ORDER BY user_id, window_start""".stripMargin)
     },
 
+    // JSON aggregates/constructors (G:431): JSON_ARRAYAGG / JSON_OBJECTAGG /
+    // JSON_OBJECT, element order determinized by the dialect rewrite
+    "q_fn_json_agg" -> { (s, dir) => fsql(s, dir,
+      """SELECT n_regionkey,
+        |  JSON_ARRAYAGG(n_name) AS names,
+        |  JSON_OBJECTAGG(KEY n_name VALUE n_nationkey) AS obj,
+        |  JSON_OBJECT(KEY 'region' VALUE CAST(n_regionkey AS STRING)) AS meta
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+
     // Flink 1-based array subscript + SIMILAR TO + SPLIT_INDEX shim
     "q_flink_misc" -> { (s, dir) => fsql(s, dir,
       """WITH toks AS (SELECT doc_id, lang, text, split(text, ' ') AS a FROM documents WHERE doc_id < 300)
@@ -138,6 +148,13 @@ object DialectQueries {
         |SELECT MIN(ts) AS window_start, MAX(ts) + INTERVAL '30 minutes' AS window_end,
         |       user_id, COUNT(*) AS cnt
         |FROM y GROUP BY user_id, sid ORDER BY user_id, window_start""".stripMargin,
+
+    "q_fn_json_agg" ->
+      """SELECT n_regionkey,
+        |  '[' || string_agg(to_json(n_name), ',' ORDER BY n_name) || ']' AS names,
+        |  '{' || string_agg(to_json(n_name) || ':' || to_json(n_nationkey), ',' ORDER BY n_name) || '}' AS obj,
+        |  '{"region":' || to_json(CAST(n_regionkey AS VARCHAR)) || '}' AS meta
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q_flink_misc" ->
       """SELECT doc_id,
