@@ -27,12 +27,18 @@ import org.apache.spark.sql.types._
   *  - PREV/NEXT navigation becomes lag/lead window columns computed AFTER the
   *    operator's own repartition+sort on the same keys, so Catalyst reuses
   *    the exchange and sort — navigation costs zero extra shuffles;
-  *  - rows are hash-partitioned on the PARTITION BY key and secondary-sorted
-  *    (repartition + sortWithinPartitions), then a single mapPartitions pass
-  *    runs the backtracking matcher per key-run — the classic
-  *    secondary-sort pattern: one shuffle, streaming within partitions,
-  *    memory bounded by the largest single key's row count (same bound as
-  *    Flink's keyed CEP state).
+  *  - BATCH: rows are hash-partitioned on the PARTITION BY key and
+  *    secondary-sorted (repartition + sortWithinPartitions), then a single
+  *    mapPartitions pass runs the backtracking matcher per key-run — the
+  *    classic secondary-sort pattern: one shuffle, streaming within
+  *    partitions, memory bounded by the largest single key's row count;
+  *  - STREAMING ([[matchRecognizeStream]]): the SAME matcher runs inside
+  *    `flatMapGroupsWithState` with event-time timeouts. Rows at or below
+  *    the watermark are immutable, so matches that end strictly before the
+  *    mature frontier emit exactly once; a match (or failed attempt) that
+  *    touched the frontier is retained — rows that can never join a future
+  *    match are dropped from state, giving the same state bound as Flink's
+  *    keyed CEP (watermark lag × per-key rate).
   */
 object MatchRecognize {
 
@@ -73,15 +79,189 @@ object MatchRecognize {
         PatTok(Seq(m.group(3)), quantOf(Option(m.group(4)).getOrElse("")))
     }.toSeq
 
-  def matchRecognize(
+  // ---------------------------------------------------------------- kernel --
+
+  /** Serializable matcher + measure evaluator shared by the batch
+    * mapPartitions pass and the streaming stateful function. */
+  private[operators] final class Kernel(
+      pat: Array[(Array[Int], Quant)],
+      nVars: Int,
+      condIdx: Array[Int],
+      keyIdx: Array[Int],
+      baseIdx: Array[Int],
+      varNames: Array[String],
+      measures: Array[Measure],
+      varIdx: Map[String, Int],
+      fieldIdx: Map[String, Int],
+      allRows: Boolean) extends Serializable {
+
+    def conds(grp: IndexedSeq[Row]): Array[Array[Boolean]] =
+      Array.tabulate(nVars) { v =>
+        val a = new Array[Boolean](grp.length)
+        var i = 0
+        while (i < grp.length) {
+          val x = grp(i).get(condIdx(v))
+          a(i) = x != null && x.asInstanceOf[Boolean]
+          i += 1
+        }
+        a
+      }
+
+    /** set by tryMatch: end of the last successful match */
+    private var matchEnd: Int = -1
+    /** set by tryMatch: the attempt touched the end of the input — with more
+      * rows appended it might match (or match longer). */
+    private var hitEnd: Boolean = false
+
+    private def tryMatch(len: Int, conds: Array[Array[Boolean]], start: Int): Array[Int] = {
+      val assign = new Array[Int](len)
+      hitEnd = false
+      def rec(pos: Int, tok: Int): Int = {
+        if (tok == pat.length) return pos
+        val (alts, q) = pat(tok)
+        def altAt(p: Int): Int = {
+          var k = 0
+          while (k < alts.length) {
+            if (conds(alts(k))(p)) return alts(k)
+            k += 1
+          }
+          -1
+        }
+        q match {
+          case One =>
+            if (pos >= len) { hitEnd = true; -1 }
+            else {
+              val v = altAt(pos)
+              if (v >= 0) { assign(pos) = v; rec(pos + 1, tok + 1) } else -1
+            }
+          case Opt =>
+            if (pos >= len) { hitEnd = true; rec(pos, tok + 1) }
+            else if (altAt(pos) >= 0) {
+              assign(pos) = altAt(pos)
+              val r = rec(pos + 1, tok + 1)
+              if (r >= 0) r else rec(pos, tok + 1)
+            } else rec(pos, tok + 1)
+          case Plus | Star =>
+            var end = pos
+            while (end < len && altAt(end) >= 0) end += 1
+            if (end >= len) hitEnd = true // run capped by the frontier
+            val minLen = if (q == Plus) 1 else 0
+            var runLen = end - pos // greedy: longest run first
+            while (runLen >= minLen) {
+              var i = pos
+              while (i < pos + runLen) { assign(i) = altAt(i); i += 1 }
+              val r = rec(pos + runLen, tok + 1)
+              if (r >= 0) return r
+              runLen -= 1
+            }
+            -1
+        }
+      }
+      val e = rec(start, 0)
+      if (e < 0) null
+      else { matchEnd = e; assign }
+    }
+
+    private def num(x: Any): Double = x match {
+      case null => 0.0
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case o => o.toString.toDouble
+    }
+    private def ordKey(x: Any): Comparable[Any] = x.asInstanceOf[Comparable[Any]]
+
+    private def measureRow(grp: IndexedSeq[Row], assign: Array[Int],
+        start: Int, end: Int, mno: Long): Row = {
+      val head = grp(start)
+      val vals = keyIdx.toSeq.map(head.get) ++
+        measures.toSeq.map { m =>
+          lazy val v = varIdx(m.variable)
+          lazy val rowsOfVar = (start until end).filter(assign(_) == v)
+          m.kind match {
+            case "match_number" => mno
+            case "classifier" =>
+              if (end > start) varNames(assign(end - 1)) else null
+            case "count" => rowsOfVar.size.toLong
+            case "first" => rowsOfVar.headOption.map(grp(_).get(fieldIdx(m.field))).orNull
+            case "last"  => rowsOfVar.lastOption.map(grp(_).get(fieldIdx(m.field))).orNull
+            case "sum" | "avg" =>
+              val xs = rowsOfVar.map(r => num(grp(r).get(fieldIdx(m.field))))
+              if (xs.isEmpty) null
+              else {
+                // exact 4-decimal accumulation (matches Spark/DuckDB
+                // SUM(CAST(x AS DECIMAL(18,4)))): plain double summation
+                // drifts an ULP from any SQL oracle
+                val s = xs.map(v => new java.math.BigDecimal(v)
+                  .setScale(4, java.math.RoundingMode.HALF_UP))
+                  .reduce(_.add(_))
+                if (m.kind == "sum") s.doubleValue()
+                else s.doubleValue() / xs.size
+              }
+            case "min" => if (rowsOfVar.isEmpty) null
+              else rowsOfVar.map(grp(_).get(fieldIdx(m.field))).minBy(ordKey)
+            case "max" => if (rowsOfVar.isEmpty) null
+              else rowsOfVar.map(grp(_).get(fieldIdx(m.field))).maxBy(ordKey)
+          }
+        }
+      Row.fromSeq(vals)
+    }
+
+    /** Scan rows [0, grp.length): emit greedy non-overlapping matches.
+      * `closed = true` (batch / drained key): a match ending exactly at the
+      * end emits too. `closed = false` (streaming): matches or failed
+      * attempts that touched the frontier stop the scan — `retainFrom` is
+      * the first index a future row could still affect.
+      * @return (output rows, retainFrom, matchNo after) */
+    def scan(grp: IndexedSeq[Row], closed: Boolean, matchNo0: Long): (Seq[Row], Int, Long) = {
+      val cs = conds(grp)
+      val out = ArrayBuffer.empty[Row]
+      var matchNo = matchNo0
+      var i = 0
+      var retainFrom = -1
+      while (i < grp.length && retainFrom < 0) {
+        val assign = tryMatch(grp.length, cs, i)
+        if (assign != null) {
+          val end = matchEnd
+          // a match is FINAL when rows beyond the frontier cannot change it:
+          // it ends before the frontier (the next row is already immutable),
+          // or its attempt never touched the frontier (trailing quantifiers
+          // had no room to extend)
+          if (closed || end < grp.length || !hitEnd) {
+            matchNo += 1
+            if (allRows) {
+              var j = i
+              while (j < end) {
+                out += Row.fromSeq(baseIdx.toSeq.map(grp(j).get) ++
+                  measures.toSeq.map {
+                    _.kind match {
+                      case "classifier" => varNames(assign(j))
+                      case "match_number" => matchNo
+                    }
+                  })
+                j += 1
+              }
+            } else out += measureRow(grp, assign, i, end, matchNo)
+            i = math.max(end, i + 1) // AFTER MATCH SKIP PAST LAST ROW
+          } else retainFrom = i // boundary match: hold for more data
+        } else if (!closed && hitEnd) retainFrom = i // could match later
+        else i += 1
+      }
+      (out.toSeq, if (retainFrom < 0) grp.length else retainFrom, matchNo)
+    }
+  }
+
+  // ------------------------------------------------------------ operator --
+
+  /** Shared prep: projection + bits; returns (withBits df, kernel, outSchema). */
+  private def prepare(
       df: DataFrame,
-      partitionBy: Seq[String],
-      orderBy: String,
-      defines: Seq[(String, Column)],
-      pattern: Seq[PatTok],
-      measures: Seq[Measure],
-      navs: Seq[Nav] = Nil,
-      allRows: Boolean = false): DataFrame = {
+      partitionBy: Seq[String], orderBy: String,
+      defines: Seq[(String, Column)], pattern: Seq[PatTok],
+      measures: Seq[Measure], navs: Seq[Nav], allRows: Boolean,
+      streaming: Boolean): (DataFrame, Kernel, StructType) = {
 
     val varIdx = defines.map(_._1).zipWithIndex.toMap
     require(pattern.forall(_.vars.forall(varIdx.contains)),
@@ -89,9 +269,9 @@ object MatchRecognize {
     if (allRows)
       require(measures.forall(m => m.kind == "classifier" || m.kind == "match_number"),
         "ALL ROWS PER MATCH supports CLASSIFIER()/MATCH_NUMBER() measures")
+    if (streaming)
+      require(navs.isEmpty, "PREV/NEXT navigation is batch-only for now")
 
-    // 1. project the needed columns (all of them in ALL ROWS mode — the
-    //    match emits the input rows themselves)
     val measureFields =
       measures.filter(m => !Set("count", "classifier", "match_number")(m.kind))
         .map(_.field).distinct
@@ -109,14 +289,15 @@ object MatchRecognize {
       else ((partitionBy :+ orderBy) ++ measureFields ++ navs.map(_.field) ++ defineRefs).distinct
     val projected = df.select(baseCols.map(col): _*)
 
-    // 2. one shuffle + in-partition sort (secondary sort)
-    val sorted = projected
-      .repartition(partitionBy.map(col): _*)
-      .sortWithinPartitions((partitionBy :+ orderBy).map(col): _*)
+    val sorted =
+      if (streaming) projected // grouping/ordering happens in the state fn
+      else projected
+        .repartition(partitionBy.map(col): _*)
+        .sortWithinPartitions((partitionBy :+ orderBy).map(col): _*)
 
-    // 3. PREV/NEXT navigation: lag/lead over the SAME (key, order) — the
-    //    window reuses the exchange+sort above (no new shuffle); then the
-    //    DEFINE predicates collapse to codegen'd boolean bits
+    // PREV/NEXT navigation: lag/lead over the SAME (key, order) — the window
+    // reuses the exchange+sort above (no new shuffle); then the DEFINE
+    // predicates collapse to codegen'd boolean bits
     val navSpec = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderBy))
     val withNav = navs.foldLeft(sorted) { (d, nv) =>
       d.withColumn(nv.name,
@@ -128,17 +309,12 @@ object MatchRecognize {
         defines.zipWithIndex.map { case ((_, c), i) => c.as(s"__c_$i") }: _*)
 
     val inSchema = withBits.schema
-    val keyIdx = partitionBy.map(inSchema.fieldIndex)
-    val condIdx = defines.indices.map(i => inSchema.fieldIndex(s"__c_$i"))
-    val fieldIdx = measureFields.map(f => f -> inSchema.fieldIndex(f)).toMap
-    val baseIdx = baseCols.map(inSchema.fieldIndex)
-    val varNames = defines.map(_._1).toArray
-
+    val measureFieldIdx = measureFields.map(f => f -> inSchema.fieldIndex(f)).toMap
     def measureType(m: Measure): DataType = m.kind match {
       case "count" | "match_number" => LongType
       case "classifier" => StringType
       case "avg" | "sum" => DoubleType
-      case _ => inSchema(fieldIdx(m.field)).dataType
+      case _ => inSchema(measureFieldIdx(m.field)).dataType
     }
     val outSchema =
       if (allRows) StructType(
@@ -147,174 +323,119 @@ object MatchRecognize {
       else StructType(
         partitionBy.map(inSchema(_)) ++
           measures.map(m => StructField(m.alias, measureType(m), nullable = true)))
+
+    val kernel = new Kernel(
+      pat = pattern.map(t => (t.vars.map(varIdx).toArray, t.quant)).toArray,
+      nVars = defines.size,
+      condIdx = defines.indices.map(i => inSchema.fieldIndex(s"__c_$i")).toArray,
+      keyIdx = partitionBy.map(inSchema.fieldIndex).toArray,
+      baseIdx = baseCols.map(inSchema.fieldIndex).toArray,
+      varNames = defines.map(_._1).toArray,
+      measures = measures.toArray,
+      varIdx = varIdx,
+      fieldIdx = measureFieldIdx,
+      allRows = allRows)
+    (withBits, kernel, outSchema)
+  }
+
+  def matchRecognize(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      orderBy: String,
+      defines: Seq[(String, Column)],
+      pattern: Seq[PatTok],
+      measures: Seq[Measure],
+      navs: Seq[Nav] = Nil,
+      allRows: Boolean = false): DataFrame = {
+
+    val (withBits, kernel, outSchema) =
+      prepare(df, partitionBy, orderBy, defines, pattern, measures, navs, allRows,
+        streaming = false)
+    val keyIdx = partitionBy.map(withBits.schema.fieldIndex)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val pat: Array[(Array[Int], Quant)] =
-      pattern.map(t => (t.vars.map(varIdx).toArray, t.quant)).toArray
-    val nVars = defines.size
 
     val out = withBits.mapPartitions { rows =>
       new Iterator[Row] {
         val it = rows.buffered
         var pending: Iterator[Row] = Iterator.empty
-
         def sameKey(a: Row, b: Row): Boolean = keyIdx.forall(i => a.get(i) == b.get(i))
-
-        /** Backtracking matcher: fills `assign` with the matched variable per
-          * consumed row for the greedy match starting at `start`; returns the
-          * end position via `matchEnd`, or null if no match. */
-        def tryMatch(grp: ArrayBuffer[Row], conds: Array[Array[Boolean]], start: Int): Array[Int] = {
-          val assign = new Array[Int](grp.length)
-          def rec(pos: Int, tok: Int): Int = {
-            if (tok == pat.length) return pos
-            val (alts, q) = pat(tok)
-            // first alternative whose predicate holds at a row wins that row
-            def altAt(p: Int): Int = {
-              var k = 0
-              while (k < alts.length) {
-                if (conds(alts(k))(p)) return alts(k)
-                k += 1
-              }
-              -1
-            }
-            q match {
-              case One =>
-                if (pos < grp.length) {
-                  val v = altAt(pos)
-                  if (v >= 0) { assign(pos) = v; rec(pos + 1, tok + 1) } else -1
-                } else -1
-              case Opt =>
-                if (pos < grp.length && altAt(pos) >= 0) {
-                  assign(pos) = altAt(pos)
-                  val r = rec(pos + 1, tok + 1)
-                  if (r >= 0) r else rec(pos, tok + 1)
-                } else rec(pos, tok + 1)
-              case Plus | Star =>
-                var end = pos
-                while (end < grp.length && altAt(end) >= 0) end += 1
-                val minLen = if (q == Plus) 1 else 0
-                var len = end - pos // greedy: longest run first
-                while (len >= minLen) {
-                  var i = pos
-                  while (i < pos + len) { assign(i) = altAt(i); i += 1 }
-                  val r = rec(pos + len, tok + 1)
-                  if (r >= 0) return r
-                  len -= 1
-                }
-                -1
-            }
-          }
-          val e = rec(start, 0)
-          if (e < 0) null
-          else {
-            // mark rows outside [start, e) as unassigned
-            val res = new Array[Int](grp.length)
-            java.util.Arrays.fill(res, -1)
-            var i = start
-            while (i < e) { res(i) = assign(i); i += 1 }
-            matchEnd = e
-            res
-          }
-        }
-        var matchEnd: Int = -1
-
-        def emit(grp: ArrayBuffer[Row]): Iterator[Row] = {
-          val conds = Array.tabulate(nVars) { v =>
-            val a = new Array[Boolean](grp.length)
-            var i = 0
-            while (i < grp.length) {
-              val x = grp(i).get(condIdx(v))
-              a(i) = x != null && x.asInstanceOf[Boolean]
-              i += 1
-            }
-            a
-          }
-          val results = ArrayBuffer.empty[Row]
-          var matchNo = 0L
-          var i = 0
-          while (i < grp.length) {
-            val assign = tryMatch(grp, conds, i)
-            if (assign == null) i += 1
-            else {
-              val end = matchEnd
-              matchNo += 1
-              if (allRows) {
-                var j = i
-                while (j < end) {
-                  if (assign(j) >= 0) {
-                    val mno = matchNo
-                    val vals = baseIdx.map(grp(j).get) ++ measures.map { m =>
-                      m.kind match {
-                        case "classifier" => varNames(assign(j))
-                        case "match_number" => mno
-                      }
-                    }
-                    results += Row.fromSeq(vals)
-                  }
-                  j += 1
-                }
-              } else {
-                val head = grp(i)
-                val mno = matchNo
-                val vals = partitionBy.indices.map(j => head.get(keyIdx(j))) ++
-                  measures.map { m =>
-                    lazy val v = varIdx(m.variable)
-                    lazy val rowsOfVar = (i until end).filter(assign(_) == v)
-                    m.kind match {
-                      case "match_number" => mno
-                      case "classifier" =>
-                        if (end > i && assign(end - 1) >= 0) varNames(assign(end - 1)) else null
-                      case "count" => rowsOfVar.size.toLong
-                      case "first" => rowsOfVar.headOption.map(grp(_).get(fieldIdx(m.field))).orNull
-                      case "last"  => rowsOfVar.lastOption.map(grp(_).get(fieldIdx(m.field))).orNull
-                      case "sum" | "avg" =>
-                        val xs = rowsOfVar.map(r => num(grp(r).get(fieldIdx(m.field))))
-                        if (xs.isEmpty) null
-                        else {
-                          // exact 4-decimal accumulation (matches Spark/DuckDB
-                          // SUM(CAST(x AS DECIMAL(18,4)))): plain double
-                          // summation drifts an ULP from any SQL oracle
-                          val s = xs.map(v => new java.math.BigDecimal(v)
-                            .setScale(4, java.math.RoundingMode.HALF_UP))
-                            .reduce(_.add(_))
-                          if (m.kind == "sum") s.doubleValue()
-                          else s.doubleValue() / xs.size
-                        }
-                      case "min" => if (rowsOfVar.isEmpty) null
-                        else rowsOfVar.map(grp(_).get(fieldIdx(m.field))).minBy(ordKey)
-                      case "max" => if (rowsOfVar.isEmpty) null
-                        else rowsOfVar.map(grp(_).get(fieldIdx(m.field))).maxBy(ordKey)
-                    }
-                  }
-                results += Row.fromSeq(vals)
-              }
-              i = math.max(end, i + 1) // AFTER MATCH SKIP PAST LAST ROW
-            }
-          }
-          results.iterator
-        }
-
-        def num(x: Any): Double = x match {
-          case null => 0.0
-          case d: Double => d
-          case f: Float => f.toDouble
-          case l: Long => l.toDouble
-          case i: Int => i.toDouble
-          case d: java.math.BigDecimal => d.doubleValue()
-          case o => o.toString.toDouble
-        }
-        def ordKey(x: Any): Comparable[Any] = x.asInstanceOf[Comparable[Any]]
-
         def advance(): Unit = {
           while (!pending.hasNext && it.hasNext) {
             val grp = ArrayBuffer(it.next())
             while (it.hasNext && sameKey(grp.head, it.head)) grp += it.next()
-            pending = emit(grp)
+            pending = kernel.scan(grp.toIndexedSeq, closed = true, 0L)._1.iterator
           }
         }
         def hasNext: Boolean = { advance(); pending.hasNext }
         def next(): Row = { advance(); pending.next() }
       }
     }(enc)
+
+    out.toDF()
+  }
+
+  // ----------------------------------------------------------- streaming --
+
+  /** Streaming MATCH_RECOGNIZE: the same kernel inside
+    * `flatMapGroupsWithState` with event-time timeouts. `orderBy` must be
+    * the event-time column; the input must carry a watermark (bindings with
+    * a WATERMARK DDL clause do; otherwise pass `watermarkDelay`). Matches
+    * emit exactly once, when the watermark passes their last row. */
+  def matchRecognizeStream(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      orderBy: String,
+      defines: Seq[(String, Column)],
+      pattern: Seq[PatTok],
+      measures: Seq[Measure],
+      watermarkDelay: Option[String] = None,
+      allRows: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val watermarked = watermarkDelay match {
+      case Some(d) => df.withColumn(orderBy, col(orderBy).cast("timestamp"))
+        .withWatermark(orderBy, d)
+      case None => df
+    }
+    val (withBits, kernel, outSchema) =
+      prepare(watermarked, partitionBy, orderBy, defines, pattern, measures,
+        Nil, allRows, streaming = true)
+    val schema = withBits.schema
+    val keyIdx = partitionBy.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(orderBy)
+    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val stateEnc = org.apache.spark.sql.Encoders.javaSerialization[(Array[Row], Long)]
+
+    def tsMillis(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => t.getTime
+      case i: java.time.Instant => i.toEpochMilli
+      case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"not an event time: $other")
+    }
+
+    val grouped = withBits.as(rowEnc)
+      .groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))(
+        org.apache.spark.sql.Encoders.STRING)
+
+    val out = grouped.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (_: String, rows: Iterator[Row], state: GroupState[(Array[Row], Long)]) => {
+        val (held, matchNo0) = state.getOption.getOrElse((Array.empty[Row], 0L))
+        val buf = (held ++ rows).sortBy(tsMillis)
+        val wm = state.getCurrentWatermarkMs()
+        val matureLen = buf.count(tsMillis(_) <= wm) // sorted → prefix
+        val mature = buf.take(matureLen).toIndexedSeq
+        val (emitted, retainFrom, matchNo) = kernel.scan(mature, closed = false, matchNo0)
+        val kept = buf.drop(retainFrom)
+        state.update((kept, matchNo))
+        // wake up when the watermark moves, so held matches drain even if
+        // the key receives no more input
+        if (!state.hasTimedOut || kept.nonEmpty)
+          state.setTimeoutTimestamp(wm + 1000)
+        emitted.iterator
+      })(stateEnc, outEnc)
 
     out.toDF()
   }
@@ -340,7 +461,8 @@ object MatchRecognize {
   private val NavRe =
     """(?i)\b(PREV|NEXT)\s*\(\s*(\w+)\.(\w+)(?:\s*,\s*(\d+))?\s*\)""".r
 
-  /** Run the SQL form against a registered table. */
+  /** Run the SQL form against a registered table (streaming tables route to
+    * the stateful streaming operator). */
   def sql(spark: org.apache.spark.sql.SparkSession, stmt: String): DataFrame = {
     val m = MrRegex.findFirstMatchIn(stmt.trim.stripSuffix(";"))
       .getOrElse(throw new IllegalArgumentException(
@@ -385,7 +507,12 @@ object MatchRecognize {
       .filterNot(v => defined.exists(_._1.equalsIgnoreCase(v)))
     val defines = defined ++ undefinedVars.map(_ -> lit(true))
 
-    matchRecognize(spark.table(table), partitionBy, orderBy, defines, pattern,
-      measures, navs.toSeq, allRows)
+    val input = spark.table(table)
+    if (input.isStreaming)
+      matchRecognizeStream(input, partitionBy, orderBy, defines, pattern, measures,
+        watermarkDelay = None, allRows = allRows)
+    else
+      matchRecognize(input, partitionBy, orderBy, defines, pattern,
+        measures, navs.toSeq, allRows)
   }
 }

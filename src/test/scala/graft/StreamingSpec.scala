@@ -156,4 +156,85 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.schema("id").dataType.typeName == "long")
     } finally q.stop()
   }
+
+  test("streaming MATCH_RECOGNIZE: exactly-once emission as the watermark passes matches") {
+    import graft.operators.MatchRecognize
+    import graft.operators.MatchRecognize._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val df = mem.toDF().toDF("k", "ts", "price")
+    val out = MatchRecognize.matchRecognizeStream(
+      df, Seq("k"), "ts",
+      defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") >= 100)),
+      pattern = parsePattern("A+ B"),
+      measures = Seq(
+        Measure("start_ts", "first", "A", "ts"),
+        Measure("b_val", "last", "B", "price"),
+        Measure("mno", "match_number", "", "")),
+      watermarkDelay = Some("0 seconds"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("cep_stream_out")
+      .outputMode("append").start()
+    def rows() = spark.table("cep_stream_out")
+      .collect().map(r => (r.getAs[Timestamp]("start_ts"), r.getAs[Double]("b_val"), r.getAs[Long]("mno")))
+    try {
+      // key 1: L L H — a complete match; processAllAvailable drains the
+      // post-watermark timeout batch, so it emits exactly once here (the
+      // A+ B match is final: B cannot extend, wm=12s passed its last row)
+      mem.addData((1, ts("2024-01-01 00:00:10"), 10.0),
+        (1, ts("2024-01-01 00:00:11"), 20.0),
+        (1, ts("2024-01-01 00:00:12"), 150.0))
+      q.processAllAvailable()
+      assert(rows().toSeq == Seq((ts("2024-01-01 00:00:10"), 150.0, 1L)))
+      // an open A+ run (no B yet) must NOT emit…
+      mem.addData((1, ts("2024-01-01 00:01:10"), 50.0))
+      q.processAllAvailable()
+      assert(rows().length == 1, "open partial match leaked")
+      // …until its B arrives; MATCH_NUMBER continues per key
+      mem.addData((1, ts("2024-01-01 00:01:11"), 500.0))
+      q.processAllAvailable()
+      // watermark advancement from ANOTHER key drains key 1 via event-time
+      // timeout — key 1 itself receives no more rows
+      mem.addData((2, ts("2024-01-01 00:02:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((2, ts("2024-01-01 00:02:10"), 1.0))
+      q.processAllAvailable()
+      val got = rows().toSeq.sortBy(_._3)
+      assert(got == Seq(
+        (ts("2024-01-01 00:00:10"), 150.0, 1L),
+        (ts("2024-01-01 00:01:10"), 500.0, 2L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("streaming MATCH_RECOGNIZE matches the batch operator on the same data") {
+    import graft.operators.MatchRecognize
+    import graft.operators.MatchRecognize._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0 until 200).map { i =>
+      (i % 3, ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), if (i % 7 < 5) (i % 90).toDouble else 100.0 + i)
+    }
+    val defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") >= 100))
+    val measures = Seq(
+      Measure("start_ts", "first", "A", "ts"),
+      Measure("n_low", "count", "A", "*"),
+      Measure("b_val", "last", "B", "price"))
+    val batch = MatchRecognize.matchRecognize(
+      data.toDF("k", "ts", "price"), Seq("k"), "ts", defines, parsePattern("A+ B"), measures)
+      .collect().map(r => (r.getInt(0), r.getAs[Timestamp](1), r.getLong(2), r.getDouble(3))).toSet
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val out = MatchRecognize.matchRecognizeStream(
+      mem.toDF().toDF("k", "ts", "price"), Seq("k"), "ts", defines,
+      parsePattern("A+ B"), measures, watermarkDelay = Some("0 seconds"))
+    val q = out.writeStream.format("memory").queryName("cep_parity_out")
+      .outputMode("append").start()
+    try {
+      data.grouped(37).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // push the watermark past everything so held matches drain
+      mem.addData((9, ts("2024-01-01 01:00:00"), 1.0)); q.processAllAvailable()
+      mem.addData((9, ts("2024-01-01 01:10:00"), 1.0)); q.processAllAvailable()
+      val streamed = spark.table("cep_parity_out")
+        .collect().map(r => (r.getInt(0), r.getAs[Timestamp](1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch, s"stream/batch diverged: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+    } finally q.stop()
+  }
 }
