@@ -125,6 +125,7 @@ class Gateway(root: SparkSession) {
   private val AlterSetRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+SET\s*\((.*)\)\s*$""".r
   private val AlterRenameRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*$""".r
   private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val OptionsHintRe = """(?is)/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/""".r
 
   /** Execute one statement; returns an operation handle. */
   def executeStatement(sessionHandle: String, stmt0: String): String = {
@@ -331,6 +332,30 @@ class Gateway(root: SparkSession) {
         }.toDF("name", "type", "null", "key", "extras", "watermark"))
       case s if graft.operators.MatchRecognize.isMatchRecognize(s) =>
         Finished(graft.operators.MatchRecognize.sql(spark, s))
+      case s if OptionsHintRe.findFirstIn(s).isDefined =>
+        // OPTIONS hint (F:489): per-query override of a binding's connector
+        // options — materialize the adjusted binding as a shadow view and
+        // re-route the hint-free statement against it
+        val overrides = OptionsHintRe.findFirstMatchIn(s).map(m =>
+          OptRe.findAllMatchIn(m.group(1)).map(x => x.group(1) -> x.group(2)).toMap)
+          .getOrElse(Map.empty)
+        val stripped = OptionsHintRe.replaceAllIn(s, "")
+        val target = """(?is)\bFROM\s+([\w.`]+)""".r.findFirstMatchIn(stripped)
+          .map(_.group(1).replace("`", ""))
+        target.flatMap(TableEnv.lookup) match {
+          case Some(b) if overrides.nonEmpty =>
+            val nb = b.copy(options = b.options ++ overrides)
+            val shadow = s"${b.name}__opts_${math.abs(overrides.hashCode)}"
+            TableEnv.materializeDF(spark, nb) match {
+              case Some(df) =>
+                df.createOrReplaceTempView(shadow)
+                route(spark, stripped.replaceAll(
+                  "(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(b.name) + "(?![\\w`])",
+                  java.util.regex.Matcher.quoteReplacement(shadow)))
+              case None => route(spark, stripped)
+            }
+          case _ => route(spark, stripped)
+        }
       case s if graft.operators.AsOfJoin.isTemporalSql(s) =>
         // versioned temporal join → carry-forward as-of; unresolvable version
         // time (processing-time dims) falls through to the snapshot rewrite

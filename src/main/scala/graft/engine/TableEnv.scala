@@ -88,16 +88,21 @@ object TableEnv {
     nb
   }
 
-  /** Re-materialize a binding's session view after a definition change. */
-  private def rebind(spark: SparkSession, b: Binding): Unit = b.connector match {
-    case "datagen" if !b.options.contains("number-of-rows") =>
-      try streamDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
-    case "filesystem" | "datagen" | "values" | "jdbc" =>
-      try batchDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
-    case "kafka" | "upsert-kafka" =>
-      try streamDF(spark, b).createOrReplaceTempView(b.name) catch { case _: Exception => () }
-    case _ => ()
+  /** The DataFrame a binding materializes as (batch or streaming per its
+    * connector nature); None for sink-only connectors or failed reads. */
+  def materializeDF(spark: SparkSession, b: Binding): Option[DataFrame] = {
+    def tryOpt(f: => DataFrame) = try Some(f) catch { case _: Exception => None }
+    b.connector match {
+      case "datagen" if !b.options.contains("number-of-rows") => tryOpt(streamDF(spark, b))
+      case "filesystem" | "datagen" | "values" | "jdbc" => tryOpt(batchDF(spark, b))
+      case "kafka" | "upsert-kafka" => tryOpt(streamDF(spark, b))
+      case _ => None
+    }
   }
+
+  /** Re-materialize a binding's session view after a definition change. */
+  private def rebind(spark: SparkSession, b: Binding): Unit =
+    materializeDF(spark, b).foreach(_.createOrReplaceTempView(b.name))
 
   // ------------------------------------------------------------- parsing --
 
@@ -511,6 +516,18 @@ object TableEnv {
       case Some("timestamp") =>
         // startingTimestamp wants epoch millis; pass through the Flink option
         b.options.getOrElse("scan.startup.timestamp-millis", "earliest")
+      case Some("specific-offsets") =>
+        // Flink 'partition:0,offset:42;partition:1,offset:300' →
+        // Spark {"topic":{"0":42,"1":300}}
+        val topic = b.options.getOrElse("topic", b.name)
+        val pairs = b.options.getOrElse("scan.startup.specific-offsets", "")
+          .split(";").filter(_.nonEmpty).map { part =>
+            val kv = part.split(",").map(_.trim.split(":", 2))
+            val p = kv.find(_(0).equalsIgnoreCase("partition")).map(_(1).trim).getOrElse("0")
+            val o = kv.find(_(0).equalsIgnoreCase("offset")).map(_(1).trim).getOrElse("0")
+            s""""$p":$o"""
+          }
+        s"""{"$topic":{${pairs.mkString(",")}}}"""
       case _ => "earliest" // earliest-offset / group-offsets / unset
     }),
   ) ++ b.options.get("properties.group.id").map("kafka.group.id" -> _)

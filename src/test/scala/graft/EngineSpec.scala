@@ -224,6 +224,30 @@ class EngineSpec extends SparkTestBase {
     assert(gone2.columns == Seq("error"))
   }
 
+  test("OPTIONS hint overrides binding options for one query only") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    gw.executeStatement(h,
+      "CREATE TABLE oh_src (id BIGINT) WITH ('connector'='datagen','number-of-rows'='50')")
+    val hinted = gw.fetchResults(gw.executeStatement(h,
+      "SELECT /*+ OPTIONS('number-of-rows'='10') */ COUNT(*) AS n FROM oh_src"), 0)
+    assert(hinted.rows.head.head.toString.toLong == 10)
+    // the binding itself is untouched
+    val plain = gw.fetchResults(gw.executeStatement(h,
+      "SELECT COUNT(*) AS n FROM oh_src"), 0)
+    assert(plain.rows.head.head.toString.toLong == 50)
+  }
+
+  test("kafka specific-offsets translate to Spark startingOffsets JSON") {
+    val b = TableEnv.parseCreateTable(
+      """CREATE TABLE ko (id BIGINT) WITH ('connector'='kafka','topic'='t1',
+        |  'scan.startup.mode'='specific-offsets',
+        |  'scan.startup.specific-offsets'='partition:0,offset:42;partition:1,offset:300')""".stripMargin)
+    assert(TableEnv.kafkaSourceOptions(b)("startingOffsets") ==
+      """{"t1":{"0":42,"1":300}}""")
+  }
+
   test("CREATE TABLE ... LIKE inherits schema/options with modifier subset") {
     TableEnv.clear()
     TableEnv.createTable(spark,
