@@ -50,6 +50,29 @@ object ScaleProbe {
       TextAnalysis.qualityFeatures(docs, "doc_id", "text")
         .agg(sum(col("n_tokens"))).head().getLong(0)
     }
+
+    // CEP at scale: n events over 10k keys, A+ B runs (value derived from a
+    // hash so runs are irregular); one shuffle + per-key linear matcher
+    val events = spark.range(n).toDF("event_id")
+      .withColumn("user_id", pmod(xxhash64(col("event_id")), lit(10000)))
+      .withColumn("value", pmod(xxhash64(col("event_id"), lit(1)), lit(200)).cast("double"))
+    events.cache().count()
+    time(s"match_recognize ($n events)") {
+      graft.operators.MatchRecognize.matchRecognize(
+        events, Seq("user_id"), "event_id",
+        defines = Seq("A" -> (col("value") < 100), "B" -> (col("value") >= 100)),
+        pattern = graft.operators.MatchRecognize.parsePattern("A+ B"),
+        measures = Seq(graft.operators.MatchRecognize.Measure("n_low", "count", "A", "*")))
+        .count()
+    }
+    // as-of join at scale: n left rows against n/10 right versions
+    time(s"as-of join ($n x ${n / 10})") {
+      val left = events.select(col("user_id"), col("event_id"), col("event_id").as("lts"))
+      val right = events.filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("user_id"), col("event_id").as("rts"), col("value").as("payload"))
+      graft.operators.AsOfJoin.leftAsOf(left, right, "user_id", "lts", "rts", Seq("payload"))
+        .count()
+    }
     spark.stop()
   }
 }
