@@ -69,6 +69,33 @@ object MatchRecognize {
   private val TokRe =
     """\(\s*(\w+(?:\s*\|\s*\w+)*)\s*\)\s*([+*?])?|(\w+)\s*([+*?])?""".r
 
+  /** Parse a full PATTERN body into ordered alternatives:
+    * `PERMUTE(A, B, C)` expands to every ordering (G:363); `A B | C D` splits
+    * on top-level `|` into sequence alternatives; otherwise one sequence. */
+  def parseAlternatives(p0: String): Seq[Seq[PatTok]] = {
+    val p = p0.trim
+    val perm = """(?is)^PERMUTE\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)$""".r
+    perm.findFirstMatchIn(p) match {
+      case Some(m) =>
+        val vars = m.group(1).split(",").map(_.trim).toSeq
+        require(vars.length <= 6, s"PERMUTE over ${vars.length} variables (max 6)")
+        vars.permutations.map(_.map(v => PatTok(Seq(v), One))).toSeq
+      case None =>
+        // split on '|' outside parentheses → ordered sequence alternatives
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = new StringBuilder
+        var depth = 0
+        p.foreach {
+          case '(' => depth += 1; cur += '('
+          case ')' => depth -= 1; cur += ')'
+          case '|' if depth == 0 => parts += cur.toString; cur.clear()
+          case c => cur += c
+        }
+        parts += cur.toString
+        parts.toSeq.map(parsePattern).filter(_.nonEmpty)
+    }
+  }
+
   /** Parse "A+ (B|C)* D?" into tokens. */
   def parsePattern(p: String): Seq[PatTok] =
     TokRe.findAllMatchIn(p).map { m =>
@@ -84,7 +111,7 @@ object MatchRecognize {
   /** Serializable matcher + measure evaluator shared by the batch
     * mapPartitions pass and the streaming stateful function. */
   private[operators] final class Kernel(
-      pat: Array[(Array[Int], Quant)],
+      pats: Array[Array[(Array[Int], Quant)]],
       nVars: Int,
       condIdx: Array[Int],
       keyIdx: Array[Int],
@@ -113,9 +140,24 @@ object MatchRecognize {
       * rows appended it might match (or match longer). */
     private var hitEnd: Boolean = false
 
+    /** Try each pattern alternative in declared order; first match wins.
+      * hitEnd accumulates across attempted alternatives — an earlier
+      * alternative that failed at the frontier could still win with future
+      * rows, so the caller must hold even a later alternative's match. */
     private def tryMatch(len: Int, conds: Array[Array[Boolean]], start: Int): Array[Int] = {
-      val assign = new Array[Int](len)
       hitEnd = false
+      var ai = 0
+      while (ai < pats.length) {
+        val assign = tryOne(pats(ai), len, conds, start)
+        if (assign != null) return assign
+        ai += 1
+      }
+      null
+    }
+
+    private def tryOne(pat: Array[(Array[Int], Quant)], len: Int,
+        conds: Array[Array[Boolean]], start: Int): Array[Int] = {
+      val assign = new Array[Int](len)
       def rec(pos: Int, tok: Int): Int = {
         if (tok == pat.length) return pos
         val (alts, q) = pat(tok)
@@ -259,13 +301,13 @@ object MatchRecognize {
   private def prepare(
       df: DataFrame,
       partitionBy: Seq[String], orderBy: String,
-      defines: Seq[(String, Column)], pattern: Seq[PatTok],
+      defines: Seq[(String, Column)], patterns: Seq[Seq[PatTok]],
       measures: Seq[Measure], navs: Seq[Nav], allRows: Boolean,
       streaming: Boolean): (DataFrame, Kernel, StructType) = {
 
     val varIdx = defines.map(_._1).zipWithIndex.toMap
-    require(pattern.forall(_.vars.forall(varIdx.contains)),
-      s"PATTERN variable without DEFINE: ${pattern.flatMap(_.vars)}")
+    require(patterns.nonEmpty && patterns.forall(_.forall(_.vars.forall(varIdx.contains))),
+      s"PATTERN variable without DEFINE: ${patterns.flatten.flatMap(_.vars)}")
     if (allRows)
       require(measures.forall(m => m.kind == "classifier" || m.kind == "match_number"),
         "ALL ROWS PER MATCH supports CLASSIFIER()/MATCH_NUMBER() measures")
@@ -325,7 +367,7 @@ object MatchRecognize {
           measures.map(m => StructField(m.alias, measureType(m), nullable = true)))
 
     val kernel = new Kernel(
-      pat = pattern.map(t => (t.vars.map(varIdx).toArray, t.quant)).toArray,
+      pats = patterns.map(_.map(t => (t.vars.map(varIdx).toArray, t.quant)).toArray).toArray,
       nVars = defines.size,
       condIdx = defines.indices.map(i => inSchema.fieldIndex(s"__c_$i")).toArray,
       keyIdx = partitionBy.map(inSchema.fieldIndex).toArray,
@@ -346,11 +388,12 @@ object MatchRecognize {
       pattern: Seq[PatTok],
       measures: Seq[Measure],
       navs: Seq[Nav] = Nil,
-      allRows: Boolean = false): DataFrame = {
+      allRows: Boolean = false,
+      altPatterns: Seq[Seq[PatTok]] = Nil): DataFrame = {
 
     val (withBits, kernel, outSchema) =
-      prepare(df, partitionBy, orderBy, defines, pattern, measures, navs, allRows,
-        streaming = false)
+      prepare(df, partitionBy, orderBy, defines, pattern +: altPatterns, measures,
+        navs, allRows, streaming = false)
     val keyIdx = partitionBy.map(withBits.schema.fieldIndex)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
 
@@ -389,7 +432,8 @@ object MatchRecognize {
       pattern: Seq[PatTok],
       measures: Seq[Measure],
       watermarkDelay: Option[String] = None,
-      allRows: Boolean = false): DataFrame = {
+      allRows: Boolean = false,
+      altPatterns: Seq[Seq[PatTok]] = Nil): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
     val watermarked = watermarkDelay match {
@@ -398,8 +442,8 @@ object MatchRecognize {
       case None => df
     }
     val (withBits, kernel, outSchema) =
-      prepare(watermarked, partitionBy, orderBy, defines, pattern, measures,
-        Nil, allRows, streaming = true)
+      prepare(watermarked, partitionBy, orderBy, defines, pattern +: altPatterns,
+        measures, Nil, allRows, streaming = true)
     val schema = withBits.schema
     val keyIdx = partitionBy.map(schema.fieldIndex)
     val tsIdx = schema.fieldIndex(orderBy)
@@ -481,7 +525,8 @@ object MatchRecognize {
         IntroRe.findAllMatchIn(m.group(4)).map { mm =>
           Measure(mm.group(2), mm.group(1).toLowerCase, "", "")
         }.toSeq
-    val pattern = parsePattern(m.group(6))
+    val patternAlts = parseAlternatives(m.group(6))
+    val pattern = patternAlts.head
 
     // PREV/NEXT in DEFINE → named lag/lead navigation columns (position-based
     // in Flink too: PREV(B.f) is the previous INPUT row's f, whatever matched)
@@ -510,9 +555,9 @@ object MatchRecognize {
     val input = spark.table(table)
     if (input.isStreaming)
       matchRecognizeStream(input, partitionBy, orderBy, defines, pattern, measures,
-        watermarkDelay = None, allRows = allRows)
+        watermarkDelay = None, allRows = allRows, altPatterns = patternAlts.tail)
     else
       matchRecognize(input, partitionBy, orderBy, defines, pattern,
-        measures, navs.toSeq, allRows)
+        measures, navs.toSeq, allRows, altPatterns = patternAlts.tail)
   }
 }

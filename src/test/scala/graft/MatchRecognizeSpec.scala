@@ -141,6 +141,41 @@ class MatchRecognizeSpec extends SparkTestBase {
       (1, "A", 1L), (2, "B", 1L), (3, "A", 2L), (4, "B", 2L))) // seq 5 unmatched
   }
 
+  test("PERMUTE matches the variables in any order") {
+    val df = mk(Seq((1, 1, 10.0), (1, 2, 150.0), (2, 1, 200.0), (2, 2, 20.0)))
+    df.createOrReplaceTempView("mr_perm")
+    // k=1: low then high (A B); k=2: high then low (B A) — PERMUTE takes both
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_perm MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(A.price) AS a_val, FIRST(B.price) AS b_val
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (PERMUTE(A, B))
+        |  DEFINE A AS A.price < 100, B AS B.price >= 100
+        |)""".stripMargin)
+    val rows = out.orderBy("k").collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1, 10.0, 150.0), (2, 20.0, 200.0)))
+  }
+
+  test("top-level sequence alternation prefers the earlier alternative") {
+    val df = mk(Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 150.0), (1, 4, 30.0), (1, 5, 160.0)))
+    df.createOrReplaceTempView("mr_seqalt")
+    // A A B | A B: rows 1-3 take the 3-row alternative (declared first);
+    // rows 4-5 can only take A B
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_seqalt MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES COUNT(A.*) AS n_a, LAST(B.price) AS b_val
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A A B | A B)
+        |  DEFINE A AS A.price < 100, B AS B.price >= 100
+        |)""".stripMargin)
+    val rows = out.orderBy("b_val").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((2L, 150.0), (1L, 160.0)))
+  }
+
   test("undefined pattern variables are always-true (Flink semantics)") {
     val df = mk(Seq((1, 1, 500.0), (1, 2, 150.0)))
     df.createOrReplaceTempView("mr_any")
