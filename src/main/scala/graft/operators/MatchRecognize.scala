@@ -52,8 +52,11 @@ object MatchRecognize {
   final case class PatTok(vars: Seq[String], quant: Quant)
 
   /** measure kinds: first | last | min | max | sum | avg | count |
-    * classifier | match_number */
-  final case class Measure(alias: String, kind: String, variable: String, field: String)
+    * classifier | match_number. `mode` is "final" (whole match — the only
+    * choice in ONE ROW mode) or "running" (rows up to and including the
+    * current one, the ALL ROWS default in Flink). */
+  final case class Measure(alias: String, kind: String, variable: String, field: String,
+      mode: String = "final")
 
   /** PREV/NEXT navigation used by a DEFINE predicate: the predicate text
     * references `name`, which materializes as lag/lead(field, offset). */
@@ -215,37 +218,46 @@ object MatchRecognize {
     }
     private def ordKey(x: Any): Comparable[Any] = x.asInstanceOf[Comparable[Any]]
 
+    /** One aggregate measure over the rows [start, endBound) assigned to
+      * the measure's variable. */
+    private def aggValue(grp: IndexedSeq[Row], assign: Array[Int],
+        start: Int, endBound: Int, m: Measure): Any = {
+      val v = varIdx(m.variable)
+      val rowsOfVar = (start until endBound).filter(assign(_) == v)
+      m.kind match {
+        case "count" => rowsOfVar.size.toLong
+        case "first" => rowsOfVar.headOption.map(grp(_).get(fieldIdx(m.field))).orNull
+        case "last"  => rowsOfVar.lastOption.map(grp(_).get(fieldIdx(m.field))).orNull
+        case "sum" | "avg" =>
+          val xs = rowsOfVar.map(r => num(grp(r).get(fieldIdx(m.field))))
+          if (xs.isEmpty) null
+          else {
+            // exact 4-decimal accumulation (matches Spark/DuckDB
+            // SUM(CAST(x AS DECIMAL(18,4)))): plain double summation
+            // drifts an ULP from any SQL oracle
+            val s = xs.map(v => new java.math.BigDecimal(v)
+              .setScale(4, java.math.RoundingMode.HALF_UP))
+              .reduce(_.add(_))
+            if (m.kind == "sum") s.doubleValue()
+            else s.doubleValue() / xs.size
+          }
+        case "min" => if (rowsOfVar.isEmpty) null
+          else rowsOfVar.map(grp(_).get(fieldIdx(m.field))).minBy(ordKey)
+        case "max" => if (rowsOfVar.isEmpty) null
+          else rowsOfVar.map(grp(_).get(fieldIdx(m.field))).maxBy(ordKey)
+      }
+    }
+
     private def measureRow(grp: IndexedSeq[Row], assign: Array[Int],
         start: Int, end: Int, mno: Long): Row = {
       val head = grp(start)
       val vals = keyIdx.toSeq.map(head.get) ++
         measures.toSeq.map { m =>
-          lazy val v = varIdx(m.variable)
-          lazy val rowsOfVar = (start until end).filter(assign(_) == v)
           m.kind match {
             case "match_number" => mno
             case "classifier" =>
               if (end > start) varNames(assign(end - 1)) else null
-            case "count" => rowsOfVar.size.toLong
-            case "first" => rowsOfVar.headOption.map(grp(_).get(fieldIdx(m.field))).orNull
-            case "last"  => rowsOfVar.lastOption.map(grp(_).get(fieldIdx(m.field))).orNull
-            case "sum" | "avg" =>
-              val xs = rowsOfVar.map(r => num(grp(r).get(fieldIdx(m.field))))
-              if (xs.isEmpty) null
-              else {
-                // exact 4-decimal accumulation (matches Spark/DuckDB
-                // SUM(CAST(x AS DECIMAL(18,4)))): plain double summation
-                // drifts an ULP from any SQL oracle
-                val s = xs.map(v => new java.math.BigDecimal(v)
-                  .setScale(4, java.math.RoundingMode.HALF_UP))
-                  .reduce(_.add(_))
-                if (m.kind == "sum") s.doubleValue()
-                else s.doubleValue() / xs.size
-              }
-            case "min" => if (rowsOfVar.isEmpty) null
-              else rowsOfVar.map(grp(_).get(fieldIdx(m.field))).minBy(ordKey)
-            case "max" => if (rowsOfVar.isEmpty) null
-              else rowsOfVar.map(grp(_).get(fieldIdx(m.field))).maxBy(ordKey)
+            case _ => aggValue(grp, assign, start, end, m) // ONE ROW: final
           }
         }
       Row.fromSeq(vals)
@@ -276,11 +288,17 @@ object MatchRecognize {
             if (allRows) {
               var j = i
               while (j < end) {
-                out += Row.fromSeq(baseIdx.toSeq.map(grp(j).get) ++
-                  measures.toSeq.map {
-                    _.kind match {
-                      case "classifier" => varNames(assign(j))
+                val jj = j
+                out += Row.fromSeq(baseIdx.toSeq.map(grp(jj).get) ++
+                  measures.toSeq.map { m =>
+                    m.kind match {
+                      case "classifier" => varNames(assign(jj))
                       case "match_number" => matchNo
+                      case _ =>
+                        // RUNNING (Flink's ALL ROWS default): rows up to and
+                        // including this one; FINAL: the whole match
+                        val bound = if (m.mode == "running") jj + 1 else end
+                        aggValue(grp, assign, i, bound, m)
                     }
                   })
                 j += 1
@@ -308,9 +326,6 @@ object MatchRecognize {
     val varIdx = defines.map(_._1).zipWithIndex.toMap
     require(patterns.nonEmpty && patterns.forall(_.forall(_.vars.forall(varIdx.contains))),
       s"PATTERN variable without DEFINE: ${patterns.flatten.flatMap(_.vars)}")
-    if (allRows)
-      require(measures.forall(m => m.kind == "classifier" || m.kind == "match_number"),
-        "ALL ROWS PER MATCH supports CLASSIFIER()/MATCH_NUMBER() measures")
     if (streaming)
       require(navs.isEmpty, "PREV/NEXT navigation is batch-only for now")
 
@@ -499,7 +514,7 @@ object MatchRecognize {
     sql.toUpperCase.contains("MATCH_RECOGNIZE")
 
   private val MeasureRe =
-    """(?i)(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
+    """(?i)(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*(\w+)\.(\w+|\*)\s*\)\s+AS\s+(\w+)""".r
   private val IntroRe =
     """(?i)(CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)\s+AS\s+(\w+)""".r
   private val NavRe =
@@ -520,7 +535,10 @@ object MatchRecognize {
     val allRows = m.group(5).equalsIgnoreCase("ALL ROWS")
     val measures =
       MeasureRe.findAllMatchIn(m.group(4)).map { mm =>
-        Measure(mm.group(4), mm.group(1).toLowerCase, mm.group(2), mm.group(3))
+        // Flink defaults: RUNNING in ALL ROWS mode, FINAL in ONE ROW mode
+        val mode = Option(mm.group(1)).map(_.toLowerCase)
+          .getOrElse(if (allRows) "running" else "final")
+        Measure(mm.group(5), mm.group(2).toLowerCase, mm.group(3), mm.group(4), mode)
       }.toSeq ++
         IntroRe.findAllMatchIn(m.group(4)).map { mm =>
           Measure(mm.group(2), mm.group(1).toLowerCase, "", "")

@@ -141,6 +141,31 @@ class MatchRecognizeSpec extends SparkTestBase {
       (1, "A", 1L), (2, "B", 1L), (3, "A", 2L), (4, "B", 2L))) // seq 5 unmatched
   }
 
+  test("ALL ROWS PER MATCH: RUNNING vs FINAL aggregate measures") {
+    val df = mk(Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 150.0)))
+    df.createOrReplaceTempView("mr_rf")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_rf MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES SUM(A.price) AS rs,
+        |           FINAL SUM(A.price) AS fs,
+        |           RUNNING COUNT(A.*) AS rc,
+        |           CLASSIFIER() AS c
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+ B)
+        |  DEFINE A AS A.price < 100, B AS B.price >= 100
+        |)""".stripMargin)
+    val rows = out.orderBy("seq").collect()
+      .map(r => (r.getAs[Int]("seq"), r.getAs[Double]("rs"), r.getAs[Double]("fs"),
+        r.getAs[Long]("rc"), r.getAs[String]("c")))
+    // bare agg defaults to RUNNING in ALL ROWS mode (Flink semantics)
+    assert(rows.toSeq == Seq(
+      (1, 10.0, 30.0, 1L, "A"),
+      (2, 30.0, 30.0, 2L, "A"),
+      (3, 30.0, 30.0, 2L, "B")))
+  }
+
   test("PERMUTE matches the variables in any order") {
     val df = mk(Seq((1, 1, 10.0), (1, 2, 150.0), (2, 1, 200.0), (2, 2, 20.0)))
     df.createOrReplaceTempView("mr_perm")
