@@ -24,8 +24,10 @@ class FuncCoverageSpec extends SparkTestBase {
     "DAYOFMONTH" -> "day", "CURRENT_ROW_TIMESTAMP" -> "current_row_timestamp",
   )
 
-  /** Dialect-level rewrites (no function object): covered by EngineSpec. */
-  val dialectRewrites = Set("ELEMENT", "COLLECT", "PROCTIME", "SIMILAR TO")
+  /** Dialect-level rewrites (no function object): covered by EngineSpec and
+    * the q_fn_json_agg gate. */
+  val dialectRewrites = Set("ELEMENT", "COLLECT", "PROCTIME", "SIMILAR TO",
+    "JSON_ARRAYAGG", "JSON_OBJECTAGG", "JSON_OBJECT", "JSON_ARRAY")
 
   /** Parser-level constructs: DESCRIBE FUNCTION doesn't know them, but the
     * SQL form works — verified by execution below. */
@@ -48,6 +50,7 @@ class FuncCoverageSpec extends SparkTestBase {
     "TRANSLATE", "SPACE", "SOUNDEX", "LEVENSHTEIN", "SIMILARITY", "ELT",
     // JSON
     "JSON_VALUE", "JSON_EXISTS", "IS_JSON", "GET_JSON_OBJECT", "TO_JSON", "FROM_JSON",
+    "JSON_ARRAYAGG", "JSON_OBJECTAGG", "JSON_OBJECT", "JSON_ARRAY",
     // math (G:435)
     "ABS", "CEIL", "CEILING", "FLOOR", "ROUND", "EXP", "LN", "LOG", "LOG10", "LOG2",
     "POWER", "POW", "SQRT", "MOD", "SIN", "COS", "TAN", "COT", "ASIN", "ACOS",
