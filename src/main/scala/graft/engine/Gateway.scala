@@ -89,8 +89,10 @@ class Gateway(root: SparkSession) {
     handle
   }
 
-  def closeSession(handle: String): Unit =
+  def closeSession(handle: String): Unit = {
     sessions.remove(handle).foreach(_.alive = false)
+    metaCache.invalidatePrefix(s"$handle::")
+  }
 
   def session(handle: String): Session =
     sessions.getOrElse(handle, throw new IllegalStateException(
@@ -114,7 +116,31 @@ class Gateway(root: SparkSession) {
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.*)""".r
   private val ShowCreateViewRe = """(?is)SHOW\s+CREATE\s+VIEW\s+([\w.`]+)""".r
   private val DropViewRe = """(?is)DROP\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)""".r
-  private val UpdateRe = """(?is)^UPDATE\s+([\w.`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+  private val UpdateRe = """(?is)^UPDATE\s+([\w.`]+)\s+SET\s+(.*)$""".r
+
+  /** Split "assignments [WHERE predicate]" at the top-level WHERE — never
+    * inside a string literal or parentheses (a subquery's WHERE stays put). */
+  private def splitSetWhere(rest: String): (String, Option[String]) = {
+    var depth = 0
+    var i = 0
+    while (i < rest.length) {
+      rest.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < rest.length && rest.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if depth == 0 && (c == 'W' || c == 'w') &&
+            rest.regionMatches(true, i, "WHERE", 0, 5) &&
+            (i == 0 || !Character.isLetterOrDigit(rest.charAt(i - 1)) && rest.charAt(i - 1) != '_') &&
+            (i + 5 >= rest.length || !Character.isLetterOrDigit(rest.charAt(i + 5)) && rest.charAt(i + 5) != '_') =>
+          return (rest.substring(0, i).trim, Some(rest.substring(i + 5).trim))
+        case _ => ()
+      }
+      i += 1
+    }
+    (rest.trim, None)
+  }
   private val DeleteRe = """(?is)^DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.*))?$""".r
   private val CompilePlanRe =
     """(?is)^COMPILE\s+PLAN\s+'([^']+)'\s+FOR\s+(.*)$""".r
@@ -243,16 +269,16 @@ class Gateway(root: SparkSession) {
           .filter(_.trim.nonEmpty)
         val handles = stmts.map(s => route(spark, s.stripSuffix(";")))
         Statement(s"Statement set: ${handles.size} inserts submitted")
-      case UpdateRe(target, setClause, where) if TableEnv.lookup(target.replace("`", "")).isDefined =>
+      case UpdateRe(target, rest) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         // batch UPDATE (corpus F:192): filesystem rewrites via directory
         // swap; jdbc pushes the statement down to the database
         val b = TableEnv.lookup(target.replace("`", "")).get
+        val (setClause, where) = splitSetWhere(rest)
         val assignments = FlinkDialect.splitAssignments(setClause).map { a =>
           val Array(c, e) = a.split("=", 2)
           c.trim.replace("`", "") -> FlinkDialect.rewrite(e.trim)
         }
-        val n = TableEnv.update(spark, b, assignments,
-          Option(where).map(FlinkDialect.rewrite))
+        val n = TableEnv.update(spark, b, assignments, where.map(FlinkDialect.rewrite))
         Statement(s"$n rows updated in ${b.name}")
       case DeleteRe(target, where) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         val b = TableEnv.lookup(target.replace("`", "")).get

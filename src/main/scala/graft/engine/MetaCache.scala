@@ -13,7 +13,8 @@ import java.util.concurrent.atomic.AtomicLong
   */
 final class MetaCache[V](
     ttlMillis: Long = 30000,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    maxEntries: Int = 256) {
 
   private final case class Entry(at: Long, value: scala.concurrent.Promise[V])
   private val entries = new ConcurrentHashMap[String, Entry]()
@@ -33,6 +34,24 @@ final class MetaCache[V](
       scala.concurrent.Await.result(prev.value.future, scala.concurrent.duration.Duration.Inf)
     } else {
       misses.incrementAndGet()
+      // bound the cache: drop expired entries first, then oldest COMPLETED
+      // entries (never this key's own in-flight promise, never other
+      // in-flight work — awaiting threads hold those futures)
+      if (entries.size > maxEntries) {
+        entries.entrySet().removeIf(e =>
+          e.getKey != key && now - e.getValue.at >= ttlMillis)
+        var guard = entries.size - maxEntries
+        while (guard > 0 && entries.size > maxEntries) {
+          var oldest: String = null
+          var oldestAt = Long.MaxValue
+          entries.forEach((k, e) =>
+            if (k != key && e.value.isCompleted && e.at < oldestAt) {
+              oldest = k; oldestAt = e.at
+            })
+          if (oldest == null) guard = 0
+          else { entries.remove(oldest); guard -= 1 }
+        }
+      }
       try {
         val v = compute
         fresh.value.success(v)
@@ -48,6 +67,10 @@ final class MetaCache[V](
 
   /** Drop everything (metadata-mutating statement observed). */
   def invalidateAll(): Unit = entries.clear()
+
+  /** Drop the entries belonging to one key prefix (e.g. a closed session). */
+  def invalidatePrefix(prefix: String): Unit =
+    entries.keySet().removeIf(_.startsWith(prefix))
 
   def size: Int = entries.size
 }

@@ -53,8 +53,11 @@ object Results {
   private def jsonVal(v: Any): String = v match {
     case null => "null"
     case b: Boolean => b.toString
+    case d: Double if d.isNaN || d.isInfinite => jsonStr(d.toString) // bare NaN isn't JSON
+    case f: Float if f.isNaN || f.isInfinite => jsonStr(f.toString)
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
               _: java.math.BigDecimal | _: BigDecimal) => n.toString
+    case b: Array[Byte] => jsonStr(java.util.Base64.getEncoder.encodeToString(b))
     case s: Seq[_] => s.map(jsonVal).mkString("[", ",", "]")
     case m: Map[_, _] =>
       m.map { case (k, mv) => s"${jsonStr(k.toString)}:${jsonVal(mv)}" }

@@ -621,17 +621,30 @@ object TableEnv {
                   .partitionBy(b.primaryKey.map(col): _*)
                   .orderBy(col("__ts_ms").desc_nulls_last)))
                 .filter(col("__rn") === 1).drop("__rn")
-            else df.dropDuplicates(b.primaryKey)
+            else dedupPerKey(df, b.primaryKey)
           jdbcUpsert(latest.filter(col("__op") =!= "d").drop("__op", "__ts_ms"),
             b.primaryKey, opts)
           jdbcDelete(latest.filter(col("__op") === "d").select(b.primaryKey.map(col): _*),
             b.primaryKey, opts)
         } else
-          jdbcUpsert(df.dropDuplicates(b.primaryKey), b.primaryKey, opts)
+          jdbcUpsert(dedupPerKey(df, b.primaryKey), b.primaryKey, opts)
       } else
         df.drop("__op", "__ts_ms").write.format("jdbc").options(opts)
           .mode(if (overwrite) "overwrite" else "append").save()
     case c => throw new IllegalArgumentException(s"connector '$c' is not batch-writable")
+  }
+
+  /** One row per key, chosen DETERMINISTICALLY (max over all column values):
+    * dropDuplicates keeps whichever row a task sees first, so re-running the
+    * same upsert could persist different values; a value-ordered pick cannot.
+    * (Batch relations are unordered — when the caller has a real event order
+    * it should carry __ts_ms, which takes precedence in the CDC path.) */
+  private def dedupPerKey(df: DataFrame, pk: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(pk.contains)
+    if (others.isEmpty) df.dropDuplicates(pk)
+    else df.groupBy(pk.map(col): _*)
+      .agg(max(struct(others.map(col): _*)).as("__r"))
+      .select(pk.map(col) ++ others.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Changelog delete: remove the given keys (runs per partition like the
@@ -756,11 +769,15 @@ object TableEnv {
     val path = new org.apache.hadoop.fs.Path(b.options("path"))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path.toString + s".rewrite-${System.nanoTime()}")
+    val trash = new org.apache.hadoop.fs.Path(path.toString + s".old-${System.nanoTime()}")
     val w = df.write.format(b.format).mode("overwrite")
     (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
       .save(tmp.toString)
-    fs.delete(path, true)
+    // move-aside before delete: a crash between the renames leaves the data
+    // recoverable in one of the two directories, never gone
+    fs.rename(path, trash)
     fs.rename(tmp, path)
+    fs.delete(trash, true)
     rebind(spark, b)
   }
 

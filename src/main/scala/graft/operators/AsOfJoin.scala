@@ -123,8 +123,12 @@ object AsOfJoin {
            |    )
            |  ) WHERE __side = 1$innerFilter
            |) ${subst(m.group(13))}""".stripMargin
-      spark.sql(q)
+      q
     }
+  }.flatMap { q =>
+    // a shape we mis-assembled (e.g. unaliased dotted table names making
+    // "AS db.t") must fall back to the snapshot rewrite, not hard-fail
+    scala.util.Try(spark.sql(q)).toOption
   }
 
   /** The right side's version-time column: the binding's WATERMARK column if

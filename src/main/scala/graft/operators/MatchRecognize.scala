@@ -475,7 +475,11 @@ object MatchRecognize {
     }
 
     val grouped = withBits.as(rowEnc)
-      .groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))(
+      .groupByKey(r => keyIdx.map(i =>
+        // length-prefixed, null-tagged encoding: no way for distinct
+        // multi-column keys (or null vs the string "null") to collide
+        if (r.isNullAt(i)) "\u0000"
+        else { val v = String.valueOf(r.get(i)); s"${v.length}:$v" }).mkString("\u0001"))(
         org.apache.spark.sql.Encoders.STRING)
 
     val out = grouped.flatMapGroupsWithState(
@@ -490,7 +494,9 @@ object MatchRecognize {
         val kept = buf.drop(retainFrom)
         state.update((kept, matchNo))
         // wake up when the watermark moves, so held matches drain even if
-        // the key receives no more input
+        // the key receives no more input; fully-drained keys go dormant (a
+        // counter-sized entry, no timer — Flink keeps per-key NFA state the
+        // same way absent a state TTL)
         if (!state.hasTimedOut || kept.nonEmpty)
           state.setTimeoutTimestamp(wm + 1000)
         emitted.iterator
@@ -533,16 +539,18 @@ object MatchRecognize {
     val partitionBy = m.group(2).split(",").map(_.trim).toSeq
     val orderBy = m.group(3).trim
     val allRows = m.group(5).equalsIgnoreCase("ALL ROWS")
-    val measures =
-      MeasureRe.findAllMatchIn(m.group(4)).map { mm =>
+    // parse the MEASURES list item-by-item so output columns keep the
+    // declared order (aggregates and CLASSIFIER/MATCH_NUMBER may interleave)
+    val measures = m.group(4).split(",(?![^()]*\\))").toSeq.flatMap { item =>
+      MeasureRe.findFirstMatchIn(item).map { mm =>
         // Flink defaults: RUNNING in ALL ROWS mode, FINAL in ONE ROW mode
         val mode = Option(mm.group(1)).map(_.toLowerCase)
           .getOrElse(if (allRows) "running" else "final")
         Measure(mm.group(5), mm.group(2).toLowerCase, mm.group(3), mm.group(4), mode)
-      }.toSeq ++
-        IntroRe.findAllMatchIn(m.group(4)).map { mm =>
-          Measure(mm.group(2), mm.group(1).toLowerCase, "", "")
-        }.toSeq
+      }.orElse(IntroRe.findFirstMatchIn(item).map { mm =>
+        Measure(mm.group(2), mm.group(1).toLowerCase, "", "")
+      })
+    }
     val patternAlts = parseAlternatives(m.group(6))
     val pattern = patternAlts.head
 
@@ -565,12 +573,16 @@ object MatchRecognize {
       val c = rewriteNav(cond.trim).replaceAll(s"(?i)\\b$variable\\.", "")
       variable -> expr(c)
     }
-    // pattern variables without a DEFINE are always-true (Flink semantics)
-    val undefinedVars = pattern.flatMap(_.vars).distinct
+    // pattern variables without a DEFINE are always-true (Flink semantics);
+    // collect them across ALL alternatives, not just the first
+    val undefinedVars = patternAlts.flatten.flatMap(_.vars).distinct
       .filterNot(v => defined.exists(_._1.equalsIgnoreCase(v)))
     val defines = defined ++ undefinedVars.map(_ -> lit(true))
 
     val input = spark.table(table)
+    if (input.isStreaming && navs.nonEmpty)
+      throw new IllegalArgumentException(
+        "PREV/NEXT navigation in DEFINE is batch-only for now")
     if (input.isStreaming)
       matchRecognizeStream(input, partitionBy, orderBy, defines, pattern, measures,
         watermarkDelay = None, allRows = allRows, altPatterns = patternAlts.tail)
