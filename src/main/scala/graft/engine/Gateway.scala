@@ -501,6 +501,38 @@ class Gateway(root: SparkSession) {
     }
   }
 
+  /** Drain an operation into CSV / JSON-lines — the reference's export
+    * action (renderer/index.ts:243-288). Batch results stream page-by-page
+    * through the lazy iterator (bounded driver memory at any instant);
+    * streaming ops export one ring-buffer snapshot. */
+  def exportCsv(opHandle: String): String = {
+    val (cols, rows) = drain(opHandle)
+    Results.toCsv(cols, rows)
+  }
+
+  def exportJsonLines(opHandle: String): Seq[String] = {
+    val (cols, rows) = drain(opHandle)
+    Results.toJsonLines(cols, rows)
+  }
+
+  private def drain(opHandle: String): (Seq[String], Seq[Seq[Any]]) = {
+    val op = operations.getOrElse(opHandle,
+      throw new IllegalStateException(s"Operation does not exist: $opHandle"))
+    op.result match {
+      case StreamingOp(_, buffer, cols) =>
+        (cols, buffer.snapshot._2.map(_.toSeq))
+      case _ =>
+        val out = ArrayBuffer.empty[Seq[Any]]
+        var page = fetchResults(opHandle, 0)
+        out ++= page.rows
+        while (!page.eos && page.nextToken.isDefined) {
+          page = fetchResults(opHandle, page.nextToken.get)
+          out ++= page.rows
+        }
+        (page.columns, out.toSeq)
+    }
+  }
+
   def cancelOperation(opHandle: String): Unit =
     operations.get(opHandle).foreach {
       _.result match {

@@ -205,6 +205,19 @@ class ResultsSpec extends SparkTestBase {
     assert(again.rows == page0.rows && !again.eos)
   }
 
+  test("gateway export drains multi-page results to CSV and JSON lines") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val s = gw.session(h).spark
+    s.range(0, 2500).toDF("id").createOrReplaceTempView("exp_src")
+    val op = gw.executeStatement(h, "SELECT id FROM exp_src ORDER BY id")
+    val csv = gw.exportCsv(op)
+    val lines = csv.split("\n")
+    assert(lines.length == 2501 && lines(0) == "id" && lines(1) == "0" && lines.last == "2499")
+    val jsonl = gw.exportJsonLines(op)
+    assert(jsonl.length == 2500 && jsonl.head == """{"id":0}""")
+  }
+
   test("JSON-lines export escapes and types values over paged rows") {
     val lines = Results.toJsonLines(
       Seq("s", "n", "b", "arr"),
