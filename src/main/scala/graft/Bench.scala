@@ -12,10 +12,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // session warmup (not charged to any query): table registration, function
-    // registration, codegen/JIT of a trivial plan
+    // registration, codegen/JIT of a trivial plan and of the custom kernel
+    // expressions (their first evaluation pays C2 compilation)
     Tables.registerAll(spark, sfDir)
     functions.FlinkFunctions.registerAll(spark)
     spark.sql("SELECT count(*) FROM nation").collect()
+    spark.range(256).selectExpr("cast(id as string) AS s")
+      .select(
+        graft.functions.HashExprs.simhash64(org.apache.spark.sql.functions.col("s")),
+        graft.functions.HashExprs.minhash_sig(org.apache.spark.sql.functions.col("s"), 3, 32),
+        graft.functions.RollingHashes.rolling_hashes(org.apache.spark.sql.functions.col("s"), 3, 0L))
+      .collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
