@@ -206,6 +206,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of join matches the batch operator on the same data") {
+    import graft.operators.AsOfJoin
+    implicit val sqlCtx = spark.sqlContext
+    // irregular left/right event times over 5 keys, incl. exact-ts versions
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val leftRows = (0 until 300).map { i =>
+      (i % 5L, i.toLong, new Timestamp(base + rnd.nextInt(3600) * 1000L))
+    }
+    // unique (key, ts) versions — the operator's documented requirement
+    val rightRows = (0 until 80).map { i =>
+      (i % 5L, s"v$i", new Timestamp(base + rnd.nextInt(3600) * 1000L))
+    }.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+    val batchOut = AsOfJoin.leftAsOf(
+      leftRows.toDF("k", "lid", "lts"),
+      rightRows.toDF("k", "payload", "rts"),
+      "k", "lts", "rts", Seq("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[String]("payload"))).toSet
+    val lm = MemoryStream[(Long, Long, Timestamp)]
+    val rm = MemoryStream[(Long, String, Timestamp)]
+    // the synthetic timestamps are fully shuffled across one hour, so the
+    // watermark delay must cover that disorder or Spark drops rows as late
+    val out = AsOfJoin.leftAsOfStream(
+      lm.toDF().toDF("k", "lid", "lts"),
+      rm.toDF().toDF("k", "payload", "rts"),
+      "k", "lts", "rts", Seq("payload"), watermarkDelay = "2 hours")
+    val q = out.writeStream.format("memory").queryName("asof_stream_out")
+      .outputMode("append").start()
+    try {
+      leftRows.grouped(77).zipAll(rightRows.grouped(21), Nil, Nil).foreach { case (lc, rc) =>
+        if (lc.nonEmpty) lm.addData(lc)
+        if (rc.nonEmpty) rm.addData(rc)
+        q.processAllAvailable()
+      }
+      // drive the watermark (max event - 2h) past the one-hour data range
+      lm.addData((99L, 0L, new Timestamp(base + 6 * 3600 * 1000L)))
+      rm.addData((99L, "z", new Timestamp(base + 6 * 3600 * 1000L)))
+      q.processAllAvailable()
+      lm.addData((99L, 1L, new Timestamp(base + 7 * 3600 * 1000L)))
+      rm.addData((99L, "z2", new Timestamp(base + 7 * 3600 * 1000L)))
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream_out")
+        .filter($"k" < 90).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[String]("payload"))).toSet
+      assert(streamed == batchOut,
+        s"diverged: extra=${streamed.diff(batchOut).take(5)} missing=${batchOut.diff(streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming MATCH_RECOGNIZE matches the batch operator on the same data") {
     import graft.operators.MatchRecognize
     import graft.operators.MatchRecognize._
