@@ -206,6 +206,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: time-bounded equi-join with watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val sm = MemoryStream[(Long, Timestamp)]
+    val pm = MemoryStream[(Long, Long, Timestamp)]
+    val signups = sm.toDF().toDF("user_id", "s_ts").withWatermark("s_ts", "1 minute")
+    val purchases = pm.toDF().toDF("p_user", "p_id", "p_ts").withWatermark("p_ts", "1 minute")
+    // Flink interval join: purchases within 30 minutes after a signup
+    val joined = signups.join(purchases,
+      expr("user_id = p_user AND p_ts > s_ts AND p_ts <= s_ts + INTERVAL 30 MINUTES"))
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("ssij_out")
+      .outputMode("append").start()
+    try {
+      sm.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      pm.addData(
+        (1L, 10L, ts("2024-01-01 00:10:00")), // in window
+        (1L, 11L, ts("2024-01-01 00:50:00")), // outside 30m
+        (3L, 12L, ts("2024-01-01 00:05:00"))) // no matching signup
+      q.processAllAvailable()
+      sm.addData((9L, ts("2024-01-01 02:00:00"))) // advance watermark
+      pm.addData((9L, 99L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssij_out").filter($"user_id" < 9)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("p_id")))
+      assert(rows.toSeq == Seq((1L, 10L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming as-of join matches the batch operator on the same data") {
     import graft.operators.AsOfJoin
     implicit val sqlCtx = spark.sqlContext
