@@ -572,10 +572,8 @@ object TableEnv {
         .option("topic", b.options.getOrElse("topic", b.name))
         .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
       case "upsert-kafka" =>
-        // changelog upsert: key by PK, update mode
-        val keyed = df.selectExpr(
-          s"to_json(struct(${b.primaryKey.mkString(", ")})) AS key",
-          "to_json(struct(*)) AS value")
+        // changelog upsert: key by PK, update mode; CDC deletes → tombstones
+        val keyed = upsertKafkaRecords(df, b)
         keyed.writeStream.format("kafka").outputMode("update")
           .option("kafka.bootstrap.servers", b.options.getOrElse("properties.bootstrap.servers", "localhost:9092"))
           .option("topic", b.options.getOrElse("topic", b.name))
@@ -591,6 +589,23 @@ object TableEnv {
     val q = w.queryName(name).start()
     Jobs.register(name, q)
     name
+  }
+
+  /** upsert-kafka record shape: (key = PK json, value = row json, or a NULL
+    * tombstone for changelog deletes) — Kafka log compaction then retains
+    * exactly the latest version per key, which IS Flink's upsert-kafka
+    * contract. Pure transformation so it is testable without a broker. */
+  def upsertKafkaRecords(df: DataFrame, b: Binding): DataFrame = {
+    val data = df.drop("__op", "__ts_ms")
+    val dataCols = data.columns.map(c => s"`$c`").mkString(", ")
+    val value =
+      if (df.columns.contains("__op"))
+        when(col("__op") === "d", lit(null).cast("string"))
+          .otherwise(expr(s"to_json(struct($dataCols))"))
+      else expr(s"to_json(struct($dataCols))")
+    df.select(
+      expr(s"to_json(struct(${b.primaryKey.mkString(", ")}))").as("key"),
+      value.as("value"))
   }
 
   /** Batch INSERT INTO / INSERT OVERWRITE a bound sink. */

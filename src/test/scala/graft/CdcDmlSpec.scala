@@ -147,6 +147,23 @@ class CdcDmlSpec extends SparkTestBase {
     } finally Jobs.stopAll()
   }
 
+  test("upsert-kafka records: PK key json, tombstone value for CDC deletes") {
+    import spark.implicits._
+    TableEnv.clear()
+    val b = TableEnv.parseCreateTable(
+      """CREATE TABLE uk (id BIGINT, name STRING, PRIMARY KEY (id) NOT ENFORCED)
+        |WITH ('connector'='upsert-kafka','topic'='t')""".stripMargin)
+    val plain = TableEnv.upsertKafkaRecords(
+      Seq((1L, "a")).toDF("id", "name"), b).collect()
+    assert(plain.head.getString(0) == """{"id":1}""")
+    assert(plain.head.getString(1) == """{"id":1,"name":"a"}""")
+    val cdc = TableEnv.upsertKafkaRecords(
+      Seq((1L, "a", "u", 5L), (2L, "b", "d", 6L)).toDF("id", "name", "__op", "__ts_ms"), b)
+      .orderBy("key").collect()
+    assert(cdc(0).getString(1) == """{"id":1,"name":"a"}""")
+    assert(cdc(1).getString(0) == """{"id":2}""" && cdc(1).isNullAt(1)) // tombstone
+  }
+
   test("COMPILE PLAN persists statement + plan; EXECUTE PLAN replays it") {
     TableEnv.clear()
     val (gw, h) = gwSession()

@@ -206,6 +206,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CUMULATE: expanding windows aggregate (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    // 10-minute step, 30-minute size; the explode projection is streaming-
+    // safe (pure per-row), the aggregation runs as an ordinary keyed agg —
+    // Flink's retract stream ≈ update/complete mode here
+    val cum = graft.operators.Windows.cumulate(mem.toDF().toDF("ts", "v"), "ts", 600, 1800)
+      .groupBy($"window_start", $"window_end").agg(sum($"v").as("s"))
+    val q = cum.writeStream.format("memory").queryName("cum_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts("2024-01-01 00:05:00"), 1.0), (ts("2024-01-01 00:12:00"), 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("cum_out").orderBy("window_end").collect()
+        .map(r => (r.getAs[Timestamp]("window_end").toString, r.getDouble(2)))
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 00:10:00.0", 1.0),   // only the 00:05 event
+        ("2024-01-01 00:20:00.0", 3.0),   // both
+        ("2024-01-01 00:30:00.0", 3.0)))  // both
+      // late-arriving earlier event updates the already-open windows
+      mem.addData((ts("2024-01-01 00:02:00"), 10.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("cum_out").orderBy("window_end").collect()
+        .map(r => (r.getAs[Timestamp]("window_end").toString, r.getDouble(2)))
+      assert(rows2.toSeq == Seq(
+        ("2024-01-01 00:10:00.0", 11.0),
+        ("2024-01-01 00:20:00.0", 13.0),
+        ("2024-01-01 00:30:00.0", 13.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: time-bounded equi-join with watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val sm = MemoryStream[(Long, Timestamp)]
