@@ -501,10 +501,9 @@ class Gateway(root: SparkSession) {
     }
   }
 
-  /** Drain an operation into CSV / JSON-lines — the reference's export
-    * action (renderer/index.ts:243-288). Batch results stream page-by-page
-    * through the lazy iterator (bounded driver memory at any instant);
-    * streaming ops export one ring-buffer snapshot. */
+  /** In-memory export — the reference's export action
+    * (renderer/index.ts:243-288). The returned String necessarily holds the
+    * whole result; use [[exportCsvTo]] for large results. */
   def exportCsv(opHandle: String): String = {
     val (cols, rows) = drain(opHandle)
     Results.toCsv(cols, rows)
@@ -513,6 +512,39 @@ class Gateway(root: SparkSession) {
   def exportJsonLines(opHandle: String): Seq[String] = {
     val (cols, rows) = drain(opHandle)
     Results.toJsonLines(cols, rows)
+  }
+
+  /** File export that streams page-by-page: at any instant the driver holds
+    * one page plus the lazy iterator's retention window — the export path a
+    * `SELECT * FROM <huge table>` must take. */
+  def exportCsvTo(opHandle: String, path: java.nio.file.Path): Long = {
+    val op = operations.getOrElse(opHandle,
+      throw new IllegalStateException(s"Operation does not exist: $opHandle"))
+    val w = java.nio.file.Files.newBufferedWriter(path)
+    try {
+      op.result match {
+        case StreamingOp(_, buffer, cols) =>
+          // a stream has no EOS — export one ring-buffer snapshot
+          val rows = buffer.snapshot._2.map(_.toSeq)
+          w.write(Results.toCsv(cols, rows)); w.write("\n")
+          rows.size.toLong
+        case _ =>
+          var n = 0L
+          var page = fetchResults(opHandle, 0)
+          w.write(Results.toCsv(page.columns, page.rows)) // header + first page
+          w.write("\n")
+          n += page.rows.size
+          while (!page.eos && page.nextToken.isDefined) {
+            page = fetchResults(opHandle, page.nextToken.get)
+            if (page.rows.nonEmpty) {
+              w.write(Results.toCsv(page.columns, page.rows)
+                .linesIterator.drop(1).mkString("", "\n", "\n")) // skip repeated header
+              n += page.rows.size
+            }
+          }
+          n
+      }
+    } finally w.close()
   }
 
   private def drain(opHandle: String): (Seq[String], Seq[Seq[Any]]) = {

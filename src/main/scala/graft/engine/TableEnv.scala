@@ -604,7 +604,7 @@ object TableEnv {
           .otherwise(expr(s"to_json(struct($dataCols))"))
       else expr(s"to_json(struct($dataCols))")
     df.select(
-      expr(s"to_json(struct(${b.primaryKey.mkString(", ")}))").as("key"),
+      expr(s"to_json(struct(${b.primaryKey.map(c => s"`$c`").mkString(", ")}))").as("key"),
       value.as("value"))
   }
 

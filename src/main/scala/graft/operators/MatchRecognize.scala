@@ -488,7 +488,9 @@ object MatchRecognize {
         val (held, matchNo0) = state.getOption.getOrElse((Array.empty[Row], 0L))
         val buf = (held ++ rows).sortBy(tsMillis)
         val wm = state.getCurrentWatermarkMs()
-        val matureLen = buf.count(tsMillis(_) <= wm) // sorted → prefix
+        // STRICTLY below the watermark: Spark's late filter admits rows at
+        // exactly the watermark, so ts == wm is not immutable yet
+        val matureLen = buf.count(tsMillis(_) < wm) // sorted → prefix
         val mature = buf.take(matureLen).toIndexedSeq
         val (emitted, retainFrom, matchNo) = kernel.scan(mature, closed = false, matchNo0)
         val kept = buf.drop(retainFrom)

@@ -216,6 +216,12 @@ class ResultsSpec extends SparkTestBase {
     assert(lines.length == 2501 && lines(0) == "id" && lines(1) == "0" && lines.last == "2499")
     val jsonl = gw.exportJsonLines(op)
     assert(jsonl.length == 2500 && jsonl.head == """{"id":0}""")
+    // file export streams page-by-page (one page in memory at a time)
+    val f = java.nio.file.Files.createTempFile("graft-exp", ".csv")
+    val n = gw.exportCsvTo(op, f)
+    val fileLines = java.nio.file.Files.readAllLines(f)
+    assert(n == 2500 && fileLines.size() == 2501)
+    assert(fileLines.get(0) == "id" && fileLines.get(2500) == "2499")
   }
 
   test("JSON-lines export escapes and types values over paged rows") {

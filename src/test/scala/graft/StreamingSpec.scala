@@ -178,18 +178,18 @@ class StreamingSpec extends SparkTestBase {
     def rows() = spark.table("cep_stream_out")
       .collect().map(r => (r.getAs[Timestamp]("start_ts"), r.getAs[Double]("b_val"), r.getAs[Long]("mno")))
     try {
-      // key 1: L L H — a complete match; processAllAvailable drains the
-      // post-watermark timeout batch, so it emits exactly once here (the
-      // A+ B match is final: B cannot extend, wm=12s passed its last row)
+      // key 1: L L H — a complete match, but its last row sits AT the
+      // watermark (ts == wm is not immutable), so nothing emits yet
       mem.addData((1, ts("2024-01-01 00:00:10"), 10.0),
         (1, ts("2024-01-01 00:00:11"), 20.0),
         (1, ts("2024-01-01 00:00:12"), 150.0))
       q.processAllAvailable()
-      assert(rows().toSeq == Seq((ts("2024-01-01 00:00:10"), 150.0, 1L)))
-      // an open A+ run (no B yet) must NOT emit…
+      assert(rows().isEmpty, "match emitted while its last row was still mutable")
+      // the next event pushes the watermark past the match → exactly-once
+      // emission; the new open A+ run must NOT leak
       mem.addData((1, ts("2024-01-01 00:01:10"), 50.0))
       q.processAllAvailable()
-      assert(rows().length == 1, "open partial match leaked")
+      assert(rows().toSeq == Seq((ts("2024-01-01 00:00:10"), 150.0, 1L)))
       // …until its B arrives; MATCH_NUMBER continues per key
       mem.addData((1, ts("2024-01-01 00:01:11"), 500.0))
       q.processAllAvailable()
