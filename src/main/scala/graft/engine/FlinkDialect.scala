@@ -187,6 +187,12 @@ object FlinkDialect {
     // PROCTIME() → current_timestamp()
     s = s.replaceAll("(?i)\\bPROCTIME\\s*\\(\\s*\\)", "current_timestamp()")
 
+    // the UNKNOWN boolean literal (F:566) is a NULL boolean — but leave the
+    // IS [NOT] UNKNOWN predicate forms alone (native in Spark)
+    s = """(?i)\b(IS\s+(?:NOT\s+)?)?UNKNOWN\b""".r.replaceAllIn(s, m =>
+      if (m.group(1) != null) Regex.quoteReplacement(m.matched)
+      else "CAST(NULL AS BOOLEAN)")
+
     // COLLECT(x) → MULTISET as element→count map (SURVEY §1.2 convention;
     // F:269). Single-pass kernel over the collected list — linear per group,
     // not O(distinct × n) like a filter-per-distinct lambda.

@@ -85,6 +85,9 @@ class Gateway(root: SparkSession) {
     // speaks the full surface
     graft.functions.FlinkFunctions.registerAll(s)
     graft.functions.Aggregators.registerAll(s)
+    // 1-row scratch relation (the corpus SELECTs FROM dual, Oracle-style)
+    try s.sql("CREATE OR REPLACE TEMPORARY VIEW dual AS SELECT 1 AS dummy")
+    catch { case _: Exception => () }
     sessions.put(handle, new Session(handle, s))
     handle
   }
@@ -196,6 +199,12 @@ class Gateway(root: SparkSession) {
       case s if TableEnv.isCreateTableWith(s) && upper.contains("WITH") =>
         val b = TableEnv.createTable(spark, s)
         Statement(s"Table ${b.name} created (connector=${b.connector})")
+      case s if TableEnv.isCreateTableWith(s) =>
+        // CREATE TABLE without a connector: a plain catalog table — translate
+        // the Flink types (ROW<>/MULTISET<>/TIMESTAMP(p)/...) to Spark DDL
+        val b = TableEnv.parseCreateTable(s)
+        spark.sql(s"CREATE TABLE ${if (b.temporary) "" else ""}`${b.name}` (${b.schemaDdl})")
+        Statement(s"Table ${b.name} created (catalog table)")
       case SetRe(k, v) =>
         spark.conf.set(translateConf(k), v)
         Statement(s"$k=$v")
@@ -219,11 +228,19 @@ class Gateway(root: SparkSession) {
           }.isDefined) "UPDATE (retract stream: aggregated rows are re-emitted)"
           else "APPEND (insert-only stream)"
         Statement(s"CHANGELOG_MODE: $mode")
+      case _ if upper == "SHOW CURRENT CATALOG" =>
+        Rows(Seq("catalog"), Seq(Seq(spark.catalog.currentCatalog())))
+      case _ if upper == "SHOW CURRENT DATABASE" =>
+        Rows(Seq("database"), Seq(Seq(spark.catalog.currentDatabase)))
       case _ if upper == "SHOW JARS" =>
         { import spark.implicits._
           Finished(spark.sparkContext.listJars().toSeq.toDF("jar")) }
       case _ if upper == "SHOW MODULES" =>
         Statement("Modules are not supported (Flink module system has no Spark counterpart)")
+      case _ if upper.startsWith("LOAD MODULE") || upper.startsWith("UNLOAD MODULE") =>
+        Statement("Modules are not supported (Flink module system has no Spark counterpart)")
+      case _ if upper.startsWith("REMOVE JAR") =>
+        Statement("REMOVE JAR is unsupported — a Spark session cannot unload a jar once added")
       case s if upper.startsWith("USE CATALOG ") =>
         spark.sql("SET CATALOG " + s.substring("USE CATALOG ".length))
         Statement(s"Catalog switched")

@@ -51,6 +51,10 @@ object FlinkFunctions {
       |RETURNS STRING RETURN get_json_object(s, p)""".stripMargin,
     """CREATE OR REPLACE TEMPORARY FUNCTION JSON_EXISTS(s STRING, p STRING)
       |RETURNS BOOLEAN RETURN get_json_object(s, p) IS NOT NULL""".stripMargin,
+    // JSON_QUERY returns the matched subtree as JSON text — same contract as
+    // get_json_object for object/array matches
+    """CREATE OR REPLACE TEMPORARY FUNCTION JSON_QUERY(s STRING, p STRING)
+      |RETURNS STRING RETURN get_json_object(s, p)""".stripMargin,
 
     // --- math (G:435) ---
     // Flink TRUNCATE(x, d): truncate toward zero at d decimals
@@ -98,6 +102,16 @@ object FlinkFunctions {
     """CREATE OR REPLACE TEMPORARY FUNCTION MURMUR_HASH(s STRING) RETURNS INT RETURN hash(s)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MURMUR_HASH_64(s STRING) RETURNS BIGINT RETURN xxhash64(s)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION XXH3_64(s STRING) RETURNS BIGINT RETURN xxhash64(s)""",
+    // --- SHA family + misc Flink names without a same-name Spark builtin ---
+    """CREATE OR REPLACE TEMPORARY FUNCTION SHA224(s STRING) RETURNS STRING RETURN sha2(s, 224)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION SHA256(s STRING) RETURNS STRING RETURN sha2(s, 256)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION SHA384(s STRING) RETURNS STRING RETURN sha2(s, 384)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION SHA512(s STRING) RETURNS STRING RETURN sha2(s, 512)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION WEEK(d DATE) RETURNS INT RETURN weekofyear(d)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION FROM_BASE64(s STRING) RETURNS STRING RETURN cast(unbase64(s) AS STRING)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TO_BASE64(s STRING) RETURNS STRING RETURN base64(cast(s AS BINARY))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION STRCMP(a STRING, b STRING) RETURNS INT
+       RETURN CASE WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END""",
   )
 
   private val registered =
@@ -118,6 +132,18 @@ object FlinkFunctions {
     // COLLECT(x) multiset kernel (single-pass element→count)
     org.apache.spark.sql.graft.Shims.registerFunction(spark, "multiset_from_array",
       args => MultisetFromArray(args.head))
+    // Flink collection-function names over generic element types: SQL UDFs
+    // can't be generic, so these register the native Catalyst builders
+    // under the Flink name (G:455)
+    import org.apache.spark.sql.catalyst.expressions._
+    val shims = org.apache.spark.sql.graft.Shims
+    shims.registerFunction(spark, "array_concat", args => Concat(args))
+    shims.registerFunction(spark, "array_reverse", args => Reverse(args.head))
+    shims.registerFunction(spark, "array_slice",
+      args => Slice(args(0), args(1), args(2)))
+    shims.registerFunction(spark, "map_union", args => MapConcat(args))
+    shims.registerFunction(spark, "generate_series",
+      args => new Sequence(args(0), args(1), args.lift(2)))
     // GCD/LCM need iteration — Scala UDFs (rarely on a hot path).
     if (!spark.catalog.functionExists("gcd")) {
       spark.udf.register("GCD", (a: Long, b: Long) => {

@@ -1,0 +1,47 @@
+package graft
+
+import graft.engine.{FlinkDialect, Gateway}
+
+/** Drive the reference's ENTIRE syntax-test corpus
+  * (/root/reference/test/syntax-test.fsql, 100 statements) through the
+  * gateway. Every statement must either succeed or fail for an ENVIRONMENTAL
+  * reason (this container has no kafka connector jar / no external catalogs,
+  * so statements over those tables can't resolve) — never with a parse error
+  * or an unrouted-statement crash. This is the closest thing to "a reference
+  * user runs their whole script here".
+  */
+class CorpusSpec extends SparkTestBase {
+
+  /** environmental failure classes: missing kafka-backed tables (the
+    * spark-sql-kafka jar is not in /opt/spark/jars), undefined external
+    * catalogs/schemas, and syntax-only statements probing nonexistent
+    * columns of scratch relations. */
+  private val environmental = Seq(
+    "TABLE_OR_VIEW_NOT_FOUND", "CATALOG_NOT_FOUND", "SCHEMA_NOT_FOUND",
+    "UNRESOLVED_COLUMN")
+
+  test("all 100 reference corpus statements route cleanly through the gateway") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test/syntax-test.fsql")), "UTF-8")
+    val stmts = FlinkDialect.split(script)
+    assert(stmts.size == 100, s"splitter found ${stmts.size} statements")
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    var ok = 0
+    val unexpected = scala.collection.mutable.ArrayBuffer.empty[String]
+    stmts.zipWithIndex.foreach { case (stmt, i) =>
+      val page = gw.fetchResults(gw.executeStatement(h, stmt), 0)
+      if (page.columns == Seq("error")) {
+        val msg = page.rows.headOption.flatMap(_.headOption)
+          .map(String.valueOf(_)).getOrElse("")
+        if (!environmental.exists(msg.contains))
+          unexpected += s"#$i ${stmt.replaceAll("\\s+", " ").take(80)} :: ${msg.take(120)}"
+      } else ok += 1
+    }
+    assert(unexpected.isEmpty,
+      s"non-environmental failures:\n${unexpected.mkString("\n")}")
+    // 42 statements run fully with no kafka connector and no external
+    // catalogs present; regressions below that mean lost coverage
+    assert(ok >= 42, s"only $ok statements succeeded")
+  }
+}
