@@ -10,17 +10,17 @@ import graft.functions.{Aggregators, FlinkFunctions}
   */
 class FuncCoverageSpec extends SparkTestBase {
 
-  /** Flink name → resolvable SQL name (identity unless the dialect maps it). */
+  /** Flink name → resolvable SQL name (identity unless the dialect maps it).
+    * r2: SHA224/WEEK/FROM_BASE64/TO_BASE64/MAP_UNION/ARRAY_CONCAT/
+    * ARRAY_REVERSE/ARRAY_SLICE/GENERATE_SERIES/STRCMP now register under
+    * their own Flink names and are checked directly. */
   val mapped: Map[String, String] = Map(
     "CHARACTER_LENGTH" -> "char_length", "CEILING" -> "ceil", "POW" -> "power",
-    "TRUNC" -> "truncate", "SUBSTR" -> "substring", "SHA224" -> "sha2",
-    "WEEK" -> "weekofyear", "REGEXP" -> "regexp_like", "CHR" -> "char",
-    "FROM_BASE64" -> "unbase64", "TO_BASE64" -> "base64",
-    "MAP_UNION" -> "map_concat", "ARRAY_CONCAT" -> "concat",
-    "ARRAY_REVERSE" -> "reverse", "ARRAY_SLICE" -> "slice",
-    "GENERATE_SERIES" -> "sequence", "UNNEST" -> "explode",
+    "TRUNC" -> "truncate", "SUBSTR" -> "substring",
+    "REGEXP" -> "regexp_like", "CHR" -> "char",
+    "UNNEST" -> "explode",
     "JSON_STRING" -> "to_json", "PRINTF" -> "format_string",
-    "LISTAGG" -> "listagg", "STRCMP" -> "strcmp",
+    "LISTAGG" -> "listagg",
     "DAYOFMONTH" -> "day", "CURRENT_ROW_TIMESTAMP" -> "current_row_timestamp",
   )
 
