@@ -183,6 +183,13 @@ object FlinkDialect {
       literals += m.matched
       s"__GRAFT_LIT_${literals.size - 1}__"
     })
+    // ...and backtick-quoted identifiers: a column named `unknown` or
+    // `array` must never be mistaken for the keyword
+    val bticks = ArrayBuffer.empty[String]
+    s = """`[^`]+`""".r.replaceAllIn(s, m => {
+      bticks += m.matched
+      s"__GRAFT_BT_${bticks.size - 1}__"
+    })
 
     // PROCTIME() → current_timestamp()
     s = s.replaceAll("(?i)\\bPROCTIME\\s*\\(\\s*\\)", "current_timestamp()")
@@ -277,7 +284,10 @@ object FlinkDialect {
     s = """(?is)/\*\+\s*(?:OPTIONS|LOOKUP|STATE_TTL|MINI_BATCH|SPLIT_DISTINCT_AGG|AGG_STRATEGY|ASYNC_LOOKUP|RETRY_STRATEGY)\s*\([^)]*\)\s*\*/""".r
       .replaceAllIn(s, "")
 
-    // ---- restore masked string literals
+    // ---- restore masked identifiers, then string literals
+    bticks.zipWithIndex.reverse.foreach { case (bt, i) =>
+      s = s.replace(s"__GRAFT_BT_${i}__", bt)
+    }
     literals.zipWithIndex.reverse.foreach { case (lit, i) =>
       s = s.replace(s"__GRAFT_LIT_${i}__", lit)
     }

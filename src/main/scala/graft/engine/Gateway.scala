@@ -155,6 +155,7 @@ class Gateway(root: SparkSession) {
   private val AlterRenameRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*$""".r
   private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val OptionsHintRe = """(?is)/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/""".r
+  private val IfNotExistsRe = """(?i)IF\s+NOT\s+EXISTS""".r
 
   /** Execute one statement; returns an operation handle. */
   def executeStatement(sessionHandle: String, stmt0: String): String = {
@@ -200,11 +201,28 @@ class Gateway(root: SparkSession) {
         val b = TableEnv.createTable(spark, s)
         Statement(s"Table ${b.name} created (connector=${b.connector})")
       case s if TableEnv.isCreateTableWith(s) =>
-        // CREATE TABLE without a connector: a plain catalog table — translate
-        // the Flink types (ROW<>/MULTISET<>/TIMESTAMP(p)/...) to Spark DDL
+        // CREATE TABLE without a connector: translate the Flink types
+        // (ROW<>/MULTISET<>/TIMESTAMP(p)/...) to Spark DDL. TEMPORARY lands
+        // as a session view over an empty typed relation (Spark has no temp
+        // tables); IF NOT EXISTS and dotted names survive. Computed/PK/
+        // watermark clauses are reported as dropped, not silently lost.
         val b = TableEnv.parseCreateTable(s)
-        spark.sql(s"CREATE TABLE ${if (b.temporary) "" else ""}`${b.name}` (${b.schemaDdl})")
-        Statement(s"Table ${b.name} created (catalog table)")
+        val dropped =
+          (if (b.cols.exists(_.computed.isDefined)) Seq("computed columns") else Nil) ++
+            (if (b.primaryKey.nonEmpty) Seq("PRIMARY KEY") else Nil) ++
+            (if (b.watermark.isDefined) Seq("WATERMARK") else Nil)
+        val note = if (dropped.isEmpty) "" else s" (${dropped.mkString(", ")} not supported on plain tables)"
+        if (b.temporary) {
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+            .createOrReplaceTempView(b.name.split("\\.").last)
+          Statement(s"Temporary table ${b.name} created (empty typed relation)$note")
+        } else {
+          val ine = if (IfNotExistsRe.findFirstIn(s).isDefined) "IF NOT EXISTS " else ""
+          val qname = b.name.split("\\.").map(part => s"`$part`").mkString(".")
+          spark.sql(s"CREATE TABLE $ine$qname (${b.schemaDdl})")
+          Statement(s"Table ${b.name} created (catalog table)$note")
+        }
       case SetRe(k, v) =>
         spark.conf.set(translateConf(k), v)
         Statement(s"$k=$v")
@@ -554,8 +572,10 @@ class Gateway(root: SparkSession) {
           while (!page.eos && page.nextToken.isDefined) {
             page = fetchResults(opHandle, page.nextToken.get)
             if (page.rows.nonEmpty) {
-              w.write(Results.toCsv(page.columns, page.rows)
-                .linesIterator.drop(1).mkString("", "\n", "\n")) // skip repeated header
+              // headerless page render — re-splitting rendered text on line
+              // breaks would corrupt quoted values containing \r/\n
+              w.write(Results.toCsvRows(page.rows))
+              w.write("\n")
               n += page.rows.size
             }
           }

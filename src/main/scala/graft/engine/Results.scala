@@ -28,6 +28,17 @@ object Results {
       .map(_.mkString(",")).mkString("\n")
   }
 
+  /** Rows only, no header — for appending pages to an existing export. */
+  def toCsvRows(rows: Seq[Seq[Any]]): String = {
+    def cell(v: Any): String = {
+      val s = if (v == null) "" else v.toString
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    rows.map(_.map(cell).mkString(",")).mkString("\n")
+  }
+
   /** JSON-lines export (one object per row), over already-paged rows like
     * `toCsv` — never hands a full DataFrame to the driver. */
   def toJsonLines(columns: Seq[String], rows: Seq[Seq[Any]]): Seq[String] =

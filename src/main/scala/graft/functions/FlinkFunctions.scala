@@ -51,10 +51,13 @@ object FlinkFunctions {
       |RETURNS STRING RETURN get_json_object(s, p)""".stripMargin,
     """CREATE OR REPLACE TEMPORARY FUNCTION JSON_EXISTS(s STRING, p STRING)
       |RETURNS BOOLEAN RETURN get_json_object(s, p) IS NOT NULL""".stripMargin,
-    // JSON_QUERY returns the matched subtree as JSON text — same contract as
-    // get_json_object for object/array matches
+    // JSON_QUERY returns object/array matches as JSON text and NULL for
+    // scalar matches (Flink's WITHOUT ARRAY WRAPPER default; scalars go
+    // through JSON_VALUE)
     """CREATE OR REPLACE TEMPORARY FUNCTION JSON_QUERY(s STRING, p STRING)
-      |RETURNS STRING RETURN get_json_object(s, p)""".stripMargin,
+      |RETURNS STRING RETURN CASE
+      |  WHEN left(ltrim(get_json_object(s, p)), 1) IN ('{', '[')
+      |  THEN get_json_object(s, p) END""".stripMargin,
 
     // --- math (G:435) ---
     // Flink TRUNCATE(x, d): truncate toward zero at d decimals
@@ -111,7 +114,8 @@ object FlinkFunctions {
     """CREATE OR REPLACE TEMPORARY FUNCTION FROM_BASE64(s STRING) RETURNS STRING RETURN cast(unbase64(s) AS STRING)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TO_BASE64(s STRING) RETURNS STRING RETURN base64(cast(s AS BINARY))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION STRCMP(a STRING, b STRING) RETURNS INT
-       RETURN CASE WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END""",
+       RETURN CASE WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS INT)
+                   WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END""",
   )
 
   private val registered =
@@ -122,6 +126,10 @@ object FlinkFunctions {
     * in 4.1) are left alone — the builtin wins. */
   def registerAll(spark: SparkSession): Unit = {
     if (registered.putIfAbsent(System.identityHashCode(spark), true).nonEmpty) return
+    // Flink map construction/union is last-key-wins; Spark's default policy
+    // throws on duplicate keys — align the session
+    try spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    catch { case _: Exception => () }
     sqlUdfs.foreach { ddl =>
       try spark.sql(ddl)
       catch {
@@ -139,8 +147,12 @@ object FlinkFunctions {
     val shims = org.apache.spark.sql.graft.Shims
     shims.registerFunction(spark, "array_concat", args => Concat(args))
     shims.registerFunction(spark, "array_reverse", args => Reverse(args.head))
-    shims.registerFunction(spark, "array_slice",
-      args => Slice(args(0), args(1), args(2)))
+    // Flink ARRAY_SLICE(arr, start[, end]) takes INCLUSIVE offsets; Spark
+    // Slice takes a length — translate, and default the end to the array end
+    shims.registerFunction(spark, "array_slice", args => {
+      val end = args.lift(2).getOrElse(Size(args(0)))
+      Slice(args(0), args(1), Add(Subtract(end, args(1)), Literal(1)))
+    })
     shims.registerFunction(spark, "map_union", args => MapConcat(args))
     shims.registerFunction(spark, "generate_series",
       args => new Sequence(args(0), args(1), args.lift(2)))

@@ -13,12 +13,15 @@ import graft.engine.{FlinkDialect, Gateway}
 class CorpusSpec extends SparkTestBase {
 
   /** environmental failure classes: missing kafka-backed tables (the
-    * spark-sql-kafka jar is not in /opt/spark/jars), undefined external
-    * catalogs/schemas, and syntax-only statements probing nonexistent
-    * columns of scratch relations. */
+    * spark-sql-kafka jar is not in /opt/spark/jars) and undefined external
+    * catalogs/schemas. UNRESOLVED_COLUMN is deliberately NOT blanket-allowed
+    * (a broken rewrite would hide behind it) — only the one syntax-only
+    * corpus statement probing a nonexistent `backtick identifier` column may
+    * produce it. */
   private val environmental = Seq(
-    "TABLE_OR_VIEW_NOT_FOUND", "CATALOG_NOT_FOUND", "SCHEMA_NOT_FOUND",
-    "UNRESOLVED_COLUMN")
+    "TABLE_OR_VIEW_NOT_FOUND", "CATALOG_NOT_FOUND", "SCHEMA_NOT_FOUND")
+  private def allowedUnresolvedColumn(msg: String): Boolean =
+    msg.contains("UNRESOLVED_COLUMN") && msg.contains("backtick identifier")
 
   test("all 100 reference corpus statements route cleanly through the gateway") {
     val script = new String(java.nio.file.Files.readAllBytes(
@@ -34,7 +37,7 @@ class CorpusSpec extends SparkTestBase {
       if (page.columns == Seq("error")) {
         val msg = page.rows.headOption.flatMap(_.headOption)
           .map(String.valueOf(_)).getOrElse("")
-        if (!environmental.exists(msg.contains))
+        if (!environmental.exists(msg.contains) && !allowedUnresolvedColumn(msg))
           unexpected += s"#$i ${stmt.replaceAll("\\s+", " ").take(80)} :: ${msg.take(120)}"
       } else ok += 1
     }
