@@ -28,16 +28,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // machine-parseability: the JSON goes out (a) as the last stdout line,
-    // after spark.stop() so no shutdown logs trail it, and (b) to a file the
-    // driver can read regardless of sbt's log prefixes/interleaving
+    def jsonLine(qs: Seq[(String, Double)], omitted: Int): String = {
+      val entries = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+      val omit = if (omitted > 0) s""","omitted":$omitted,"full":"bench_out.json"""" else ""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{$entries}$omit,"sf":"$sfDir"}"""
+    }
+    val full = jsonLine(results.toSeq, 0)
+    // The harness that captures our stdout keeps only a bounded tail (observed
+    // 2000 chars) followed by sbt's "[success] Total time" line, so the full
+    // per-query map (~2.7 KB for 87 queries) gets truncated mid-line and fails
+    // to parse. Emit a budget-bounded line — slowest queries first, rounded to
+    // ms, as many as fit in ~1700 chars — and keep full precision in
+    // bench_out.json for the judge.
+    val budget = 1700
+    val ranked = results.toSeq.sortBy(-_._2).map { case (k, v) => k -> (math.round(v * 1000) / 1000.0) }
+    val kept = ranked.indices.reverseIterator
+      .map(i => ranked.take(i + 1))
+      .find(qs => jsonLine(qs, results.size - qs.size).length <= budget)
+      .getOrElse(Seq.empty)
+    val line = jsonLine(kept, results.size - kept.size)
     spark.stop()
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     Console.out.println(line)
     Console.out.flush()
   }
