@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators for training-data pipelines: the published
+  * Gopher/C4-style repetition and quality heuristics, corpus-level
+  * boilerplate detection, and train/eval decontamination.
+  *
+  * 100 TB design rules:
+  *  - per-document statistics are pure projections (no shuffle); the
+  *    within-document counting uses sort+fold (O(n log n) per doc), never
+  *    the O(n²) "filter the array per distinct element" shape;
+  *  - corpus-level operators (boilerplate, decontamination) shuffle once on
+  *    the n-gram — after a per-document `array_distinct` so each document
+  *    contributes each gram once (map-side dedup before the exchange);
+  *  - decontamination broadcasts the eval-set grams (the eval corpus is
+  *    small by construction) so the 100 TB side is a single scan + semi join.
+  */
+object CorpusFilters {
+
+  /** Word `n`-grams as strings ("w1 w2 … wn"); empty array when the document
+    * has fewer than `n` words (guards Spark's descending `sequence`). */
+  def wordGrams(words: Column, n: Int): Column =
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+
+  private def splitWords(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Count of the most frequent element: sort the array, then a single
+    * left fold tracks the current run length and the best run — O(n log n)
+    * per document vs the quadratic per-distinct-element rescan. */
+  def maxRunCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(0).as("best"), lit(0).as("run"), lit("").as("prev")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(greatest(acc.getField("best"), run).as("best"),
+          run.as("run"), x.as("prev"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition statistics, one row per document:
+    *  - dup_line_frac:  fraction of lines that repeat an earlier line
+    *  - dup_word_frac:  fraction of word occurrences that are repeats
+    *  - top_2gram_frac: occurrences of the most frequent word 2-gram over
+    *                    all 2-gram occurrences
+    *  - dup_5gram_frac: fraction of 5-gram occurrences that are repeats
+    * All fractions are exact small-integer ratios rounded to 6 places.
+    * Pure projection — runs at scan speed and column-prunes to (id, text). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = splitWords(col(textCol))
+    val lines = split(col(textCol), "\n")
+    def dupFrac(arr: Column): Column = {
+      val n = size(arr)
+      when(n <= 0, lit(0.0))
+        .otherwise(round((n - size(array_distinct(arr))).cast("double") / n, 6))
+    }
+    val g2 = wordGrams(words, 2)
+    val topFrac = when(size(g2) <= 0, lit(0.0))
+      .otherwise(round(maxRunCount(g2).cast("double") / size(g2), 6))
+    df.select(col(idCol),
+      size(words).cast("bigint").as("n_words"),
+      dupFrac(lines).as("dup_line_frac"),
+      dupFrac(words).as("dup_word_frac"),
+      topFrac.as("top_2gram_frac"),
+      dupFrac(wordGrams(words, 5)).as("dup_5gram_frac"))
+  }
+
+  /** Gopher-style document quality gate: bounds on word count and mean word
+    * length, a symbol-to-character ratio cap, and a minimum number of
+    * distinct stopwords. Emits the features, a keep flag, and the FIRST
+    * failing rule as reject_reason (null when kept) so a pipeline can both
+    * filter and audit why documents dropped. Pure projection. */
+  def qualityGate(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = splitWords(t)
+    val nWords = when(length(trim(t)) === 0, lit(0L)).otherwise(size(words).cast("bigint"))
+    // sum of word lengths == chars with all whitespace removed (one regexp,
+    // no per-word lambda)
+    val letterChars = length(regexp_replace(t, "\\s", "")).cast("double")
+    val meanLen = round(letterChars / greatest(nWords.cast("double"), lit(1.0)), 6)
+    val symbols = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val symbolRatio = round(symbols / greatest(length(t).cast("double"), lit(1.0)), 6)
+    val stopDistinct = size(array_distinct(
+      filter(words, w => lower(w).isin(TextAnalysis.StopWords: _*)))).cast("bigint")
+    // evaluated via withColumn after the projection, so reference only
+    // projected columns (the text column is already pruned away)
+    val reason = when(col("n_words") < minWords, lit("too_short"))
+      .when(col("n_words") > maxWords, lit("too_long"))
+      .when(col("mean_word_len") < minMeanWordLen
+        || col("mean_word_len") > maxMeanWordLen, lit("word_length"))
+      .when(col("symbol_ratio") > maxSymbolRatio, lit("symbol_ratio"))
+      .when(col("stop_distinct") < minStopwords, lit("stopwords"))
+      .otherwise(lit(null).cast("string"))
+    df.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), stopDistinct.as("stop_distinct"))
+      .withColumn("reject_reason", reason)
+      .withColumn("keep", col("reject_reason").isNull)
+  }
+
+  /** Corpus-level boilerplate detection: word `n`-grams that appear in at
+    * least `minDocs` DISTINCT documents, with how many documents and the
+    * lowest document id carrying them. The per-document `array_distinct`
+    * dedups before the explode, so the single shuffle on the gram string
+    * carries each (doc, gram) once; partial aggregation then combines
+    * map-side. At 100 TB the gram string would be replaced by its 64-bit
+    * hash (same plan shape, narrower exchange). */
+  def boilerplateNgrams(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordGrams(splitWords(col(textCol)), n))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Train/eval decontamination: flag training documents sharing any word
+    * `n`-gram with the (small) eval set. The eval grams are deduped and
+    * broadcast; the training side is one scan → explode distinct grams →
+    * broadcast semi join → distinct ids. No shuffle touches the corpus
+    * beyond the final distinct on the (tiny) contaminated-id set. */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    def grams(d: DataFrame) = d.select(col(idCol),
+      explode(array_distinct(wordGrams(splitWords(col(textCol)), n))).as("gram"))
+    val evalGrams = grams(eval).select(col("gram")).distinct()
+    val contaminated = grams(train)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("contaminated", lit(true))
+    train.select(col(idCol))
+      .join(contaminated, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+}

@@ -147,4 +147,78 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rnk").cast("bigint").as("rnk"))
   }
+
+  /** Deterministic Rademacher (±1) hyperplane matrix for cosine LSH:
+    * entry (bit, dim) is the sign of a splitmix64-style avalanche of the
+    * fixed seed — reproducible across runs/JVMs, no RNG state. */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, d) =>
+      var z = seed + (b.toLong * dim + d + 1) * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane (sign-of-projection) LSH signature: bit b of the
+    * result is 1 iff dot(v, plane_b) > 0. With Rademacher planes each
+    * projection is a ±-weighted sum — evaluated as one fold per bit over
+    * the vector, all inside codegen (no UDF). Collision probability is
+    * 1 - angle/π per bit, the standard cosine-LSH family. */
+  def cosineLshSignature(vec: Column, nBits: Int = 16, dim: Int = 64,
+      seed: Long = 42L): Column = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val v = vec.cast("array<double>")
+    planes.zipWithIndex.map { case (plane, b) =>
+      val lits = array(plane.map(lit(_)): _*)
+      when(dot(v, lits) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k via cosine LSH: vectors are bucketed by signature (one
+    * linear pass, one narrow shuffle), queries probe their own bucket plus
+    * every bucket within hamming distance 1 (multi-probe: nBits+1 buckets
+    * per query — a broadcast fan-out of the tiny query set, never of the
+    * corpus). Exact rerank inside probed buckets only. Recall is tunable
+    * via nBits (fewer bits → bigger buckets → higher recall, more rerank). */
+  def lshTopK(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nBits: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = cosineLshSignature(col("v"), nBits, dim, seed)
+    val bucketed = vectors
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", sig)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).cast("array<double>").as("q"))
+      .withColumn("qsig", cosineLshSignature(col("q"), nBits, dim, seed))
+    // multi-probe: own bucket + flip each single bit
+    val probed = q.select(col("query_id"), col("q"), col("qsig"), explode(array(
+      lit(0L) +: (0 until nBits).map(b => lit(1L << b)): _*)).as("flip"))
+      .select(col("query_id"), col("q"),
+        (col("qsig").bitwiseXOR(col("flip"))).as("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    bucketed.join(broadcast(probed), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("q")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rnk").cast("bigint").as("rnk"))
+  }
+
+  /** Symmetric int8 quantization for embedding storage: per-vector scale
+    * max|x|/127, code_i = floor(x_i/scale + 0.5) (explicit floor-of-shifted
+    * so both Spark and a SQL oracle round identically — no HALF_UP vs
+    * HALF_EVEN drift). 4× smaller than float32; dequantized error ≤
+    * scale/2 per component. Pure projection. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    df.select(col(idCol),
+      round(scale, 9).as("scale"),
+      when(scale === 0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v, x => floor(x / scale + 0.5).cast("bigint")))
+        .as("codes"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusFilters, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-checkable queries: dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup),
@@ -121,6 +121,58 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher-style repetition statistics (dup lines/words, top 2-gram,
+    // dup 5-grams) — per-doc sort+fold, no shuffle
+    "q_corpus_repetition" -> { (s, dir) =>
+      CorpusFilters.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style quality gate: bounds + first-failing reject reason
+    "q_corpus_quality_gate" -> { (s, dir) =>
+      CorpusFilters.qualityGate(t(s, dir, "documents"), "doc_id", "text",
+          minWords = 20, maxMeanWordLen = 5.0)
+        .orderBy(col("doc_id"))
+    },
+
+    // corpus-level boilerplate: word 5-grams shared by >= 2 documents
+    // (map-side per-doc distinct, one shuffle on the gram)
+    "q_boilerplate_ngrams" -> { (s, dir) =>
+      CorpusFilters.boilerplateNgrams(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, minDocs = 2)
+        .orderBy(col("gram"))
+    },
+
+    // train/eval decontamination: 4-gram overlap vs the doc_id%97==0 eval
+    // slice (broadcast semi join; n=4 chosen for the synthetic vocabulary —
+    // real corpora use the 8..13-gram defaults)
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      CorpusFilters.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    },
+
+    // cosine-LSH ANN top-k (random-hyperplane buckets + hamming-1 probe;
+    // hash-seeded buckets: rows-only for the driver, recall in PipelineSpec)
+    "q_sim_topk_lsh" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 10, nBits = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // int8 symmetric embedding quantization (storage path: 4x smaller)
+    "q_embed_quantize" -> { (s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(col("codes"), ",").as("codes"))
+        .orderBy(col("vec_id"))
+    },
+
     // multimodal: binary payload → partition-local decode (stub codec) —
     // mapPartitions batch shape; metadata is a pure function of the bytes
     "q_multimodal_decode" -> { (s, dir) =>
@@ -233,6 +285,96 @@ object PipelineQueries {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+        |         regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lines, words,
+        |    CASE WHEN len(words) < 2 THEN [] ELSE
+        |      list_transform(generate_series(1, len(words)-1), i -> words[i] || ' ' || words[i+1]) END AS g2,
+        |    CASE WHEN len(words) < 5 THEN [] ELSE
+        |      list_transform(generate_series(1, len(words)-4), i -> array_to_string(words[i:i+4], ' ')) END AS g5
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CASE WHEN len(lines) <= 0 THEN 0.0 ELSE ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) END AS dup_line_frac,
+        |  CASE WHEN len(words) <= 0 THEN 0.0 ELSE ROUND(CAST(len(words) - len(list_distinct(words)) AS DOUBLE) / len(words), 6) END AS dup_word_frac,
+        |  CASE WHEN len(g2) <= 0 THEN 0.0 ELSE ROUND(CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2), 6) END AS top_2gram_frac,
+        |  CASE WHEN len(g5) <= 0 THEN 0.0 ELSE ROUND(CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5), 6) END AS dup_5gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_quality_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS letters,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS symbols,
+        |    length(text) AS n_chars,
+        |    len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(w))))) AS stop_distinct
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    ROUND(CAST(letters AS DOUBLE) / greatest(n_words, 1), 6) AS mean_word_len,
+        |    ROUND(CAST(symbols AS DOUBLE) / greatest(n_chars, 1), 6) AS symbol_ratio,
+        |    CAST(stop_distinct AS BIGINT) AS stop_distinct
+        |  FROM f)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_distinct,
+        |  CASE WHEN n_words < 20 THEN 'too_short'
+        |       WHEN n_words > 100000 THEN 'too_long'
+        |       WHEN mean_word_len < 2.0 OR mean_word_len > 5.0 THEN 'word_length'
+        |       WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+        |       WHEN stop_distinct < 2 THEN 'stopwords'
+        |       ELSE NULL END AS reject_reason,
+        |  (CASE WHEN n_words < 20 THEN 'too_short'
+        |       WHEN n_words > 100000 THEN 'too_long'
+        |       WHEN mean_word_len < 2.0 OR mean_word_len > 5.0 THEN 'word_length'
+        |       WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+        |       WHEN stop_distinct < 2 THEN 'stopwords'
+        |       ELSE NULL END) IS NULL AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(words) < 5 THEN [] ELSE
+        |    list_distinct(list_transform(generate_series(1, len(words)-4),
+        |      i -> array_to_string(words[i:i+4], ' '))) END) AS gram
+        |  FROM w)
+        |SELECT gram, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM g GROUP BY gram HAVING COUNT(*) >= 2 ORDER BY gram""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(words) < 4 THEN [] ELSE
+        |    list_distinct(list_transform(generate_series(1, len(words)-3),
+        |      i -> array_to_string(words[i:i+3], ' '))) END AS grams
+        |  FROM w),
+        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |cont AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0) t
+        |  JOIN eg USING (gram))
+        |SELECT doc_id, doc_id IN (SELECT doc_id FROM cont) AS contaminated
+        |FROM documents WHERE doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT vec_id, ROUND(sc, 9) AS scale,
+        |  CASE WHEN sc = 0 THEN array_to_string(list_transform(v, x -> 0), ',')
+        |       ELSE array_to_string(list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT)), ',') END AS codes
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_multimodal_decode" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.RollingHashes
 import graft.functions.RollingHashes.rolling_hashes
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{CorpusFilters, Dedup, Similarity}
 
 class PipelineSpec extends SparkTestBase {
   import spark.implicits._
@@ -155,5 +155,102 @@ class PipelineSpec extends SparkTestBase {
     assert(groups.length == 2)
     val dup = groups.find(_.getAs[Long]("group_size") == 2).get
     assert(dup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("repetition stats: hand-computed fractions on known documents") {
+    val df = Seq(
+      // 3 lines, one duplicated; words "a b a b a" → dup_word 3/5;
+      // 2-grams: (a b, b a, a b, b a) → top 2/4; no 5-gram repeats (1 gram)
+      (1L, "a b\na b\nc d"),
+      (2L, "a b a b a"),
+      (3L, "x y z w v")          // all distinct
+    ).toDF("doc_id", "text")
+    val got = CorpusFilters.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("dup_line_frac") == 0.333333) // 1/3 rounded to 6
+    assert(got(2L).getAs[Long]("n_words") == 5L)
+    assert(got(2L).getAs[Double]("dup_word_frac") == 0.6)
+    assert(got(2L).getAs[Double]("top_2gram_frac") == 0.5)
+    assert(got(2L).getAs[Double]("dup_5gram_frac") == 0.0)
+    assert(got(3L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(got(3L).getAs[Double]("top_2gram_frac") == 0.25) // 4 distinct 2-grams, max run 1
+  }
+
+  test("maxRunCount equals the max element frequency") {
+    val df = Seq(Seq("b", "a", "b", "c", "b"), Seq("x"), Seq.empty[String]).toDF("arr")
+    val got = df.select(CorpusFilters.maxRunCount(col("arr"))).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(3, 1, 0))
+  }
+
+  test("quality gate rejects on the first failing rule, in order") {
+    val df = Seq(
+      (1L, Seq.fill(30)("the word and of it").mkString(" ")),     // keep
+      (2L, "tiny doc"),                                           // too_short
+      (3L, Seq.fill(40)("pneumonoultramicroscopic").mkString(" ")), // word_length
+      (4L, Seq.fill(40)("zz qq ww").mkString(" "))                // stopwords
+    ).toDF("doc_id", "text")
+    val got = CorpusFilters.qualityGate(df, "doc_id", "text", minWords = 20, maxMeanWordLen = 8.0)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("reject_reason")).toMap
+    assert(got(1L) == null)
+    assert(got(2L) == "too_short")
+    assert(got(3L) == "word_length")
+    assert(got(4L) == "stopwords")
+  }
+
+  test("boilerplate ngrams count distinct docs, not occurrences") {
+    val df = Seq(
+      (1L, "shared boiler plate text here and more"),
+      (2L, "prefix shared boiler plate text here suffix"),
+      // gram appears twice within one doc: must count once
+      (3L, "shared boiler plate text here shared boiler plate text here")
+    ).toDF("doc_id", "text")
+    val got = CorpusFilters.boilerplateNgrams(df, "doc_id", "text", n = 5, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.contains(("shared boiler plate text here", 3L, 1L)))
+  }
+
+  test("decontamination flags exactly the docs sharing an eval n-gram") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro alpha beta gamma delta outro"),  // shares the 4-gram
+      (2L, "alpha beta delta gamma nothing here"), // same words, wrong order
+      (3L, "unrelated content entirely different") // clean
+    ).toDF("doc_id", "text")
+    val got = CorpusFilters.decontaminate(train, eval, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("cosine LSH top-k achieves reasonable recall; identical vectors collide") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall")
+    // identical vectors always share a bucket (hamming distance 0)
+    val sig = Similarity.cosineLshSignature(col("embedding"), nBits = 16)
+    val sigs = q.select(sig).collect().map(_.getLong(0))
+    val sigs2 = q.select(sig).collect().map(_.getLong(0))
+    assert(sigs.toSeq == sigs2.toSeq) // deterministic across evaluations
+  }
+
+  test("int8 quantization round-trips within scale/2 per component") {
+    val e = Tables.load(spark, sfDir, "embeddings").limit(50)
+    val out = Similarity.quantizeInt8(e, "vec_id", "embedding")
+      .join(e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), "vec_id")
+      .collect()
+    out.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val codes = r.getSeq[Long](r.fieldIndex("codes"))
+      val v = r.getSeq[Double](r.fieldIndex("v"))
+      assert(codes.forall(c => c >= -127 && c <= 127), "codes must fit int8")
+      codes.zip(v).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
+          s"dequant error beyond scale/2: code=$c x=$x scale=$scale")
+      }
+    }
   }
 }
