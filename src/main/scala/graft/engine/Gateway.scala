@@ -145,6 +145,61 @@ class Gateway(root: SparkSession) {
     (rest.trim, None)
   }
   private val DeleteRe = """(?is)^DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.*))?$""".r
+  private val MergeRe =
+    """(?is)^MERGE\s+INTO\s+([\w.`]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.`]+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.*)$""".r
+  private val MergeUpdateRe = """(?is)^UPDATE\s+SET\s+(.*)$""".r
+  private val MergeInsertRe = """(?is)^INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*$""".r
+  private val MergeClauseRe = """(?is)^(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+(.*)$""".r
+
+  /** Split "ON cond WHEN … WHEN …" at top-level WHEN keywords (never inside
+    * quotes/parens, so a CASE…WHEN in a predicate stays intact — CASE opens
+    * no paren, but its WHEN only occurs between CASE and END, which we track). */
+  private def splitMergeRest(rest: String): (String, Seq[String]) = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0; var caseDepth = 0; var i = 0
+    def wordAt(j: Int, w: String): Boolean =
+      rest.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !Character.isLetterOrDigit(rest.charAt(j - 1)) && rest.charAt(j - 1) != '_') &&
+        (j + w.length >= rest.length ||
+          !Character.isLetterOrDigit(rest.charAt(j + w.length)) && rest.charAt(j + w.length) != '_')
+    while (i < rest.length) {
+      rest.charAt(i) match {
+        case '\'' => i += 1; while (i < rest.length && rest.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && wordAt(i, "CASE") => caseDepth += 1; i += 3
+        case _ if depth == 0 && caseDepth > 0 && wordAt(i, "END") => caseDepth -= 1; i += 2
+        case _ if depth == 0 && caseDepth == 0 && wordAt(i, "WHEN") => parts += i; i += 3
+        case _ => ()
+      }
+      i += 1
+    }
+    if (parts.isEmpty) (rest.trim, Seq.empty)
+    else {
+      val bounds = parts.toSeq :+ rest.length
+      (rest.substring(0, parts.head).trim,
+        bounds.sliding(2).map { case Seq(a, b) =>
+          rest.substring(a + 4, b).trim }.toSeq)
+    }
+  }
+
+  private def parseMergeClause(s: String): TableEnv.MergeClause = s match {
+    case MergeClauseRe(not, cond, action) =>
+      val act = action.trim match {
+        case MergeUpdateRe(assigns) => TableEnv.MergeUpdate(
+          FlinkDialect.splitAssignments(assigns).map { a =>
+            val Array(c, e) = a.split("=", 2)
+            c.trim.replace("`", "") -> FlinkDialect.rewrite(e.trim)
+          })
+        case a if a.equalsIgnoreCase("DELETE") => TableEnv.MergeDelete
+        case MergeInsertRe(cols, values) => TableEnv.MergeInsert(
+          Option(cols).map(_.split(",").map(_.trim.replace("`", "")).toSeq).getOrElse(Seq.empty),
+          FlinkDialect.splitAssignments(values).map(FlinkDialect.rewrite))
+        case a => throw new IllegalArgumentException(s"MERGE: unsupported action '$a'")
+      }
+      TableEnv.MergeClause(not == null, Option(cond).map(FlinkDialect.rewrite), act)
+    case _ => throw new IllegalArgumentException(s"MERGE: cannot parse clause 'WHEN $s'")
+  }
   private val CompilePlanRe =
     """(?is)^COMPILE\s+PLAN\s+'([^']+)'\s+FOR\s+(.*)$""".r
   private val ExecutePlanRe = """(?is)^EXECUTE\s+PLAN\s+'([^']+)'$""".r
@@ -319,6 +374,20 @@ class Gateway(root: SparkSession) {
         val b = TableEnv.lookup(target.replace("`", "")).get
         val n = TableEnv.delete(spark, b, Option(where).map(FlinkDialect.rewrite))
         Statement(s"$n rows deleted from ${b.name}")
+      case MergeRe(target, tAlias, src, sAlias, rest)
+          if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        // batch MERGE (grammar keyword): join-once rewrite + atomic swap
+        val b = TableEnv.lookup(target.replace("`", "")).get
+        val (onCond, clauseStrs) = splitMergeRest(rest)
+        require(clauseStrs.nonEmpty, "MERGE needs at least one WHEN clause")
+        val clauses = clauseStrs.map(parseMergeClause)
+        val srcName = src.replace("`", "")
+        val source = TableEnv.lookup(srcName).map(TableEnv.batchDF(spark, _))
+          .getOrElse(spark.table(srcName))
+        val (touched, inserted) = TableEnv.merge(spark, b,
+          Option(tAlias).getOrElse(b.name), source, Option(sAlias).getOrElse(srcName),
+          FlinkDialect.rewrite(onCond), clauses)
+        Statement(s"MERGE into ${b.name}: $touched matched rows affected, $inserted inserted")
       case CompilePlanRe(path, insert) =>
         // COMPILE PLAN (G:379): persist the statement plus its physical plan
         // (diagnostic); EXECUTE PLAN replays the stored statement — the Spark

@@ -735,6 +735,86 @@ object TableEnv {
 
   // -------------------------------------------------- UPDATE / DELETE DML --
 
+  sealed trait MergeAction
+  final case class MergeUpdate(assignments: Seq[(String, String)]) extends MergeAction
+  case object MergeDelete extends MergeAction
+  final case class MergeInsert(cols: Seq[String], values: Seq[String]) extends MergeAction
+  /** One WHEN clause; `cond` is the optional AND predicate. Clauses apply
+    * first-match-wins in declared order, per standard MERGE semantics. */
+  final case class MergeClause(matched: Boolean, cond: Option[String], action: MergeAction)
+
+  /** Batch MERGE INTO on a filesystem binding (grammar keyword G: MERGE).
+    * The matched side is one left-outer join target×source; each target row
+    * takes the first matched clause whose predicate holds (UPDATE rewrites
+    * columns, DELETE drops the row); unmatched source rows take the first
+    * NOT MATCHED insert clause. The rewrite lands via the same atomic
+    * directory swap as UPDATE/DELETE. Standard-SQL cardinality rule
+    * enforced: a target row matching more than one source row is an error.
+    * Returns (matched rows affected, rows inserted). */
+  def merge(spark: SparkSession, b: Binding, targetAlias: String,
+      source: DataFrame, sourceAlias: String, onCond: String,
+      clauses: Seq[MergeClause]): (Long, Long) = {
+    require(b.connector == "filesystem", s"MERGE unsupported for connector '${b.connector}'")
+    val target = batchDF(spark, b)
+    val targetCols = target.columns.toSeq
+    val t = target.withColumn("__tid", monotonically_increasing_id()).alias(targetAlias)
+    val s = source.withColumn("__src_match", lit(true)).alias(sourceAlias)
+    val joined = t.join(s, expr(onCond), "left_outer")
+    val matchedFlag = col("__src_match").isNotNull
+    val dup = joined.filter(matchedFlag).groupBy(col("__tid")).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      "MERGE cardinality violation: a target row matches more than one source row")
+
+    val matchedClauses = clauses.filter(_.matched)
+    // first-match-wins: a when() chain in declared order; 0 = no clause
+    val idx = matchedClauses.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (cl, i)) =>
+        acc.when(matchedFlag && cl.cond.map(expr).getOrElse(lit(true)), i + 1)
+    }.otherwise(0)
+    val withIdx = joined.withColumn("__clause", idx)
+    val deleteIdx = matchedClauses.zipWithIndex.collect {
+      case (MergeClause(_, _, MergeDelete), i) => i + 1 }
+    val survivors = withIdx.filter(if (deleteIdx.isEmpty) lit(true)
+      else !col("__clause").isin(deleteIdx: _*))
+    val updated = survivors.select(targetCols.map { c =>
+      val base: org.apache.spark.sql.Column = col(s"$targetAlias.$c")
+      matchedClauses.zipWithIndex.foldLeft(base) {
+        case (acc, (MergeClause(_, _, MergeUpdate(assigns)), i)) =>
+          assigns.collectFirst { case (ac, e) if ac.equalsIgnoreCase(c) => e } match {
+            case Some(e) => when(col("__clause") === i + 1, expr(e)).otherwise(acc)
+            case None => acc
+          }
+        case (acc, _) => acc
+      }.as(c)
+    }: _*)
+    val touched = withIdx.filter(col("__clause") > 0).count()
+
+    val insertClauses = clauses.filter(!_.matched)
+    val unmatchedSrc = s.join(t, expr(onCond), "left_anti")
+    val inserts = insertClauses.zipWithIndex.map { case (cl, i) =>
+      // earlier insert clauses take precedence: exclude rows already claimed
+      val prior = insertClauses.take(i).map(_.cond.map(expr).getOrElse(lit(true)))
+        .foldLeft(lit(false))(_ || _)
+      val rows = unmatchedSrc.filter(cl.cond.map(expr).getOrElse(lit(true)) && !prior)
+      val MergeInsert(cols0, values) = cl.action: @unchecked
+      val cols = if (cols0.nonEmpty) cols0 else targetCols
+      require(cols.length == values.length,
+        s"MERGE INSERT: ${cols.length} columns vs ${values.length} values")
+      val byCol = cols.map(_.toLowerCase).zip(values).toMap
+      rows.select(targetCols.map { c =>
+        val dt = target.schema(c).dataType
+        byCol.get(c.toLowerCase).map(e => expr(e).cast(dt))
+          .getOrElse(lit(null).cast(dt)).as(c)
+      }: _*)
+    }
+    val insertDF = inserts.reduceOption(_ unionAll _)
+    val inserted = insertDF.map(_.count()).getOrElse(0L)
+    val result = insertDF.foldLeft(updated)(_ unionAll _)
+    swapRewrite(spark, b, result)
+    (touched, inserted)
+  }
+
   /** Batch UPDATE on a binding (corpus F:192). filesystem: read → rewrite →
     * atomic directory swap (never overwrite the files being read — write to
     * a sibling tmp dir, then swap). jdbc: push the statement down to the

@@ -182,4 +182,51 @@ class CdcDmlSpec extends SparkTestBase {
     assert(exec.rows.head.head.toString.contains("Inserted into cp_snk"))
     assert(spark.read.parquet(s"$out/data").count() == 10)
   }
+
+  test("MERGE INTO: update, delete, and insert clauses with first-match-wins") {
+    import spark.implicits._
+    TableEnv.clear()
+    val (gw, h) = gwSession()
+    val out = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    gw.executeStatement(h,
+      s"CREATE TABLE mt (id BIGINT, v BIGINT, tag STRING) WITH ('connector'='filesystem','path'='$out','format'='parquet')")
+    val b = TableEnv.lookup("mt").get
+    TableEnv.batchInsert(spark, b,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")).toDF("id", "v", "tag"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-merge-src").toString
+    Seq((1L, 100L), (3L, 300L), (4L, 400L)).toDF("sid", "sv")
+      .write.mode("overwrite").parquet(srcDir)
+    gw.executeStatement(h,
+      s"CREATE TABLE msrc (sid BIGINT, sv BIGINT) WITH ('connector'='filesystem','path'='$srcDir','format'='parquet')")
+    val res = gw.fetchResults(gw.executeStatement(h,
+      """MERGE INTO mt t USING msrc s ON t.id = s.sid
+        |WHEN MATCHED AND s.sv >= 300 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.sv, tag = 'merged'
+        |WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.sid, s.sv, 'new')""".stripMargin), 0)
+    assert(res.rows.head.head.toString.contains("2 matched rows affected, 1 inserted"))
+    val got = spark.read.parquet(out).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // id=1 updated, id=2 untouched, id=3 deleted (first clause wins), id=4 inserted
+    assert(got == Seq((1L, 100L, "merged"), (2L, 20L, "b"), (4L, 400L, "new")))
+  }
+
+  test("MERGE INTO rejects multi-match cardinality violations") {
+    import spark.implicits._
+    TableEnv.clear()
+    val (gw, h) = gwSession()
+    val out = java.nio.file.Files.createTempDirectory("graft-merge2").toString
+    gw.executeStatement(h,
+      s"CREATE TABLE mt2 (id BIGINT, v BIGINT) WITH ('connector'='filesystem','path'='$out','format'='parquet')")
+    TableEnv.batchInsert(spark, TableEnv.lookup("mt2").get, Seq((1L, 10L)).toDF("id", "v"))
+    val srcDir2 = java.nio.file.Files.createTempDirectory("graft-merge2-src").toString
+    Seq((1L, 1L), (1L, 2L)).toDF("sid", "sv").write.mode("overwrite").parquet(srcDir2)
+    gw.executeStatement(h,
+      s"CREATE TABLE msrc2 (sid BIGINT, sv BIGINT) WITH ('connector'='filesystem','path'='$srcDir2','format'='parquet')")
+    val r = gw.fetchResults(gw.executeStatement(h,
+      "MERGE INTO mt2 t USING msrc2 s ON t.id = s.sid WHEN MATCHED THEN UPDATE SET v = s.sv"), 0)
+    assert(r.rows.head.head.toString.toLowerCase.contains("cardinality"))
+    // target untouched after the failed merge
+    assert(spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 10L)))
+  }
 }
