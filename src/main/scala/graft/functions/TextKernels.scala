@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass word n-gram kernel.
+  *
+  * The lambda formulation — `transform(sequence(1, size-n+1),
+  * i -> concat_ws(' ', slice(words, i, n)))` — is a HigherOrderFunction,
+  * which Catalyst always interprets (no codegen): per gram it walks an
+  * expression tree, allocates a sliced array, and re-joins it. That made
+  * gram generation the dominant cost of the corpus-level queries
+  * (~15 µs/gram; 3.8 s of q_boilerplate_ngrams' 3.4+ s at sf0.1).
+  *
+  * This kernel does one scan over the UTF-8 bytes: records word boundaries
+  * (maximal runs of non-ASCII-whitespace — the same token set as
+  * `split(trim(text), "\\s+")` for ASCII whitespace), then materializes each
+  * gram as a single byte-copy. Optional in-kernel dedup (insertion-ordered)
+  * replaces a separately-interpreted `array_distinct`.
+  */
+object TextKernels {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** All word `n`-grams of `s`, joined with single spaces; insertion-ordered
+    * dedup when `distinct`. Returns an ArrayData of UTF8String. */
+  def wordNgrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    // collect word [start, end) offsets
+    var nWords = 0
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var i = 0
+    while (i < bytes.length) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < bytes.length && !isWs(bytes(i))) i += 1
+        if (nWords == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nWords * 2)
+          ends = java.util.Arrays.copyOf(ends, nWords * 2)
+        }
+        starts(nWords) = start
+        ends(nWords) = i
+        nWords += 1
+      } else i += 1
+    }
+    val nGrams = nWords - n + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nGrams)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var kept = 0
+    var g = 0
+    while (g < nGrams) {
+      // gram = words g..g+n-1 joined by ' ': one allocation, one copy pass
+      var len = n - 1
+      var w = g
+      while (w < g + n) { len += ends(w) - starts(w); w += 1 }
+      val buf = new Array[Byte](len)
+      var pos = 0
+      w = g
+      while (w < g + n) {
+        val wl = ends(w) - starts(w)
+        System.arraycopy(bytes, starts(w), buf, pos, wl)
+        pos += wl
+        if (w < g + n - 1) { buf(pos) = ' '; pos += 1 }
+        w += 1
+      }
+      val gram = UTF8String.fromBytes(buf)
+      if (seen == null || seen.add(gram)) { out(kept) = gram; kept += 1 }
+      g += 1
+    }
+    new GenericArrayData(if (kept == nGrams) out else out.take(kept))
+  }
+}
+
+/** Codegen'd `word_ngrams(text, n[, distinct])` — see TextKernels. */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.wordNgrams(s.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordNgrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExprs {
+  def word_ngrams(text: Column, n: Int, distinct: Boolean = false): Column =
+    Shims.column(WordNgrams(Shims.expression(text), n, distinct))
+}

@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
 object CorpusFilters {
 
   /** Word `n`-grams as strings ("w1 w2 … wn"); empty array when the document
-    * has fewer than `n` words (guards Spark's descending `sequence`). */
-  def wordGrams(words: Column, n: Int): Column =
-    when(size(words) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
+    * has fewer than `n` words. One-pass codegen kernel (TextKernels) — the
+    * lambda formulation (`transform(sequence…, slice…)`) is interpreted per
+    * gram and was ~15 µs/gram; `distinct = true` also folds the
+    * `array_distinct` into the same pass. */
+  def wordGrams(text: Column, n: Int, distinct: Boolean = false): Column =
+    graft.functions.TextExprs.word_ngrams(text, n, distinct)
 
   private def splitWords(text: Column): Column = split(trim(text), "\\s+")
 
@@ -58,7 +59,7 @@ object CorpusFilters {
       when(n <= 0, lit(0.0))
         .otherwise(round((n - size(array_distinct(arr))).cast("double") / n, 6))
     }
-    val g2 = wordGrams(words, 2)
+    val g2 = wordGrams(col(textCol), 2)
     val topFrac = when(size(g2) <= 0, lit(0.0))
       .otherwise(round(maxRunCount(g2).cast("double") / size(g2), 6))
     df.select(col(idCol),
@@ -66,7 +67,7 @@ object CorpusFilters {
       dupFrac(lines).as("dup_line_frac"),
       dupFrac(words).as("dup_word_frac"),
       topFrac.as("top_2gram_frac"),
-      dupFrac(wordGrams(words, 5)).as("dup_5gram_frac"))
+      dupFrac(wordGrams(col(textCol), 5)).as("dup_5gram_frac"))
   }
 
   /** Gopher-style document quality gate: bounds on word count and mean word
@@ -116,7 +117,7 @@ object CorpusFilters {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(wordGrams(splitWords(col(textCol)), n))).as("gram"))
+        explode(wordGrams(col(textCol), n, distinct = true)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
@@ -130,7 +131,7 @@ object CorpusFilters {
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     def grams(d: DataFrame) = d.select(col(idCol),
-      explode(array_distinct(wordGrams(splitWords(col(textCol)), n))).as("gram"))
+      explode(wordGrams(col(textCol), n, distinct = true)).as("gram"))
     val evalGrams = grams(eval).select(col("gram")).distinct()
     val contaminated = grams(train)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")

@@ -176,6 +176,27 @@ class PipelineSpec extends SparkTestBase {
     assert(got(3L).getAs[Double]("top_2gram_frac") == 0.25) // 4 distinct 2-grams, max run 1
   }
 
+  test("word_ngrams kernel == interpreted lambda twin") {
+    val df = Seq("a b c d e", "  leading and   multi  spaces ", "tab\tand\nnewline sep",
+      "one", "", "x y").toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val words = split(trim(col("text")), "\\s+")
+      val lambda = when(length(trim(col("text"))) === 0 || size(words) < n,
+          array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
+      val rows = df.select(
+        CorpusFilters.wordGrams(col("text"), n).as("kernel"),
+        lambda.as("lambda"),
+        CorpusFilters.wordGrams(col("text"), n, distinct = true).as("kdistinct"),
+        array_distinct(lambda).as("ldistinct")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n all grams")
+        assert(r.getSeq[String](2) == r.getSeq[String](3), s"n=$n distinct grams")
+      }
+    }
+  }
+
   test("maxRunCount equals the max element frequency") {
     val df = Seq(Seq("b", "a", "b", "c", "b"), Seq("x"), Seq.empty[String]).toDF("arr")
     val got = df.select(CorpusFilters.maxRunCount(col("arr"))).collect().map(_.getInt(0))
