@@ -314,8 +314,8 @@ object PipelineQueries {
         |    length(regexp_replace(text, '\s', '', 'g')) AS letters,
         |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS symbols,
         |    length(text) AS n_chars,
-        |    len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(w))))) AS stop_distinct
+        |    len(list_distinct(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(w))), w -> lower(w)))) AS stop_distinct
         |  FROM documents),
         |m AS (
         |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,

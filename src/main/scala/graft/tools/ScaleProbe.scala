@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusFilters, Dedup, Similarity, TextAnalysis}
 
 /** Scale probe beyond the driver's sf0.1: synthesizes a corpus N× larger than
   * the bench documents table (plus planted near-duplicates) and times the
@@ -49,6 +49,24 @@ object ScaleProbe {
     time("quality features") {
       TextAnalysis.qualityFeatures(docs, "doc_id", "text")
         .agg(sum(col("n_tokens"))).head().getLong(0)
+    }
+
+    time("repetition stats") {
+      CorpusFilters.repetitionStats(docs, "doc_id", "text")
+        .agg(sum(col("n_words"))).head().getLong(0)
+    }
+    time("quality gate") {
+      CorpusFilters.qualityGate(docs, "doc_id", "text")
+        .filter(col("keep")).count()
+    }
+    time("boilerplate 5-grams") {
+      CorpusFilters.boilerplateNgrams(docs, "doc_id", "text", n = 5, minDocs = 2)
+        .count()
+    }
+    time("decontaminate (1% eval)") {
+      CorpusFilters.decontaminate(
+        docs.filter(col("doc_id") % 100 =!= 0), docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 8).filter(col("contaminated")).count()
     }
 
     // CEP at scale: n events over 10k keys, A+ B runs (value derived from a

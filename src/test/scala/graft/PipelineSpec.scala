@@ -197,6 +197,26 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("quality_stats kernel == regex/lambda twin") {
+    val stops = graft.pipeline.TextAnalysis.StopWords
+    val df = Seq("The the THE and banana", "  spaced   out  ", "", "one",
+      "symbols !@# mixed a1b2 and... the-end", "tabs\tand\nnewlines the it").toDF("text")
+    val t = col("text")
+    val words = split(trim(t), "\\s+")
+    val twin = df.select(
+      when(length(trim(t)) === 0, lit(0L)).otherwise(size(words).cast("bigint")).as("n_words"),
+      length(regexp_replace(t, "\\s", "")).cast("bigint").as("letters"),
+      size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("bigint").as("symbols"),
+      size(array_distinct(transform(
+        filter(words, w => lower(w).isin(stops: _*)), w => lower(w)))).cast("bigint").as("stops"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val kernel = df.select(graft.functions.TextExprs.quality_stats(t, stops).as("s"))
+      .collect().map { r =>
+        val a = r.getSeq[Long](0); (a(0), a(1), a(2), a(3))
+      }
+    assert(kernel.toSeq == twin.toSeq)
+  }
+
   test("maxRunCount equals the max element frequency") {
     val df = Seq(Seq("b", "a", "b", "c", "b"), Seq("x"), Seq.empty[String]).toDF("arr")
     val got = df.select(CorpusFilters.maxRunCount(col("arr"))).collect().map(_.getInt(0))
