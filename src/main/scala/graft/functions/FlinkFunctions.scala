@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Flink-SQL scalar functions Spark lacks (SURVEY.md §2.10, bold items).
   *
@@ -156,6 +157,25 @@ object FlinkFunctions {
     shims.registerFunction(spark, "map_union", args => MapConcat(args))
     shims.registerFunction(spark, "generate_series",
       args => new Sequence(args(0), args(1), args.lift(2)))
+    // pipeline kernels as SQL functions: a gateway user can run the dedup/
+    // quality operators from plain SQL (SELECT simhash64(text) ... GROUP BY)
+    // at kernel speed — all codegen'd expressions, no UDF boxing
+    def litInt(e: Expression, what: String): Int = e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case x => throw new IllegalArgumentException(s"$what must be an integer literal, got $x")
+    }
+    shims.registerFunction(spark, "simhash64", args => SimHash64(args.head))
+    shims.registerFunction(spark, "minhash_sig", args =>
+      MinHashSig(args(0), Cast(args(1), IntegerType), Cast(args(2), IntegerType)))
+    shims.registerFunction(spark, "vec_dot", args => VecDot(args(0), args(1)))
+    shims.registerFunction(spark, "rolling_hashes", args =>
+      RollingHashes(args(0), Cast(args(1), IntegerType), Cast(args(2), LongType)))
+    shims.registerFunction(spark, "word_ngrams", args => WordNgrams(args(0),
+      litInt(args(1), "word_ngrams n"),
+      args.lift(2).exists(_.eval() == true)))
+    shims.registerFunction(spark, "quality_stats", args => QualityStats(args(0),
+      graft.pipeline.TextAnalysis.StopWords))
     // GCD/LCM need iteration — Scala UDFs (rarely on a hot path).
     if (!spark.catalog.functionExists("gcd")) {
       spark.udf.register("GCD", (a: Long, b: Long) => {

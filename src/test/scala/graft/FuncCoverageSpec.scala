@@ -111,4 +111,23 @@ class FuncCoverageSpec extends SparkTestBase {
       assert(!resolves(n), s"$n resolved but is pinned as unsupported — update the spec")
     }
   }
+
+  test("pipeline kernels are callable from SQL at codegen speed") {
+    FlinkFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT simhash64('a b c') AS sh,
+        |       size(minhash_sig('abcdefgh', 3, 8)) AS mh,
+        |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd,
+        |       size(rolling_hashes('abcdef', 3, 0)) AS rh,
+        |       word_ngrams('a b c d', 2) AS g2,
+        |       word_ngrams('a b a b', 3, true) AS g3d,
+        |       quality_stats('the quick brown fox the') AS qs""".stripMargin).head()
+    assert(r.getAs[Long]("sh") != 0L)
+    assert(r.getAs[Int]("mh") == 8)
+    assert(r.getAs[Double]("vd") == 11.0)
+    assert(r.getAs[Int]("rh") == 4)
+    assert(r.getSeq[String](r.fieldIndex("g2")) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](r.fieldIndex("g3d")) == Seq("a b a", "b a b"))
+    assert(r.getSeq[Long](r.fieldIndex("qs")) == Seq(5L, 19L, 0L, 1L))
+  }
 }
