@@ -345,4 +345,30 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch, s"stream/batch diverged: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
     } finally q.stop()
   }
+
+  test("corpus quality/repetition operators run on streams: stream == batch") {
+    // the per-document corpus operators are pure projections, so they apply
+    // unchanged to a streaming DataFrame — pin that property end to end
+    import graft.pipeline.CorpusFilters
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("documents.parquet")),
+      dir.resolve("documents.parquet"))
+    val batchDocs = Tables.load(spark, sfDir, "documents")
+    val streamDocs = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+    val gate = CorpusFilters.qualityGate(streamDocs, "doc_id", "text",
+      minWords = 20, maxMeanWordLen = 5.0)
+    val q = gate.writeStream.outputMode("append").format("memory")
+      .queryName("corpus_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("corpus_stream")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getAs[String]("reject_reason"), r.getBoolean(r.fieldIndex("keep")))).toMap
+    val batch = CorpusFilters.qualityGate(batchDocs, "doc_id", "text",
+        minWords = 20, maxMeanWordLen = 5.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getAs[String]("reject_reason"), r.getBoolean(r.fieldIndex("keep")))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.values.exists(_._3) && streamed.values.exists(!_._3))
+  }
 }
