@@ -124,6 +124,64 @@ object CorpusFilters {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Per-document top-k TF-IDF terms. Three bounded shuffles: (doc, term)
+    * counts, term document-frequencies (an aggregate of the first — partial
+    * combine applies), and the per-doc top-k window; the corpus size N is a
+    * one-row broadcast. idf = ln((N+1)/(df+1)) + 1 (smoothed), rounded to 6
+    * so the DuckDB oracle hashes identically. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(splitWords(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(count_distinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rnk").cast("bigint").as("rnk"))
+  }
+
+  /** Duplicate clusters from near-duplicate pairs: iterative min-label
+    * propagation (connected components). Each round joins the current labels
+    * across the edge list and takes the min label seen; convergence is
+    * detected with a count of changed labels and takes O(cluster diameter)
+    * rounds — near-dup clusters are shallow (most are stars around one
+    * keeper), so 3-5 rounds is typical. Each round is two hash joins on the
+    * edge key — no driver-side graph, no quadratic state; the same
+    * alternating-join shape GraphX's connected components lowers to. */
+  def duplicateGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbor = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+      val prev = labels
+      val next = labels.join(viaNeighbor, Seq("id"), "left_outer")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(prev.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      prev.unpersist(false)
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Train/eval decontamination: flag training documents sharing any word
     * `n`-gram with the (small) eval set. The eval grams are deduped and
     * broadcast; the training side is one scan → explode distinct grams →

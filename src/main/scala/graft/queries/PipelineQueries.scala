@@ -155,6 +155,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // per-document top-3 TF-IDF terms (two aggregates + broadcast N + window)
+    "q_tfidf_top_terms" -> { (s, dir) =>
+      CorpusFilters.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
+    // duplicate clusters via min-label propagation over the deterministic
+    // blocked-Jaccard pair set (oracle: DuckDB recursive-CTE reachability)
+    "q_dedup_groups" -> { (s, dir) =>
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"),
+          array_distinct(transform(
+            sequence(lit(1), length(col("text")) - 2),
+            i => call_function("substring", col("text"), i, lit(3)))).as("grams"))
+      val pairs = d.as("a").join(d.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+            (size(col("a.grams")) + size(col("b.grams"))
+              - size(array_intersect(col("a.grams"), col("b.grams"))))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      CorpusFilters.duplicateGroups(pairs)
+        .orderBy(col("doc_id"))
+    },
+
     // cosine-LSH ANN top-k (random-hyperplane buckets + hamming-1 probe;
     // hash-seeded buckets: rows-only for the driver, recall in PipelineSpec)
     "q_sim_topk_lsh" -> { (s, dir) =>
@@ -364,6 +389,39 @@ object PipelineQueries {
         |  JOIN eg USING (gram))
         |SELECT doc_id, doc_id IN (SELECT doc_id FROM cont) AS contaminated
         |FROM documents WHERE doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_top_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |         ROUND(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfq.df + 1)) + 1), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk FROM s)
+        |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_dedup_groups" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 2),
+        |                       i -> substring(text, CAST(i AS INT), 3))) AS grams
+        |  FROM documents WHERE doc_id < 300),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH s AS (

@@ -262,6 +262,26 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("duplicate groups: min-label propagation finds planted components") {
+    // components: {1,2,3,4} (a chain — needs propagation depth), {10,11}, {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val got = CorpusFilters.duplicateGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("tf-idf: rarer terms outrank common ones at equal tf") {
+    val df = Seq(
+      (1L, "apple banana common"), (2L, "apple cherry common"), (3L, "apple dates common")
+    ).toDF("doc_id", "text")
+    val top1 = CorpusFilters.tfidfTopTerms(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'apple'/'common' appear in all docs (df=3); the unique term wins everywhere
+    assert(top1 == Map(1L -> "banana", 2L -> "cherry", 3L -> "dates"))
+  }
+
   test("cosine LSH top-k achieves reasonable recall; identical vectors collide") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
