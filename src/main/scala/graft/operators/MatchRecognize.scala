@@ -123,7 +123,8 @@ object MatchRecognize {
       measures: Array[Measure],
       varIdx: Map[String, Int],
       fieldIdx: Map[String, Int],
-      allRows: Boolean) extends Serializable {
+      allRows: Boolean,
+      skipToNext: Boolean = false) extends Serializable {
 
     def conds(grp: IndexedSeq[Row]): Array[Array[Boolean]] =
       Array.tabulate(nVars) { v =>
@@ -304,7 +305,9 @@ object MatchRecognize {
                 j += 1
               }
             } else out += measureRow(grp, assign, i, end, matchNo)
-            i = math.max(end, i + 1) // AFTER MATCH SKIP PAST LAST ROW
+            // AFTER MATCH SKIP: TO NEXT ROW re-attempts from the next row
+            // (overlapping matches); PAST LAST ROW resumes after the match
+            i = if (skipToNext) i + 1 else math.max(end, i + 1)
           } else retainFrom = i // boundary match: hold for more data
         } else if (!closed && hitEnd) retainFrom = i // could match later
         else i += 1
@@ -321,7 +324,7 @@ object MatchRecognize {
       partitionBy: Seq[String], orderBy: String,
       defines: Seq[(String, Column)], patterns: Seq[Seq[PatTok]],
       measures: Seq[Measure], navs: Seq[Nav], allRows: Boolean,
-      streaming: Boolean): (DataFrame, Kernel, StructType) = {
+      streaming: Boolean, skipToNext: Boolean = false): (DataFrame, Kernel, StructType) = {
 
     val varIdx = defines.map(_._1).zipWithIndex.toMap
     require(patterns.nonEmpty && patterns.forall(_.forall(_.vars.forall(varIdx.contains))),
@@ -391,7 +394,8 @@ object MatchRecognize {
       measures = measures.toArray,
       varIdx = varIdx,
       fieldIdx = measureFieldIdx,
-      allRows = allRows)
+      allRows = allRows,
+      skipToNext = skipToNext)
     (withBits, kernel, outSchema)
   }
 
@@ -404,11 +408,12 @@ object MatchRecognize {
       measures: Seq[Measure],
       navs: Seq[Nav] = Nil,
       allRows: Boolean = false,
-      altPatterns: Seq[Seq[PatTok]] = Nil): DataFrame = {
+      altPatterns: Seq[Seq[PatTok]] = Nil,
+      skipToNext: Boolean = false): DataFrame = {
 
     val (withBits, kernel, outSchema) =
       prepare(df, partitionBy, orderBy, defines, pattern +: altPatterns, measures,
-        navs, allRows, streaming = false)
+        navs, allRows, streaming = false, skipToNext = skipToNext)
     val keyIdx = partitionBy.map(withBits.schema.fieldIndex)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
 
@@ -513,7 +518,7 @@ object MatchRecognize {
     ("""(?is)SELECT\s+\*\s+FROM\s+([\w.`]+)\s+MATCH_RECOGNIZE\s*\(\s*""" +
       """PARTITION\s+BY\s+([\w.`,\s]+?)\s+ORDER\s+BY\s+([\w.`]+)\s+""" +
       """MEASURES\s+(.*?)\s+(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+""" +
-      """AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW\s+""" +
+      """AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+""" +
       """PATTERN\s*\(\s*(.*?)\s*\)\s+""" +
       """DEFINE\s+(.*?)\s*\)\s*$""").r
 
@@ -553,7 +558,8 @@ object MatchRecognize {
         Measure(mm.group(2), mm.group(1).toLowerCase, "", "")
       })
     }
-    val patternAlts = parseAlternatives(m.group(6))
+    val skipToNext = m.group(6).toUpperCase.replaceAll("\\s+", " ") == "TO NEXT ROW"
+    val patternAlts = parseAlternatives(m.group(7))
     val pattern = patternAlts.head
 
     // PREV/NEXT in DEFINE → named lag/lead navigation columns (position-based
@@ -568,7 +574,7 @@ object MatchRecognize {
       name
     })
 
-    val defined = m.group(7).split(",(?![^()]*\\))").toSeq.map { d =>
+    val defined = m.group(8).split(",(?![^()]*\\))").toSeq.map { d =>
       val Array(v, cond) = d.split("(?i)\\s+AS\\s+", 2)
       val variable = v.trim
       // own-row predicate: strip the variable prefix (A.price → price)
@@ -585,11 +591,15 @@ object MatchRecognize {
     if (input.isStreaming && navs.nonEmpty)
       throw new IllegalArgumentException(
         "PREV/NEXT navigation in DEFINE is batch-only for now")
+    if (input.isStreaming && skipToNext)
+      throw new IllegalArgumentException(
+        "AFTER MATCH SKIP TO NEXT ROW is batch-only for now")
     if (input.isStreaming)
       matchRecognizeStream(input, partitionBy, orderBy, defines, pattern, measures,
         watermarkDelay = None, allRows = allRows, altPatterns = patternAlts.tail)
     else
       matchRecognize(input, partitionBy, orderBy, defines, pattern,
-        measures, navs.toSeq, allRows, altPatterns = patternAlts.tail)
+        measures, navs.toSeq, allRows, altPatterns = patternAlts.tail,
+        skipToNext = skipToNext)
   }
 }

@@ -74,9 +74,41 @@ object CepQueries {
           |)""".stripMargin)
         .orderBy(col("user_id"), col("match_no"))
     },
+    // AFTER MATCH SKIP TO NEXT ROW: overlapping matches — every consecutive
+    // low-low pair is its own match, and MATCH_NUMBER counts all of them
+    // (PAST LAST ROW would only yield floor(run/2) disjoint pairs)
+    "q_cep_skip_next" -> { (s, dir) =>
+      Tables.load(s, dir, "events").createOrReplaceTempView("cep_events")
+      MatchRecognize.sql(s,
+        """SELECT * FROM cep_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY event_id
+          |  MEASURES FIRST(A.event_id) AS anchor_event,
+          |           FIRST(A.value) AS a_val,
+          |           LAST(B.value) AS b_val,
+          |           MATCH_NUMBER() AS match_no
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A B)
+          |  DEFINE A AS A.value < 100,
+          |         B AS B.value < 100
+          |)""".stripMargin)
+        .orderBy(col("user_id"), col("anchor_event"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cep_skip_next" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, value,
+        |         lead(value) OVER (PARTITION BY user_id ORDER BY event_id) AS nv
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id AS anchor_event, value AS a_val, nv AS b_val,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS match_no
+        |  FROM w WHERE value < 100 AND nv < 100)
+        |SELECT user_id, anchor_event, a_val, b_val, match_no FROM m
+        |ORDER BY user_id, anchor_event""".stripMargin,
+
     // islands: A-rows grouped by the count of B-rows before them; each island
     // with >= 1 A matches the next B row (A+ B, SKIP PAST LAST ROW never
     // overlaps because A and B predicates are disjoint)

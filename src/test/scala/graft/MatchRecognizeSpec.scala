@@ -57,6 +57,41 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(out.count() == 2) // (1,100), (2,200); trailing 3.0 unmatched
   }
 
+  test("AFTER MATCH SKIP TO NEXT ROW: overlapping matches, numbered in order") {
+    // low-run of 4: pairs (1,2) (2,3) (3,4) overlap under TO NEXT ROW;
+    // PAST LAST ROW would only yield (1,2) and (3,4)
+    val df = mk(Seq((1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0), (1, 4, 4.0), (1, 5, 500.0)))
+    val toNext = MatchRecognize.matchRecognize(
+      df, Seq("k"), "seq",
+      defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") < 100)),
+      pattern = parsePattern("A B"),
+      measures = Seq(
+        Measure("a_price", "first", "A", "price"),
+        Measure("m", "match_number", "", "")),
+      skipToNext = true)
+      .orderBy("a_price")
+      .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    assert(toNext.toSeq == Seq((1.0, 1L), (2.0, 2L), (3.0, 3L)))
+    val pastLast = MatchRecognize.matchRecognize(
+      df, Seq("k"), "seq",
+      defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") < 100)),
+      pattern = parsePattern("A B"),
+      measures = Seq(Measure("a_price", "first", "A", "price")))
+    assert(pastLast.count() == 2)
+    // SQL form routes the skip mode
+    df.createOrReplaceTempView("mr_skip")
+    val sqlOut = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_skip MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(A.price) AS a_price
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B)
+        |  DEFINE A AS A.price < 100, B AS B.price < 100
+        |)""".stripMargin)
+    assert(sqlOut.count() == 3)
+  }
+
   test("SQL form parses the corpus statement shape") {
     mk(Seq((7, 1, 50.0), (7, 2, 60.0), (7, 3, 120.0)))
       .withColumnRenamed("k", "customer_id")
