@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   *   MEASURES FIRST/LAST(V.field), MIN/MAX/SUM/AVG(V.field), COUNT(V.*),
   *            CLASSIFIER(), MATCH_NUMBER()
   *   ONE ROW PER MATCH | ALL ROWS PER MATCH
-  *   AFTER MATCH SKIP PAST LAST ROW
+  *   AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST v | TO LAST v
   *   PATTERN: concatenation of variables or alternation groups (A|B), each
   *            with quantifiers + * ?  (greedy)
   *   DEFINE V AS <predicate over V's own row, PREV(x.f[,n]) / NEXT(x.f[,n])>
@@ -61,6 +61,16 @@ object MatchRecognize {
   /** PREV/NEXT navigation used by a DEFINE predicate: the predicate text
     * references `name`, which materializes as lag/lead(field, offset). */
   final case class Nav(name: String, fn: String, field: String, offset: Int)
+
+  /** AFTER MATCH SKIP strategy (G:363-367 declares all four). */
+  sealed trait SkipMode extends Serializable
+  case object SkipPastLastRow extends SkipMode
+  case object SkipToNextRow extends SkipMode
+  /** Resume at the first/last row mapped to `variable` in the just-completed
+    * match. Per the SQL standard, a resume position equal to the match start
+    * is an infinite loop and raises an error at runtime. */
+  final case class SkipToFirst(variable: String) extends SkipMode
+  final case class SkipToLast(variable: String) extends SkipMode
 
   private def quantOf(q: String): Quant = q match {
     case "+" => Plus
@@ -124,7 +134,9 @@ object MatchRecognize {
       varIdx: Map[String, Int],
       fieldIdx: Map[String, Int],
       allRows: Boolean,
-      skipToNext: Boolean = false) extends Serializable {
+      // 0 = past last row, 1 = to next row, 2 = to first var, 3 = to last var
+      skipKind: Int = 0,
+      skipVar: Int = -1) extends Serializable {
 
     def conds(grp: IndexedSeq[Row]): Array[Array[Boolean]] =
       Array.tabulate(nVars) { v =>
@@ -305,9 +317,24 @@ object MatchRecognize {
                 j += 1
               }
             } else out += measureRow(grp, assign, i, end, matchNo)
-            // AFTER MATCH SKIP: TO NEXT ROW re-attempts from the next row
-            // (overlapping matches); PAST LAST ROW resumes after the match
-            i = if (skipToNext) i + 1 else math.max(end, i + 1)
+            // AFTER MATCH SKIP: PAST LAST ROW resumes after the match;
+            // TO NEXT ROW re-attempts from the next row (overlapping
+            // matches); TO FIRST/LAST v resumes at v's first/last mapped row
+            i = skipKind match {
+              case 1 => i + 1
+              case 2 | 3 =>
+                var j = if (skipKind == 2) i else end - 1
+                val step = if (skipKind == 2) 1 else -1
+                while (j >= i && j < end && assign(j) != skipVar) j += step
+                if (j < i || j >= end)
+                  throw new IllegalStateException(
+                    "AFTER MATCH SKIP TO FIRST/LAST: variable not present in match")
+                if (j == i)
+                  throw new IllegalStateException(
+                    "AFTER MATCH SKIP TO FIRST/LAST would loop: resume row equals the match start")
+                j
+              case _ => math.max(end, i + 1)
+            }
           } else retainFrom = i // boundary match: hold for more data
         } else if (!closed && hitEnd) retainFrom = i // could match later
         else i += 1
@@ -324,7 +351,7 @@ object MatchRecognize {
       partitionBy: Seq[String], orderBy: String,
       defines: Seq[(String, Column)], patterns: Seq[Seq[PatTok]],
       measures: Seq[Measure], navs: Seq[Nav], allRows: Boolean,
-      streaming: Boolean, skipToNext: Boolean = false): (DataFrame, Kernel, StructType) = {
+      streaming: Boolean, skip: SkipMode = SkipPastLastRow): (DataFrame, Kernel, StructType) = {
 
     val varIdx = defines.map(_._1).zipWithIndex.toMap
     require(patterns.nonEmpty && patterns.forall(_.forall(_.vars.forall(varIdx.contains))),
@@ -395,7 +422,19 @@ object MatchRecognize {
       varIdx = varIdx,
       fieldIdx = measureFieldIdx,
       allRows = allRows,
-      skipToNext = skipToNext)
+      skipKind = skip match {
+        case SkipPastLastRow => 0
+        case SkipToNextRow => 1
+        case SkipToFirst(_) => 2
+        case SkipToLast(_) => 3
+      },
+      skipVar = skip match {
+        case SkipToFirst(v) => varIdx.getOrElse(v, throw new IllegalArgumentException(
+          s"SKIP TO FIRST $v: no such pattern variable"))
+        case SkipToLast(v) => varIdx.getOrElse(v, throw new IllegalArgumentException(
+          s"SKIP TO LAST $v: no such pattern variable"))
+        case _ => -1
+      })
     (withBits, kernel, outSchema)
   }
 
@@ -409,11 +448,11 @@ object MatchRecognize {
       navs: Seq[Nav] = Nil,
       allRows: Boolean = false,
       altPatterns: Seq[Seq[PatTok]] = Nil,
-      skipToNext: Boolean = false): DataFrame = {
+      skip: SkipMode = SkipPastLastRow): DataFrame = {
 
     val (withBits, kernel, outSchema) =
       prepare(df, partitionBy, orderBy, defines, pattern +: altPatterns, measures,
-        navs, allRows, streaming = false, skipToNext = skipToNext)
+        navs, allRows, streaming = false, skip = skip)
     val keyIdx = partitionBy.map(withBits.schema.fieldIndex)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
 
@@ -518,7 +557,7 @@ object MatchRecognize {
     ("""(?is)SELECT\s+\*\s+FROM\s+([\w.`]+)\s+MATCH_RECOGNIZE\s*\(\s*""" +
       """PARTITION\s+BY\s+([\w.`,\s]+?)\s+ORDER\s+BY\s+([\w.`]+)\s+""" +
       """MEASURES\s+(.*?)\s+(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+""" +
-      """AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+""" +
+      """AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+\w+)\s+""" +
       """PATTERN\s*\(\s*(.*?)\s*\)\s+""" +
       """DEFINE\s+(.*?)\s*\)\s*$""").r
 
@@ -558,7 +597,12 @@ object MatchRecognize {
         Measure(mm.group(2), mm.group(1).toLowerCase, "", "")
       })
     }
-    val skipToNext = m.group(6).toUpperCase.replaceAll("\\s+", " ") == "TO NEXT ROW"
+    val skip: SkipMode = m.group(6).toUpperCase.replaceAll("\\s+", " ") match {
+      case "PAST LAST ROW" => SkipPastLastRow
+      case "TO NEXT ROW" => SkipToNextRow
+      case s if s.startsWith("TO FIRST ") => SkipToFirst(m.group(6).trim.split("\\s+").last)
+      case s if s.startsWith("TO LAST ") => SkipToLast(m.group(6).trim.split("\\s+").last)
+    }
     val patternAlts = parseAlternatives(m.group(7))
     val pattern = patternAlts.head
 
@@ -591,15 +635,15 @@ object MatchRecognize {
     if (input.isStreaming && navs.nonEmpty)
       throw new IllegalArgumentException(
         "PREV/NEXT navigation in DEFINE is batch-only for now")
-    if (input.isStreaming && skipToNext)
+    if (input.isStreaming && skip != SkipPastLastRow)
       throw new IllegalArgumentException(
-        "AFTER MATCH SKIP TO NEXT ROW is batch-only for now")
+        "AFTER MATCH SKIP modes other than PAST LAST ROW are batch-only for now")
     if (input.isStreaming)
       matchRecognizeStream(input, partitionBy, orderBy, defines, pattern, measures,
         watermarkDelay = None, allRows = allRows, altPatterns = patternAlts.tail)
     else
       matchRecognize(input, partitionBy, orderBy, defines, pattern,
         measures, navs.toSeq, allRows, altPatterns = patternAlts.tail,
-        skipToNext = skipToNext)
+        skip = skip)
   }
 }

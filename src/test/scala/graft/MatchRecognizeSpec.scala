@@ -68,7 +68,7 @@ class MatchRecognizeSpec extends SparkTestBase {
       measures = Seq(
         Measure("a_price", "first", "A", "price"),
         Measure("m", "match_number", "", "")),
-      skipToNext = true)
+      skip = SkipToNextRow)
       .orderBy("a_price")
       .collect().map(r => (r.getDouble(1), r.getLong(2)))
     assert(toNext.toSeq == Seq((1.0, 1L), (2.0, 2L), (3.0, 3L)))
@@ -90,6 +90,37 @@ class MatchRecognizeSpec extends SparkTestBase {
         |  DEFINE A AS A.price < 100, B AS B.price < 100
         |)""".stripMargin)
     assert(sqlOut.count() == 3)
+  }
+
+  test("AFTER MATCH SKIP TO LAST: next match anchors at the shared boundary row") {
+    // rising runs 1<2<3, then 3>1, 1<5: SKIP TO LAST B lets the peak row
+    // (3) anchor the next attempt, chaining runs at their boundary
+    val df = mk(Seq((1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0), (1, 4, 1.0), (1, 5, 5.0)))
+    df.createOrReplaceTempView("mr_tolast")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_tolast MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(A.price) AS base, LAST(B.price) AS peak
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST B
+        |  PATTERN (A B+)
+        |  DEFINE B AS B.price > PREV(B.price)
+        |)""".stripMargin)
+      .orderBy("base").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // PAST LAST ROW would give (1,3) and (1,5); TO LAST B re-anchors at the
+    // peak row 3, which starts (3 -> fails: 1 not > 3), then (1,5) from row 4
+    assert(out.toSeq == Seq((1.0, 3.0), (1.0, 5.0)))
+    // loop guard: a resume position equal to the match start raises
+    val df2 = mk(Seq((1, 1, 10.0), (1, 2, 200.0)))
+    val err = intercept[org.apache.spark.SparkException] {
+      MatchRecognize.matchRecognize(
+        df2, Seq("k"), "seq",
+        defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") >= 100)),
+        pattern = parsePattern("A B"),
+        measures = Seq(Measure("n", "count", "A", "*")),
+        skip = SkipToFirst("A")).collect()
+    }
+    assert(err.getMessage.contains("would loop"))
   }
 
   test("SQL form parses the corpus statement shape") {
