@@ -148,19 +148,57 @@ object CorpusFilters {
         col("tfidf"), col("rnk").cast("bigint").as("rnk"))
   }
 
-  /** Duplicate clusters from near-duplicate pairs: iterative min-label
-    * propagation (connected components). Each round joins the current labels
-    * across the edge list and takes the min label seen; convergence is
-    * detected with a count of changed labels and takes O(cluster diameter)
-    * rounds — near-dup clusters are shallow (most are stars around one
-    * keeper), so 3-5 rounds is typical. Each round is two hash joins on the
-    * edge key — no driver-side graph, no quadratic state; the same
-    * alternating-join shape GraphX's connected components lowers to. */
-  def duplicateGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  /** Duplicate clusters from near-duplicate pairs: connected components,
+    * labeled by the component's minimum id.
+    *
+    * Two paths, chosen by edge count (the k-means/IVF precedent: fit the
+    * bounded part on the driver, keep the corpus-sized part distributed):
+    *  - edge sets up to `driverLimit` collect to the driver and run
+    *    union-find with union-by-min + path compression — exact, ~16 MB and
+    *    milliseconds per million edges, vs ~1 s of job-scheduling overhead
+    *    PER ROUND for the distributed loop;
+    *  - larger edge sets run iterative min-label propagation: each round
+    *    joins the current labels across the edge list and takes the min seen,
+    *    converging in O(cluster diameter) rounds (near-dup clusters are
+    *    shallow stars — 3-5 typical). Two hash joins per round, no
+    *    driver-side graph — the shape GraphX's connectedComponents lowers to.
+    */
+  def duplicateGroups(pairs: DataFrame, maxIters: Int = 20,
+      driverLimit: Long = 1000000L): DataFrame = {
+    // materialize the pair plan once (eager localCheckpoint) BEFORE the
+    // both-directions union — the union's two branches would otherwise each
+    // re-run the (possibly expensive) candidate-pair join; the propagation
+    // loop below would re-run it per round on top. Checkpointing also
+    // truncates per-iteration lineage growth.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint()
+    if (edges.count() <= driverLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // union by min so the root IS the cluster id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      return ids.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false

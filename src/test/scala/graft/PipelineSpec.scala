@@ -266,10 +266,16 @@ class PipelineSpec extends SparkTestBase {
     // components: {1,2,3,4} (a chain — needs propagation depth), {10,11}, {20,21,22}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("id_a", "id_b")
-    val got = CorpusFilters.duplicateGroups(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // driver union-find path (default) and the distributed label-propagation
+    // path (forced with driverLimit = 0) must agree
+    val viaDriver = CorpusFilters.duplicateGroups(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val viaLoop = CorpusFilters.duplicateGroups(pairs, driverLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == expected)
+    assert(viaLoop == expected)
   }
 
   test("tf-idf: rarer terms outrank common ones at equal tf") {
