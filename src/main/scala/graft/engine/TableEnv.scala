@@ -38,7 +38,11 @@ object TableEnv {
       primaryKey: Seq[String],
       partitionedBy: Seq[String],
       options: Map[String, String],
-      temporary: Boolean) {
+      temporary: Boolean,
+      // DISTRIBUTED BY (cols) INTO n BUCKETS (FLIP-376, grammar keyword):
+      // maps to a Spark bucketed external table — co-located, shuffle-free
+      // joins between tables bucketed the same way
+      distribution: Option[(Seq[String], Int)] = None) {
     def connector: String = options.getOrElse("connector", "")
     def format: String = options.getOrElse("format", "parquet")
     def schemaDdl: String =
@@ -109,6 +113,10 @@ object TableEnv {
   private val HeaderRe =
     """(?is)^CREATE\s+(TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*\(""".r
   private val PartitionedRe = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
+  // FLIP-376: DISTRIBUTED BY [HASH|RANGE] (cols) [INTO n BUCKETS], or the
+  // keyless DISTRIBUTED INTO n BUCKETS (falls back to the primary key)
+  private val DistributedRe =
+    """(?is)DISTRIBUTED(?:\s+BY\s+(?:(?:HASH|RANGE)\s*)?\(([^)]*)\))?(?:\s+INTO\s+(\d+)\s+BUCKETS)?""".r
   private val WithRe = """(?is)WITH\s*\((.*)\)\s*$""".r
 
   /** Scan a balanced-paren block starting at `open` (index of '('), respecting
@@ -249,7 +257,21 @@ object TableEnv {
             cols += ColumnDef(parts(0).replace("`", ""), mapType(parts(1)))
       }
     }
-    Binding(name.toLowerCase, cols.toSeq, watermark, pk, partitionedBy, options, temporary)
+    // scan only up to the WITH clause so an option value containing the
+    // word "distributed" can't masquerade as the DDL clause
+    val preWith = tail.substring(0,
+      WithRe.findFirstMatchIn(tail).map(_.start).getOrElse(tail.length))
+    val distribution = DistributedRe.findFirstMatchIn(preWith).flatMap { d =>
+      val dcols = Option(d.group(1))
+        .map(_.split(",").map(_.trim.replace("`", "")).toSeq)
+        .getOrElse(pk)
+      val buckets = Option(d.group(2)).map(_.toInt).getOrElse(8)
+      if (dcols.isEmpty) throw new IllegalArgumentException(
+        "DISTRIBUTED without columns needs a PRIMARY KEY to bucket by")
+      else Some((dcols, buckets))
+    }
+    Binding(name.toLowerCase, cols.toSeq, watermark, pk, partitionedBy, options,
+      temporary, distribution)
   }
 
   /** Execute CREATE TABLE: parse, register, and (when batch-materializable)
@@ -350,6 +372,11 @@ object TableEnv {
       val raw = spark.read.format("json").schema(cdcEnvelope(b)).load(b.options("path"))
       finishSource(decodeCdc(raw.select(struct(raw.columns.map(col): _*).as("__e")), b),
         b, stream = false)
+    case "filesystem" if b.distribution.isDefined &&
+        spark.catalog.tableExists(bucketTableName(b)) =>
+      // the catalog table carries the bucketing metadata — reading through it
+      // lets equi-joins between same-bucketed tables skip the exchange
+      finishSource(spark.table(bucketTableName(b)), b, stream = false)
     case "filesystem" =>
       val r = spark.read.format(b.format).schema(
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
@@ -609,8 +636,25 @@ object TableEnv {
   }
 
   /** Batch INSERT INTO / INSERT OVERWRITE a bound sink. */
+  /** Catalog identifier for a DISTRIBUTED binding's bucketed external table
+    * (prefixed so the binding's own temp-view name can't shadow it). */
+  def bucketTableName(b: Binding): String = s"graft_bucket_${b.name}"
+
   def batchInsert(spark: SparkSession, b: Binding, df: DataFrame,
       overwrite: Boolean = false): Unit = b.connector match {
+    case "filesystem" if b.distribution.isDefined =>
+      // DISTRIBUTED BY → Spark bucketed external table at the binding's
+      // path: rows hash to buckets on the distribution key and each bucket
+      // is sorted, so equi-joins/aggregations between tables bucketed the
+      // same way read co-located and skip the shuffle entirely
+      val (cols, n) = b.distribution.get
+      val w = df.write.format(b.format)
+        .option("path", b.options("path"))
+        .bucketBy(n, cols.head, cols.tail: _*)
+        .sortBy(cols.head, cols.tail: _*)
+        .mode(if (overwrite) "overwrite" else "append")
+      (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
+        .saveAsTable(bucketTableName(b))
     case "filesystem" =>
       val w = df.write.format(b.format).mode(if (overwrite) "overwrite" else "append")
       (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
@@ -920,8 +964,10 @@ object TableEnv {
     val wm = b.watermark.map { case (c, d) => s"  WATERMARK FOR `$c` AS `$c` - INTERVAL '${d.split(" ")(0)}' ${d.split(" ")(1).toUpperCase}" }
     val pk = if (b.primaryKey.nonEmpty)
       Seq(s"  PRIMARY KEY (${b.primaryKey.mkString(", ")}) NOT ENFORCED") else Nil
-    val part = if (b.partitionedBy.nonEmpty)
-      s" PARTITIONED BY (${b.partitionedBy.mkString(", ")})" else ""
+    val dist = b.distribution.map { case (c, n) =>
+      s" DISTRIBUTED BY (${c.mkString(", ")}) INTO $n BUCKETS" }.getOrElse("")
+    val part = (if (b.partitionedBy.nonEmpty)
+      s" PARTITIONED BY (${b.partitionedBy.mkString(", ")})" else "") + dist
     val opts = b.options.toSeq.sortBy(_._1).map { case (k, v) => s"  '$k' = '$v'" }
     s"CREATE ${if (b.temporary) "TEMPORARY " else ""}TABLE `${b.name}` (\n" +
       (cols ++ wm ++ pk).mkString(",\n") + s"\n)$part WITH (\n" +

@@ -486,4 +486,40 @@ class EngineSpec extends SparkTestBase {
     assert(page.columns == Seq("user_id", "first_low", "high_val", "n_low"))
     assert(page.rows.nonEmpty)
   }
+
+  test("DISTRIBUTED BY: bucketed tables join without a shuffle") {
+    import graft.engine.{Gateway, TableEnv}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val d1 = java.nio.file.Files.createTempDirectory("graft-bkt1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-bkt2").toString
+    gw.executeStatement(h,
+      "CREATE TABLE bsrc (id BIGINT, v DOUBLE) WITH ('connector'='datagen','number-of-rows'='1000')")
+    gw.executeStatement(h,
+      s"""CREATE TABLE bt1 (id BIGINT, v DOUBLE)
+         |DISTRIBUTED BY (id) INTO 8 BUCKETS
+         |WITH ('connector'='filesystem','path'='$d1','format'='parquet')""".stripMargin)
+    gw.executeStatement(h,
+      s"""CREATE TABLE bt2 (id BIGINT, v DOUBLE)
+         |DISTRIBUTED BY (id) INTO 8 BUCKETS
+         |WITH ('connector'='filesystem','path'='$d2','format'='parquet')""".stripMargin)
+    gw.fetchResults(gw.executeStatement(h, "INSERT INTO bt1 SELECT id, v FROM bsrc"), 0)
+    gw.fetchResults(gw.executeStatement(h, "INSERT INTO bt2 SELECT id, v FROM bsrc"), 0)
+    // SHOW CREATE TABLE reconstructs the clause
+    val sct = gw.fetchResults(gw.executeStatement(h, "SHOW CREATE TABLE bt1"), 0)
+    assert(sct.rows.head.head.toString.contains("DISTRIBUTED BY (id) INTO 8 BUCKETS"))
+    val b1 = TableEnv.lookup("bt1").get
+    val b2 = TableEnv.lookup("bt2").get
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = TableEnv.batchDF(spark, b1).as("a")
+        .join(TableEnv.batchDF(spark, b2).as("b"), "id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
