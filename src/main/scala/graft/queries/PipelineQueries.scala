@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{CorpusFilters, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusFilters, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-checkable queries: dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup),
@@ -177,6 +177,21 @@ object PipelineQueries {
               - size(array_intersect(col("a.grams"), col("b.grams"))))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
       CorpusFilters.duplicateGroups(pairs)
+        .orderBy(col("doc_id"))
+    },
+
+    // deterministic source mixing: per-source sampling rates in thousandths
+    "q_mix_sources" -> { (s, dir) =>
+      Sampling.mixSources(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 1000, "src1" -> 500, "src2" -> 250), defaultRate = 100)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // token-budget packing: concat-then-chunk within each source
+    "q_pack_sequences" -> { (s, dir) =>
+      Sampling.packSequences(t(s, dir, "documents"), "doc_id", "source", "text",
+          budgetTokens = 512L)
         .orderBy(col("doc_id"))
     },
 
@@ -389,6 +404,28 @@ object PipelineQueries {
         |  JOIN eg USING (gram))
         |SELECT doc_id, doc_id IN (SELECT doc_id FROM cont) AS contaminated
         |FROM documents WHERE doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "q_mix_sources" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 1000 <
+        |      CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+        |                  WHEN 'src2' THEN 250 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS token_start
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, CAST(token_start AS BIGINT) AS token_start,
+        |       CAST(floor(CAST(token_start AS DOUBLE) / 512) AS BIGINT) AS chunk_id
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q_tfidf_top_terms" ->
       """WITH t AS (
