@@ -32,7 +32,9 @@ object Bench {
     def jsonLine(qs: Seq[(String, Double)], omitted: Int): String = {
       val entries = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
       val omit = if (omitted > 0) s""","omitted":$omitted,"full":"bench_out.json"""" else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{$entries}$omit,"sf":"$sfDir"}"""
+      String.format(java.util.Locale.ROOT,
+        """{"metric":"total","value":%.2f,"unit":"sec","queries":{%s}%s,"sf":"%s"}""",
+        Double.box(total), entries, omit, sfDir)
     }
     val full = jsonLine(results.toSeq, 0)
     // The harness that captures our stdout keeps only a bounded tail (observed

@@ -149,7 +149,7 @@ class Gateway(root: SparkSession) {
     """(?is)^MERGE\s+INTO\s+([\w.`]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.`]+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.*)$""".r
   private val MergeUpdateRe = """(?is)^UPDATE\s+SET\s+(.*)$""".r
   private val MergeInsertRe = """(?is)^INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*$""".r
-  private val MergeClauseRe = """(?is)^(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+(.*)$""".r
+  private val MergeClauseHeadRe = """(?is)^(NOT\s+)?MATCHED\s*(.*)$""".r
 
   /** Split "ON cond WHEN … WHEN …" at top-level WHEN keywords (never inside
     * quotes/parens, so a CASE…WHEN in a predicate stays intact — CASE opens
@@ -183,8 +183,37 @@ class Gateway(root: SparkSession) {
     }
   }
 
+  /** Split "[AND cond] THEN action" at the first top-level THEN — never one
+    * inside quotes/parens or a CASE…END in the predicate. */
+  private def splitThen(rest: String): (Option[String], String) = {
+    var depth = 0; var caseDepth = 0; var i = 0
+    def wordAt(j: Int, w: String): Boolean =
+      rest.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !Character.isLetterOrDigit(rest.charAt(j - 1)) && rest.charAt(j - 1) != '_') &&
+        (j + w.length >= rest.length ||
+          !Character.isLetterOrDigit(rest.charAt(j + w.length)) && rest.charAt(j + w.length) != '_')
+    while (i < rest.length) {
+      rest.charAt(i) match {
+        case '\'' => i += 1; while (i < rest.length && rest.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && wordAt(i, "CASE") => caseDepth += 1; i += 3
+        case _ if depth == 0 && caseDepth > 0 && wordAt(i, "END") => caseDepth -= 1; i += 2
+        case _ if depth == 0 && caseDepth == 0 && wordAt(i, "THEN") =>
+          val head = rest.substring(0, i).trim
+          val cond = if (head.isEmpty) None
+            else Some(head.replaceFirst("(?is)^AND\\s+", ""))
+          return (cond.filter(_.nonEmpty), rest.substring(i + 4).trim)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"MERGE clause missing THEN: '$rest'")
+  }
+
   private def parseMergeClause(s: String): TableEnv.MergeClause = s match {
-    case MergeClauseRe(not, cond, action) =>
+    case MergeClauseHeadRe(not, rest) =>
+      val (cond, action) = splitThen(rest)
       val act = action.trim match {
         case MergeUpdateRe(assigns) => TableEnv.MergeUpdate(
           FlinkDialect.splitAssignments(assigns).map { a =>
@@ -197,7 +226,7 @@ class Gateway(root: SparkSession) {
           FlinkDialect.splitAssignments(values).map(FlinkDialect.rewrite))
         case a => throw new IllegalArgumentException(s"MERGE: unsupported action '$a'")
       }
-      TableEnv.MergeClause(not == null, Option(cond).map(FlinkDialect.rewrite), act)
+      TableEnv.MergeClause(not == null, cond.map(FlinkDialect.rewrite), act)
     case _ => throw new IllegalArgumentException(s"MERGE: cannot parse clause 'WHEN $s'")
   }
   private val CompilePlanRe =

@@ -114,9 +114,12 @@ object TableEnv {
     """(?is)^CREATE\s+(TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*\(""".r
   private val PartitionedRe = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
   // FLIP-376: DISTRIBUTED BY [HASH|RANGE] (cols) [INTO n BUCKETS], or the
-  // keyless DISTRIBUTED INTO n BUCKETS (falls back to the primary key)
+  // keyless DISTRIBUTED INTO n BUCKETS (falls back to the primary key).
+  // Word-anchored and requiring BY/INTO so identifiers like
+  // `distributed_day` (or a comment containing the word) can't trip it.
   private val DistributedRe =
-    """(?is)DISTRIBUTED(?:\s+BY\s+(?:(?:HASH|RANGE)\s*)?\(([^)]*)\))?(?:\s+INTO\s+(\d+)\s+BUCKETS)?""".r
+    ("""(?is)(?<![\w`])DISTRIBUTED\s+(?:BY\s+(?:(?:HASH|RANGE)\s*)?\(([^)]*)\)""" +
+      """(?:\s+INTO\s+(\d+)\s+BUCKETS)?|INTO\s+(\d+)\s+BUCKETS)""").r
   private val WithRe = """(?is)WITH\s*\((.*)\)\s*$""".r
 
   /** Scan a balanced-paren block starting at `open` (index of '('), respecting
@@ -261,14 +264,14 @@ object TableEnv {
     // word "distributed" can't masquerade as the DDL clause
     val preWith = tail.substring(0,
       WithRe.findFirstMatchIn(tail).map(_.start).getOrElse(tail.length))
-    val distribution = DistributedRe.findFirstMatchIn(preWith).flatMap { d =>
+    val distribution = DistributedRe.findFirstMatchIn(preWith).map { d =>
       val dcols = Option(d.group(1))
         .map(_.split(",").map(_.trim.replace("`", "")).toSeq)
         .getOrElse(pk)
-      val buckets = Option(d.group(2)).map(_.toInt).getOrElse(8)
+      val buckets = Option(d.group(2)).orElse(Option(d.group(3))).map(_.toInt).getOrElse(8)
       if (dcols.isEmpty) throw new IllegalArgumentException(
         "DISTRIBUTED without columns needs a PRIMARY KEY to bucket by")
-      else Some((dcols, buckets))
+      (dcols, buckets)
     }
     Binding(name.toLowerCase, cols.toSeq, watermark, pk, partitionedBy, options,
       temporary, distribution)
@@ -336,8 +339,15 @@ object TableEnv {
           partitionedBy = if (parsed.partitionedBy.nonEmpty) parsed.partitionedBy
             else if (ex("PARTITIONS")) Nil else base.partitionedBy,
           options = (if (ex("OPTIONS")) Map.empty[String, String] else base.options)
-            ++ parsed.options)
+            ++ parsed.options,
+          distribution = parsed.distribution.orElse(
+            if (exAll) None else base.distribution))
     }
+    // re-creating a DISTRIBUTED binding must not inherit a stale bucketed
+    // catalog table (possibly pointing at a previous path) — drop it so the
+    // next INSERT recreates it at this binding's location
+    if (b.distribution.isDefined)
+      spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(b)}")
     registry.put(b.name, b)
     // materialize a session view: unbounded datagen/kafka register their
     // STREAMING df so SELECT plans a streaming query (§3.1); jdbc registers a
@@ -375,7 +385,10 @@ object TableEnv {
     case "filesystem" if b.distribution.isDefined &&
         spark.catalog.tableExists(bucketTableName(b)) =>
       // the catalog table carries the bucketing metadata — reading through it
-      // lets equi-joins between same-bucketed tables skip the exchange
+      // lets equi-joins between same-bucketed tables skip the exchange. The
+      // relation cache is per-session, so refresh first: another gateway
+      // session may have rewritten the files via INSERT OVERWRITE/DML.
+      spark.catalog.refreshTable(bucketTableName(b))
       finishSource(spark.table(bucketTableName(b)), b, stream = false)
     case "filesystem" =>
       val r = spark.read.format(b.format).schema(
@@ -805,10 +818,6 @@ object TableEnv {
     val s = source.withColumn("__src_match", lit(true)).alias(sourceAlias)
     val joined = t.join(s, expr(onCond), "left_outer")
     val matchedFlag = col("__src_match").isNotNull
-    val dup = joined.filter(matchedFlag).groupBy(col("__tid")).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dup == 0L,
-      "MERGE cardinality violation: a target row matches more than one source row")
 
     val matchedClauses = clauses.filter(_.matched)
     // first-match-wins: a when() chain in declared order; 0 = no clause
@@ -816,23 +825,39 @@ object TableEnv {
       case (acc, (cl, i)) =>
         acc.when(matchedFlag && cl.cond.map(expr).getOrElse(lit(true)), i + 1)
     }.otherwise(0)
-    val withIdx = joined.withColumn("__clause", idx)
-    val deleteIdx = matchedClauses.zipWithIndex.collect {
-      case (MergeClause(_, _, MergeDelete), i) => i + 1 }
-    val survivors = withIdx.filter(if (deleteIdx.isEmpty) lit(true)
-      else !col("__clause").isin(deleteIdx: _*))
-    val updated = survivors.select(targetCols.map { c =>
+    // Stage every result column (user SET expressions still see the aliased
+    // join here) plus the bookkeeping columns, then materialize ONCE: the
+    // cardinality check, touched count and final write would otherwise each
+    // re-run the target×source join — and a localCheckpoint any later would
+    // drop the alias qualifiers the expressions need.
+    val resultCols = targetCols.map { c =>
       val base: org.apache.spark.sql.Column = col(s"$targetAlias.$c")
       matchedClauses.zipWithIndex.foldLeft(base) {
         case (acc, (MergeClause(_, _, MergeUpdate(assigns)), i)) =>
           assigns.collectFirst { case (ac, e) if ac.equalsIgnoreCase(c) => e } match {
-            case Some(e) => when(col("__clause") === i + 1, expr(e)).otherwise(acc)
+            // cast back to the column's type (as the INSERT branch does) so
+            // a widening SET expression can't silently rewrite the table
+            // with a different on-disk schema
+            case Some(e) => when(col("__clause") === i + 1,
+              expr(e).cast(target.schema(c).dataType)).otherwise(acc)
             case None => acc
           }
         case (acc, _) => acc
       }.as(c)
-    }: _*)
-    val touched = withIdx.filter(col("__clause") > 0).count()
+    }
+    val staged = joined.withColumn("__clause", idx)
+      .select(col("__tid") +: matchedFlag.as("__m") +: col("__clause") +: resultCols: _*)
+      .localCheckpoint()
+    val dup = staged.filter(col("__m")).groupBy(col("__tid")).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      "MERGE cardinality violation: a target row matches more than one source row")
+    val deleteIdx = matchedClauses.zipWithIndex.collect {
+      case (MergeClause(_, _, MergeDelete), i) => i + 1 }
+    val updated = staged.filter(if (deleteIdx.isEmpty) lit(true)
+        else !col("__clause").isin(deleteIdx: _*))
+      .select(targetCols.map(col): _*)
+    val touched = staged.filter(col("__clause") > 0).count()
 
     val insertClauses = clauses.filter(!_.matched)
     val unmatchedSrc = s.join(t, expr(onCond), "left_anti")
@@ -852,7 +877,7 @@ object TableEnv {
           .getOrElse(lit(null).cast(dt)).as(c)
       }: _*)
     }
-    val insertDF = inserts.reduceOption(_ unionAll _)
+    val insertDF = inserts.reduceOption(_ unionAll _).map(_.localCheckpoint())
     val inserted = insertDF.map(_.count()).getOrElse(0L)
     val result = insertDF.foldLeft(updated)(_ unionAll _)
     swapRewrite(spark, b, result)
@@ -905,6 +930,18 @@ object TableEnv {
   /** Rewrite a filesystem binding's data without reading and clobbering the
     * same files: write to a tmp sibling, delete the old dir, move tmp in. */
   private def swapRewrite(spark: SparkSession, b: Binding, df: DataFrame): Unit = {
+    if (b.distribution.isDefined) {
+      // a DISTRIBUTED binding's data lives in a bucketed catalog table; a
+      // plain directory swap would leave files without bucket-id names and
+      // silently break the shuffle-free-join contract. Materialize the
+      // rewritten rows first (we're overwriting the table being read), then
+      // rewrite through the bucketed writer.
+      val materialized = df.localCheckpoint()
+      batchInsert(spark, b, materialized, overwrite = true)
+      spark.catalog.refreshTable(bucketTableName(b))
+      rebind(spark, b)
+      return
+    }
     val path = new org.apache.hadoop.fs.Path(b.options("path"))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path.toString + s".rewrite-${System.nanoTime()}")

@@ -163,6 +163,7 @@ case class QualityStats(child: Expression, stops: Seq[String]) extends UnaryExpr
 /** Codegen'd `word_ngrams(text, n[, distinct])` — see TextKernels. */
 case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
     extends UnaryExpression {
+  require(n >= 1, s"word_ngrams: n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
   override def nullSafeEval(s: Any): Any =

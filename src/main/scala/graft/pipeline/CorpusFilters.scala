@@ -27,7 +27,13 @@ object CorpusFilters {
   def wordGrams(text: Column, n: Int, distinct: Boolean = false): Column =
     graft.functions.TextExprs.word_ngrams(text, n, distinct)
 
-  private def splitWords(text: Column): Column = split(trim(text), "\\s+")
+  /** Canonical tokenization: maximal runs of non-whitespace. `split(trim(t),
+    * "\\s+")` leaves a phantom empty token when the text starts with
+    * non-space whitespace (trim strips spaces only), which would disagree
+    * with the one-pass kernels — filter empties so every word-based stat and
+    * the gram kernels count the same tokens. */
+  private def splitWords(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
 
   /** Count of the most frequent element: sort the array, then a single
     * left fold tracks the current run length and the best run — O(n log n)

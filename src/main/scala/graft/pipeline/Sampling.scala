@@ -45,8 +45,10 @@ object Sampling {
       df: DataFrame, idCol: String, sourceCol: String, textCol: String,
       budgetTokens: Long = 2048L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokens = when(length(trim(col(textCol))) === 0, lit(0L))
-      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("bigint"))
+    // empty-safe token count: split on whitespace, drop empty tokens (the
+    // same tokenization the corpus kernels use)
+    val tokens = size(filter(split(col(textCol), "\\s+"),
+      w => length(w) > 0)).cast("bigint")
     val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
     df.select(col(idCol), col(sourceCol), tokens.as("n_tokens"))
       .withColumn("token_start", sum(col("n_tokens")).over(w) - col("n_tokens"))

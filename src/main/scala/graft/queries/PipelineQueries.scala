@@ -329,7 +329,7 @@ object PipelineQueries {
     "q_corpus_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, chr(10)) AS lines,
-        |         regexp_split_to_array(trim(text), '\s+') AS words
+        |         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, lines, words,
@@ -349,12 +349,11 @@ object PipelineQueries {
     "q_corpus_quality_gate" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_words,
         |    length(regexp_replace(text, '\s', '', 'g')) AS letters,
         |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS symbols,
         |    length(text) AS n_chars,
-        |    len(list_distinct(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    len(list_distinct(list_transform(list_filter(regexp_split_to_array(text, '\s+'),
         |      w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(w))), w -> lower(w)))) AS stop_distinct
         |  FROM documents),
         |m AS (
@@ -380,7 +379,7 @@ object PipelineQueries {
 
     "q_boilerplate_ngrams" ->
       """WITH w AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words FROM documents),
         |g AS (
         |  SELECT doc_id, unnest(CASE WHEN len(words) < 5 THEN [] ELSE
         |    list_distinct(list_transform(generate_series(1, len(words)-4),
@@ -391,7 +390,7 @@ object PipelineQueries {
 
     "q_decontaminate" ->
       """WITH w AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words FROM documents),
         |g AS (
         |  SELECT doc_id, CASE WHEN len(words) < 4 THEN [] ELSE
         |    list_distinct(list_transform(generate_series(1, len(words)-3),
@@ -415,8 +414,7 @@ object PipelineQueries {
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_tokens
         |  FROM documents),
         |w AS (
         |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -210,6 +210,31 @@ class CdcDmlSpec extends SparkTestBase {
     assert(got == Seq((1L, 100L, "merged"), (2L, 20L, "b"), (4L, 400L, "new")))
   }
 
+  test("MERGE UPDATE casts SET expressions back to the column type; CASE in AND parses") {
+    import spark.implicits._
+    TableEnv.clear()
+    val (gw, h) = gwSession()
+    val out = java.nio.file.Files.createTempDirectory("graft-merge3").toString
+    gw.executeStatement(h,
+      s"CREATE TABLE mt3 (id BIGINT, v BIGINT) WITH ('connector'='filesystem','path'='$out','format'='parquet')")
+    TableEnv.batchInsert(spark, TableEnv.lookup("mt3").get,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-merge3-src").toString
+    Seq((1L, 5L), (2L, 0L)).toDF("sid", "sv").write.mode("overwrite").parquet(srcDir)
+    gw.executeStatement(h,
+      s"CREATE TABLE msrc3 (sid BIGINT, sv BIGINT) WITH ('connector'='filesystem','path'='$srcDir','format'='parquet')")
+    // SET v = v * 1.5 would widen BIGINT to DOUBLE and brick the binding's
+    // declared schema on the next read; the AND predicate carries a CASE
+    // whose inner THEN must not terminate the clause condition
+    gw.fetchResults(gw.executeStatement(h,
+      """MERGE INTO mt3 t USING msrc3 s ON t.id = s.sid
+        |WHEN MATCHED AND CASE WHEN s.sv > 0 THEN true ELSE false END
+        |  THEN UPDATE SET v = t.v * 1.5""".stripMargin), 0)
+    val got = spark.read.parquet(out).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 15L), (2L, 20L))) // id=2's clause predicate is false
+  }
+
   test("MERGE INTO rejects multi-match cardinality violations") {
     import spark.implicits._
     TableEnv.clear()

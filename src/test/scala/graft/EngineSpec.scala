@@ -521,5 +521,25 @@ class EngineSpec extends SparkTestBase {
       assert(!plan.contains("Exchange"),
         s"bucketed join should not shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // DML on a bucketed binding must preserve the bucketed-table contract
+    val gw2 = gw
+    gw2.fetchResults(gw2.executeStatement(h, "DELETE FROM bt1 WHERE id < 0"), 0)
+    assert(spark.catalog.tableExists(TableEnv.bucketTableName(TableEnv.lookup("bt1").get)))
+    assert(TableEnv.batchDF(spark, TableEnv.lookup("bt1").get).count() == 1000)
+    // an identifier containing 'distributed' must NOT trip the clause
+    gw2.executeStatement(h,
+      """CREATE TABLE nodist (id BIGINT, distributed_day STRING)
+        |PARTITIONED BY (distributed_day)
+        |WITH ('connector'='datagen','number-of-rows'='5')""".stripMargin)
+    assert(TableEnv.lookup("nodist").get.distribution.isEmpty)
+    // re-creating a DISTRIBUTED binding at a new path must not read stale data
+    val d3 = java.nio.file.Files.createTempDirectory("graft-bkt3").toString
+    gw2.executeStatement(h, "DROP TABLE bt1")
+    gw2.executeStatement(h,
+      s"""CREATE TABLE bt1 (id BIGINT, v DOUBLE)
+         |DISTRIBUTED BY (id) INTO 4 BUCKETS
+         |WITH ('connector'='filesystem','path'='$d3','format'='parquet')""".stripMargin)
+    gw2.fetchResults(gw2.executeStatement(h, "INSERT INTO bt1 SELECT id, v FROM bsrc LIMIT 10"), 0)
+    assert(TableEnv.batchDF(spark, TableEnv.lookup("bt1").get).count() == 10)
   }
 }

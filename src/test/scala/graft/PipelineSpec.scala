@@ -178,11 +178,12 @@ class PipelineSpec extends SparkTestBase {
 
   test("word_ngrams kernel == interpreted lambda twin") {
     val df = Seq("a b c d e", "  leading and   multi  spaces ", "tab\tand\nnewline sep",
-      "one", "", "x y").toDF("text")
+      "one", "", "x y", "\tleading tab words", "trailing newline\n", "\n\t ").toDF("text")
     for (n <- Seq(2, 3, 5)) {
-      val words = split(trim(col("text")), "\\s+")
-      val lambda = when(length(trim(col("text"))) === 0 || size(words) < n,
-          array().cast("array<string>"))
+      // canonical tokenization: split on \s+, drop empties (split(trim(...))
+      // leaves a phantom '' token behind leading non-space whitespace)
+      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      val lambda = when(size(words) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(words) - (n - 1)),
           i => concat_ws(" ", slice(words, i, lit(n)))))
       val rows = df.select(
@@ -200,11 +201,12 @@ class PipelineSpec extends SparkTestBase {
   test("quality_stats kernel == regex/lambda twin") {
     val stops = graft.pipeline.TextAnalysis.StopWords
     val df = Seq("The the THE and banana", "  spaced   out  ", "", "one",
-      "symbols !@# mixed a1b2 and... the-end", "tabs\tand\nnewlines the it").toDF("text")
+      "symbols !@# mixed a1b2 and... the-end", "tabs\tand\nnewlines the it",
+      "\tleading tab", "trailing\n").toDF("text")
     val t = col("text")
-    val words = split(trim(t), "\\s+")
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
     val twin = df.select(
-      when(length(trim(t)) === 0, lit(0L)).otherwise(size(words).cast("bigint")).as("n_words"),
+      size(words).cast("bigint").as("n_words"),
       length(regexp_replace(t, "\\s", "")).cast("bigint").as("letters"),
       size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("bigint").as("symbols"),
       size(array_distinct(transform(
