@@ -522,11 +522,53 @@ class Gateway(root: SparkSession) {
           val df = spark.sql(FlinkDialect.rewrite(s))
           if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
         }
+      case s if streamingDedup(spark, s).isDefined =>
+        startStreamingSelect(spark, streamingDedup(spark, s).get)
       case s =>
         val df = spark.sql(FlinkDialect.rewrite(s))
         if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
     }
   }
+
+  // Flink's streaming "Deduplication" special query (docs-blessed pattern):
+  //   SELECT ... FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY
+  //   t ASC) AS rn FROM s) WHERE rn = 1
+  // Spark streams reject window functions, so keep-first dedup maps to
+  // dropDuplicates[WithinWatermark] on the partition keys.
+  private val StreamingDedupRe =
+    ("""(?is)^SELECT\s+(.*?)\s+FROM\s*\(\s*SELECT\s+.*?ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(""" +
+      """\s*PARTITION\s+BY\s+([\w.`,\s]+?)\s+ORDER\s+BY\s+([\w.`]+)(?:\s+(ASC|DESC))?\s*\)\s+AS\s+(\w+)\s+""" +
+      """FROM\s+([\w.`]+)\s*\)(?:\s+(?:AS\s+)?\w+)?\s+WHERE\s+(\w+)\s*=\s*1\s*$""").r
+
+  /** The deduplicated streaming DataFrame when `stmt` is Flink's dedup
+    * pattern over a STREAMING table; None lets batch tables fall through to
+    * the native window-function plan. */
+  private def streamingDedup(spark: SparkSession, stmt: String): Option[DataFrame] =
+    for {
+      m <- StreamingDedupRe.findFirstMatchIn(stmt.trim)
+      if m.group(5).equalsIgnoreCase(m.group(7)) // rn alias matches the WHERE
+      table = m.group(6).replace("`", "")
+      src <- try Some(spark.table(table)) catch { case _: Exception => None }
+      if src.isStreaming
+    } yield {
+      if (Option(m.group(4)).exists(_.equalsIgnoreCase("DESC")))
+        throw new IllegalArgumentException(
+          "streaming deduplication supports keep-first (ORDER BY ... ASC) only — " +
+            "keep-last needs a retracting sink")
+      val keys = m.group(2).split(",").map(_.trim.replace("`", "")).toSeq
+      // a declared watermark bounds the dedup state (Flink's state-TTL
+      // analog); without one, state grows with the key space, as in Flink
+      val hasWatermark = TableEnv.lookup(table).exists(_.watermark.isDefined)
+      val deduped =
+        if (hasWatermark) src.dropDuplicatesWithinWatermark(keys)
+        else src.dropDuplicates(keys)
+      // rn = 1 for every surviving row — materialize it so an outer select
+      // list referencing the alias still resolves
+      val withRn = deduped.withColumn(m.group(5), org.apache.spark.sql.functions.lit(1L))
+      val outer = m.group(1).trim
+      if (outer == "*") withRn
+      else withRn.selectExpr(FlinkDialect.splitAssignments(outer): _*)
+    }
 
   /** Streaming SELECT (the notebook's continuous-query path,
     * notebookController.ts:219-294): run the query into the drop-oldest ring

@@ -487,6 +487,42 @@ class EngineSpec extends SparkTestBase {
     assert(page.rows.nonEmpty)
   }
 
+  test("streaming deduplication: ROW_NUMBER rn=1 pattern maps to dropDuplicates") {
+    import graft.engine.{Gateway, TableEnv}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    gw.executeStatement(h,
+      """CREATE TABLE dd_src (id BIGINT, k AS MOD(id, 3))
+        |WITH ('connector'='datagen','rows-per-second'='500')""".stripMargin)
+    val op = gw.executeStatement(h,
+      """SELECT k, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id ASC) AS rn
+        |  FROM dd_src) WHERE rn = 1""".stripMargin)
+    try {
+      var page = gw.fetchResults(op, 0)
+      var tries = 0
+      while (page.rows.size < 3 && tries < 100) {
+        Thread.sleep(200); page = gw.fetchResults(op, 0); tries += 1
+      }
+      // keep-first: exactly one row per key, ever
+      val keys = page.rows.map(_.head.toString)
+      assert(keys.distinct.size == keys.size, s"duplicate keys in dedup output: $keys")
+      assert(keys.size == 3)
+      assert(page.columns == Seq("k", "rn"))
+      assert(page.rows.forall(_(1).toString == "1"))
+    } finally gw.closeOperation(op)
+    // batch tables fall through to the native window plan
+    gw.executeStatement(h,
+      """CREATE TABLE dd_batch (id BIGINT, k AS MOD(id, 3))
+        |WITH ('connector'='datagen','number-of-rows'='50')""".stripMargin)
+    val b = gw.fetchResults(gw.executeStatement(h,
+      """SELECT k, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id ASC) AS rn
+        |  FROM dd_batch) WHERE rn = 1""".stripMargin), 0)
+    assert(b.rows.size == 3)
+  }
+
   test("DISTRIBUTED BY: bucketed tables join without a shuffle") {
     import graft.engine.{Gateway, TableEnv}
     TableEnv.clear()
