@@ -68,6 +68,16 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 100 =!= 0), docs.filter(col("doc_id") % 100 === 0),
         "doc_id", "text", n = 8).filter(col("contaminated")).count()
     }
+    time("tf-idf top terms") {
+      CorpusFilters.tfidfTopTerms(docs, "doc_id", "text", k = 3).count()
+    }
+    time("mix + pack") {
+      graft.pipeline.Sampling.packSequences(
+        graft.pipeline.Sampling.mixSources(docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(4)))), "doc_id", "source",
+          Map("src0" -> 1000, "src1" -> 500), defaultRate = 100),
+        "doc_id", "source", "text").count()
+    }
 
     // CEP at scale: n events over 10k keys, A+ B runs (value derived from a
     // hash so runs are irregular); one shuffle + per-key linear matcher
