@@ -201,6 +201,12 @@ class Gateway(root: SparkSession) {
         case _ if depth == 0 && caseDepth > 0 && wordAt(i, "END") => caseDepth -= 1; i += 2
         case _ if depth == 0 && caseDepth == 0 && wordAt(i, "THEN") =>
           val head = rest.substring(0, i).trim
+          // anything between MATCHED and THEN must be an AND predicate —
+          // reject e.g. standard-SQL 'MATCHED BY SOURCE' with a clear error
+          // instead of letting junk reach expr() as a predicate
+          if (head.nonEmpty && !head.toUpperCase.startsWith("AND "))
+            throw new IllegalArgumentException(
+              s"MERGE: expected AND <predicate> or THEN after MATCHED, got '$head'")
           val cond = if (head.isEmpty) None
             else Some(head.replaceFirst("(?is)^AND\\s+", ""))
           return (cond.filter(_.nonEmpty), rest.substring(i + 4).trim)
@@ -522,11 +528,13 @@ class Gateway(root: SparkSession) {
           val df = spark.sql(FlinkDialect.rewrite(s))
           if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
         }
-      case s if streamingDedup(spark, s).isDefined =>
-        startStreamingSelect(spark, streamingDedup(spark, s).get)
       case s =>
-        val df = spark.sql(FlinkDialect.rewrite(s))
-        if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
+        streamingDedup(spark, s) match {
+          case Some(df) => startStreamingSelect(spark, df)
+          case None =>
+            val df = spark.sql(FlinkDialect.rewrite(s))
+            if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
+        }
     }
   }
 
@@ -536,7 +544,7 @@ class Gateway(root: SparkSession) {
   // Spark streams reject window functions, so keep-first dedup maps to
   // dropDuplicates[WithinWatermark] on the partition keys.
   private val StreamingDedupRe =
-    ("""(?is)^SELECT\s+(.*?)\s+FROM\s*\(\s*SELECT\s+.*?ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(""" +
+    ("""(?is)^SELECT\s+(.*?)\s+FROM\s*\(\s*SELECT\s+(.*?),?\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(""" +
       """\s*PARTITION\s+BY\s+([\w.`,\s]+?)\s+ORDER\s+BY\s+([\w.`]+)(?:\s+(ASC|DESC))?\s*\)\s+AS\s+(\w+)\s+""" +
       """FROM\s+([\w.`]+)\s*\)(?:\s+(?:AS\s+)?\w+)?\s+WHERE\s+(\w+)\s*=\s*1\s*$""").r
 
@@ -546,28 +554,44 @@ class Gateway(root: SparkSession) {
   private def streamingDedup(spark: SparkSession, stmt: String): Option[DataFrame] =
     for {
       m <- StreamingDedupRe.findFirstMatchIn(stmt.trim)
-      if m.group(5).equalsIgnoreCase(m.group(7)) // rn alias matches the WHERE
-      table = m.group(6).replace("`", "")
+      if m.group(6).equalsIgnoreCase(m.group(8)) // rn alias matches the WHERE
+      table = m.group(7).replace("`", "")
       src <- try Some(spark.table(table)) catch { case _: Exception => None }
       if src.isStreaming
     } yield {
-      if (Option(m.group(4)).exists(_.equalsIgnoreCase("DESC")))
+      if (Option(m.group(5)).exists(_.equalsIgnoreCase("DESC")))
         throw new IllegalArgumentException(
           "streaming deduplication supports keep-first (ORDER BY ... ASC) only — " +
             "keep-last needs a retracting sink")
-      val keys = m.group(2).split(",").map(_.trim.replace("`", "")).toSeq
+      val binding = TableEnv.lookup(table)
+      val orderCol = m.group(4).replace("`", "")
+      // dropDuplicates keeps the FIRST-ARRIVING row — exactly Flink's
+      // processing-time dedup. Ordering by the event-time (watermark) column
+      // would need min-by-event-time state, so fail loud instead of keeping
+      // a silently wrong survivor on out-of-order streams.
+      if (binding.exists(_.watermark.exists(_._1.equalsIgnoreCase(orderCol))))
+        throw new IllegalArgumentException(
+          "streaming deduplication orders by the event-time column — only " +
+            "processing-time (arrival order) dedup is supported; order by PROCTIME()")
+      // inner projection (anything before ROW_NUMBER) applies first
+      val innerList = m.group(2).trim
+      val projected =
+        if (innerList == "*" || innerList.isEmpty) src
+        else src.selectExpr(FlinkDialect.splitAssignments(innerList)
+          .map(FlinkDialect.rewrite): _*)
+      val keys = m.group(3).split(",").map(_.trim.replace("`", "")).toSeq
       // a declared watermark bounds the dedup state (Flink's state-TTL
       // analog); without one, state grows with the key space, as in Flink
-      val hasWatermark = TableEnv.lookup(table).exists(_.watermark.isDefined)
       val deduped =
-        if (hasWatermark) src.dropDuplicatesWithinWatermark(keys)
-        else src.dropDuplicates(keys)
+        if (binding.exists(_.watermark.isDefined)) projected.dropDuplicatesWithinWatermark(keys)
+        else projected.dropDuplicates(keys)
       // rn = 1 for every surviving row — materialize it so an outer select
       // list referencing the alias still resolves
-      val withRn = deduped.withColumn(m.group(5), org.apache.spark.sql.functions.lit(1L))
+      val withRn = deduped.withColumn(m.group(6), org.apache.spark.sql.functions.lit(1L))
       val outer = m.group(1).trim
       if (outer == "*") withRn
-      else withRn.selectExpr(FlinkDialect.splitAssignments(outer): _*)
+      else withRn.selectExpr(FlinkDialect.splitAssignments(outer)
+        .map(FlinkDialect.rewrite): _*)
     }
 
   /** Streaming SELECT (the notebook's continuous-query path,

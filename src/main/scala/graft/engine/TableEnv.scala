@@ -344,10 +344,20 @@ object TableEnv {
             if (exAll) None else base.distribution))
     }
     // re-creating a DISTRIBUTED binding must not inherit a stale bucketed
-    // catalog table (possibly pointing at a previous path) — drop it so the
-    // next INSERT recreates it at this binding's location
-    if (b.distribution.isDefined)
-      spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(b)}")
+    // catalog table pointing at a PREVIOUS path — but re-declaring the same
+    // DDL over existing data (the normal per-session workflow) must keep the
+    // catalog table, or the zero-shuffle bucketing contract silently lapses
+    // until the next INSERT. Keep it only when its files live under this
+    // binding's path.
+    if (b.distribution.isDefined && spark.catalog.tableExists(bucketTableName(b))) {
+      val samePath = try {
+        val want = new org.apache.hadoop.fs.Path(b.options("path")).toUri.getPath
+        val files = spark.table(bucketTableName(b)).inputFiles
+        files.nonEmpty && files.forall(f =>
+          new org.apache.hadoop.fs.Path(f).toUri.getPath.startsWith(want))
+      } catch { case _: Exception => false }
+      if (!samePath) spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(b)}")
+    }
     registry.put(b.name, b)
     // materialize a session view: unbounded datagen/kafka register their
     // STREAMING df so SELECT plans a streaming query (§3.1); jdbc registers a
@@ -807,6 +817,8 @@ object TableEnv {
     * NOT MATCHED insert clause. The rewrite lands via the same atomic
     * directory swap as UPDATE/DELETE. Standard-SQL cardinality rule
     * enforced: a target row matching more than one source row is an error.
+    * SET/INSERT expressions are cast to the target column type with Spark
+    * CAST semantics (fractional→integral truncates toward zero).
     * Returns (matched rows affected, rows inserted). */
   def merge(spark: SparkSession, b: Binding, targetAlias: String,
       source: DataFrame, sourceAlias: String, onCond: String,

@@ -32,7 +32,7 @@ object CorpusFilters {
     * non-space whitespace (trim strips spaces only), which would disagree
     * with the one-pass kernels — filter empties so every word-based stat and
     * the gram kernels count the same tokens. */
-  private def splitWords(text: Column): Column =
+  private[pipeline] def splitWords(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
 
   /** Count of the most frequent element: sort the array, then a single

@@ -45,10 +45,8 @@ object Sampling {
       df: DataFrame, idCol: String, sourceCol: String, textCol: String,
       budgetTokens: Long = 2048L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // empty-safe token count: split on whitespace, drop empty tokens (the
-    // same tokenization the corpus kernels use)
-    val tokens = size(filter(split(col(textCol), "\\s+"),
-      w => length(w) > 0)).cast("bigint")
+    // the canonical corpus tokenization, shared with CorpusFilters
+    val tokens = size(CorpusFilters.splitWords(col(textCol))).cast("bigint")
     val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
     df.select(col(idCol), col(sourceCol), tokens.as("n_tokens"))
       .withColumn("token_start", sum(col("n_tokens")).over(w) - col("n_tokens"))

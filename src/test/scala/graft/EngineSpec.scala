@@ -559,7 +559,8 @@ class EngineSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     // DML on a bucketed binding must preserve the bucketed-table contract
     val gw2 = gw
-    gw2.fetchResults(gw2.executeStatement(h, "DELETE FROM bt1 WHERE id < 0"), 0)
+    val delPage = gw2.fetchResults(gw2.executeStatement(h, "DELETE FROM bt1 WHERE id < 0"), 0)
+    assert(delPage.rows.head.head.toString.contains("deleted"), s"DELETE failed: ${delPage.rows}")
     assert(spark.catalog.tableExists(TableEnv.bucketTableName(TableEnv.lookup("bt1").get)))
     assert(TableEnv.batchDF(spark, TableEnv.lookup("bt1").get).count() == 1000)
     // an identifier containing 'distributed' must NOT trip the clause
