@@ -565,14 +565,6 @@ class Gateway(root: SparkSession) {
             "keep-last needs a retracting sink")
       val binding = TableEnv.lookup(table)
       val orderCol = m.group(4).replace("`", "")
-      // dropDuplicates keeps the FIRST-ARRIVING row — exactly Flink's
-      // processing-time dedup. Ordering by the event-time (watermark) column
-      // would need min-by-event-time state, so fail loud instead of keeping
-      // a silently wrong survivor on out-of-order streams.
-      if (binding.exists(_.watermark.exists(_._1.equalsIgnoreCase(orderCol))))
-        throw new IllegalArgumentException(
-          "streaming deduplication orders by the event-time column — only " +
-            "processing-time (arrival order) dedup is supported; order by PROCTIME()")
       // inner projection (anything before ROW_NUMBER) applies first
       val innerList = m.group(2).trim
       val projected =
@@ -580,10 +572,18 @@ class Gateway(root: SparkSession) {
         else src.selectExpr(FlinkDialect.splitAssignments(innerList)
           .map(FlinkDialect.rewrite): _*)
       val keys = m.group(3).split(",").map(_.trim.replace("`", "")).toSeq
-      // a declared watermark bounds the dedup state (Flink's state-TTL
-      // analog); without one, state grows with the key space, as in Flink
+      val orderIsEventTime =
+        binding.exists(_.watermark.exists(_._1.equalsIgnoreCase(orderCol)))
       val deduped =
-        if (binding.exists(_.watermark.isDefined)) projected.dropDuplicatesWithinWatermark(keys)
+        if (orderIsEventTime)
+          // ORDER BY the rowtime column: dropDuplicates would keep the
+          // first-ARRIVING row (wrong on out-of-order streams) — use the
+          // stateful keep-min-by-event-time operator instead
+          graft.operators.StreamingDedup.keepFirstByEventTime(projected, keys, orderCol)
+        else if (binding.exists(_.watermark.isDefined))
+          // processing-time dedup; the declared watermark bounds the state
+          // (Flink's state-TTL analog)
+          projected.dropDuplicatesWithinWatermark(keys)
         else projected.dropDuplicates(keys)
       // rn = 1 for every surviving row — materialize it so an outer select
       // list referencing the alias still resolves

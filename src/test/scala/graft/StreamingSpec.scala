@@ -346,6 +346,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time dedup keeps the min-rowtime row, not the first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val src = mem.toDF().toDF("k", "ts", "v").withWatermark("ts", "5 minutes")
+    val out = graft.operators.StreamingDedup.keepFirstByEventTime(src, Seq("k"), "ts")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("etd_out").start()
+    try {
+      // k=1: the 00:10 row arrives FIRST; the true minimum 00:07 arrives in a
+      // later batch but inside the 5-minute lateness bound (00:07 >= the
+      // 00:05 watermark), so it must replace the earlier arrival
+      mem.addData((1, ts("2024-01-01 00:10:00"), 10.0))
+      q.processAllAvailable()
+      mem.addData((1, ts("2024-01-01 00:07:00"), 7.0),
+        (2, ts("2024-01-01 00:08:00"), 8.0))
+      q.processAllAvailable()
+      // nothing final yet (watermark 00:05 is still behind the candidates)
+      assert(spark.table("etd_out").isEmpty)
+      // advance the watermark past both candidates → exactly one row per key
+      mem.addData((3, ts("2024-01-01 01:00:00"), 99.0))
+      q.processAllAvailable()
+      mem.addData((3, ts("2024-01-01 02:00:00"), 99.0)) // let the wm tick again
+      q.processAllAvailable()
+      val rows = spark.table("etd_out")
+        .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      assert(rows(1) == 7.0, s"must keep min event time, got $rows")
+      assert(rows(2) == 8.0)
+      // a duplicate arriving AFTER emission stays suppressed
+      mem.addData((1, ts("2024-01-01 03:00:00"), 77.0))
+      q.processAllAvailable()
+      mem.addData((3, ts("2024-01-01 04:00:00"), 99.0))
+      q.processAllAvailable()
+      assert(spark.table("etd_out").filter(col("k") === 1).count() == 1)
+    } finally q.stop()
+  }
+
   test("corpus quality/repetition operators run on streams: stream == batch") {
     // the per-document corpus operators are pure projections, so they apply
     // unchanged to a streaming DataFrame — pin that property end to end
