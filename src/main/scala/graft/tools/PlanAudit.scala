@@ -18,6 +18,12 @@ object PlanAudit {
     "q_sim_topk_brute",       // broadcast queries + windowed top-k
     "q_cep_low_runs",         // secondary sort + mapPartitions NFA
     "q_fn_regex",             // pushdown + codegen'd functions
+    "q_boilerplate_ngrams",   // r3: kernel explode + map-side-combined agg
+    "q_decontaminate",        // r3: broadcast semi join on eval grams
+    "q_corpus_quality_gate",  // r3: one-pass quality_stats kernel projection
+    "q_tfidf_top_terms",      // r3: two aggs + broadcast N + top-k window
+    "q_sim_topk_lsh",         // r3: signature buckets + multi-probe broadcast
+    "q_mix_sources",          // r3: scan-speed deterministic sample
   )
 
   def main(args: Array[String]): Unit = {
