@@ -128,19 +128,31 @@ object FlinkDialect {
   def rewrite(stmt0: String): String = {
     var s = stmt0
 
-    // window TVFs → inline subqueries projecting window_start/window_end
+    // window TVFs → inline subqueries projecting window_start/window_end,
+    // plus the window struct itself as __w: grouping must include the
+    // TimeWindow attribute (not just the extracted start/end) for Spark to
+    // recognize a streaming window aggregation and allow append mode —
+    // batch semantics are unchanged (start/end functionally determine __w)
+    var tvfWindowed = false
     s = TumbleTvf.replaceAllIn(s, m => Regex.quoteReplacement {
       val (t, ts, v, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
-      s"(SELECT *, window(`$ts`, '${dur(v, u)}').start AS window_start, " +
+      tvfWindowed = true
+      s"(SELECT *, window(`$ts`, '${dur(v, u)}') AS __w, " +
+        s"window(`$ts`, '${dur(v, u)}').start AS window_start, " +
         s"window(`$ts`, '${dur(v, u)}').end AS window_end FROM $t)"
     })
     s = HopTvf.replaceAllIn(s, m => Regex.quoteReplacement {
       val (t, ts, sv, su, zv, zu) =
         (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
       // HOP(table, descriptor, slide, size)
-      s"(SELECT *, window(`$ts`, '${dur(zv, zu)}', '${dur(sv, su)}').start AS window_start, " +
+      tvfWindowed = true
+      s"(SELECT *, window(`$ts`, '${dur(zv, zu)}', '${dur(sv, su)}') AS __w, " +
+        s"window(`$ts`, '${dur(zv, zu)}', '${dur(sv, su)}').start AS window_start, " +
         s"window(`$ts`, '${dur(zv, zu)}', '${dur(sv, su)}').end AS window_end FROM $t)"
     })
+    if (tvfWindowed)
+      s = s.replaceAll("(?i)GROUP\\s+BY\\s+window_start\\s*,\\s*window_end",
+        "GROUP BY `__w`, window_start, window_end")
     s = CumulateTvf.replaceAllIn(s, m => Regex.quoteReplacement {
       val (t, ts, sv, su, zv, zu) =
         (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))

@@ -532,8 +532,12 @@ class Gateway(root: SparkSession) {
         streamingDedup(spark, s) match {
           case Some(df) => startStreamingSelect(spark, df)
           case None =>
-            val df = spark.sql(FlinkDialect.rewrite(s))
-            if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
+            graft.operators.StreamingTopN.rewrite(spark, s, FlinkDialect.rewrite) match {
+              case Some((inner, transform)) => startStreamingSelect(spark, inner, transform)
+              case None =>
+                val df = spark.sql(FlinkDialect.rewrite(s))
+                if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
+            }
         }
     }
   }
@@ -597,13 +601,17 @@ class Gateway(root: SparkSession) {
   /** Streaming SELECT (the notebook's continuous-query path,
     * notebookController.ts:219-294): run the query into the drop-oldest ring
     * buffer via foreachBatch and page it by token. */
-  private def startStreamingSelect(spark: SparkSession, df: DataFrame): OpResult = {
+  private def startStreamingSelect(spark: SparkSession, df: DataFrame,
+      batchTransform: DataFrame => DataFrame = identity): OpResult = {
     val buffer = new RingBuffer()
     val name = s"select_${System.nanoTime()}"
-    val cols = df.columns.toSeq
+    // derive output columns by probing the transform with an empty BATCH
+    // frame of the stream's schema (the transform may add/rename columns)
+    val cols = batchTransform(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)).columns.toSeq
     def start(mode: String) = df.writeStream.outputMode(mode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        buffer.append(batch.limit(buffer.capacity).collect().toSeq)
+        buffer.append(batchTransform(batch).limit(buffer.capacity).collect().toSeq)
       }
       .queryName(name).start()
     // changelog semantics: projections stream in append mode; aggregations

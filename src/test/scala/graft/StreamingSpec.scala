@@ -382,6 +382,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming window top-N: rank computed per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.toDF().toDF("ts", "k", "v").withWatermark("ts", "1 minute")
+      .createOrReplaceTempView("wtn_src")
+    val stmt =
+      """SELECT window_start, k, total, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start, window_end ORDER BY total DESC) AS rn
+        |  FROM (SELECT window_start, window_end, k, SUM(v) AS total
+        |        FROM TABLE(TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        |        GROUP BY window_start, window_end, k)
+        |) WHERE rn <= 2""".stripMargin
+    val rewritten = graft.operators.StreamingTopN.rewrite(
+      spark, stmt, graft.engine.FlinkDialect.rewrite)
+    assert(rewritten.isDefined, "window top-N pattern must be recognized")
+    val (inner, transform) = rewritten.get
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    val q = inner.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        transform(b).collect().foreach(r =>
+          collected += ((r.getAs[String]("k"), r.getAs[Double]("total"), r.getAs[Long]("rn").toString.toLong)))
+        ()
+      }.start()
+    try {
+      // one window [00:00, 00:10): totals a=5, b=3, c=1 → top-2 = a, b
+      mem.addData(
+        (ts("2024-01-01 00:01:00"), "a", 2.0), (ts("2024-01-01 00:02:00"), "a", 3.0),
+        (ts("2024-01-01 00:03:00"), "b", 3.0), (ts("2024-01-01 00:04:00"), "c", 1.0))
+      q.processAllAvailable()
+      assert(collected.isEmpty) // window still open
+      mem.addData((ts("2024-01-01 00:30:00"), "z", 0.0)) // close it
+      q.processAllAvailable()
+      assert(collected.toSet == Set(("a", 5.0, 1L), ("b", 3.0, 2L)),
+        s"got $collected")
+    } finally q.stop()
+  }
+
   test("corpus quality/repetition operators run on streams: stream == batch") {
     // the per-document corpus operators are pure projections, so they apply
     // unchanged to a streaming DataFrame — pin that property end to end
