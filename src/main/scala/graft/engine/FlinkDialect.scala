@@ -129,14 +129,15 @@ object FlinkDialect {
     var s = stmt0
 
     // window TVFs → inline subqueries projecting window_start/window_end,
-    // plus the window struct itself as __w: grouping must include the
-    // TimeWindow attribute (not just the extracted start/end) for Spark to
-    // recognize a streaming window aggregation and allow append mode —
-    // batch semantics are unchanged (start/end functionally determine __w)
-    var tvfWindowed = false
+    // plus (conditionally, see below) the window struct itself as __w:
+    // grouping must include the TimeWindow attribute — not just the
+    // extracted start/end — for Spark to recognize a streaming window
+    // aggregation and allow append mode. Batch semantics are unchanged
+    // (start/end functionally determine __w).
+    var tumbleHops = 0
     s = TumbleTvf.replaceAllIn(s, m => Regex.quoteReplacement {
       val (t, ts, v, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
-      tvfWindowed = true
+      tumbleHops += 1
       s"(SELECT *, window(`$ts`, '${dur(v, u)}') AS __w, " +
         s"window(`$ts`, '${dur(v, u)}').start AS window_start, " +
         s"window(`$ts`, '${dur(v, u)}').end AS window_end FROM $t)"
@@ -145,14 +146,29 @@ object FlinkDialect {
       val (t, ts, sv, su, zv, zu) =
         (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
       // HOP(table, descriptor, slide, size)
-      tvfWindowed = true
+      tumbleHops += 1
       s"(SELECT *, window(`$ts`, '${dur(zv, zu)}', '${dur(sv, su)}') AS __w, " +
         s"window(`$ts`, '${dur(zv, zu)}', '${dur(sv, su)}').start AS window_start, " +
         s"window(`$ts`, '${dur(zv, zu)}', '${dur(sv, su)}').end AS window_end FROM $t)"
     })
-    if (tvfWindowed)
-      s = s.replaceAll("(?i)GROUP\\s+BY\\s+window_start\\s*,\\s*window_end",
-        "GROUP BY `__w`, window_start, window_end")
+    if (tumbleHops > 0) {
+      // inject __w into the GROUP BY only in the unambiguous case: exactly
+      // one TUMBLE/HOP, no other TVF family in the statement, and exactly
+      // one GROUP BY listing both window_start and window_end (any order,
+      // keys allowed). Otherwise strip the __w projection entirely — a
+      // SELECT-*-passthrough TVF must not grow an extra column, and a
+      // statement mixing TVF families must not have a foreign __w pushed
+      // into the wrong aggregation.
+      val gbRe = ("""(?i)(GROUP\s+BY\s+)(?=[^()]*\bwindow_start\b)""" +
+        """(?=[^()]*\bwindow_end\b)""").r
+      val otherTvf = CumulateTvf.findFirstIn(s).isDefined ||
+        SessionTvf.findFirstIn(s).isDefined
+      val gbMatches = gbRe.findAllIn(s).size
+      if (tumbleHops == 1 && !otherTvf && gbMatches == 1)
+        s = gbRe.replaceAllIn(s, "$1`__w`, ")
+      else
+        s = s.replaceAll("""(?i)window\([^)]*\)\s+AS\s+__w,\s*""", "")
+    }
     s = CumulateTvf.replaceAllIn(s, m => Regex.quoteReplacement {
       val (t, ts, sv, su, zv, zu) =
         (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))

@@ -601,8 +601,10 @@ class Gateway(root: SparkSession) {
   /** Streaming SELECT (the notebook's continuous-query path,
     * notebookController.ts:219-294): run the query into the drop-oldest ring
     * buffer via foreachBatch and page it by token. */
+  private val identityTransform: DataFrame => DataFrame = df => df
+
   private def startStreamingSelect(spark: SparkSession, df: DataFrame,
-      batchTransform: DataFrame => DataFrame = identity): OpResult = {
+      batchTransform: DataFrame => DataFrame = identityTransform): OpResult = {
     val buffer = new RingBuffer()
     val name = s"select_${System.nanoTime()}"
     // derive output columns by probing the transform with an empty BATCH
@@ -619,7 +621,16 @@ class Gateway(root: SparkSession) {
     // EXPLAIN CHANGELOG_MODE would report exactly this)
     val q = try start("append") catch {
       case e: Exception if e.getMessage != null &&
-        e.getMessage.contains("STREAMING_OUTPUT_MODE") => start("update")
+          e.getMessage.contains("STREAMING_OUTPUT_MODE") =>
+        // a per-batch transform (window top-N rank) is only correct when
+        // windows emit atomically on closure — never rank update-mode
+        // partial aggregates into silently wrong results
+        if (batchTransform ne identityTransform)
+          throw new IllegalArgumentException(
+            "window top-N needs an append-mode windowed aggregation " +
+              "(group by window_start, window_end over a watermarked TVF window); " +
+              "this aggregation can only run in update mode")
+        start("update")
     }
     Jobs.register(name, q)
     StreamingOp(name, buffer, cols)

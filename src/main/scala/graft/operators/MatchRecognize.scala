@@ -519,11 +519,7 @@ object MatchRecognize {
     }
 
     val grouped = withBits.as(rowEnc)
-      .groupByKey(r => keyIdx.map(i =>
-        // length-prefixed, null-tagged encoding: no way for distinct
-        // multi-column keys (or null vs the string "null") to collide
-        if (r.isNullAt(i)) "\u0000"
-        else { val v = String.valueOf(r.get(i)); s"${v.length}:$v" }).mkString("\u0001"))(
+      .groupByKey(StateKeys.encoder(withBits.schema, partitionBy))(
         org.apache.spark.sql.Encoders.STRING)
 
     val out = grouped.flatMapGroupsWithState(

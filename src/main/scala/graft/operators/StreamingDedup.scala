@@ -27,7 +27,6 @@ object StreamingDedup {
 
     val schema = df.schema
     val tsIdx = schema.fieldIndex(tsCol)
-    val keyIdx = keys.map(schema.fieldIndex)
     val rowEnc = org.apache.spark.sql.Encoders.row(schema)
     val stateEnc = org.apache.spark.sql.Encoders.javaSerialization[(Option[Row], Boolean)]
 
@@ -40,11 +39,7 @@ object StreamingDedup {
     }
 
     df.as(rowEnc)
-      .groupByKey(r => keyIdx.map(i =>
-        // length-prefixed, null-tagged encoding (matches MatchRecognize):
-        // distinct multi-column keys can never collide
-        if (r.isNullAt(i)) "\u0000"
-        else { val v = String.valueOf(r.get(i)); s"${v.length}:$v" }).mkString("\u0001"))(
+      .groupByKey(StateKeys.encoder(schema, keys))(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: String, rows: Iterator[Row], state: GroupState[(Option[Row], Boolean)]) => {
@@ -55,10 +50,13 @@ object StreamingDedup {
             Iterator.empty
           } else {
             // earliest event time wins; arrival order breaks exact ties
-            // (Flink's rn=1 behavior for equal rowtimes)
+            // (Flink's rn=1 behavior for equal rowtimes). Null rowtimes are
+            // skipped — as Long.MinValue they would instantly win and
+            // permanently suppress every real row for the key.
             var cand = cand0
             rows.foreach { r =>
-              if (cand.isEmpty || millis(r) < millis(cand.get)) cand = Some(r)
+              if (!r.isNullAt(tsIdx) &&
+                (cand.isEmpty || millis(r) < millis(cand.get))) cand = Some(r)
             }
             val wm = state.getCurrentWatermarkMs()
             // strictly below the watermark: rows at exactly wm may still

@@ -28,11 +28,14 @@ object StreamingTopN {
   private val Re =
     ("""(?is)^SELECT\s+(.*?)\s+FROM\s*\(\s*SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(""" +
       """\s*PARTITION\s+BY\s+([\w.`,\s]+?)\s+ORDER\s+BY\s+(.+?)\s*\)\s+AS\s+(\w+)\s+""" +
-      """FROM\s*\((.*)\)\s*(?:AS\s+)?\w*\s*\)(?:\s+(?:AS\s+)?\w+)?\s+WHERE\s+(\w+)\s*<=\s*(\d+)\s*$""").r
+      """FROM\s*\((.*)\)\s*(?:AS\s+)?\w*\s*\)(?:\s+(?:AS\s+)?\w+)?\s+WHERE\s+(\w+)\s*(?:<=\s*(\d+)|=\s*1)\s*$""").r
 
   /** The (inner streaming DataFrame, per-batch transform) pair when `stmt`
     * is the window-top-N pattern over a STREAMING aggregation; None lets
-    * batch statements fall through to the native window plan. */
+    * batch statements fall through to the native window plan. Only
+    * statements whose PARTITION BY names window_start AND window_end reach
+    * the spark.sql probe, so ordinary batch rank queries never pay the
+    * extra analysis. */
   def rewrite(spark: SparkSession, stmt: String,
       dialect: String => String): Option[(DataFrame, DataFrame => DataFrame)] =
     for {
@@ -47,12 +50,22 @@ object StreamingTopN {
       if inner.isStreaming
     } yield {
       val rnAlias = m.group(4)
-      val n = m.group(7).toInt
-      val orderCols = m.group(3).split(",").map(_.trim).map { item =>
-        val up = item.toUpperCase
-        if (up.endsWith(" DESC")) col(item.substring(0, item.length - 5).trim.replace("`", "")).desc
-        else if (up.endsWith(" ASC")) col(item.substring(0, item.length - 4).trim.replace("`", "")).asc
-        else col(item.replace("`", "")).asc
+      // WHERE rn <= N, or the window-dedup special case WHERE rn = 1
+      val n = Option(m.group(7)).map(_.toInt).getOrElse(1)
+      val OrderItem =
+        """(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$""".r
+      val orderCols = m.group(3).split(",").map(_.trim).map {
+        case OrderItem(e, dir, nulls) =>
+          val base = expr(e) // full expressions allowed, e.g. ABS(delta)
+          val desc = dir != null && dir.equalsIgnoreCase("DESC")
+          // Spark defaults (asc → nulls first, desc → nulls last) unless an
+          // explicit NULLS FIRST/LAST overrides
+          (desc, Option(nulls).map(_.toUpperCase)) match {
+            case (false, Some("LAST")) => base.asc_nulls_last
+            case (false, _) => base.asc
+            case (true, Some("FIRST")) => base.desc_nulls_first
+            case (true, _) => base.desc
+          }
       }
       val outer = m.group(1).trim
       val transform: DataFrame => DataFrame = { batch =>

@@ -417,6 +417,18 @@ class StreamingSpec extends SparkTestBase {
       assert(collected.toSet == Set(("a", 5.0, 1L), ("b", 3.0, 2L)),
         s"got $collected")
     } finally q.stop()
+    // WHERE rn = 1 (window deduplication) and keys-first GROUP BY order are
+    // recognized too, with ORDER BY allowed to be an expression
+    val dedupStmt =
+      """SELECT window_start, k, total, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start, window_end ORDER BY ABS(total) DESC) AS rn
+        |  FROM (SELECT window_start, window_end, k, SUM(v) AS total
+        |        FROM TABLE(TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        |        GROUP BY k, window_start, window_end)
+        |) WHERE rn = 1""".stripMargin
+    val r2 = graft.operators.StreamingTopN.rewrite(
+      spark, dedupStmt, graft.engine.FlinkDialect.rewrite)
+    assert(r2.isDefined, "rn = 1 window-dedup shape must be recognized")
   }
 
   test("corpus quality/repetition operators run on streams: stream == batch") {
