@@ -226,6 +226,23 @@ object CorpusFilters {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The 100 TB variant of [[boilerplateNgrams]]: shuffle on the 64-bit
+    * xxhash of the gram instead of the gram string (an ~8-byte exchange key
+    * vs ~40-byte strings), carrying one representative string per bucket via
+    * min(). Collisions at 64 bits are ~n²/2⁶⁵ — negligible against corpus
+    * sizes — and only ever merge two distinct grams' counts. */
+  def boilerplateNgramsHashed(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(wordGrams(col(textCol), n, distinct = true)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_hash"), col("gram"))
+      .groupBy(col("gram_hash"))
+      .agg(min(col("gram")).as("gram"), count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gram"), col("n_docs"), col("first_doc"))
+
   /** Train/eval decontamination: flag training documents sharing any word
     * `n`-gram with the (small) eval set. The eval grams are deduped and
     * broadcast; the training side is one scan → explode distinct grams →

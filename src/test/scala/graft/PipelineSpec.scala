@@ -252,6 +252,15 @@ class PipelineSpec extends SparkTestBase {
     assert(got.contains(("shared boiler plate text here", 3L, 1L)))
   }
 
+  test("hashed boilerplate variant matches the string-keyed results") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val byString = CorpusFilters.boilerplateNgrams(docs, "doc_id", "text", 5, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val byHash = CorpusFilters.boilerplateNgramsHashed(docs, "doc_id", "text", 5, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byHash == byString)
+  }
+
   test("decontamination flags exactly the docs sharing an eval n-gram") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(
