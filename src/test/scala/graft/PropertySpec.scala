@@ -77,4 +77,20 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("StateKeys encoding is injective over arbitrary multi-column keys") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    val enc = graft.operators.StateKeys.encoder(schema, Seq("a", "b"))
+    val cell = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)), Gen.const(null: String),
+      Gen.const("null"), Gen.const(""), Gen.const("1:"), Gen.const(""))
+    forAll(Gen.zip(cell, cell, cell, cell)) { case (a1, b1, a2, b2) =>
+      val k1 = enc(org.apache.spark.sql.Row(a1, b1))
+      val k2 = enc(org.apache.spark.sql.Row(a2, b2))
+      assert((k1 == k2) == (a1 == a2 && b1 == b2),
+        s"($a1,$b1) vs ($a2,$b2): '$k1' vs '$k2'")
+    }
+  }
 }
