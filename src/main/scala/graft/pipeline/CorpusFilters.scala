@@ -226,6 +226,33 @@ object CorpusFilters {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Unigram language-model quality score: the mean log-probability of a
+    * document's tokens under the corpus unigram distribution — the classic
+    * "does this look like natural text from this corpus" signal (low scores
+    * flag gibberish / rare-token spam). Two aggregates (term counts; their
+    * grand total broadcast as one row) and one join back to the token
+    * stream.
+    *
+    * Float determinism across engines: each term's ln is rounded to 9
+    * places, then summed as DECIMAL (order-independent, so Spark's shuffle
+    * order can't drift against the sequential SQL oracle); the final mean
+    * divides as double and rounds to 6. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(splitWords(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val termLp = tf.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("tf").cast("double") / col("total")), 9)
+          .cast("decimal(28,12)").as("lp"))
+    toks.join(termLp, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("lp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lp_sum").cast("double") / col("n_tokens"), 6).as("avg_logprob"))
+  }
+
   /** The 100 TB variant of [[boilerplateNgrams]]: shuffle on the 64-bit
     * xxhash of the gram instead of the gram string (an ~8-byte exchange key
     * vs ~40-byte strings), carrying one representative string per bucket via

@@ -180,6 +180,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // unigram LM quality score (mean corpus log-prob per token)
+    "q_lm_unigram" -> { (s, dir) =>
+      CorpusFilters.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // deterministic source mixing: per-source sampling rates in thousandths
     "q_mix_sources" -> { (s, dir) =>
       Sampling.mixSources(t(s, dir, "documents"), "doc_id", "source",
@@ -403,6 +409,20 @@ object PipelineQueries {
         |  JOIN eg USING (gram))
         |SELECT doc_id, doc_id IN (SELECT doc_id FROM cont) AS contaminated
         |FROM documents WHERE doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "q_lm_unigram" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY 1),
+        |tot AS (SELECT SUM(tf) AS total FROM tf),
+        |lp AS (
+        |  SELECT term, CAST(ROUND(ln(CAST(tf AS DOUBLE) / total), 9) AS DECIMAL(28,12)) AS lp
+        |  FROM tf CROSS JOIN tot)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       ROUND(CAST(SUM(lp.lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        |FROM t JOIN lp USING (term) GROUP BY t.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_mix_sources" ->
       """SELECT doc_id, source FROM documents
