@@ -682,6 +682,10 @@ object TableEnv {
       val w = df.write.format(b.format).mode(if (overwrite) "overwrite" else "append")
       (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
         .save(b.options("path"))
+      // the binding's session view captured the directory's FILE LISTING
+      // when it was created (InMemoryFileIndex is fixed at load()) — rebind
+      // so the freshly written files are visible to subsequent SELECTs
+      rebind(spark, b)
     case "print" => df.show(numRows = 20, truncate = false)
     case "blackhole" => df.write.format("noop").mode("overwrite").save()
     case "jdbc" =>

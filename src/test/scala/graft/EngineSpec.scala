@@ -487,6 +487,25 @@ class EngineSpec extends SparkTestBase {
     assert(page.rows.nonEmpty)
   }
 
+  test("filesystem formats csv/json/orc round-trip through bindings") {
+    import graft.engine.{Gateway, TableEnv}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    gw.executeStatement(h,
+      "CREATE TABLE fmt_src (id BIGINT, name STRING, score DOUBLE) WITH ('connector'='datagen','number-of-rows'='40')")
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-fmt-$fmt").toString
+      gw.executeStatement(h,
+        s"CREATE TABLE fmt_$fmt (id BIGINT, name STRING, score DOUBLE) WITH ('connector'='filesystem','path'='$dir','format'='$fmt')")
+      gw.fetchResults(gw.executeStatement(h,
+        s"INSERT INTO fmt_$fmt SELECT id, name, score FROM fmt_src"), 0)
+      val back = gw.fetchResults(gw.executeStatement(h,
+        s"SELECT COUNT(*) AS n, COUNT(DISTINCT id) AS d FROM fmt_$fmt"), 0)
+      assert(back.rows.head.map(_.toString) == Seq("40", "40"), s"$fmt round-trip: ${back.rows}")
+    }
+  }
+
   test("streaming deduplication: ROW_NUMBER rn=1 pattern maps to dropDuplicates") {
     import graft.engine.{Gateway, TableEnv}
     TableEnv.clear()
