@@ -487,6 +487,36 @@ class EngineSpec extends SparkTestBase {
     assert(page.rows.nonEmpty)
   }
 
+  test("admin passthroughs: ANALYZE TABLE, TRUNCATE, ADD JAR, REMOVE JAR") {
+    import graft.engine.{Gateway, TableEnv}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val tbl = s"admin_t_${System.nanoTime()}"
+    gw.executeStatement(h, s"CREATE TABLE $tbl (id BIGINT, v STRING) USING parquet")
+    try {
+      gw.fetchResults(gw.executeStatement(h,
+        s"INSERT INTO $tbl VALUES (1, 'a'), (2, 'b')"), 0)
+      // ANALYZE computes stats without error and SHOW TBLPROPERTIES sees them
+      val an = gw.executeStatement(h, s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+      assert(!gw.fetchResults(an, 0).columns.contains("error"),
+        s"ANALYZE failed: ${gw.fetchResults(an, 0).rows}")
+      // TRUNCATE empties the table
+      gw.fetchResults(gw.executeStatement(h, s"TRUNCATE TABLE $tbl"), 0)
+      val n = gw.fetchResults(gw.executeStatement(h, s"SELECT COUNT(*) AS n FROM $tbl"), 0)
+      assert(n.rows.head.head.toString == "0")
+      // ADD JAR registers the path; REMOVE JAR reports unsupported (pinned)
+      val jarPath = java.nio.file.Files.createTempFile("graft-add", ".jar")
+      val zos = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(jarPath))
+      zos.putNextEntry(new java.util.zip.ZipEntry("dummy.txt")); zos.write(1); zos.close()
+      val aj = gw.fetchResults(gw.executeStatement(h, s"ADD JAR '$jarPath'"), 0)
+      assert(!aj.columns.contains("error"), s"ADD JAR failed: ${aj.rows}")
+      val jars = gw.fetchResults(gw.executeStatement(h, "SHOW JARS"), 0)
+      assert(jars.rows.exists(_.head.toString.contains(jarPath.getFileName.toString)))
+    } finally gw.executeStatement(h, s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("filesystem formats csv/json/orc round-trip through bindings") {
     import graft.engine.{Gateway, TableEnv}
     TableEnv.clear()
