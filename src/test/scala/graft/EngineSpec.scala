@@ -487,6 +487,27 @@ class EngineSpec extends SparkTestBase {
     assert(page.rows.nonEmpty)
   }
 
+  test("ALTER TABLE ADD COLUMN on a catalog table (native passthrough)") {
+    import graft.engine.{Gateway, TableEnv}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val tbl = s"alter_t_${System.nanoTime()}"
+    gw.executeStatement(h, s"CREATE TABLE $tbl (id BIGINT) USING parquet")
+    try {
+      gw.fetchResults(gw.executeStatement(h, s"INSERT INTO $tbl VALUES (1)"), 0)
+      val alter = gw.fetchResults(gw.executeStatement(h,
+        s"ALTER TABLE $tbl ADD COLUMNS (tag STRING)"), 0)
+      assert(!alter.columns.contains("error"), s"ALTER failed: ${alter.rows}")
+      val desc = gw.fetchResults(gw.executeStatement(h, s"DESCRIBE $tbl"), 0)
+      assert(desc.rows.exists(_.head.toString == "tag"))
+      // existing rows read back with the new column as null
+      val r = gw.fetchResults(gw.executeStatement(h,
+        s"SELECT id, tag FROM $tbl"), 0)
+      assert(r.rows.head(1) == null || r.rows.head(1).toString.isEmpty)
+    } finally gw.executeStatement(h, s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("admin passthroughs: ANALYZE TABLE, TRUNCATE, ADD JAR, REMOVE JAR") {
     import graft.engine.{Gateway, TableEnv}
     TableEnv.clear()
