@@ -232,7 +232,19 @@ class Gateway(root: SparkSession) {
           FlinkDialect.splitAssignments(values).map(FlinkDialect.rewrite))
         case a => throw new IllegalArgumentException(s"MERGE: unsupported action '$a'")
       }
-      TableEnv.MergeClause(not == null, cond.map(FlinkDialect.rewrite), act)
+      val matched = not == null
+      // standard SQL pairing: WHEN MATCHED → UPDATE/DELETE only, WHEN NOT
+      // MATCHED → INSERT only. Anything else would either MatchError deep in
+      // TableEnv.merge or silently claim rows in the first-match-wins chain.
+      (matched, act) match {
+        case (true, _: TableEnv.MergeInsert) => throw new IllegalArgumentException(
+          "MERGE: WHEN MATCHED cannot INSERT — use UPDATE or DELETE")
+        case (false, _: TableEnv.MergeUpdate) | (false, TableEnv.MergeDelete) =>
+          throw new IllegalArgumentException(
+            "MERGE: WHEN NOT MATCHED can only INSERT")
+        case _ => ()
+      }
+      TableEnv.MergeClause(matched, cond.map(FlinkDialect.rewrite), act)
     case _ => throw new IllegalArgumentException(s"MERGE: cannot parse clause 'WHEN $s'")
   }
   private val CompilePlanRe =
@@ -578,6 +590,19 @@ class Gateway(root: SparkSession) {
       val keys = m.group(3).split(",").map(_.trim.replace("`", "")).toSeq
       val orderIsEventTime =
         binding.exists(_.watermark.exists(_._1.equalsIgnoreCase(orderCol)))
+      // Flink's Deduplication special query applies ONLY when ORDER BY is a
+      // time attribute (rowtime or proctime). For any other column the
+      // statement is a per-key min-by-column Top-1 — dropDuplicates would
+      // keep the first-ARRIVING row, silently wrong whenever arrival order
+      // differs from column order, so fail fast instead.
+      val orderIsProcTime = binding.exists(_.cols.exists(c =>
+        c.name.equalsIgnoreCase(orderCol) &&
+          c.computed.exists(_.toLowerCase.contains("current_timestamp"))))
+      if (!orderIsEventTime && !orderIsProcTime)
+        throw new IllegalArgumentException(
+          s"streaming deduplication requires ORDER BY a time attribute " +
+            s"(rowtime or proctime); '$orderCol' is a regular column — " +
+            "per-key Top-1 by value is not supported on streams")
       val deduped =
         if (orderIsEventTime)
           // ORDER BY the rowtime column: dropDuplicates would keep the
@@ -585,7 +610,7 @@ class Gateway(root: SparkSession) {
           // stateful keep-min-by-event-time operator instead
           graft.operators.StreamingDedup.keepFirstByEventTime(projected, keys, orderCol)
         else if (binding.exists(_.watermark.isDefined))
-          // processing-time dedup; the declared watermark bounds the state
+          // proctime dedup; the declared watermark bounds the state
           // (Flink's state-TTL analog)
           projected.dropDuplicatesWithinWatermark(keys)
         else projected.dropDuplicates(keys)

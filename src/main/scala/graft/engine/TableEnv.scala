@@ -678,6 +678,12 @@ object TableEnv {
         .mode(if (overwrite) "overwrite" else "append")
       (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
         .saveAsTable(bucketTableName(b))
+      // the binding's session view was materialized at CREATE TABLE time as
+      // a plain (then-empty) directory scan — the bucketed catalog table
+      // didn't exist yet. Refresh + rebind so SQL SELECTs resolve to the
+      // bucketed table (fresh listing AND the zero-shuffle join contract).
+      spark.catalog.refreshTable(bucketTableName(b))
+      rebind(spark, b)
     case "filesystem" =>
       val w = df.write.format(b.format).mode(if (overwrite) "overwrite" else "append")
       (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)

@@ -64,6 +64,12 @@ object StreamingDedup {
             if (cand.isDefined && millis(cand.get) < wm) {
               state.update((None, true))
               Iterator.single(cand.get)
+            } else if (cand.isEmpty) {
+              // nothing buffered (all rows so far had null rowtimes): keeping
+              // (None,false) + a timer would hold state and re-fire forever —
+              // drop it; a later real row recreates the state from scratch
+              state.remove()
+              Iterator.empty
             } else {
               state.update((cand, false))
               // re-awaken as the watermark advances so a quiet key still

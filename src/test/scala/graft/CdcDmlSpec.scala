@@ -254,4 +254,29 @@ class CdcDmlSpec extends SparkTestBase {
     assert(spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       == Seq((1L, 10L)))
   }
+
+  test("MERGE INTO rejects mispaired clause/action combinations") {
+    TableEnv.clear()
+    val (gw, h) = gwSession()
+    val out = java.nio.file.Files.createTempDirectory("graft-merge4").toString
+    gw.executeStatement(h,
+      s"CREATE TABLE mt4 (id BIGINT, v BIGINT) WITH ('connector'='filesystem','path'='$out','format'='parquet')")
+    gw.executeStatement(h,
+      "CREATE TABLE msrc4 (sid BIGINT, sv BIGINT) WITH ('connector'='datagen','number-of-rows'='3')")
+    // WHEN MATCHED + INSERT would silently claim matched rows as a no-op in
+    // the first-match-wins chain; WHEN NOT MATCHED + UPDATE/DELETE would
+    // MatchError deep in the rewrite — both must fail fast at parse
+    val m1 = gw.fetchResults(gw.executeStatement(h,
+      "MERGE INTO mt4 t USING msrc4 s ON t.id = s.sid WHEN MATCHED THEN INSERT VALUES (s.sid, s.sv)"), 0)
+    assert(m1.columns == Seq("error") &&
+      m1.rows.head.head.toString.contains("UPDATE or DELETE"), s"got $m1")
+    val m2 = gw.fetchResults(gw.executeStatement(h,
+      "MERGE INTO mt4 t USING msrc4 s ON t.id = s.sid WHEN NOT MATCHED THEN UPDATE SET v = s.sv"), 0)
+    assert(m2.columns == Seq("error") &&
+      m2.rows.head.head.toString.contains("can only INSERT"), s"got $m2")
+    val m3 = gw.fetchResults(gw.executeStatement(h,
+      "MERGE INTO mt4 t USING msrc4 s ON t.id = s.sid WHEN NOT MATCHED THEN DELETE"), 0)
+    assert(m3.columns == Seq("error") &&
+      m3.rows.head.head.toString.contains("can only INSERT"), s"got $m3")
+  }
 }

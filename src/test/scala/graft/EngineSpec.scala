@@ -563,11 +563,21 @@ class EngineSpec extends SparkTestBase {
     val gw = new Gateway(spark)
     val h = gw.openSession()
     gw.executeStatement(h,
-      """CREATE TABLE dd_src (id BIGINT, k AS MOD(id, 3))
+      """CREATE TABLE dd_src (id BIGINT, k AS MOD(id, 3), pt AS PROCTIME())
         |WITH ('connector'='datagen','rows-per-second'='500')""".stripMargin)
-    val op = gw.executeStatement(h,
+    // Flink's Deduplication special query requires ORDER BY a time
+    // attribute; a value column is a per-key Top-1 (unsupported on streams,
+    // and dropDuplicates would silently keep the wrong row) → fail fast
+    val bad = gw.fetchResults(gw.executeStatement(h,
       """SELECT k, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id ASC) AS rn
+        |  FROM dd_src) WHERE rn = 1""".stripMargin), 0)
+    assert(bad.columns == Seq("error") &&
+      bad.rows.head.head.toString.contains("time attribute"),
+      s"non-time ORDER BY must be rejected: $bad")
+    val op = gw.executeStatement(h,
+      """SELECT k, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY pt ASC) AS rn
         |  FROM dd_src) WHERE rn = 1""".stripMargin)
     try {
       var page = gw.fetchResults(op, 0)
@@ -612,6 +622,13 @@ class EngineSpec extends SparkTestBase {
          |WITH ('connector'='filesystem','path'='$d2','format'='parquet')""".stripMargin)
     gw.fetchResults(gw.executeStatement(h, "INSERT INTO bt1 SELECT id, v FROM bsrc"), 0)
     gw.fetchResults(gw.executeStatement(h, "INSERT INTO bt2 SELECT id, v FROM bsrc"), 0)
+    // SQL SELECT through the session view must see the inserted rows: the
+    // view was materialized at CREATE time (empty dir, no catalog table yet),
+    // so INSERT must rebind it to the bucketed table
+    val viaSql = gw.fetchResults(gw.executeStatement(h,
+      "SELECT COUNT(*) AS c FROM bt1"), 0)
+    assert(viaSql.rows.head.head.toString == "1000",
+      s"gateway SELECT after bucketed INSERT: ${viaSql.rows}")
     // SHOW CREATE TABLE reconstructs the clause
     val sct = gw.fetchResults(gw.executeStatement(h, "SHOW CREATE TABLE bt1"), 0)
     assert(sct.rows.head.head.toString.contains("DISTRIBUTED BY (id) INTO 8 BUCKETS"))
@@ -626,6 +643,15 @@ class EngineSpec extends SparkTestBase {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join should not shuffle:\n$plan")
+      // the SQL surface (the rebound session views) carries the contract too
+      val sessSpark = gw.session(h).spark
+      sessSpark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sqlJoin = sessSpark.sql(
+        "SELECT a.id, a.v, b.v AS v2 FROM bt1 a JOIN bt2 b ON a.id = b.id")
+      assert(sqlJoin.count() == 1000)
+      val sqlPlan = sqlJoin.queryExecution.executedPlan.toString
+      assert(!sqlPlan.contains("Exchange"),
+        s"bucketed join via SQL views should not shuffle:\n$sqlPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     // DML on a bucketed binding must preserve the bucketed-table contract
     val gw2 = gw

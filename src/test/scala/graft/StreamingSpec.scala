@@ -382,6 +382,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time dedup: null-rowtime-only keys hold no state; a later real row wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val src = mem.toDF().toDF("k", "ts", "v").withWatermark("ts", "5 minutes")
+    val out = graft.operators.StreamingDedup.keepFirstByEventTime(src, Seq("k"), "ts")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("etd_null_out").start()
+    try {
+      // k=7 only ever has null rowtimes — must never emit AND never hold
+      // state (a (None,false) slot + timer would re-fire forever);
+      // k=5 starts null, then a real row arrives and proceeds normally
+      mem.addData((7, null, 1.0), (5, null, 2.0))
+      q.processAllAvailable()
+      mem.addData((6, ts("2024-01-01 01:00:00"), 60.0)) // move the watermark
+      q.processAllAvailable()
+      mem.addData((5, ts("2024-01-01 01:10:00"), 5.5))
+      q.processAllAvailable()
+      mem.addData((6, ts("2024-01-01 02:00:00"), 61.0))
+      q.processAllAvailable()
+      mem.addData((6, ts("2024-01-01 03:00:00"), 62.0)) // let the wm tick again
+      q.processAllAvailable()
+      val rows = spark.table("etd_null_out")
+        .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      assert(!rows.contains(7), s"null-rowtime key must never emit: $rows")
+      assert(rows(5) == 5.5 && rows(6) == 60.0, s"got $rows")
+      // state rows = one emitted flag per emitted key (5 and 6) — the
+      // null-only key 7 must not occupy a slot
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      assert(stateRows == 2, s"expected 2 state rows (emitted flags), got $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming window top-N: rank computed per closed window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
