@@ -78,6 +78,28 @@ object DialectQueries {
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     },
 
+    // Flink WINDOW JOIN (docs "Window Join"): two windowed TVF subqueries
+    // joined on (window_start, window_end, key). Both sides shuffle on the
+    // same (window, key) — at 100 TB the join adds no shuffle beyond the
+    // aggregations themselves (same partitioning reused).
+    "q_flink_window_join" -> { (s, dir) => fsql(s, dir,
+      """WITH L AS (
+        |  SELECT window_start, window_end, user_id, COUNT(*) AS clicks
+        |  FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTES))
+        |  WHERE event_type = 'click'
+        |  GROUP BY window_start, window_end, user_id
+        |), R AS (
+        |  SELECT window_start, window_end, user_id, COUNT(*) AS purchases
+        |  FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTES))
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY window_start, window_end, user_id
+        |)
+        |SELECT L.window_start, L.window_end, L.user_id, L.clicks, R.purchases
+        |FROM L JOIN R ON L.window_start = R.window_start
+        |  AND L.window_end = R.window_end AND L.user_id = R.user_id
+        |ORDER BY L.window_start, L.user_id""".stripMargin)
+    },
+
     // Flink 1-based array subscript + SIMILAR TO + SPLIT_INDEX shim
     "q_flink_misc" -> { (s, dir) => fsql(s, dir,
       """WITH toks AS (SELECT doc_id, lang, text, split(text, ' ') AS a FROM documents WHERE doc_id < 300)
@@ -103,6 +125,23 @@ object DialectQueries {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_flink_window_join" ->
+      """WITH L AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |         time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '15 minutes' AS window_end,
+        |         user_id, COUNT(*) AS clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3
+        |), R AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |         time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '15 minutes' AS window_end,
+        |         user_id, COUNT(*) AS purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3
+        |)
+        |SELECT L.window_start, L.window_end, L.user_id, L.clicks, R.purchases
+        |FROM L JOIN R ON L.window_start = R.window_start
+        |  AND L.window_end = R.window_end AND L.user_id = R.user_id
+        |ORDER BY L.window_start, L.user_id""".stripMargin,
+
     "q_flink_tumble" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         |       time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '10 minutes' AS window_end,

@@ -415,6 +415,54 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming window join: stream-stream join on (window, key) matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // Flink's WINDOW JOIN: both sides windowed by the same tumble, joined on
+    // (window, key). Spark's stream-stream join bounds state via equality on
+    // the window struct (the documented time-window-join shape) — rows of a
+    // window can only match rows of the same window, so state is dropped
+    // once the watermark passes window end.
+    val memL = MemoryStream[(Timestamp, Int, Double)]
+    val memR = MemoryStream[(Timestamp, Int, Double)]
+    def sideify(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "1 minute")
+      .select(window(col("ts"), "10 minutes").as("w"), col("k"), col("v"))
+    val l = sideify(memL.toDF().toDF("ts", "k", "v"))
+    val r = sideify(memR.toDF().toDF("ts", "k", "v")).withColumnRenamed("v", "rv")
+    val joined = l.join(r, Seq("w", "k"))
+      .select(col("w.start").as("ws"), col("k"), col("v"), col("rv"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("wj_out").start()
+    try {
+      // window [00:00,00:10): L has k=1 (two rows) and k=2; R has k=1 and k=3
+      // → inner join emits 2×1 rows for k=1, none for k=2/k=3.
+      // k=1 in a LATER window must not match the earlier window's rows.
+      memL.addData((ts("2024-01-01 00:01:00"), 1, 10.0),
+        (ts("2024-01-01 00:02:00"), 1, 11.0), (ts("2024-01-01 00:03:00"), 2, 20.0))
+      memR.addData((ts("2024-01-01 00:04:00"), 1, 100.0),
+        (ts("2024-01-01 00:05:00"), 3, 300.0),
+        (ts("2024-01-01 00:12:00"), 1, 101.0))
+      q.processAllAvailable()
+      memL.addData((ts("2024-01-01 01:00:00"), 8, 0.0)) // advance watermarks
+      memR.addData((ts("2024-01-01 01:00:00"), 9, 0.0)) // (disjoint keys: no match)
+      q.processAllAvailable()
+      val got = spark.table("wj_out")
+        .collect().map(rw => (rw.getInt(1), rw.getDouble(2), rw.getDouble(3))).toSet
+      assert(got == Set((1, 10.0, 100.0), (1, 11.0, 100.0)), s"got $got")
+      // batch parity: the same join on static frames
+      val bl = Seq((ts("2024-01-01 00:01:00"), 1, 10.0),
+        (ts("2024-01-01 00:02:00"), 1, 11.0), (ts("2024-01-01 00:03:00"), 2, 20.0))
+        .toDF("ts", "k", "v")
+      val br = Seq((ts("2024-01-01 00:04:00"), 1, 100.0),
+        (ts("2024-01-01 00:05:00"), 3, 300.0), (ts("2024-01-01 00:12:00"), 1, 101.0))
+        .toDF("ts", "k", "v")
+      val batch = sideify(bl).join(sideify(br).withColumnRenamed("v", "rv"), Seq("w", "k"))
+        .select(col("k"), col("v"), col("rv"))
+        .collect().map(rw => (rw.getInt(0), rw.getDouble(1), rw.getDouble(2))).toSet
+      assert(batch == got, s"stream/batch diverged: $batch vs $got")
+    } finally q.stop()
+  }
+
   test("streaming window top-N: rank computed per closed window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
