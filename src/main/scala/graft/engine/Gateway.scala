@@ -540,6 +540,8 @@ class Gateway(root: SparkSession) {
           val df = spark.sql(FlinkDialect.rewrite(s))
           if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
         }
+      case s if CurrentWatermarkRe.findFirstIn(s).isDefined =>
+        currentWatermarkSelect(spark, s)
       case s =>
         streamingDedup(spark, s) match {
           case Some(df) => startStreamingSelect(spark, df)
@@ -551,6 +553,52 @@ class Gateway(root: SparkSession) {
                 if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
             }
         }
+    }
+  }
+
+  // CURRENT_WATERMARK(rowtime) (G:439). Batch: no watermark ever exists →
+  // NULL, Flink's documented value before any watermark is emitted.
+  // Streaming: Spark runs micro-batch N with the watermark computed from
+  // data seen through batch N-1 (StreamingQueryProgress.eventTime) — exactly
+  // the value Flink's function observes — so the statement is re-executed
+  // per batch with that value substituted as a literal. The substitution is
+  // driver-side SQL text (no executor state), so it holds on a real cluster.
+  private val CurrentWatermarkRe =
+    """(?i)\bCURRENT_WATERMARK\s*\(\s*[\w.`]+\s*\)""".r
+
+  private def currentWatermarkSelect(spark: SparkSession, stmt: String): OpResult = {
+    val table = """(?is)\bFROM\s+([\w.`]+)""".r.findFirstMatchIn(stmt)
+      .map(_.group(1).replace("`", ""))
+      .getOrElse(throw new IllegalArgumentException(
+        "CURRENT_WATERMARK: cannot determine the FROM table"))
+    val src = try Some(spark.table(table)) catch { case _: Exception => None }
+    src match {
+      case Some(df) if df.isStreaming =>
+        val shadow = s"__graft_wm_${System.nanoTime()}"
+        val stmtShadow = stmt.replaceAll(
+          "(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(table) + "(?![\\w`])",
+          java.util.regex.Matcher.quoteReplacement(shadow))
+        val qName = new java.util.concurrent.atomic.AtomicReference[String]()
+        val transform: DataFrame => DataFrame = batch => {
+          batch.createOrReplaceTempView(shadow)
+          val wm = Option(qName.get)
+            .flatMap(n => spark.streams.active.find(_.name == n))
+            .flatMap(q => Option(q.lastProgress))
+            .flatMap(p => Option(p.eventTime.get("watermark")))
+            .filterNot(_.startsWith("1970-01-01T00:00:00")) // no watermark yet
+          val lit = wm match {
+            case Some(w) => s"CAST('${w.replace("T", " ").stripSuffix("Z")}' AS TIMESTAMP)"
+            case None => "CAST(NULL AS TIMESTAMP)"
+          }
+          batch.sparkSession.sql(FlinkDialect.rewrite(CurrentWatermarkRe
+            .replaceAllIn(stmtShadow, java.util.regex.Matcher.quoteReplacement(lit))))
+        }
+        val res = startStreamingSelect(spark, df, transform)
+        res match { case StreamingOp(job, _, _) => qName.set(job); case _ => () }
+        res
+      case _ =>
+        Finished(spark.sql(FlinkDialect.rewrite(
+          CurrentWatermarkRe.replaceAllIn(stmt, "CAST(NULL AS TIMESTAMP)"))))
     }
   }
 

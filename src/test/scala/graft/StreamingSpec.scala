@@ -512,6 +512,44 @@ class StreamingSpec extends SparkTestBase {
     assert(r2.isDefined, "rn = 1 window-dedup shape must be recognized")
   }
 
+  test("CURRENT_WATERMARK: NULL on batch tables; live per-batch value on streams") {
+    import graft.engine.{Gateway, TableEnv}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val sess = gw.session(h).spark
+    // batch: a watermark never exists → the function is NULL (Flink's
+    // documented value before any watermark is emitted)
+    gw.executeStatement(h,
+      "CREATE TABLE wmb (id BIGINT, ts AS CURRENT_TIMESTAMP) WITH ('connector'='datagen','number-of-rows'='3')")
+    val b = gw.fetchResults(gw.executeStatement(h,
+      "SELECT DISTINCT CURRENT_WATERMARK(ts) IS NULL AS no_wm FROM wmb"), 0)
+    assert(b.rows.map(_.head.toString) == Seq("true"), s"batch: $b")
+    // streaming: the canonical late-row guard — admit rows while no
+    // watermark exists, then only rows strictly above it
+    implicit val sqlCtx = sess.sqlContext
+    val mem = MemoryStream[(Int, Timestamp)]
+    mem.toDF().toDF("k", "ts").withWatermark("ts", "1 minute")
+      .createOrReplaceTempView("wm_src")
+    val op = gw.executeStatement(h,
+      "SELECT k FROM wm_src WHERE CURRENT_WATERMARK(ts) IS NULL OR ts > CURRENT_WATERMARK(ts)")
+    try {
+      def drain(): Unit = sess.streams.active.foreach(_.processAllAvailable())
+      mem.addData((1, ts("2024-01-01 00:05:00"))); drain() // wm NULL → admitted
+      mem.addData((9, ts("2024-01-01 01:00:00"))); drain() // above wm → admitted
+      mem.addData((2, ts("2024-01-01 00:04:00"))); drain() // below wm → dropped
+      mem.addData((3, ts("2024-01-01 01:30:00"))); drain() // above wm → admitted
+      var page = gw.fetchResults(op, 0)
+      var tries = 0
+      while (page.rows.size < 3 && tries < 50) {
+        Thread.sleep(100); page = gw.fetchResults(op, 0); tries += 1
+      }
+      val keys = page.rows.map(_.head.toString).toSet
+      assert(keys == Set("1", "9", "3"),
+        s"late row k=2 must be filtered by CURRENT_WATERMARK, got $keys")
+    } finally gw.closeOperation(op)
+  }
+
   test("corpus quality/repetition operators run on streams: stream == batch") {
     // the per-document corpus operators are pure projections, so they apply
     // unchanged to a streaming DataFrame — pin that property end to end
