@@ -49,6 +49,32 @@ object TextAnalysis {
           + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0)) * 0.3, 6))
   }
 
+  /** PII regexes — kept to the Java∩RE2 common subset (no lookaround, no
+    * backreferences) so the DuckDB oracle evaluates the identical patterns.
+    * Replacement order matters (an email's domain would otherwise be eaten
+    * by the IP pattern): email → ip → phone, applied the same on both sides. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d -]{6,14}\\d"
+
+  /** PII detection + redaction: counts per category from the original text,
+    * plus the text with each match replaced by a typed placeholder. Pure
+    * per-row projection over codegen'd RegExp expressions — scan speed,
+    * no shuffle, prunes to (id, text) at 100 TB. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("bigint").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID heuristic.
     * Tiny on purpose: broadcast as literals into codegen. */
   val StopWords: Seq[String] =

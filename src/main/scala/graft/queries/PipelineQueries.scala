@@ -113,6 +113,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // PII detection + redaction. The synthetic corpus has no real PII, so
+    // both sides build the same deterministic contact line per doc, then the
+    // operator must count and redact it exactly (plus a clean control doc).
+    "q_text_pii" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(
+            substring(col("text"), 1, 40),
+            lit(" contact u"), col("doc_id"), lit("@mail-example.com"),
+            lit(" from 10.2."), (col("doc_id") % 256).cast("int"), lit(".9"),
+            lit(" call +1 555 0"), (col("doc_id") % 900 + 100).cast("int")))
+          .as("text"))
+      TextAnalysis.piiScrub(base, "doc_id", "text").orderBy(col("doc_id"))
+    },
+
     // fingerprints: md5 digest (oracle-checkable) — rolling-hash winnow
     // fingerprint is hash-seeded, covered in PipelineSpec
     "q_text_fingerprint" -> { (s, dir) =>
@@ -327,6 +342,26 @@ object PipelineQueries {
         |       WHEN h_en > 0 THEN 'en'
         |       ELSE 'und' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_pii" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |         ELSE substr(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR)
+        |              || '@mail-example.com' || ' from 10.2.'
+        |              || CAST(CAST(doc_id % 256 AS INT) AS VARCHAR) || '.9'
+        |              || ' call +1 555 0' || CAST(CAST(doc_id % 900 + 100 AS INT) AS VARCHAR)
+        |    END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+\d[\d -]{6,14}\d')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+\d[\d -]{6,14}\d', '<PHONE>', 'g') AS redacted
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest

@@ -315,6 +315,36 @@ class PipelineSpec extends SparkTestBase {
     assert(sigs.toSeq == sigs2.toSeq) // deterministic across evaluations
   }
 
+  test("PII scrub: counts match placeholders, redaction is idempotent") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "write to alice.smith+x@sub.example.org or bob@ex.io today"),
+      (2L, "server 10.0.0.1 talked to 192.168.255.254; call +49 30 123456"),
+      (3L, "no pii here, just words and 42 numbers"),
+      (4L, "mix: c@d.co at 8.8.8.8 dial +1 555 0100 end")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def count(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
+    out.values.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(r.getAs[Long]("n_emails") == count(red, "<EMAIL>"), red)
+      assert(r.getAs[Long]("n_ips") == count(red, "<IP>"), red)
+      assert(r.getAs[Long]("n_phones") == count(red, "<PHONE>"), red)
+    }
+    assert(out(1L).getAs[Long]("n_emails") == 2)
+    assert(out(2L).getAs[Long]("n_ips") == 2 && out(2L).getAs[Long]("n_phones") == 1)
+    assert(out(3L).getAs[String]("redacted") == "no pii here, just words and 42 numbers")
+    assert(out(4L).getAs[String]("redacted") == "mix: <EMAIL> at <IP> dial <PHONE> end")
+    // idempotent: placeholders contain no digits/@, so a second scrub is a no-op
+    val once = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .select(col("doc_id"), col("redacted").as("text"))
+    val twice = TextAnalysis.piiScrub(once, "doc_id", "text")
+      .select(col("doc_id"), col("redacted")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, r) => assert(twice(id) == r.getAs[String]("redacted")) }
+  }
+
   test("int8 quantization round-trips within scale/2 per component") {
     val e = Tables.load(spark, sfDir, "embeddings").limit(50)
     val out = Similarity.quantizeInt8(e, "vec_id", "embedding")
