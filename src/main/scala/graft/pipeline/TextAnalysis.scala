@@ -75,6 +75,44 @@ object TextAnalysis {
         PhoneRe, "<PHONE>").as("redacted"))
   }
 
+  /** URL regex (scheme + non-space remainder) and its domain capture —
+    * Java∩RE2 subset, shared with the DuckDB oracle. */
+  val UrlRe = "https?://[^\\s]+"
+  val DomainRe = "https?://([^/\\s]+)"
+
+  /** URL extraction + domain blocklist screening: URL count, sorted distinct
+    * domains (comma-joined, deterministic), and whether any domain ends with
+    * a blocklisted suffix. Per-row projection — scan speed; the blocklist is
+    * a literal (broadcast into codegen), the right shape for the usual
+    * few-thousand-entry domain lists. */
+  def urlStats(df: DataFrame, idCol: String, textCol: String,
+      blockedSuffixes: Seq[String]): DataFrame = {
+    val urls = regexp_extract_all(col(textCol), lit(UrlRe), lit(0))
+    val domains = array_sort(array_distinct(
+      transform(urls, u => regexp_extract(u, DomainRe, 1))))
+    val blocked = blockedSuffixes.foldLeft(lit(false)) { (acc, sfx) =>
+      acc || exists(domains, d => d.endsWith(sfx))
+    }
+    df.select(
+      col(idCol),
+      size(urls).cast("bigint").as("n_urls"),
+      array_join(domains, ",").as("domains"),
+      blocked.as("has_blocked"))
+  }
+
+  /** Deterministic train/val/test assignment from a content hash: buckets by
+    * the first two hex chars of md5 (256 buckets) compared lexicographically,
+    * so any engine with md5 reproduces the split bit-for-bit — no RNG, no
+    * seed coordination across a 1000-executor cluster, stable under reruns
+    * and repartitioning. ~2/256 val, ~2/256 test, rest train. */
+  def splitAssign(df: DataFrame, textCol: String): DataFrame = {
+    val bucket = substring(md5(col(textCol).cast("string")), 1, 2)
+    df.withColumn("split",
+      when(bucket >= "fe", "test")
+        .when(bucket >= "fc", "val")
+        .otherwise("train"))
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID heuristic.
     * Tiny on purpose: broadcast as literals into codegen. */
   val StopWords: Seq[String] =

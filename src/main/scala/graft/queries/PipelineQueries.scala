@@ -128,6 +128,32 @@ object PipelineQueries {
       TextAnalysis.piiScrub(base, "doc_id", "text").orderBy(col("doc_id"))
     },
 
+    // URL extraction + domain blocklist screening (synthetic URLs built the
+    // same way on both sides, as with q_text_pii)
+    "q_text_urls" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("text"))
+          .otherwise(concat(
+            substring(col("text"), 1, 30),
+            lit(" see https://site"), (col("doc_id") % 50).cast("int"),
+            lit(".example.com/p/"), col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(
+              lit(" and http://ads"), (col("doc_id") % 7).cast("int"),
+              lit(".tracker.net/x"))).otherwise(lit(""))))
+          .as("text"))
+      TextAnalysis.urlStats(base, "doc_id", "text", Seq(".tracker.net"))
+        .orderBy(col("doc_id"))
+    },
+
+    // deterministic content-hash train/val/test split (no RNG, reproducible
+    // on any engine with md5 — the 100 TB-safe split pattern)
+    "q_split_assign" -> { (s, dir) =>
+      TextAnalysis.splitAssign(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // fingerprints: md5 digest (oracle-checkable) — rolling-hash winnow
     // fingerprint is hash-seeded, covered in PipelineSpec
     "q_text_fingerprint" -> { (s, dir) =>
@@ -362,6 +388,39 @@ object PipelineQueries {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |      '\+\d[\d -]{6,14}\d', '<PHONE>', 'g') AS redacted
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_text_urls" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text
+        |         ELSE substr(text, 1, 30) || ' see https://site'
+        |              || CAST(CAST(doc_id % 50 AS INT) AS VARCHAR)
+        |              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |              || CASE WHEN doc_id % 5 = 0
+        |                   THEN ' and http://ads' || CAST(CAST(doc_id % 7 AS INT) AS VARCHAR) || '.tracker.net/x'
+        |                   ELSE '' END
+        |    END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, 'https?://[^\s]+') AS urls FROM base),
+        |d AS (
+        |  SELECT doc_id, urls,
+        |    list_sort(list_distinct(list_transform(urls,
+        |      x -> regexp_extract(x, 'https?://([^/\s]+)', 1)))) AS doms
+        |  FROM u)
+        |SELECT doc_id,
+        |  CAST(len(urls) AS BIGINT) AS n_urls,
+        |  COALESCE(array_to_string(doms, ','), '') AS domains,
+        |  len(list_filter(doms, x -> x LIKE '%.tracker.net')) > 0 AS has_blocked
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 1, 2) >= 'fe' THEN 'test'
+        |       WHEN substr(md5(text), 1, 2) >= 'fc' THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
