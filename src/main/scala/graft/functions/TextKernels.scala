@@ -77,6 +77,38 @@ object TextKernels {
     }
     new GenericArrayData(if (kept == nGrams) out else out.take(kept))
   }
+
+  /** Per-document term frequencies in ONE pass, no shuffle: all tokens of a
+    * document live in its row, so `explode(word_counts(text))` yields the
+    * same (term, tf) rows as `explode(tokens) → groupBy(doc, term)` WITHOUT
+    * the widest shuffle of the tf-idf pipeline (one row per token moved to
+    * co-locate what was already co-located). Token set matches
+    * `split(trim(text), "\\s+")` minus empties; insertion-ordered output. */
+  def wordCounts(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < bytes.length) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < bytes.length && !isWs(bytes(i))) i += 1
+        val w = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i))
+        val prev = counts.get(w)
+        counts.put(w, if (prev == null) 1L else prev + 1L)
+      } else i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue.longValue()))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object QualityKernel {
@@ -173,9 +205,25 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Codegen'd `word_counts(text)`: ARRAY<STRUCT<term STRING, tf BIGINT>> of
+  * per-document term frequencies — see TextKernels.wordCounts. */
+case class WordCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "word_counts"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.wordCounts(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordCounts($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   def word_ngrams(text: Column, n: Int, distinct: Boolean = false): Column =
     Shims.column(WordNgrams(Shims.expression(text), n, distinct))
   def quality_stats(text: Column, stops: Seq[String]): Column =
     Shims.column(QualityStats(Shims.expression(text), stops))
+  def word_counts(text: Column): Column =
+    Shims.column(WordCounts(Shims.expression(text)))
 }

@@ -137,10 +137,13 @@ object CorpusFilters {
     * so the DuckDB oracle hashes identically. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // per-doc term frequencies are row-local: the word_counts kernel computes
+    // them in the scan projection, so the widest stage of the pipeline (one
+    // row per token shuffled to co-locate by (doc, term)) disappears —
+    // explode is narrow and the first exchange only moves (term, df) partials
     val tf = df.select(col(idCol).as("doc_id"),
-        explode(splitWords(col(textCol))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        explode(graft.functions.TextExprs.word_counts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.select(count_distinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
@@ -238,17 +241,25 @@ object CorpusFilters {
     * order can't drift against the sequential SQL oracle); the final mean
     * divides as double and rounds to 6. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(splitWords(col(textCol))).as("term"))
-    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    // per-doc term frequencies via the word_counts kernel: every exchange
+    // below moves one row per DISTINCT (doc, term), never one per token —
+    // sum(lp * dtf) is exact-decimal-equal to summing lp once per occurrence
+    val dtf = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextExprs.word_counts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("dtf"))
+    val tf = dtf.groupBy(col("term")).agg(sum(col("dtf")).as("tf"))
     val total = tf.agg(sum(col("tf")).as("total"))
     val termLp = tf.crossJoin(broadcast(total))
       .select(col("term"),
         round(log(col("tf").cast("double") / col("total")), 9)
           .cast("decimal(28,12)").as("lp"))
-    toks.join(termLp, "term")
+    dtf.join(termLp, "term")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("lp_sum"))
+      // dtf as decimal(9,0): (28,12)×(9,0) = decimal(38,12) exactly — a
+      // bigint operand would push precision past 38 and silently shrink the
+      // scale (observed as an off-by-1e-6 vs the per-token oracle sum)
+      .agg(sum(col("dtf")).as("n_tokens"),
+        sum(col("lp") * col("dtf").cast("decimal(9,0)")).as("lp_sum"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("lp_sum").cast("double") / col("n_tokens"), 6).as("avg_logprob"))
   }

@@ -315,6 +315,23 @@ class PipelineSpec extends SparkTestBase {
     assert(sigs.toSeq == sigs2.toSeq) // deterministic across evaluations
   }
 
+  test("word_counts kernel == explode+groupBy term frequencies") {
+    import spark.implicits._
+    import graft.functions.TextExprs
+    val docs = Seq(
+      (1L, "a b a  c\tb a"), (2L, ""), (3L, "   "), (4L, "solo"),
+      (5L, "x x x x x"), (6L, " lead and trail "), (7L, "Ü ü Ü mixed ü"))
+      .toDF("id", "text")
+    val kernel = docs.select(col("id"), explode(TextExprs.word_counts(col("text"))).as("tc"))
+      .select(col("id"), col("tc.term"), col("tc.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val lambda = docs.select(col("id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kernel == lambda, s"${kernel.diff(lambda)} vs ${lambda.diff(kernel)}")
+  }
+
   test("PII scrub: counts match placeholders, redaction is idempotent") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
