@@ -54,4 +54,29 @@ object Sampling {
       .select(col(idCol), col(sourceCol), col("n_tokens"),
         col("token_start"), col("chunk_id"))
   }
+
+  /** Per-document chunking with overlap (the long-context sibling of
+    * [[packSequences]]): each document is cut into windows of `maxTokens`
+    * whitespace tokens advancing by `maxTokens - overlap`, so consecutive
+    * chunks share `overlap` tokens of context. Pure per-row generate+slice —
+    * a narrow explode, no shuffle, no state; empty docs yield no chunks. */
+  def chunkDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens); got overlap=$overlap max=$maxTokens")
+    val step = maxTokens - overlap
+    val toks = CorpusFilters.splitWords(col(textCol))
+    val nChunks = greatest(lit(1),
+      ceil((size(col("__toks")) - lit(overlap)).cast("double") / step).cast("int"))
+    val start = col("chunk_id") * step + 1 // slice is 1-based
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), start, lit(maxTokens))).as("chunk_text"),
+        size(slice(col("__toks"), start, lit(maxTokens)))
+          .cast("bigint").as("chunk_tokens"))
+  }
 }

@@ -242,6 +242,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // per-document overlapping chunking (long-context prep): 32-token
+    // windows advancing by 24, so adjacent chunks share 8 context tokens
+    "q_chunk_docs" -> { (s, dir) =>
+      Sampling.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // cosine-LSH ANN top-k (random-hyperplane buckets + hamming-1 probe;
     // hash-seeded buckets: rows-only for the driver, recall in PipelineSpec)
     "q_sim_topk_lsh" -> { (s, dir) =>
@@ -524,6 +532,23 @@ object PipelineQueries {
         |      CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
         |                  WHEN 'src2' THEN 250 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT)) AS n_chunks
+        |  FROM t WHERE len(toks) > 0),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(generate_series(0, n_chunks - 1)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32)) AS BIGINT) AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (
