@@ -24,6 +24,10 @@ object PlanAudit {
     "q_tfidf_top_terms",      // r3: two aggs + broadcast N + top-k window
     "q_sim_topk_lsh",         // r3: signature buckets + multi-probe broadcast
     "q_mix_sources",          // r3: scan-speed deterministic sample
+    "q_flink_window_join",    // r5: two windowed aggs joined, shared keys
+    "q_text_pii",             // r5: codegen regex projection
+    "q_chunk_docs",           // r5: narrow generate+slice explode
+    "q_lm_unigram",           // r5: word_counts kernel, per-(doc,term) joins
   )
 
   def main(args: Array[String]): Unit = {

@@ -71,6 +71,25 @@ object ScaleProbe {
     time("tf-idf top terms") {
       CorpusFilters.tfidfTopTerms(docs, "doc_id", "text", k = 3).count()
     }
+    time("unigram LM scoring") {
+      CorpusFilters.unigramLogProb(docs, "doc_id", "text")
+        .agg(sum(col("n_tokens"))).head().getLong(0)
+    }
+    time("pii scrub") {
+      TextAnalysis.piiScrub(docs, "doc_id", "text")
+        .agg(sum(col("n_emails") + col("n_ips") + col("n_phones"))).head(); n
+    }
+    time("url stats") {
+      TextAnalysis.urlStats(docs, "doc_id", "text", Seq(".tracker.net"))
+        .agg(sum(col("n_urls"))).head(); n
+    }
+    time("split assign") {
+      TextAnalysis.splitAssign(docs, "text")
+        .groupBy(col("split")).count().collect(); n
+    }
+    time("chunk docs (32/8)") {
+      graft.pipeline.Sampling.chunkDocs(docs, "doc_id", "text", 32, 8).count()
+    }
     time("mix + pack") {
       graft.pipeline.Sampling.packSequences(
         graft.pipeline.Sampling.mixSources(docs.withColumn("source",
