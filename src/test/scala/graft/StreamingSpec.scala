@@ -415,6 +415,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming interval join: time-range condition matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    // Flink's interval join: orders joined to shipments within [0, 10 min]
+    // after the order. Spark's stream-stream join with a time-range
+    // condition + watermarks bounds both sides' state to the interval width.
+    val memO = MemoryStream[(Int, Timestamp)]
+    val memS = MemoryStream[(Int, Timestamp)]
+    val o = memO.toDF().toDF("k", "ots").withWatermark("ots", "1 minute")
+    val s = memS.toDF().toDF("sk", "sts").withWatermark("sts", "1 minute")
+    val joined = o.join(s, expr(
+      "k = sk AND sts BETWEEN ots AND ots + INTERVAL 10 MINUTES"))
+      .select(col("k"), col("ots"), col("sts"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ij_out").start()
+    try {
+      memO.addData((1, ts("2024-01-01 00:00:00")), (2, ts("2024-01-01 00:05:00")))
+      memS.addData(
+        (1, ts("2024-01-01 00:04:00")),  // in range for k=1
+        (1, ts("2024-01-01 00:20:00")),  // out of range (>10 min after)
+        (2, ts("2024-01-01 00:04:00")))  // BEFORE the k=2 order → no match
+      q.processAllAvailable()
+      memO.addData((8, ts("2024-01-01 01:00:00"))) // advance watermarks
+      memS.addData((9, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ij_out").collect()
+        .map(r => (r.getInt(0), r.getAs[Timestamp](1), r.getAs[Timestamp](2))).toSet
+      assert(got == Set((1, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:04:00"))),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming window join: stream-stream join on (window, key) matches batch") {
     implicit val sqlCtx = spark.sqlContext
     // Flink's WINDOW JOIN: both sides windowed by the same tumble, joined on
