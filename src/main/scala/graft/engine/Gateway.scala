@@ -566,17 +566,49 @@ class Gateway(root: SparkSession) {
   private val CurrentWatermarkRe =
     """(?i)\bCURRENT_WATERMARK\s*\(\s*[\w.`]+\s*\)""".r
 
+  // Aggregating statements can't be re-executed per batch (each batch would
+  // emit an independent partial aggregate, not a streaming aggregation) —
+  // reject them on the streaming path the same way the top-N path refuses
+  // update-mode ranking.
+  private val AggStmtRe =
+    ("""(?is)\bGROUP\s+BY\b|\bHAVING\b|\bDISTINCT\b|""" +
+      """\b(COUNT|SUM|AVG|MIN|MAX|STDDEV\w*|VAR\w*|COLLECT\w*|LISTAGG|APPROX\w*)\s*\(""").r
+
   private def currentWatermarkSelect(spark: SparkSession, stmt: String): OpResult = {
-    val table = """(?is)\bFROM\s+([\w.`]+)""".r.findFirstMatchIn(stmt)
+    // the first FROM token that names an actual table: a first-match regex
+    // alone would grab `EXTRACT(HOUR FROM ts)`'s "FROM ts" and silently
+    // demote the query to batch NULL-watermark semantics
+    val table = """(?is)\bFROM\s+([\w.`]+)""".r.findAllMatchIn(stmt)
       .map(_.group(1).replace("`", ""))
-      .getOrElse(throw new IllegalArgumentException(
-        "CURRENT_WATERMARK: cannot determine the FROM table"))
-    val src = try Some(spark.table(table)) catch { case _: Exception => None }
+      .find(t => (try Some(spark.table(t)) catch { case _: Exception => None }).isDefined)
+    val src = table.map(spark.table)
     src match {
       case Some(df) if df.isStreaming =>
+        // the function's argument must be a time attribute: the binding's
+        // declared rowtime if the table is a binding, else at least a
+        // timestamp-typed column of the stream
+        val arg = """(?i)\bCURRENT_WATERMARK\s*\(\s*([\w.`]+)\s*\)""".r
+          .findFirstMatchIn(stmt).map(_.group(1).replace("`", ""))
+          .map(a => a.substring(a.lastIndexOf('.') + 1))
+        val declared = TableEnv.lookup(table.get).flatMap(_.watermark.map(_._1))
+        arg.foreach { a =>
+          val ok = declared match {
+            case Some(wmCol) => a.equalsIgnoreCase(wmCol)
+            case None => df.schema.fields.exists(f =>
+              f.name.equalsIgnoreCase(a) &&
+                f.dataType.typeName.startsWith("timestamp"))
+          }
+          if (!ok) throw new IllegalArgumentException(
+            s"CURRENT_WATERMARK: '$a' is not a time attribute of '${table.get}'")
+        }
+        if (AggStmtRe.findFirstIn(CurrentWatermarkRe.replaceAllIn(stmt, "")).isDefined)
+          throw new IllegalArgumentException(
+            "CURRENT_WATERMARK supports row-level streaming statements only " +
+              "(projections/filters); aggregations would re-aggregate per " +
+              "micro-batch — aggregate first in a subquery without the function")
         val shadow = s"__graft_wm_${System.nanoTime()}"
         val stmtShadow = stmt.replaceAll(
-          "(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(table) + "(?![\\w`])",
+          "(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(table.get) + "(?![\\w`])",
           java.util.regex.Matcher.quoteReplacement(shadow))
         val qName = new java.util.concurrent.atomic.AtomicReference[String]()
         val transform: DataFrame => DataFrame = batch => {
@@ -587,7 +619,16 @@ class Gateway(root: SparkSession) {
             .flatMap(p => Option(p.eventTime.get("watermark")))
             .filterNot(_.startsWith("1970-01-01T00:00:00")) // no watermark yet
           val lit = wm match {
-            case Some(w) => s"CAST('${w.replace("T", " ").stripSuffix("Z")}' AS TIMESTAMP)"
+            case Some(w) =>
+              // progress reports a UTC instant; render it in the session's
+              // timezone or the literal shifts by the UTC offset
+              val zone = java.time.ZoneId.of(spark.conf.get(
+                "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+              val local = java.time.LocalDateTime.ofInstant(
+                java.time.Instant.parse(w), zone)
+              val fmt = java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss.SSS", java.util.Locale.ROOT)
+              s"CAST('${fmt.format(local)}' AS TIMESTAMP)"
             case None => "CAST(NULL AS TIMESTAMP)"
           }
           batch.sparkSession.sql(FlinkDialect.rewrite(CurrentWatermarkRe
@@ -643,9 +684,13 @@ class Gateway(root: SparkSession) {
       // statement is a per-key min-by-column Top-1 — dropDuplicates would
       // keep the first-ARRIVING row, silently wrong whenever arrival order
       // differs from column order, so fail fast instead.
+      // a proctime column's computed expression IS current_timestamp()
+      // (PROCTIME() post-rewrite) — an expression merely REFERENCING it
+      // (e.g. an age diff) is a regular column, not a time attribute
       val orderIsProcTime = binding.exists(_.cols.exists(c =>
         c.name.equalsIgnoreCase(orderCol) &&
-          c.computed.exists(_.toLowerCase.contains("current_timestamp"))))
+          c.computed.exists(_.trim.toLowerCase
+            .matches("current_timestamp(\\s*\\(\\s*\\))?"))))
       if (!orderIsEventTime && !orderIsProcTime)
         throw new IllegalArgumentException(
           s"streaming deduplication requires ORDER BY a time attribute " +

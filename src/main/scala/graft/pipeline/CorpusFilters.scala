@@ -249,17 +249,17 @@ object CorpusFilters {
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("dtf"))
     val tf = dtf.groupBy(col("term")).agg(sum(col("dtf")).as("tf"))
     val total = tf.agg(sum(col("tf")).as("total"))
+    // lp as decimal(11,9): |log prob| < 100 at 9 rounded decimals, and
+    // (11,9) × bigint(20,0) = decimal(32,9) — exact for ANY tf without the
+    // silent precision squeeze (or NULL-on-overflow) a wider lp would hit
     val termLp = tf.crossJoin(broadcast(total))
       .select(col("term"),
         round(log(col("tf").cast("double") / col("total")), 9)
-          .cast("decimal(28,12)").as("lp"))
+          .cast("decimal(11,9)").as("lp"))
     dtf.join(termLp, "term")
       .groupBy(col("doc_id"))
-      // dtf as decimal(9,0): (28,12)×(9,0) = decimal(38,12) exactly — a
-      // bigint operand would push precision past 38 and silently shrink the
-      // scale (observed as an off-by-1e-6 vs the per-token oracle sum)
       .agg(sum(col("dtf")).as("n_tokens"),
-        sum(col("lp") * col("dtf").cast("decimal(9,0)")).as("lp_sum"))
+        sum(col("lp") * col("dtf")).as("lp_sum"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("lp_sum").cast("double") / col("n_tokens"), 6).as("avg_logprob"))
   }

@@ -63,16 +63,18 @@ object TextAnalysis {
     * no shuffle, prunes to (id, text) at 100 TB. */
   def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
+    // counts follow the redaction cascade (IPs counted on the email-redacted
+    // text, phones on the email+IP-redacted text): a dotted email domain
+    // would otherwise count as both an email AND an IP while the sequential
+    // redaction only emits one placeholder — counts must equal placeholders
+    val noEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
     df.select(
       col(idCol),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("bigint").as("n_ips"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>").as("redacted"))
+      size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))).cast("bigint").as("n_ips"),
+      size(regexp_extract_all(noIp, lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
+      regexp_replace(noIp, PhoneRe, "<PHONE>").as("redacted"))
   }
 
   /** URL regex (scheme + non-space remainder) and its domain capture —

@@ -387,15 +387,19 @@ object PipelineQueries {
         |              || ' call +1 555 0' || CAST(CAST(doc_id % 900 + 100 AS INT) AS VARCHAR)
         |    END AS text
         |  FROM documents)
+        |, casc AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email
+        |  FROM base)
+        |, casc2 AS (
+        |  SELECT *, regexp_replace(no_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS no_ip
+        |  FROM casc)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(text, '\+\d[\d -]{6,14}\d')) AS BIGINT) AS n_phones,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |      '\+\d[\d -]{6,14}\d', '<PHONE>', 'g') AS redacted
-        |FROM base ORDER BY doc_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(no_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(no_ip, '\+\d[\d -]{6,14}\d')) AS BIGINT) AS n_phones,
+        |  regexp_replace(no_ip, '\+\d[\d -]{6,14}\d', '<PHONE>', 'g') AS redacted
+        |FROM casc2 ORDER BY doc_id""".stripMargin,
 
     "q_text_urls" ->
       """WITH base AS (

@@ -339,7 +339,10 @@ class PipelineSpec extends SparkTestBase {
       (1L, "write to alice.smith+x@sub.example.org or bob@ex.io today"),
       (2L, "server 10.0.0.1 talked to 192.168.255.254; call +49 30 123456"),
       (3L, "no pii here, just words and 42 numbers"),
-      (4L, "mix: c@d.co at 8.8.8.8 dial +1 555 0100 end")).toDF("doc_id", "text")
+      (4L, "mix: c@d.co at 8.8.8.8 dial +1 555 0100 end"),
+      // overlap: the email's dotted domain also matches the IP pattern —
+      // cascade counting must report 1 email, 0 ips (one placeholder each)
+      (5L, "edge bob@10.2.3.44.co overlap")).toDF("doc_id", "text")
     val out = TextAnalysis.piiScrub(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap
     def count(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
@@ -353,6 +356,8 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2L).getAs[Long]("n_ips") == 2 && out(2L).getAs[Long]("n_phones") == 1)
     assert(out(3L).getAs[String]("redacted") == "no pii here, just words and 42 numbers")
     assert(out(4L).getAs[String]("redacted") == "mix: <EMAIL> at <IP> dial <PHONE> end")
+    assert(out(5L).getAs[Long]("n_emails") == 1 && out(5L).getAs[Long]("n_ips") == 0)
+    assert(out(5L).getAs[String]("redacted") == "edge <EMAIL> overlap")
     // idempotent: placeholders contain no digits/@, so a second scrub is a no-op
     val once = TextAnalysis.piiScrub(docs, "doc_id", "text")
       .select(col("doc_id"), col("redacted").as("text"))

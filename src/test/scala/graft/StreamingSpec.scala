@@ -579,6 +579,24 @@ class StreamingSpec extends SparkTestBase {
       assert(keys == Set("1", "9", "3"),
         s"late row k=2 must be filtered by CURRENT_WATERMARK, got $keys")
     } finally gw.closeOperation(op)
+    // aggregations would re-aggregate per micro-batch — rejected, not wrong
+    val agg = gw.fetchResults(gw.executeStatement(h,
+      "SELECT k, COUNT(*) AS n FROM wm_src WHERE ts > CURRENT_WATERMARK(ts) GROUP BY k"), 0)
+    assert(agg.columns == Seq("error") &&
+      agg.rows.head.head.toString.contains("row-level"), s"got $agg")
+    // the argument must be a time attribute
+    val badArg = gw.fetchResults(gw.executeStatement(h,
+      "SELECT k FROM wm_src WHERE CURRENT_WATERMARK(k) IS NULL"), 0)
+    assert(badArg.columns == Seq("error") &&
+      badArg.rows.head.head.toString.contains("not a time attribute"), s"got $badArg")
+    // an earlier EXTRACT(... FROM ts) must not misidentify the source table
+    val ex = gw.executeStatement(h,
+      """SELECT EXTRACT(HOUR FROM ts) AS h, k FROM wm_src
+        |WHERE CURRENT_WATERMARK(ts) IS NULL OR ts > CURRENT_WATERMARK(ts)""".stripMargin)
+    try {
+      val p = gw.fetchResults(ex, 0)
+      assert(p.columns == Seq("h", "k"), s"EXTRACT misroute: ${p.columns} ${p.rows.take(1)}")
+    } finally gw.closeOperation(ex)
   }
 
   test("corpus quality/repetition operators run on streams: stream == batch") {
