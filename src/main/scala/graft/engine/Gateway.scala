@@ -526,9 +526,7 @@ class Gateway(root: SparkSession) {
             TableEnv.materializeDF(spark, nb) match {
               case Some(df) =>
                 df.createOrReplaceTempView(shadow)
-                route(spark, stripped.replaceAll(
-                  "(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(b.name) + "(?![\\w`])",
-                  java.util.regex.Matcher.quoteReplacement(shadow)))
+                route(spark, substituteTable(stripped, b.name, shadow))
               case None => route(spark, stripped)
             }
           case _ => route(spark, stripped)
@@ -566,31 +564,44 @@ class Gateway(root: SparkSession) {
   private val CurrentWatermarkRe =
     """(?i)\bCURRENT_WATERMARK\s*\(\s*[\w.`]+\s*\)""".r
 
-  // Aggregating statements can't be re-executed per batch (each batch would
-  // emit an independent partial aggregate, not a streaming aggregation) —
-  // reject them on the streaming path the same way the top-N path refuses
-  // update-mode ranking.
+  /** Replace every reference to `table` (bare word-bounded or
+    * backtick-quoted) with `shadow` — the one substitution idiom for routing
+    * a statement at a shadow temp view (OPTIONS hint, CURRENT_WATERMARK). */
+  private[engine] def substituteTable(stmt: String, table: String, shadow: String): String = {
+    val q = java.util.regex.Pattern.quote(table)
+    stmt.replaceAll(s"(?i)(?:`$q`|(?<![\\w`])$q(?![\\w`]))",
+      java.util.regex.Matcher.quoteReplacement(shadow))
+  }
+
+  // Statements that can't be re-executed per batch: aggregations would emit
+  // independent partial aggregates, window functions would re-rank inside
+  // each batch, LIMIT would take a per-batch top-k. Rejected on the
+  // streaming path the same way the top-N path refuses update-mode ranking.
+  // Scanned with string literals masked so a 'DISTINCT' constant can't trip it.
   private val AggStmtRe =
-    ("""(?is)\bGROUP\s+BY\b|\bHAVING\b|\bDISTINCT\b|""" +
-      """\b(COUNT|SUM|AVG|MIN|MAX|STDDEV\w*|VAR\w*|COLLECT\w*|LISTAGG|APPROX\w*)\s*\(""").r
+    ("""(?is)\bGROUP\s+BY\b|\bHAVING\b|\bDISTINCT\b|\bLIMIT\b|\bOVER\s*\(|""" +
+      """\b(COUNT|SUM|AVG|MIN|MAX|STDDEV|STDDEV_SAMP|STDDEV_POP|VARIANCE|""" +
+      """VAR_SAMP|VAR_POP|COLLECT_LIST|COLLECT_SET|COLLECT|LISTAGG|""" +
+      """APPROX_COUNT_DISTINCT|APPROX_PERCENTILE)\s*\(""").r
 
   private def currentWatermarkSelect(spark: SparkSession, stmt: String): OpResult = {
-    // the first FROM token that names an actual table: a first-match regex
-    // alone would grab `EXTRACT(HOUR FROM ts)`'s "FROM ts" and silently
-    // demote the query to batch NULL-watermark semantics
-    val table = """(?is)\bFROM\s+([\w.`]+)""".r.findAllMatchIn(stmt)
-      .map(_.group(1).replace("`", ""))
-      .find(t => (try Some(spark.table(t)) catch { case _: Exception => None }).isDefined)
-    val src = table.map(spark.table)
-    src match {
-      case Some(df) if df.isStreaming =>
+    // scan every FROM/JOIN token that names a real table (a first-match
+    // regex alone would grab `EXTRACT(HOUR FROM ts)`'s "FROM ts") and pick
+    // the STREAMING one — a batch dim table may legitimately come first in
+    // a join, and the per-batch execution joins the batch snapshot against
+    // it correctly
+    val tables = """(?is)\b(?:FROM|JOIN)\s+([\w.`]+)""".r.findAllMatchIn(stmt)
+      .map(_.group(1).replace("`", "")).toSeq.distinct
+      .flatMap(t => (try Some(t -> spark.table(t)) catch { case _: Exception => None }))
+    tables.filter(_._2.isStreaming) match {
+      case Seq((table, df)) =>
         // the function's argument must be a time attribute: the binding's
         // declared rowtime if the table is a binding, else at least a
         // timestamp-typed column of the stream
         val arg = """(?i)\bCURRENT_WATERMARK\s*\(\s*([\w.`]+)\s*\)""".r
           .findFirstMatchIn(stmt).map(_.group(1).replace("`", ""))
           .map(a => a.substring(a.lastIndexOf('.') + 1))
-        val declared = TableEnv.lookup(table.get).flatMap(_.watermark.map(_._1))
+        val declared = TableEnv.lookup(table).flatMap(_.watermark.map(_._1))
         arg.foreach { a =>
           val ok = declared match {
             case Some(wmCol) => a.equalsIgnoreCase(wmCol)
@@ -599,22 +610,25 @@ class Gateway(root: SparkSession) {
                 f.dataType.typeName.startsWith("timestamp"))
           }
           if (!ok) throw new IllegalArgumentException(
-            s"CURRENT_WATERMARK: '$a' is not a time attribute of '${table.get}'")
+            s"CURRENT_WATERMARK: '$a' is not a time attribute of '$table'")
         }
-        if (AggStmtRe.findFirstIn(CurrentWatermarkRe.replaceAllIn(stmt, "")).isDefined)
+        val masked = CurrentWatermarkRe.replaceAllIn(stmt, "")
+          .replaceAll("'(?:[^']|'')*'", "''")
+        if (AggStmtRe.findFirstIn(masked).isDefined)
           throw new IllegalArgumentException(
             "CURRENT_WATERMARK supports row-level streaming statements only " +
-              "(projections/filters); aggregations would re-aggregate per " +
-              "micro-batch — aggregate first in a subquery without the function")
-        val shadow = s"__graft_wm_${System.nanoTime()}"
-        val stmtShadow = stmt.replaceAll(
-          "(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(table.get) + "(?![\\w`])",
-          java.util.regex.Matcher.quoteReplacement(shadow))
-        val qName = new java.util.concurrent.atomic.AtomicReference[String]()
+              "(projections/filters); aggregations, window functions and " +
+              "LIMIT would recompute per micro-batch — apply them in a " +
+              "statement without the function")
+        // pre-name the query so the per-batch transform can find it from
+        // batch 0 (setting the name after start would race early batches
+        // into a NULL-watermark literal)
+        val qn = s"select_${System.nanoTime()}"
+        val shadow = s"__graft_wm_$qn"
+        val stmtShadow = substituteTable(stmt, table, shadow)
         val transform: DataFrame => DataFrame = batch => {
           batch.createOrReplaceTempView(shadow)
-          val wm = Option(qName.get)
-            .flatMap(n => spark.streams.active.find(_.name == n))
+          val wm = spark.streams.active.find(_.name == qn)
             .flatMap(q => Option(q.lastProgress))
             .flatMap(p => Option(p.eventTime.get("watermark")))
             .filterNot(_.startsWith("1970-01-01T00:00:00")) // no watermark yet
@@ -634,14 +648,23 @@ class Gateway(root: SparkSession) {
           batch.sparkSession.sql(FlinkDialect.rewrite(CurrentWatermarkRe
             .replaceAllIn(stmtShadow, java.util.regex.Matcher.quoteReplacement(lit))))
         }
-        val res = startStreamingSelect(spark, df, transform)
-        res match { case StreamingOp(job, _, _) => qName.set(job); case _ => () }
+        val res = startStreamingSelect(spark, df, transform, name0 = Some(qn))
+        wmShadows.put(qn, (spark, shadow))
         res
-      case _ =>
+      case Seq() =>
+        // batch statement: a watermark never exists → NULL
         Finished(spark.sql(FlinkDialect.rewrite(
           CurrentWatermarkRe.replaceAllIn(stmt, "CAST(NULL AS TIMESTAMP)"))))
+      case many => throw new IllegalArgumentException(
+        "CURRENT_WATERMARK over a multi-stream statement is unsupported " +
+          s"(streaming tables: ${many.map(_._1).mkString(", ")})")
     }
   }
+
+  /** shadow temp views registered per CURRENT_WATERMARK operation, dropped
+    * when the operation is closed (keyed by query name). */
+  private val wmShadows =
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
 
   // Flink's streaming "Deduplication" special query (docs-blessed pattern):
   //   SELECT ... FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY
@@ -677,8 +700,14 @@ class Gateway(root: SparkSession) {
         else src.selectExpr(FlinkDialect.splitAssignments(innerList)
           .map(FlinkDialect.rewrite): _*)
       val keys = m.group(3).split(",").map(_.trim.replace("`", "")).toSeq
+      // rowtime: the binding's declared watermark column, or — for plain
+      // streaming temp views with no binding — a column carrying Spark's
+      // own watermark-delay metadata (set by withWatermark)
       val orderIsEventTime =
-        binding.exists(_.watermark.exists(_._1.equalsIgnoreCase(orderCol)))
+        binding.exists(_.watermark.exists(_._1.equalsIgnoreCase(orderCol))) ||
+          (binding.isEmpty && src.schema.fields.exists(f =>
+            f.name.equalsIgnoreCase(orderCol) &&
+              f.metadata.contains("spark.watermarkDelayMs")))
       // Flink's Deduplication special query applies ONLY when ORDER BY is a
       // time attribute (rowtime or proctime). For any other column the
       // statement is a per-key min-by-column Top-1 — dropDuplicates would
@@ -722,9 +751,10 @@ class Gateway(root: SparkSession) {
   private val identityTransform: DataFrame => DataFrame = df => df
 
   private def startStreamingSelect(spark: SparkSession, df: DataFrame,
-      batchTransform: DataFrame => DataFrame = identityTransform): OpResult = {
+      batchTransform: DataFrame => DataFrame = identityTransform,
+      name0: Option[String] = None): OpResult = {
     val buffer = new RingBuffer()
-    val name = s"select_${System.nanoTime()}"
+    val name = name0.getOrElse(s"select_${System.nanoTime()}")
     // derive output columns by probing the transform with an empty BATCH
     // frame of the stream's schema (the transform may add/rename columns)
     val cols = batchTransform(spark.createDataFrame(
@@ -911,5 +941,19 @@ class Gateway(root: SparkSession) {
       }
     }
 
-  def closeOperation(opHandle: String): Unit = operations.remove(opHandle)
+  def closeOperation(opHandle: String): Unit =
+    operations.remove(opHandle).foreach {
+      _.result match {
+        case StreamingOp(job, _, _) =>
+          // a CURRENT_WATERMARK op owns a shadow temp view: stop the query
+          // first, then drop the view (dropping it under a live query would
+          // fail its next batch); other streaming ops keep running, as
+          // before — cancelOperation is the explicit stop
+          wmShadows.remove(job).foreach { case (sp, shadow) =>
+            Jobs.stop(job)
+            try sp.catalog.dropTempView(shadow) catch { case _: Exception => () }
+          }
+        case _ => ()
+      }
+    }
 }

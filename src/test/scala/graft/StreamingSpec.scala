@@ -597,6 +597,20 @@ class StreamingSpec extends SparkTestBase {
       val p = gw.fetchResults(ex, 0)
       assert(p.columns == Seq("h", "k"), s"EXTRACT misroute: ${p.columns} ${p.rows.take(1)}")
     } finally gw.closeOperation(ex)
+    // backtick-quoted table references route and substitute the same
+    val bq = gw.executeStatement(h,
+      "SELECT k FROM `wm_src` WHERE CURRENT_WATERMARK(ts) IS NULL OR ts > CURRENT_WATERMARK(ts)")
+    try {
+      val p = gw.fetchResults(bq, 0)
+      assert(p.columns == Seq("k"), s"backticked table misroute: ${p.columns} ${p.rows.take(1)}")
+    } finally gw.closeOperation(bq)
+    // event-time dedup over a NON-binding watermarked view: the rowtime is
+    // recognized from Spark's own watermark metadata, not just bindings
+    val dd = gw.fetchResults(gw.executeStatement(h,
+      """SELECT k FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts ASC) AS rn
+        |  FROM wm_src) WHERE rn = 1""".stripMargin), 0)
+    assert(dd.columns != Seq("error"), s"non-binding rowtime dedup rejected: $dd")
   }
 
   test("corpus quality/repetition operators run on streams: stream == batch") {
