@@ -100,6 +100,9 @@ object TableEnv {
       case "datagen" if !b.options.contains("number-of-rows") => tryOpt(streamDF(spark, b))
       case "filesystem" | "datagen" | "values" | "jdbc" => tryOpt(batchDF(spark, b))
       case "kafka" | "upsert-kafka" => tryOpt(streamDF(spark, b))
+      // CDC sources are changelog streams first (Flink's CLI view of them);
+      // batchDF gives the snapshot when a bounded read is wanted
+      case c if c.endsWith("-cdc") => tryOpt(streamDF(spark, b))
       case _ => None
     }
   }
@@ -385,7 +388,8 @@ object TableEnv {
   }
 
   /** CDC envelope formats with a decoder here (G:518). */
-  val cdcFormats: Set[String] = Set("debezium-json", "canal-json", "maxwell-json")
+  val cdcFormats: Set[String] =
+    Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
 
   def batchDF(spark: SparkSession, b: Binding): DataFrame = b.connector match {
     case "filesystem" if cdcFormats(b.format) =>
@@ -417,8 +421,47 @@ object TableEnv {
     case "jdbc" =>
       finishSource(spark.read.format("jdbc").options(jdbcOptions(b)).load(),
         b, stream = false)
+    case c if c.endsWith("-cdc") =>
+      // bounded read over a CDC table = the snapshot phase: fold the
+      // changelog to the latest surviving row per key
+      val nb = cdcReplayBinding(b)
+      val raw = spark.read.format("json").schema(cdcEnvelope(nb)).load(nb.options("path"))
+      val changelog =
+        decodeCdc(raw.select(struct(raw.columns.map(col): _*).as("__e")), nb)
+      finishSource(cdcSnapshot(changelog, b), b, stream = false)
     case c =>
       throw new IllegalArgumentException(s"connector '$c' is not batch-readable")
+  }
+
+  /** `mysql-cdc` / `postgres-cdc` / … family (reference F:706-720; G:513).
+    * This container has no database or binlog client, and Flink CDC's own
+    * connectors embed Debezium — whose change stream IS debezium-json. The
+    * binding therefore replays a debezium-json changelog from the directory
+    * named by the `changelog.path` option (a documented emulation knob; the
+    * standard hostname/port/database-name/… options are accepted and carried
+    * for SHOW CREATE TABLE fidelity). */
+  private def cdcReplayBinding(b: Binding): Binding = {
+    val path = b.options.getOrElse("changelog.path",
+      throw new IllegalArgumentException(
+        s"${b.connector} binding '${b.name}': no database client in this " +
+          "environment; set 'changelog.path' to a debezium-json changelog " +
+          "directory to replay"))
+    b.copy(options = b.options + ("format" -> "debezium-json", "path" -> path))
+  }
+
+  /** Changelog → current snapshot: latest event per primary key wins (by
+    * source timestamp), deletes erase. One hash exchange on the PK — the
+    * same shape the 100 TB compaction of any keyed changelog takes. */
+  private def cdcSnapshot(changelog: DataFrame, b: Binding): DataFrame = {
+    if (b.primaryKey.isEmpty) throw new IllegalArgumentException(
+      s"${b.connector} binding '${b.name}' requires PRIMARY KEY NOT ENFORCED")
+    import org.apache.spark.sql.expressions.Window
+    changelog
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(b.primaryKey.map(col): _*)
+        .orderBy(col("__ts_ms").desc_nulls_last)))
+      .filter(col("__rn") === 1 && col("__op") =!= "d")
+      .drop("__rn", "__op", "__ts_ms")
   }
 
   /** data registry for the `values` connector (Flink registers rows under a
@@ -460,6 +503,15 @@ object TableEnv {
       val r = spark.readStream.format(b.format).schema(
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
       finishSource(r.load(b.options("path")), b, stream = true)
+    case c if c.endsWith("-cdc") =>
+      // unbounded read = the incremental phase: surface the changelog rows
+      // (__op/__ts_ms ride along; PK sinks APPLY them)
+      val nb = cdcReplayBinding(b)
+      val raw = spark.readStream.format("json").schema(cdcEnvelope(nb))
+        .load(nb.options("path"))
+      finishSource(
+        decodeCdc(raw.select(struct(raw.columns.map(col): _*).as("__e")), nb),
+        b, stream = true)
     case "kafka" | "upsert-kafka" =>
       val raw = kafkaSourceOptions(b).foldLeft(spark.readStream.format("kafka")) {
         case (r, (k, v)) => r.option(k, v)
@@ -500,6 +552,12 @@ object TableEnv {
       case "maxwell-json" => new StructType()
         .add("data", payload).add("old", payload)
         .add("type", StringType).add("ts", LongType)
+      case "ogg-json" => new StructType() // Oracle GoldenGate (G:518)
+        .add("before", payload).add("after", payload)
+        .add("op_type", StringType).add("op_ts", StringType)
+        .add("current_ts", StringType).add("table", StringType)
+        .add("pos", StringType)
+        .add("primary_keys", ArrayType(StringType))
       case f => throw new IllegalArgumentException(s"not a CDC format: $f")
     }
   }
@@ -533,11 +591,34 @@ object TableEnv {
           .withColumn("__img", col("__e.data"))
           .withColumn("__op", canalOp(col("__e.type")))
           .withColumn("__ts_ms", col("__e.ts") * 1000L) // maxwell ts is seconds
+      case "ogg-json" =>
+        // GoldenGate: op_type I/U/D, op_ts a "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        // source-commit wall-clock string
+        parsed
+          .withColumn("__img",
+            when(upper(col("__e.op_type")) === "D", col("__e.before"))
+              .otherwise(col("__e.after")))
+          .withColumn("__op",
+            when(upper(col("__e.op_type")) === "I", "c")
+              .when(upper(col("__e.op_type")) === "U", "u")
+              .when(upper(col("__e.op_type")) === "D", "d")
+              .otherwise("r"))
+          .withColumn("__ts_ms", unix_millis(to_timestamp(col("__e.op_ts"))))
     }
     val metaCols = b.cols.filter(_.metadataFrom.isDefined).map { c =>
       c.metadataFrom.get match {
         case "op" => col("__op").cast(c.sparkType).as(c.name)
-        case "ts_ms" | "value.source.timestamp" | "value.ingestion-timestamp" =>
+        // ogg-json's own metadata keys first (Flink: table, primary-keys,
+        // ingestion-timestamp = current_ts, event-timestamp = op_ts)
+        case "table" | "value.table" if b.format == "ogg-json" =>
+          col("__e.table").cast(c.sparkType).as(c.name)
+        case "primary-keys" | "value.primary-keys" if b.format == "ogg-json" =>
+          col("__e.primary_keys").cast(c.sparkType).as(c.name)
+        case "ingestion-timestamp" | "value.ingestion-timestamp"
+            if b.format == "ogg-json" =>
+          to_timestamp(col("__e.current_ts")).cast(c.sparkType).as(c.name)
+        case "ts_ms" | "value.source.timestamp" | "value.ingestion-timestamp" |
+            "value.event-timestamp" =>
           timestamp_millis(col("__ts_ms")).cast(c.sparkType).as(c.name)
         case other => col(other).cast(c.sparkType).as(c.name) // kafka native
       }
@@ -634,12 +715,64 @@ object TableEnv {
         df.writeStream.outputMode(if (b.primaryKey.nonEmpty) "update" else "append")
           .foreachBatch { (batch: DataFrame, _: Long) => batchInsert(spark, b, batch) }
           .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      case "elasticsearch-6" | "elasticsearch-7" =>
+        // per-microbatch bulk flush, one compacted action per key per batch
+        // (the connector's own bulk-flush buffering)
+        df.writeStream.outputMode(if (b.primaryKey.nonEmpty) "update" else "append")
+          .foreachBatch { (batch: DataFrame, _: Long) => batchInsert(spark, b, batch) }
+          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
       case c => throw new IllegalArgumentException(s"connector '$c' is not stream-writable")
     }
     val q = w.queryName(name).start()
     Jobs.register(name, q)
     name
   }
+
+  /** elasticsearch-6/7 sink (reference F:653-662): there is no cluster to
+    * talk to in this container, so the sink emits exactly what the connector
+    * would put on the wire — the bulk-API NDJSON stream: an action line
+    * (`{"index":{"_index":…,"_id":…}}`, or `{"delete":…}` for changelog
+    * deletes) followed by the document source line. The stream spools to the
+    * `path` option (default `spark-warehouse/elasticsearch/<index>`); with a
+    * PRIMARY KEY the _id is the delimiter-joined key (Flink's
+    * `document-id.key-delimiter`, default "_") and each batch is compacted
+    * to one action per key (latest by source timestamp) so replaying the
+    * spool in file order reproduces the index state. */
+  def esBulkRecords(df: DataFrame, b: Binding): DataFrame = {
+    val idx = b.options.getOrElse("index", b.name)
+    val delim = b.options.getOrElse("document-id.key-delimiter", "_")
+    val isCdc = df.columns.contains("__op")
+    if (isCdc && b.primaryKey.isEmpty) throw new IllegalArgumentException(
+      s"${b.connector} sink '${b.name}': a changelog (CDC) input requires " +
+        "PRIMARY KEY NOT ENFORCED (upsert mode) — deletes need a document id")
+    val compacted =
+      if (b.primaryKey.isEmpty) df
+      else if (isCdc && df.columns.contains("__ts_ms")) {
+        import org.apache.spark.sql.expressions.Window
+        df.withColumn("__rn", row_number().over(Window
+            .partitionBy(b.primaryKey.map(col): _*)
+            .orderBy(col("__ts_ms").desc_nulls_last)))
+          .filter(col("__rn") === 1).drop("__rn")
+      } else dedupPerKey(df, b.primaryKey)
+    val data = compacted.drop("__op", "__ts_ms")
+    val dataCols = data.columns.map(c => s"`$c`").mkString(", ")
+    val docId = concat_ws(delim, b.primaryKey.map(c => col(c).cast("string")): _*)
+    val action = (verb: String) =>
+      if (b.primaryKey.isEmpty) // no PK → server-side auto _id
+        to_json(struct(struct(lit(idx).as("_index")).as(verb)))
+      else to_json(struct(struct(lit(idx).as("_index"), docId.as("_id")).as(verb)))
+    val value =
+      if (isCdc)
+        when(compacted("__op") === "d", action("delete"))
+          .otherwise(concat(action("index"), lit("\n"),
+            expr(s"to_json(struct($dataCols))")))
+      else concat(action("index"), lit("\n"), expr(s"to_json(struct($dataCols))"))
+    compacted.select(value.as("value"))
+  }
+
+  private def esSpoolPath(b: Binding): String =
+    b.options.getOrElse("path",
+      s"spark-warehouse/elasticsearch/${b.options.getOrElse("index", b.name)}")
 
   /** upsert-kafka record shape: (key = PK json, value = row json, or a NULL
     * tombstone for changelog deletes) — Kafka log compaction then retains
@@ -694,6 +827,9 @@ object TableEnv {
       rebind(spark, b)
     case "print" => df.show(numRows = 20, truncate = false)
     case "blackhole" => df.write.format("noop").mode("overwrite").save()
+    case "elasticsearch-6" | "elasticsearch-7" =>
+      esBulkRecords(df, b).write.mode(if (overwrite) "overwrite" else "append")
+        .text(esSpoolPath(b))
     case "jdbc" =>
       val opts = jdbcOptions(b)
       if (b.primaryKey.nonEmpty && !overwrite) {

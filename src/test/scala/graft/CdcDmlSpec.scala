@@ -119,6 +119,77 @@ class CdcDmlSpec extends SparkTestBase {
       Seq(("x", "c", 9000L), ("x2", "u", 10000L))) // seconds → millis
   }
 
+  test("ogg-json decodes images, op letters and GoldenGate metadata") {
+    TableEnv.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ogg")
+    java.nio.file.Files.write(dir.resolve("ogg.json"), Seq(
+      """{"before": null, "after": {"id": 1, "name": "ada"}, "op_type": "I", "op_ts": "2024-01-01 00:00:01.000000", "current_ts": "2024-01-01 00:00:02.000000", "table": "SRC.T", "pos": "0001", "primary_keys": ["id"]}""",
+      """{"before": {"id": 1, "name": "ada"}, "after": {"id": 1, "name": "ada2"}, "op_type": "U", "op_ts": "2024-01-01 00:00:03.000000", "current_ts": "2024-01-01 00:00:04.000000", "table": "SRC.T", "pos": "0002", "primary_keys": ["id"]}""",
+      """{"before": {"id": 1, "name": "ada2"}, "after": null, "op_type": "D", "op_ts": "2024-01-01 00:00:05.000000", "current_ts": "2024-01-01 00:00:06.000000", "table": "SRC.T", "pos": "0003", "primary_keys": ["id"]}""")
+      .mkString("\n").getBytes("UTF-8"))
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE ogg_t (
+         |  id BIGINT, name STRING,
+         |  op STRING METADATA FROM 'op' VIRTUAL,
+         |  src_tbl STRING METADATA FROM 'table' VIRTUAL,
+         |  pks ARRAY<STRING> METADATA FROM 'primary-keys' VIRTUAL,
+         |  ingest TIMESTAMP(3) METADATA FROM 'ingestion-timestamp' VIRTUAL
+         |) WITH ('connector'='filesystem','path'='$dir','format'='ogg-json')""".stripMargin)
+    val rows = TableEnv.batchDF(spark, TableEnv.lookup("ogg_t").get)
+      .orderBy(col("__ts_ms")).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("op")).toSeq == Seq("c", "u", "d"))
+    // after-image for I/U, before-image for D
+    assert(rows(1).getAs[String]("name") == "ada2")
+    assert(rows(2).getAs[String]("name") == "ada2")
+    assert(rows.map(_.getAs[String]("src_tbl")).distinct.toSeq == Seq("SRC.T"))
+    assert(rows.head.getAs[scala.collection.Seq[String]]("pks") == Seq("id"))
+    // op_ts drives __ts_ms (millis); current_ts drives ingestion-timestamp
+    assert(rows.head.getAs[Long]("__ts_ms") == 1704067201000L)
+    assert(rows.head.get(rows.head.fieldIndex("ingest")) != null)
+  }
+
+  test("mysql-cdc connector: verbatim corpus DDL parses; snapshot + changelog replay") {
+    TableEnv.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-mysql-cdc")
+    writeDebezium(dir)
+    // the corpus DDL (F:705-720) with the emulation knob appended
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE mysql_cdc_source (
+         |    id BIGINT,
+         |    name STRING,
+         |    PRIMARY KEY (id) NOT ENFORCED
+         |) WITH (
+         |    'connector' = 'mysql-cdc',
+         |    'hostname' = 'localhost',
+         |    'port' = '3306',
+         |    'username' = 'root',
+         |    'password' = 'password',
+         |    'database-name' = 'mydb',
+         |    'table-name' = 'users',
+         |    'server-id' = '5400-5404',
+         |    'server-time-zone' = 'UTC',
+         |    'changelog.path' = '$dir'
+         |)""".stripMargin)
+    val b = TableEnv.lookup("mysql_cdc_source").get
+    // bounded read = snapshot: ada inserted then deleted, bob updated to bob2
+    val snap = TableEnv.batchDF(spark, b).collect()
+    assert(snap.map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSeq ==
+      Seq((2L, "bob2")), snap.mkString(","))
+    assert(!snap.head.schema.fieldNames.contains("__op"))
+    // unbounded read = the changelog rows, op/ts riding along
+    val stream = TableEnv.streamDF(spark, b)
+    assert(stream.isStreaming && stream.columns.contains("__op"))
+    // without the knob the binding fails fast with a pointer to it
+    TableEnv.createTable(spark,
+      """CREATE TABLE pg_bare (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+        |WITH ('connector'='postgres-cdc','hostname'='x','database-name'='d')""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      TableEnv.batchDF(spark, TableEnv.lookup("pg_bare").get)
+    }
+    assert(e.getMessage.contains("changelog.path"))
+  }
+
   test("CDC end-to-end: debezium stream applied to a jdbc PK sink") {
     import spark.implicits._
     TableEnv.clear()
@@ -145,6 +216,45 @@ class CdcDmlSpec extends SparkTestBase {
       assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "bob2")),
         rows.mkString(","))
     } finally Jobs.stopAll()
+  }
+
+  test("elasticsearch-7 sink spools the exact bulk-API NDJSON stream") {
+    import spark.implicits._
+    TableEnv.clear()
+    val spool = java.nio.file.Files.createTempDirectory("graft-es").toString
+    // corpus DDL (F:654-662) + the spool path
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE es_sink (
+         |    id STRING,
+         |    name STRING,
+         |    PRIMARY KEY (id) NOT ENFORCED
+         |) WITH (
+         |    'connector' = 'elasticsearch-7',
+         |    'hosts' = 'http://localhost:9200',
+         |    'index' = 'my-index',
+         |    'path' = '$spool'
+         |)""".stripMargin)
+    val b = TableEnv.lookup("es_sink").get
+    TableEnv.batchInsert(spark, b, Seq(("1", "ada"), ("2", "bo\"b")).toDF("id", "name"))
+    val lines = spark.read.textFile(spool).collect().sorted
+    assert(lines.length == 4, lines.mkString("|")) // 2 docs × (action + source)
+    assert(lines.contains("""{"index":{"_index":"my-index","_id":"1"}}"""))
+    assert(lines.contains("""{"id":"2","name":"bo\"b"}""")) // json-escaped doc
+    // changelog input: one compacted action per key, delete action for d
+    val cdc = Seq(
+      ("1", "ada", "u", 10L), ("1", "ada2", "u", 11L), ("2", "x", "d", 12L))
+      .toDF("id", "name", "__op", "__ts_ms")
+    val recs = TableEnv.esBulkRecords(cdc, b).as[String].collect().sorted
+    assert(recs.length == 2, recs.mkString("|"))
+    assert(recs.contains("""{"delete":{"_index":"my-index","_id":"2"}}"""))
+    assert(recs.exists(_.endsWith("""{"id":"1","name":"ada2"}""")), recs.mkString("|"))
+    // a CDC stream into a PK-less index has no addressable documents
+    val bare = TableEnv.parseCreateTable(
+      "CREATE TABLE es_bare (id STRING) WITH ('connector'='elasticsearch-7')")
+    val e = intercept[IllegalArgumentException] {
+      TableEnv.esBulkRecords(Seq(("1", "d", 1L)).toDF("id", "__op", "__ts_ms"), bare)
+    }
+    assert(e.getMessage.contains("PRIMARY KEY"))
   }
 
   test("upsert-kafka records: PK key json, tombstone value for CDC deletes") {
