@@ -404,6 +404,9 @@ object TableEnv {
       // session may have rewritten the files via INSERT OVERWRITE/DML.
       spark.catalog.refreshTable(bucketTableName(b))
       finishSource(spark.table(bucketTableName(b)), b, stream = false)
+    case "filesystem" if b.format == "avro" =>
+      finishSource(graft.sources.AvroFiles.read(spark, b.options("path"),
+        org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)), b, stream = false)
     case "filesystem" =>
       val r = spark.read.format(b.format).schema(
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
@@ -499,6 +502,9 @@ object TableEnv {
       val raw = spark.readStream.format("json").schema(cdcEnvelope(b)).load(b.options("path"))
       finishSource(decodeCdc(raw.select(struct(raw.columns.map(col): _*).as("__e")), b),
         b, stream = true)
+    case "filesystem" if b.format == "avro" =>
+      finishSource(graft.sources.AvroFiles.readStream(spark, b.options("path"),
+        org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)), b, stream = true)
     case "filesystem" =>
       val r = spark.readStream.format(b.format).schema(
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
@@ -521,11 +527,19 @@ object TableEnv {
           decodeCdc(raw.withColumn("__e",
             from_json(col("value").cast("string"), cdcEnvelope(b))), b)
         else {
-          // payload decode (json) + METADATA columns from Kafka's native fields
+          // payload decode (json, or avro / avro-confluent per F:626-640) +
+          // METADATA columns from Kafka's native fields
+          val payload = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+          val decoded = b.format match {
+            case "avro" =>
+              graft.sources.AvroFiles.fromAvroValue(col("value"), payload, confluent = false)
+            case "avro-confluent" =>
+              graft.sources.AvroFiles.fromAvroValue(col("value"), payload, confluent = true)
+            case _ => from_json(col("value").cast("string"), payload)
+          }
           val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
           raw.select(
-            (from_json(col("value").cast("string"),
-              org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)).as("__d") +:
+            (decoded.as("__d") +:
               b.cols.filter(_.metadataFrom.isDefined).map(c =>
                 col(c.metadataFrom.get).cast(c.sparkType).as(c.name))): _*)
             .select(dataCols.map(c => col(s"__d.${c.name}")) ++
@@ -693,6 +707,13 @@ object TableEnv {
     val w = b.connector match {
       case "print" => df.writeStream.format("console")
       case "blackhole" => df.writeStream.format("noop")
+      case "filesystem" if b.format == "avro" =>
+        df.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sources.AvroFiles.write(batch, b.options("path")); ()
+          }
+          .option("checkpointLocation", b.options.getOrElse("checkpoint",
+            s"/tmp/graft-ckpt/$name"))
       case "filesystem" => df.writeStream.format(b.format)
         .option("path", b.options("path"))
         .option("checkpointLocation", b.options.getOrElse("checkpoint",
@@ -816,6 +837,9 @@ object TableEnv {
       // didn't exist yet. Refresh + rebind so SQL SELECTs resolve to the
       // bucketed table (fresh listing AND the zero-shuffle join contract).
       spark.catalog.refreshTable(bucketTableName(b))
+      rebind(spark, b)
+    case "filesystem" if b.format == "avro" =>
+      graft.sources.AvroFiles.write(df, b.options("path"), overwrite)
       rebind(spark, b)
     case "filesystem" =>
       val w = df.write.format(b.format).mode(if (overwrite) "overwrite" else "append")
