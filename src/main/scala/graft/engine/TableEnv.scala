@@ -522,33 +522,92 @@ object TableEnv {
       val raw = kafkaSourceOptions(b).foldLeft(spark.readStream.format("kafka")) {
         case (r, (k, v)) => r.option(k, v)
       }.load()
-      val parsed =
-        if (cdcFormats(b.format))
-          decodeCdc(raw.withColumn("__e",
-            from_json(col("value").cast("string"), cdcEnvelope(b))), b)
-        else {
-          // payload decode (json, or avro / avro-confluent per F:626-640) +
-          // METADATA columns from Kafka's native fields
-          val payload = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
-          val decoded = b.format match {
-            case "avro" =>
-              graft.sources.AvroFiles.fromAvroValue(col("value"), payload, confluent = false)
-            case "avro-confluent" =>
-              graft.sources.AvroFiles.fromAvroValue(col("value"), payload, confluent = true)
-            case _ => from_json(col("value").cast("string"), payload)
-          }
-          val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
-          raw.select(
-            (decoded.as("__d") +:
-              b.cols.filter(_.metadataFrom.isDefined).map(c =>
-                col(c.metadataFrom.get).cast(c.sparkType).as(c.name))): _*)
-            .select(dataCols.map(c => col(s"__d.${c.name}")) ++
-              b.cols.filter(_.metadataFrom.isDefined).map(c => col(c.name)): _*)
-        }
-      finishSource(parsed, b, stream = true)
+      finishSource(decodeKafkaRecords(raw, b), b, stream = true)
     case c =>
       throw new IllegalArgumentException(s"connector '$c' is not stream-readable")
   }
+
+  /** Decode kafka records (key/value binary + native metadata columns) into
+    * the binding's declared columns. Pure transformation over the source
+    * frame, so every format path is testable without a broker.
+    *
+    * Formats (the grammar's full list, G:518): json, avro, avro-confluent,
+    * raw (single physical column), the CDC envelopes (debezium/canal/
+    * maxwell/ogg json and debezium-avro-confluent); csv via from_csv.
+    * Key decoding: `key.format` + `key.fields` (';'-separated), with
+    * `value.fields-include` = ALL (default) | EXCEPT_KEY deciding whether
+    * the value payload repeats the key columns. */
+  def decodeKafkaRecords(raw: DataFrame, b: Binding): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    if (cdcFormats(b.format))
+      return decodeCdc(raw.withColumn("__e",
+        from_json(col("value").cast("string"), cdcEnvelope(b))), b)
+    if (b.format == "debezium-avro-confluent") {
+      val asDbz = b.copy(options = b.options + ("format" -> "debezium-json"))
+      return decodeCdc(raw.withColumn("__e",
+        graft.sources.AvroFiles.fromAvroValue(col("value"),
+          cdcEnvelope(asDbz), confluent = true)), asDbz)
+    }
+    val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
+    val keyFields = b.options.get("key.fields")
+      .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exceptKey = b.options.get("value.fields-include")
+      .exists(_.equalsIgnoreCase("EXCEPT_KEY"))
+    val valueCols =
+      if (exceptKey) dataCols.filterNot(c => keyFields.exists(_.equalsIgnoreCase(c.name)))
+      else dataCols
+    def subSchema(cols: Seq[ColumnDef]): StructType =
+      StructType.fromDDL(cols.map(c => s"`${c.name}` ${c.sparkType}").mkString(", "))
+    def decode(payload: org.apache.spark.sql.Column, fmt: String,
+        cols: Seq[ColumnDef], prefix: String): org.apache.spark.sql.Column = fmt match {
+      case "json" => from_json(payload.cast("string"), subSchema(cols))
+      case "csv" => from_csv(payload.cast("string"), subSchema(cols),
+        Map.empty[String, String])
+      case "avro" =>
+        graft.sources.AvroFiles.fromAvroValue(payload, subSchema(cols), confluent = false)
+      case "avro-confluent" =>
+        graft.sources.AvroFiles.fromAvroValue(payload, subSchema(cols), confluent = true)
+      case "raw" =>
+        // single physical column: bytes verbatim, or charset-decoded text
+        val c = cols match {
+          case Seq(only) => only
+          case _ => throw new IllegalArgumentException(
+            s"format 'raw' requires exactly one physical column, got ${cols.map(_.name)}")
+        }
+        val charset = b.options.getOrElse(s"$prefix.charset", "UTF-8")
+        val v = c.sparkType.toUpperCase match {
+          case "STRING" | "VARCHAR" => decode_col(payload, charset)
+          case "BYTES" | "BINARY" | "VARBINARY" => payload
+          case t => throw new IllegalArgumentException(
+            s"format 'raw' supports STRING/BYTES columns, not $t")
+        }
+        struct(v.cast(c.sparkType).as(c.name))
+      case "protobuf" => throw new IllegalArgumentException(
+        "format 'protobuf' needs the protobuf runtime library, which is not " +
+          "on this classpath — use avro or json")
+      case f => throw new IllegalArgumentException(s"unsupported kafka format '$f'")
+    }
+    val valueFmt = b.options.getOrElse("value.format", b.format)
+    val withValue = raw.withColumn("__d", decode(col("value"), valueFmt, valueCols, "raw"))
+    val withKey =
+      if (keyFields.isEmpty) withValue
+      else {
+        val keyCols = dataCols.filter(c => keyFields.exists(_.equalsIgnoreCase(c.name)))
+        val keyFmt = b.options.getOrElse("key.format",
+          throw new IllegalArgumentException("'key.fields' requires 'key.format'"))
+        withValue.withColumn("__k", decode(col("key"), keyFmt, keyCols, "key.raw"))
+      }
+    val metaCols = b.cols.filter(_.metadataFrom.isDefined)
+    withKey.select(
+      dataCols.map(c =>
+        (if (keyFields.exists(_.equalsIgnoreCase(c.name))) col(s"__k.${c.name}")
+         else col(s"__d.${c.name}")).as(c.name)) ++
+        metaCols.map(c => col(c.metadataFrom.get).cast(c.sparkType).as(c.name)): _*)
+  }
+
+  /** `decode(bytes, charset)` — named to avoid shadowing by the local fn. */
+  private def decode_col(c: org.apache.spark.sql.Column, charset: String) =
+    org.apache.spark.sql.functions.decode(c, charset)
 
   /** CDC envelope schema per format: debezium-json (F:42) {before, after,
     * op, ts_ms}; canal-json {data[], old[], type, ts}; maxwell-json {data,

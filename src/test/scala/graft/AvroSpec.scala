@@ -127,6 +127,76 @@ class AvroSpec extends SparkTestBase {
     assert(TableEnv.lookup("kafka_avro_source").get.format == "avro-confluent")
   }
 
+  test("kafka record decode covers raw, csv, key.fields and debezium-avro-confluent") {
+    import spark.implicits._
+    TableEnv.clear()
+    // a synthetic kafka source frame: the decode path is a pure transform
+    def kafkaFrame(key: Array[Byte], value: Array[Byte]) =
+      Seq((key, value, new java.sql.Timestamp(1700000000000L), 0, 42L))
+        .toDF("key", "value", "timestamp", "partition", "offset")
+
+    // raw: single STRING column from the value bytes, charset-decoded
+    val braw = TableEnv.parseCreateTable(
+      """CREATE TABLE raw_t (line STRING, off BIGINT METADATA FROM 'offset' VIRTUAL)
+        |WITH ('connector'='kafka','topic'='t','format'='raw')""".stripMargin)
+    val rawRow = TableEnv.decodeKafkaRecords(
+      kafkaFrame(null, "héllo".getBytes("UTF-8")), braw).head()
+    assert(rawRow.getAs[String]("line") == "héllo" && rawRow.getAs[Long]("off") == 42L)
+    // raw rejects multi-column tables and non-string/bytes types
+    val bbad = TableEnv.parseCreateTable(
+      "CREATE TABLE raw_bad (a STRING, bcol STRING) WITH ('connector'='kafka','format'='raw')")
+    val e1 = intercept[Exception] {
+      TableEnv.decodeKafkaRecords(kafkaFrame(null, "x".getBytes), bbad).head()
+    }
+    assert(e1.getMessage.contains("exactly one"))
+
+    // csv value format
+    val bcsv = TableEnv.parseCreateTable(
+      """CREATE TABLE csv_t (id BIGINT, name STRING)
+        |WITH ('connector'='kafka','format'='csv')""".stripMargin)
+    val csvRow = TableEnv.decodeKafkaRecords(kafkaFrame(null, "7,ada".getBytes), bcsv).head()
+    assert(csvRow.getAs[Long]("id") == 7L && csvRow.getAs[String]("name") == "ada")
+
+    // key.fields + EXCEPT_KEY: id comes from the json key, name from value
+    val bkey = TableEnv.parseCreateTable(
+      """CREATE TABLE kv_t (id BIGINT, name STRING)
+        |WITH ('connector'='kafka','format'='json','key.format'='json',
+        |      'key.fields'='id','value.fields-include'='EXCEPT_KEY')""".stripMargin)
+    val kvRow = TableEnv.decodeKafkaRecords(
+      kafkaFrame("""{"id": 9}""".getBytes, """{"name": "bob"}""".getBytes), bkey).head()
+    assert(kvRow.getAs[Long]("id") == 9L && kvRow.getAs[String]("name") == "bob")
+    // key.fields without key.format fails fast
+    val bnofmt = TableEnv.parseCreateTable(
+      """CREATE TABLE kv_bad (id BIGINT) WITH ('connector'='kafka','format'='json','key.fields'='id')""")
+    val e2 = intercept[IllegalArgumentException] {
+      TableEnv.decodeKafkaRecords(kafkaFrame("k".getBytes, "v".getBytes), bnofmt)
+    }
+    assert(e2.getMessage.contains("key.format"))
+
+    // debezium-avro-confluent: the debezium envelope, avro-confluent encoded
+    val payload = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val envSchema = StructType(Seq(
+      StructField("before", payload), StructField("after", payload),
+      StructField("op", StringType), StructField("ts_ms", LongType)))
+    val env = Row(null, Row(3L, "cda"), "c", 1700000001234L)
+    val bytes = AvroFiles.encodeValue(env, envSchema, confluent = true)
+    val bdbz = TableEnv.parseCreateTable(
+      """CREATE TABLE dbz_av (id BIGINT, name STRING)
+        |WITH ('connector'='kafka','format'='debezium-avro-confluent')""".stripMargin)
+    val dbzRow = TableEnv.decodeKafkaRecords(kafkaFrame(null, bytes), bdbz).head()
+    assert(dbzRow.getAs[Long]("id") == 3L && dbzRow.getAs[String]("name") == "cda")
+    assert(dbzRow.getAs[String]("__op") == "c" && dbzRow.getAs[Long]("__ts_ms") == 1700000001234L)
+
+    // protobuf: documented-unsupported with a clear reason
+    val bpb = TableEnv.parseCreateTable(
+      "CREATE TABLE pb_t (id BIGINT) WITH ('connector'='kafka','format'='protobuf')")
+    val e3 = intercept[IllegalArgumentException] {
+      TableEnv.decodeKafkaRecords(kafkaFrame(null, Array[Byte](1)), bpb)
+    }
+    assert(e3.getMessage.contains("protobuf"))
+  }
+
   test("avro filesystem binding streams: file stream decoded per batch") {
     TableEnv.clear()
     val dir = java.nio.file.Files.createTempDirectory("graft-avro-stream").toString
