@@ -387,6 +387,30 @@ object TableEnv {
     }
   }
 
+  /** Flink format option keys (the grammar's property list, G:508) → Spark
+    * DataSource options. Read-side parse-error tolerance maps to
+    * DROPMALFORMED (Flink's ignore-parse-errors DROPS the record, it does
+    * not null-fill); the default stays FAILFAST-equivalent per format. */
+  def formatOptions(b: Binding, forWrite: Boolean = false): Map[String, String] = {
+    def flag(k: String) = b.options.get(k).exists(_.equalsIgnoreCase("true"))
+    b.format match {
+      case "csv" =>
+        Map.empty[String, String] ++
+          b.options.get("csv.field-delimiter").map("sep" -> _) ++
+          b.options.get("csv.quote-character").map("quote" -> _) ++
+          (if (flag("csv.disable-quote-character")) Map("quote" -> "") else Map.empty) ++
+          b.options.get("csv.escape-character").map("escape" -> _) ++
+          (if (flag("csv.allow-comments")) Map("comment" -> "#") else Map.empty) ++
+          b.options.get("csv.null-literal").map("nullValue" -> _) ++
+          (if (!forWrite)
+             Map("mode" -> (if (flag("csv.ignore-parse-errors")) "DROPMALFORMED" else "FAILFAST"))
+           else Map.empty)
+      case "json" if !forWrite =>
+        Map("mode" -> (if (flag("json.ignore-parse-errors")) "DROPMALFORMED" else "FAILFAST"))
+      case _ => Map.empty
+    }
+  }
+
   /** CDC envelope formats with a decoder here (G:518). */
   val cdcFormats: Set[String] =
     Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
@@ -408,7 +432,7 @@ object TableEnv {
       finishSource(graft.sources.AvroFiles.read(spark, b.options("path"),
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)), b, stream = false)
     case "filesystem" =>
-      val r = spark.read.format(b.format).schema(
+      val r = spark.read.format(b.format).options(formatOptions(b)).schema(
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
       finishSource(r.load(b.options("path")), b, stream = false)
     case "datagen" =>
@@ -506,7 +530,7 @@ object TableEnv {
       finishSource(graft.sources.AvroFiles.readStream(spark, b.options("path"),
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)), b, stream = true)
     case "filesystem" =>
-      val r = spark.readStream.format(b.format).schema(
+      val r = spark.readStream.format(b.format).options(formatOptions(b)).schema(
         org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl))
       finishSource(r.load(b.options("path")), b, stream = true)
     case c if c.endsWith("-cdc") =>
@@ -561,8 +585,14 @@ object TableEnv {
     def decode(payload: org.apache.spark.sql.Column, fmt: String,
         cols: Seq[ColumnDef], prefix: String): org.apache.spark.sql.Column = fmt match {
       case "json" => from_json(payload.cast("string"), subSchema(cols))
-      case "csv" => from_csv(payload.cast("string"), subSchema(cols),
-        Map.empty[String, String])
+      case "csv" =>
+        // from_csv parses one value: DROPMALFORMED has no meaning there,
+        // tolerate-errors degrades to PERMISSIVE (null-filled row)
+        val opts = formatOptions(b).map {
+          case ("mode", "DROPMALFORMED") => "mode" -> "PERMISSIVE"
+          case kv => kv
+        }
+        from_csv(payload.cast("string"), subSchema(cols), opts)
       case "avro" =>
         graft.sources.AvroFiles.fromAvroValue(payload, subSchema(cols), confluent = false)
       case "avro-confluent" =>
@@ -901,7 +931,8 @@ object TableEnv {
       graft.sources.AvroFiles.write(df, b.options("path"), overwrite)
       rebind(spark, b)
     case "filesystem" =>
-      val w = df.write.format(b.format).mode(if (overwrite) "overwrite" else "append")
+      val w = df.write.format(b.format).options(formatOptions(b, forWrite = true))
+        .mode(if (overwrite) "overwrite" else "append")
       (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
         .save(b.options("path"))
       // the binding's session view captured the directory's FILE LISTING

@@ -557,6 +557,40 @@ class EngineSpec extends SparkTestBase {
     }
   }
 
+  test("csv/json format options translate: delimiter, null literal, parse-error tolerance") {
+    import graft.engine.TableEnv
+    TableEnv.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-opts")
+    java.nio.file.Files.write(dir.resolve("rows.csv"),
+      "1|ada|N/A\n# a comment line\n2|bo,b|3.5\ngarbage-without-delims\n"
+        .getBytes("UTF-8"))
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE csv_opt (id BIGINT, name STRING, score DOUBLE) WITH (
+         |  'connector'='filesystem','path'='$dir','format'='csv',
+         |  'csv.field-delimiter'='|','csv.allow-comments'='true',
+         |  'csv.null-literal'='N/A','csv.ignore-parse-errors'='true')""".stripMargin)
+    val b = TableEnv.lookup("csv_opt").get
+    val opts = TableEnv.formatOptions(b)
+    assert(opts("sep") == "|" && opts("comment") == "#" &&
+      opts("nullValue") == "N/A" && opts("mode") == "DROPMALFORMED")
+    val rows = TableEnv.batchDF(spark, b).orderBy("id").collect()
+    // comment + malformed lines dropped, N/A → null, '|' splits
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "ada"), (2L, "bo,b")), rows.mkString(","))
+    assert(rows.head.isNullAt(2) && rows.last.getDouble(2) == 3.5)
+    // default is strict: the same file without tolerance fails the read
+    TableEnv.createTable(spark,
+      s"""CREATE TABLE csv_strict (id BIGINT, name STRING, score DOUBLE) WITH (
+         |  'connector'='filesystem','path'='$dir','format'='csv',
+         |  'csv.field-delimiter'='|')""".stripMargin)
+    assertThrows[Exception] {
+      TableEnv.batchDF(spark, TableEnv.lookup("csv_strict").get).collect()
+    }
+    // write side carries the delimiter/null literal back out
+    val wopts = TableEnv.formatOptions(b, forWrite = true)
+    assert(wopts("sep") == "|" && !wopts.contains("mode"))
+  }
+
   test("streaming deduplication: ROW_NUMBER rn=1 pattern maps to dropDuplicates") {
     import graft.engine.{Gateway, TableEnv}
     TableEnv.clear()
