@@ -482,13 +482,31 @@ object TableEnv {
   private def cdcSnapshot(changelog: DataFrame, b: Binding): DataFrame = {
     if (b.primaryKey.isEmpty) throw new IllegalArgumentException(
       s"${b.connector} binding '${b.name}' requires PRIMARY KEY NOT ENFORCED")
+    latestPerKey(changelog, b.primaryKey)
+      .filter(col("__op") =!= "d")
+      .drop("__op", "__ts_ms", "__seq")
+  }
+
+  /** The winning changelog event per key: latest source timestamp first,
+    * then the source sequence (`__seq`, e.g. GoldenGate pos) when the
+    * format carries one. An unordered file scan cannot recover arrival
+    * order beyond that, so remaining ties resolve DETERMINISTICALLY:
+    * a delete outranks a same-timestamp upsert (never resurrect a deleted
+    * key from an ambiguous tie), then a value-ordered pick — re-running the
+    * same replay always yields the same snapshot. One hash exchange on the
+    * PK — the same shape the 100 TB compaction of any keyed changelog
+    * takes. Shared by the *-cdc snapshot, the jdbc changelog APPLY and the
+    * elasticsearch bulk compaction so the three can't drift. */
+  private def latestPerKey(df: DataFrame, pk: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    changelog
-      .withColumn("__rn", row_number().over(Window
-        .partitionBy(b.primaryKey.map(col): _*)
-        .orderBy(col("__ts_ms").desc_nulls_last)))
-      .filter(col("__rn") === 1 && col("__op") =!= "d")
-      .drop("__rn", "__op", "__ts_ms")
+    val tiebreak =
+      Seq(col("__ts_ms").desc_nulls_last) ++
+        (if (df.columns.contains("__seq")) Seq(col("__seq").desc_nulls_last) else Nil) ++
+        Seq(when(col("__op") === "d", 0).otherwise(1).asc,
+          struct(df.columns.filterNot(pk.contains).map(col): _*).desc)
+    df.withColumn("__rn", row_number().over(Window
+        .partitionBy(pk.map(col): _*).orderBy(tiebreak: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** data registry for the `values` connector (Flink registers rows under a
@@ -584,7 +602,13 @@ object TableEnv {
       StructType.fromDDL(cols.map(c => s"`${c.name}` ${c.sparkType}").mkString(", "))
     def decode(payload: org.apache.spark.sql.Column, fmt: String,
         cols: Seq[ColumnDef], prefix: String): org.apache.spark.sql.Column = fmt match {
-      case "json" => from_json(payload.cast("string"), subSchema(cols))
+      case "json" =>
+        // FAILFAST unless tolerance was asked for — a corrupt message must
+        // not silently become an all-null row (e.g. a null-keyed upsert)
+        val mode =
+          if (b.options.get("json.ignore-parse-errors").exists(_.equalsIgnoreCase("true")))
+            "PERMISSIVE" else "FAILFAST"
+        from_json(payload.cast("string"), subSchema(cols), Map("mode" -> mode))
       case "csv" =>
         // from_csv parses one value: DROPMALFORMED has no meaning there,
         // tolerate-errors degrades to PERMISSIVE (null-filled row)
@@ -617,12 +641,21 @@ object TableEnv {
           "on this classpath — use avro or json")
       case f => throw new IllegalArgumentException(s"unsupported kafka format '$f'")
     }
-    val valueFmt = b.options.getOrElse("value.format", b.format)
+    // a kafka binding must SAY its format — Binding.format's "parquet"
+    // default is for filesystem tables and would produce a baffling error
+    val valueFmt = b.options.get("value.format").orElse(b.options.get("format"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"kafka binding '${b.name}' requires a 'format' (or 'value.format') option"))
     val withValue = raw.withColumn("__d", decode(col("value"), valueFmt, valueCols, "raw"))
     val withKey =
       if (keyFields.isEmpty) withValue
       else {
-        val keyCols = dataCols.filter(c => keyFields.exists(_.equalsIgnoreCase(c.name)))
+        // key columns in DECLARED key.fields order — positional formats
+        // (csv, avro) bind fields by position, not name
+        val keyCols = keyFields.map(kf =>
+          dataCols.find(_.name.equalsIgnoreCase(kf)).getOrElse(
+            throw new IllegalArgumentException(
+              s"'key.fields' names unknown column '$kf'")))
         val keyFmt = b.options.getOrElse("key.format",
           throw new IllegalArgumentException("'key.fields' requires 'key.format'"))
         withValue.withColumn("__k", decode(col("key"), keyFmt, keyCols, "key.raw"))
@@ -696,7 +729,9 @@ object TableEnv {
           .withColumn("__ts_ms", col("__e.ts") * 1000L) // maxwell ts is seconds
       case "ogg-json" =>
         // GoldenGate: op_type I/U/D, op_ts a "yyyy-MM-dd HH:mm:ss.SSSSSS"
-        // source-commit wall-clock string
+        // source-commit wall-clock string; pos (zero-padded trail position)
+        // rides along as __seq — unix_millis truncates op_ts's microseconds,
+        // so same-millisecond events need it to order correctly
         parsed
           .withColumn("__img",
             when(upper(col("__e.op_type")) === "D", col("__e.before"))
@@ -707,6 +742,7 @@ object TableEnv {
               .when(upper(col("__e.op_type")) === "D", "d")
               .otherwise("r"))
           .withColumn("__ts_ms", unix_millis(to_timestamp(col("__e.op_ts"))))
+          .withColumn("__seq", col("__e.pos"))
     }
     val metaCols = b.cols.filter(_.metadataFrom.isDefined).map { c =>
       c.metadataFrom.get match {
@@ -720,15 +756,16 @@ object TableEnv {
         case "ingestion-timestamp" | "value.ingestion-timestamp"
             if b.format == "ogg-json" =>
           to_timestamp(col("__e.current_ts")).cast(c.sparkType).as(c.name)
-        case "ts_ms" | "value.source.timestamp" | "value.ingestion-timestamp" |
-            "value.event-timestamp" =>
+        case "ts_ms" | "event-timestamp" | "value.source.timestamp" |
+            "value.ingestion-timestamp" | "value.event-timestamp" =>
           timestamp_millis(col("__ts_ms")).cast(c.sparkType).as(c.name)
         case other => col(other).cast(c.sparkType).as(c.name) // kafka native
       }
     }
     rows.select(
       dataCols.map(c => col("__img").getField(c.name).as(c.name)) ++ metaCols ++
-        Seq(col("__op"), col("__ts_ms")): _*)
+        Seq(col("__op"), col("__ts_ms")) ++
+        (if (rows.columns.contains("__seq")) Seq(col("__seq")) else Nil): _*)
   }
 
   /** canal/maxwell type names → debezium op letters. */
@@ -857,14 +894,9 @@ object TableEnv {
         "PRIMARY KEY NOT ENFORCED (upsert mode) — deletes need a document id")
     val compacted =
       if (b.primaryKey.isEmpty) df
-      else if (isCdc && df.columns.contains("__ts_ms")) {
-        import org.apache.spark.sql.expressions.Window
-        df.withColumn("__rn", row_number().over(Window
-            .partitionBy(b.primaryKey.map(col): _*)
-            .orderBy(col("__ts_ms").desc_nulls_last)))
-          .filter(col("__rn") === 1).drop("__rn")
-      } else dedupPerKey(df, b.primaryKey)
-    val data = compacted.drop("__op", "__ts_ms")
+      else if (isCdc && df.columns.contains("__ts_ms")) latestPerKey(df, b.primaryKey)
+      else dedupPerKey(df, b.primaryKey)
+    val data = compacted.drop("__op", "__ts_ms", "__seq")
     val dataCols = data.columns.map(c => s"`$c`").mkString(", ")
     val docId = concat_ws(delim, b.primaryKey.map(c => col(c).cast("string")): _*)
     val action = (verb: String) =>
@@ -889,7 +921,7 @@ object TableEnv {
     * exactly the latest version per key, which IS Flink's upsert-kafka
     * contract. Pure transformation so it is testable without a broker. */
   def upsertKafkaRecords(df: DataFrame, b: Binding): DataFrame = {
-    val data = df.drop("__op", "__ts_ms")
+    val data = df.drop("__op", "__ts_ms", "__seq")
     val dataCols = data.columns.map(c => s"`$c`").mkString(", ")
     val value =
       if (df.columns.contains("__op"))
@@ -908,6 +940,17 @@ object TableEnv {
 
   def batchInsert(spark: SparkSession, b: Binding, df: DataFrame,
       overwrite: Boolean = false): Unit = b.connector match {
+    case "filesystem" if b.format == "avro" =>
+      // guarded BEFORE the bucketed/partitioned branches: those call
+      // df.write.format("avro"), which doesn't exist on this classpath
+      if (b.distribution.isDefined) throw new IllegalArgumentException(
+        s"'${b.name}': DISTRIBUTED BY is not supported with format 'avro' " +
+          "(Spark bucketed tables need a native DataSource format — use parquet/orc)")
+      if (b.partitionedBy.nonEmpty) throw new IllegalArgumentException(
+        s"'${b.name}': PARTITIONED BY is not supported with format 'avro' " +
+          "in this build — use parquet/orc for partitioned layouts")
+      graft.sources.AvroFiles.write(df, b.options("path"), overwrite)
+      rebind(spark, b)
     case "filesystem" if b.distribution.isDefined =>
       // DISTRIBUTED BY → Spark bucketed external table at the binding's
       // path: rows hash to buckets on the distribution key and each bucket
@@ -927,9 +970,6 @@ object TableEnv {
       // bucketed table (fresh listing AND the zero-shuffle join contract).
       spark.catalog.refreshTable(bucketTableName(b))
       rebind(spark, b)
-    case "filesystem" if b.format == "avro" =>
-      graft.sources.AvroFiles.write(df, b.options("path"), overwrite)
-      rebind(spark, b)
     case "filesystem" =>
       val w = df.write.format(b.format).options(formatOptions(b, forWrite = true))
         .mode(if (overwrite) "overwrite" else "append")
@@ -948,30 +988,25 @@ object TableEnv {
       val opts = jdbcOptions(b)
       if (b.primaryKey.nonEmpty && !overwrite) {
         val isCdc = df.columns.contains("__op")
-        val data = df.drop("__op", "__ts_ms")
+        val data = df.drop("__op", "__ts_ms", "__seq")
         // ensure the table exists (empty append creates it), then PK-upsert;
         // one row per key per batch (changelog semantics: latest write wins,
         // and delete-then-insert would otherwise keep every duplicate)
         data.limit(0).write.format("jdbc").options(opts).mode("append").save()
         if (isCdc) {
-          // changelog APPLY: keep only the latest event per key (by source
-          // timestamp when present), delete on d, upsert otherwise
-          import org.apache.spark.sql.expressions.Window
+          // changelog APPLY: keep only the winning event per key
+          // (latestPerKey ordering), delete on d, upsert otherwise
           val latest =
-            if (df.columns.contains("__ts_ms"))
-              df.withColumn("__rn", row_number().over(Window
-                  .partitionBy(b.primaryKey.map(col): _*)
-                  .orderBy(col("__ts_ms").desc_nulls_last)))
-                .filter(col("__rn") === 1).drop("__rn")
+            if (df.columns.contains("__ts_ms")) latestPerKey(df, b.primaryKey)
             else dedupPerKey(df, b.primaryKey)
-          jdbcUpsert(latest.filter(col("__op") =!= "d").drop("__op", "__ts_ms"),
+          jdbcUpsert(latest.filter(col("__op") =!= "d").drop("__op", "__ts_ms", "__seq"),
             b.primaryKey, opts)
           jdbcDelete(latest.filter(col("__op") === "d").select(b.primaryKey.map(col): _*),
             b.primaryKey, opts)
         } else
           jdbcUpsert(dedupPerKey(df, b.primaryKey), b.primaryKey, opts)
       } else
-        df.drop("__op", "__ts_ms").write.format("jdbc").options(opts)
+        df.drop("__op", "__ts_ms", "__seq").write.format("jdbc").options(opts)
           .mode(if (overwrite) "overwrite" else "append").save()
     case c => throw new IllegalArgumentException(s"connector '$c' is not batch-writable")
   }

@@ -229,7 +229,10 @@ object AvroFiles {
             n += 1
           }
         } finally w.close() // closes the stream too
-        fs.rename(tmp, target) // task commit
+        // task commit — a false return (e.g. target already present from a
+        // retried attempt) must not silently drop the partition
+        if (!fs.rename(tmp, target) && !fs.exists(target))
+          throw new java.io.IOException(s"avro write: commit rename failed for $target")
         Iterator.single(n)
       }
     }.sum().toLong
@@ -248,9 +251,23 @@ object AvroFiles {
       confluent: Boolean): org.apache.spark.sql.Column = {
     val avroJson = toAvroSchema(schema, "row").toString
     val f = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
-      override def call(bytes: Array[Byte]): Row =
-        if (bytes == null) null
-        else decodeValue(bytes, avroJson, confluent, schema)
+      // parse the schema and build the reader ONCE per executor instance,
+      // not per record (GenericDatumReader keeps its resolver per thread,
+      // so sharing across concurrent tasks is safe)
+      @transient private lazy val avroSchema = new Schema.Parser().parse(avroJson)
+      @transient private lazy val reader = new GenericDatumReader[GenericRecord](avroSchema)
+      override def call(bytes: Array[Byte]): Row = {
+        if (bytes == null) return null
+        val body =
+          if (!confluent) bytes
+          else {
+            if (bytes.length < 5 || bytes(0) != 0x00) throw new IllegalArgumentException(
+              "avro-confluent: missing wire-format header (magic byte 0)")
+            java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
+          }
+        val dec = DecoderFactory.get().binaryDecoder(body, null)
+        fromDatum(reader.read(null, dec), schema).asInstanceOf[Row]
+      }
     }, schema)
     f(c)
   }

@@ -177,6 +177,14 @@ class CdcDmlSpec extends SparkTestBase {
     assert(snap.map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSeq ==
       Seq((2L, "bob2")), snap.mkString(","))
     assert(!snap.head.schema.fieldNames.contains("__op"))
+    // same-millisecond insert+delete tie: the delete wins deterministically
+    // (a deleted key must never be resurrected by an ambiguous tie)
+    java.nio.file.Files.write(dir.resolve("tie.json"), Seq(
+      """{"before": null, "after": {"id": 9, "name": "tie"}, "op": "c", "ts_ms": 2000}""",
+      """{"before": {"id": 9, "name": "tie"}, "after": null, "op": "d", "ts_ms": 2000}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val snap2 = TableEnv.batchDF(spark, b).collect()
+    assert(!snap2.exists(_.getAs[Long]("id") == 9L), snap2.mkString(","))
     // unbounded read = the changelog rows, op/ts riding along
     val stream = TableEnv.streamDF(spark, b)
     assert(stream.isStreaming && stream.columns.contains("__op"))
