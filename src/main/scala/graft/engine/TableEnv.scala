@@ -501,7 +501,11 @@ object TableEnv {
     import org.apache.spark.sql.expressions.Window
     val tiebreak =
       Seq(col("__ts_ms").desc_nulls_last) ++
-        (if (df.columns.contains("__seq")) Seq(col("__seq").desc_nulls_last) else Nil) ++
+        // numeric-safe for digit strings of differing width ("1000" > "999"):
+        // longer strings first, then lexicographic
+        (if (df.columns.contains("__seq"))
+           Seq(length(col("__seq")).desc_nulls_last, col("__seq").desc_nulls_last)
+         else Nil) ++
         Seq(when(col("__op") === "d", 0).otherwise(1).asc,
           struct(df.columns.filterNot(pk.contains).map(col): _*).desc)
     df.withColumn("__rn", row_number().over(Window
@@ -579,8 +583,14 @@ object TableEnv {
     * Key decoding: `key.format` + `key.fields` (';'-separated), with
     * `value.fields-include` = ALL (default) | EXCEPT_KEY deciding whether
     * the value payload repeats the key columns. */
-  def decodeKafkaRecords(raw: DataFrame, b: Binding): DataFrame = {
+  def decodeKafkaRecords(raw: DataFrame, b0: Binding): DataFrame = {
     import org.apache.spark.sql.types.StructType
+    // 'value.format' is Flink's alias for 'format' on kafka tables —
+    // normalize ONCE so the CDC dispatch, formatOptions (csv.*/json.* keys)
+    // and the plain decode all see the same format
+    val b = b0.options.get("value.format")
+      .map(vf => b0.copy(options = b0.options + ("format" -> vf)))
+      .getOrElse(b0)
     if (cdcFormats(b.format))
       return decodeCdc(raw.withColumn("__e",
         from_json(col("value").cast("string"), cdcEnvelope(b))), b)
@@ -835,8 +845,11 @@ object TableEnv {
       case "blackhole" => df.writeStream.format("noop")
       case "filesystem" if b.format == "avro" =>
         df.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.sources.AvroFiles.write(batch, b.options("path")); ()
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // batchId-tagged part names: a replayed micro-batch re-commits
+            // the same files instead of appending duplicates
+            graft.sources.AvroFiles.write(batch, b.options("path"),
+              tag = Some(s"batch-$batchId")); ()
           }
           .option("checkpointLocation", b.options.getOrElse("checkpoint",
             s"/tmp/graft-ckpt/$name"))
@@ -883,8 +896,9 @@ object TableEnv {
     * `path` option (default `spark-warehouse/elasticsearch/<index>`); with a
     * PRIMARY KEY the _id is the delimiter-joined key (Flink's
     * `document-id.key-delimiter`, default "_") and each batch is compacted
-    * to one action per key (latest by source timestamp) so replaying the
-    * spool in file order reproduces the index state. */
+    * to one action per key (latestPerKey ordering); every flush lands in a
+    * monotonically-named `bulk-*` subdirectory, so replaying the spool in
+    * lexicographic path order reproduces the index state. */
   def esBulkRecords(df: DataFrame, b: Binding): DataFrame = {
     val idx = b.options.getOrElse("index", b.name)
     val delim = b.options.getOrElse("document-id.key-delimiter", "_")
@@ -911,6 +925,11 @@ object TableEnv {
       else concat(action("index"), lit("\n"), expr(s"to_json(struct($dataCols))"))
     compacted.select(value.as("value"))
   }
+
+  /** Monotonic bulk-flush sequence (epoch-millis seeded so restarts of the
+    * same JVM-per-engine deployment keep ordering across sessions). */
+  private val esBulkSeq =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
 
   private def esSpoolPath(b: Binding): String =
     b.options.getOrElse("path",
@@ -982,8 +1001,14 @@ object TableEnv {
     case "print" => df.show(numRows = 20, truncate = false)
     case "blackhole" => df.write.format("noop").mode("overwrite").save()
     case "elasticsearch-6" | "elasticsearch-7" =>
+      // each flush lands in its own monotonically-named subdirectory so
+      // "replay the spool in lexicographic order" really reproduces the
+      // index state across batches (append part-file names are random)
+      val bulkDir =
+        if (overwrite) esSpoolPath(b)
+        else f"${esSpoolPath(b)}/bulk-${esBulkSeq.incrementAndGet()}%016d"
       esBulkRecords(df, b).write.mode(if (overwrite) "overwrite" else "append")
-        .text(esSpoolPath(b))
+        .text(bulkDir)
     case "jdbc" =>
       val opts = jdbcOptions(b)
       if (b.primaryKey.nonEmpty && !overwrite) {

@@ -115,12 +115,16 @@ object AvroFiles {
   }
 
   /** avro datum → Catalyst external value, driven by the DECLARED Catalyst
-    * type (reader-side projection: fields are matched by name, so a file
-    * written with a wider schema still reads). */
+    * type (reader-side projection: fields are matched by name and numerics
+    * widen, so a file written with int/float where the table declares
+    * BIGINT/DOUBLE still reads). */
   private def fromDatum(v: Any, dt: DataType): Any = {
     if (v == null) return null
     dt match {
-      case BooleanType | FloatType | DoubleType | LongType => v
+      case BooleanType => v
+      case LongType => v.asInstanceOf[Number].longValue()
+      case FloatType => v.asInstanceOf[Number].floatValue()
+      case DoubleType => v.asInstanceOf[Number].doubleValue()
       case IntegerType => v.asInstanceOf[Number].intValue()
       case ByteType => v.asInstanceOf[Number].byteValue()
       case ShortType => v.asInstanceOf[Number].shortValue()
@@ -193,9 +197,22 @@ object AvroFiles {
 
   // ---------------------------------------------------------------- write --
 
-  /** Write each partition as one snappy container file under `path`.
-    * Returns the number of files written. */
-  def write(df: DataFrame, path: String, overwrite: Boolean = false): Long = {
+  /** Write each partition as one snappy container file under `path`;
+    * returns the number of ROWS written.
+    *
+    * Commit protocol: every part is written to a per-ATTEMPT `.tmp` name
+    * (concurrent speculative/zombie attempts never share a file) and
+    * renamed to its jobId-stamped target; if the target already exists a
+    * sibling attempt committed first — drop our tmp and accept. Overwrite
+    * deletes the PREVIOUS files only after the job succeeds, so a
+    * self-referential `INSERT OVERWRITE t ... FROM t` reads the old file
+    * listing while the new files land, and a mid-job failure leaves the
+    * old data intact (the orphaned new-jobId parts are swept by the next
+    * overwrite). `tag` pins the job id — the streaming sink passes the
+    * micro-batch id, making a replayed batch overwrite-idempotent instead
+    * of appending duplicates. */
+  def write(df: DataFrame, path: String, overwrite: Boolean = false,
+      tag: Option[String] = None): Long = {
     val spark = df.sparkSession
     val schema = df.schema
     val avroJson = toAvroSchema(schema, "row").toString
@@ -206,17 +223,22 @@ object AvroFiles {
     val dir = new org.apache.hadoop.fs.Path(path)
     val driverConf = spark.sparkContext.hadoopConfiguration
     val dfs = dir.getFileSystem(driverConf)
-    if (overwrite && dfs.exists(dir)) dfs.delete(dir, true)
     dfs.mkdirs(dir)
-    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val jobId = tag.getOrElse(java.util.UUID.randomUUID().toString.take(8))
+    val keepOld = !overwrite
+    val previous =
+      if (keepOld) Array.empty[org.apache.hadoop.fs.Path]
+      else dfs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName != "." && !p.getName.contains(s"-$jobId.avro"))
     val written = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val avroSchema = new Schema.Parser().parse(avroJson)
+        val attempt = java.util.UUID.randomUUID().toString.take(8)
         val target = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$jobId.avro")
-        val tmp = new org.apache.hadoop.fs.Path(path, f".part-$pid%05d-$jobId.avro.tmp")
+        val tmp = new org.apache.hadoop.fs.Path(path, f".part-$pid%05d-$jobId-$attempt.tmp")
         val fs = target.getFileSystem(conf)
         val out = fs.create(tmp, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
@@ -229,13 +251,18 @@ object AvroFiles {
             n += 1
           }
         } finally w.close() // closes the stream too
-        // task commit — a false return (e.g. target already present from a
-        // retried attempt) must not silently drop the partition
-        if (!fs.rename(tmp, target) && !fs.exists(target))
-          throw new java.io.IOException(s"avro write: commit rename failed for $target")
+        // task commit: rename wins or a sibling attempt already committed
+        if (!fs.rename(tmp, target)) {
+          if (fs.exists(target)) fs.delete(tmp, false) // lost the race — fine
+          else throw new java.io.IOException(
+            s"avro write: commit rename failed for $target")
+        }
         Iterator.single(n)
       }
     }.sum().toLong
+    // job commit for overwrite: the new generation is fully in place,
+    // retire the previous files (+ any stale tmps)
+    previous.foreach(p => try dfs.delete(p, false) catch { case _: Exception => () })
     written
   }
 
@@ -270,21 +297,6 @@ object AvroFiles {
       }
     }, schema)
     f(c)
-  }
-
-  private[sources] def decodeValue(bytes: Array[Byte], avroJson: String,
-      confluent: Boolean, schema: StructType): Row = {
-    val body =
-      if (!confluent) bytes
-      else {
-        if (bytes.length < 5 || bytes(0) != 0x00) throw new IllegalArgumentException(
-          "avro-confluent: missing wire-format header (magic byte 0)")
-        java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
-      }
-    val avroSchema = new Schema.Parser().parse(avroJson)
-    val reader = new GenericDatumReader[GenericRecord](avroSchema)
-    val dec: BinaryDecoder = DecoderFactory.get().binaryDecoder(body, null)
-    fromDatum(reader.read(null, dec), schema).asInstanceOf[Row]
   }
 
   /** Binary-encode a Row (test helper + `to_avro` analog for kafka sinks). */

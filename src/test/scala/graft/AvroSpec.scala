@@ -127,6 +127,38 @@ class AvroSpec extends SparkTestBase {
     assert(TableEnv.lookup("kafka_avro_source").get.format == "avro-confluent")
   }
 
+  test("self-referential INSERT OVERWRITE and numeric widening read") {
+    TableEnv.clear()
+    val gw = new graft.engine.Gateway(spark)
+    val h = gw.openSession()
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-self").toString
+    gw.executeStatement(h,
+      "CREATE TABLE avs_src (id BIGINT, v DOUBLE) WITH ('connector'='datagen','number-of-rows'='20')")
+    gw.executeStatement(h,
+      s"CREATE TABLE avs_t (id BIGINT, v DOUBLE) WITH ('connector'='filesystem','path'='$dir','format'='avro')")
+    gw.fetchResults(gw.executeStatement(h, "INSERT INTO avs_t SELECT id, v FROM avs_src"), 0)
+    // overwrite FROM ITSELF: the old generation must be read, not deleted
+    // out from under the job
+    gw.fetchResults(gw.executeStatement(h,
+      "INSERT OVERWRITE avs_t SELECT id, v FROM (SELECT * FROM avs_t ORDER BY id LIMIT 10)"), 0)
+    val n = gw.fetchResults(gw.executeStatement(h, "SELECT COUNT(*) AS n FROM avs_t"), 0)
+    assert(n.rows.head.head.toString.toLong == 10L)
+    // only one generation of files remains after the overwrite commit
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.map(_.getName.split("-").last).distinct.length == 1, files.map(_.getName).toSeq)
+
+    // widening: a file written with INT/FLOAT reads into BIGINT/DOUBLE columns
+    val wdir = java.nio.file.Files.createTempDirectory("graft-avro-widen").toString
+    val narrow = StructType(Seq(
+      StructField("i", IntegerType), StructField("f", FloatType)))
+    AvroFiles.write(spark.createDataFrame(
+      java.util.List.of(Row(7, 1.5f)), narrow), wdir)
+    val wide = StructType(Seq(
+      StructField("i", LongType), StructField("f", DoubleType)))
+    val r = AvroFiles.read(spark, wdir, wide).head()
+    assert(r.getLong(0) == 7L && r.getDouble(1) == 1.5d)
+  }
+
   test("kafka record decode covers raw, csv, key.fields and debezium-avro-confluent") {
     import spark.implicits._
     TableEnv.clear()
@@ -156,6 +188,12 @@ class AvroSpec extends SparkTestBase {
         |WITH ('connector'='kafka','format'='csv')""".stripMargin)
     val csvRow = TableEnv.decodeKafkaRecords(kafkaFrame(null, "7,ada".getBytes), bcsv).head()
     assert(csvRow.getAs[Long]("id") == 7L && csvRow.getAs[String]("name") == "ada")
+    // 'value.format' is an alias for 'format', and its csv.* options apply
+    val bvf = TableEnv.parseCreateTable(
+      """CREATE TABLE vf_t (id BIGINT, name STRING)
+        |WITH ('connector'='kafka','value.format'='csv','csv.field-delimiter'='|')""".stripMargin)
+    val vfRow = TableEnv.decodeKafkaRecords(kafkaFrame(null, "8|eve".getBytes), bvf).head()
+    assert(vfRow.getAs[Long]("id") == 8L && vfRow.getAs[String]("name") == "eve")
 
     // key.fields + EXCEPT_KEY: id comes from the json key, name from value
     val bkey = TableEnv.parseCreateTable(

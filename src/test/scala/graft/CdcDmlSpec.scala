@@ -244,7 +244,8 @@ class CdcDmlSpec extends SparkTestBase {
          |)""".stripMargin)
     val b = TableEnv.lookup("es_sink").get
     TableEnv.batchInsert(spark, b, Seq(("1", "ada"), ("2", "bo\"b")).toDF("id", "name"))
-    val lines = spark.read.textFile(spool).collect().sorted
+    val lines = spark.read.option("recursiveFileLookup", "true")
+      .textFile(spool).collect().sorted
     assert(lines.length == 4, lines.mkString("|")) // 2 docs × (action + source)
     assert(lines.contains("""{"index":{"_index":"my-index","_id":"1"}}"""))
     assert(lines.contains("""{"id":"2","name":"bo\"b"}""")) // json-escaped doc

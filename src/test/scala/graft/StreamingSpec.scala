@@ -117,21 +117,23 @@ class StreamingSpec extends SparkTestBase {
       spark.streams.active.find(_.name == name).foreach(_.processAllAvailable())
       mem.addData((1L, "paid"))
       spark.streams.active.find(_.name == name).foreach(_.processAllAvailable())
-      // replaying the spool in file order: last action per _id wins
-      val lines = spark.read.textFile(spool).collect()
+      // replay the spool in lexicographic path order (bulk-* subdirs are
+      // monotonic per flush): last action per _id wins
+      val lines = spark.read.option("recursiveFileLookup", "true").text(spool)
+        .select(input_file_name().as("f"), col("value"))
+        .collect().sortBy(_.getString(0)).map(_.getString(1))
       val states = scala.collection.mutable.Map.empty[String, String]
-      lines.grouped(1).flatten.sliding(2).foreach {
-        case Seq(a, doc) if a.startsWith("""{"index"""") =>
+      lines.sliding(2).foreach {
+        case Array(a, doc) if a.startsWith("""{"index"""") =>
           val id = """"_id":"(\d+)"""".r.findFirstMatchIn(a).map(_.group(1))
           val st = """"status":"(\w+)"""".r.findFirstMatchIn(doc).map(_.group(1))
           for (i <- id; s <- st) states(i) = s
         case _ => ()
       }
-      // batch files are written append-only; within this test each batch has
-      // one state per key, and id 1's latest batch carries "paid"
       assert(lines.count(_.contains(""""_id":"1"""")) == 2)
-      assert(lines.exists(_.contains(""""status":"paid"""")))
-      assert(states.get("2").contains("open"))
+      // the replayed end state is exact: id 1 upgraded to paid, id 2 open
+      assert(states.get("1").contains("paid"), states.toString)
+      assert(states.get("2").contains("open"), states.toString)
     } finally graft.engine.Jobs.stopAll()
   }
 
