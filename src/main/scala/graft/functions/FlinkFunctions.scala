@@ -166,6 +166,7 @@ object FlinkFunctions {
       case x => throw new IllegalArgumentException(s"$what must be an integer literal, got $x")
     }
     shims.registerFunction(spark, "simhash64", args => SimHash64(args.head))
+    shims.registerFunction(spark, "phash64", args => PHash64(args.head))
     shims.registerFunction(spark, "minhash_sig", args =>
       MinHashSig(args(0), Cast(args(1), IntegerType), Cast(args(2), IntegerType)))
     shims.registerFunction(spark, "vec_dot", args => VecDot(args(0), args(1)))

@@ -56,6 +56,24 @@ object HashKernels {
     out
   }
 
+  /** 64-bit perceptual hash (dHash analog) for opaque BINARY payloads: the
+    * payload is divided into 65 length-proportional segments, and bit i is
+    * set when segment i's byte sum exceeds segment i+1's — the byte-stream
+    * counterpart of comparing adjacent pixel-block luminances. Robust to
+    * byte-VALUE noise (re-encoding, small corruptions); like image dHash it
+    * is not robust to insertions that shift all segment boundaries. */
+  def phash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](65)
+    var i = 0
+    while (i < n) { sums(((i.toLong * 65L) / n).toInt) += (bytes(i) & 0xff).toLong; i += 1 }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (sums(b) > sums(b + 1)) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** MinHash signature: for every char k-gram rolling hash, track the min of
     * fmix64(h ^ seed_j) per hash family j — one pass over the text. */
   def minhash(bytes: Array[Byte], k: Int, n: Int): Array[Long] = {
@@ -136,6 +154,17 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `phash64(payload)` over BINARY — see [[HashKernels.phash]]. */
+case class PHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phash64"
+  override def nullSafeEval(b: Any): Any =
+    HashKernels.phash(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.phash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MinHashSig(str: Expression, k: Expression, n: Expression) extends TernaryExpression {
   override def first: Expression = str
   override def second: Expression = k
@@ -156,6 +185,7 @@ case class MinHashSig(str: Expression, k: Expression, n: Expression) extends Ter
 
 object HashExprs {
   def simhash64(c: Column): Column = Shims.column(SimHash64(Shims.expression(c)))
+  def phash64(c: Column): Column = Shims.column(PHash64(Shims.expression(c)))
   def minhash_sig(c: Column, k: Int, n: Int): Column =
     Shims.column(MinHashSig(Shims.expression(c), Literal(k), Literal(n)))
   def vec_dot(a: Column, b: Column): Column =

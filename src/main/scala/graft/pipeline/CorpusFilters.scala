@@ -300,4 +300,43 @@ object CorpusFilters {
       .join(contaminated, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
+
+  /** CCNet-style line-level boilerplate removal: delete every line that
+    * occurs verbatim in ≥ `minDocs` distinct documents (navigation chrome,
+    * cookie banners, license footers), preserving the order of the
+    * surviving lines. Returns one row per input document:
+    * (doc_id, n_lines, n_removed, clean_text).
+    *
+    * Shape: explode lines with their position → one shuffle groups by the
+    * line to count distinct documents → the common-line set joins back on
+    * the same key (exchange reused; AQE broadcasts it when small) as a
+    * left-anti → per-doc re-assembly sorts the surviving (pos, line) pairs
+    * inside the aggregate (array_sort over a per-document array — bounded
+    * by document size, no extra shuffle). Duplicate lines WITHIN one
+    * document don't count toward `minDocs` (countDistinct on doc id), which
+    * is the CCNet rule — repetition inside a page is the repetition
+    * filter's job, not dedup's.
+    */
+  def stripBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, delim: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("pos", "line")))
+    val common = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("line")
+    val kept = lines.join(common, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(delim,
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -95,4 +95,60 @@ object Dedup {
     * small hamming distance (join on rotated bands if needed). */
   def simhash(textCol: Column): Column =
     graft.functions.HashExprs.simhash64(normalize(textCol))
+
+  /** Exact duplicated-substring coverage (the signal behind suffix-array
+    * substring dedup à la "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022, done shuffle-native instead of with a global
+    * suffix array): for every position, the k-char window starting there is
+    * "duplicated" when the identical window occurs in ≥ `minDocs` distinct
+    * documents; per document we report how many characters lie under at
+    * least one duplicated window.
+    *
+    * Shape (all linear, no all-pairs): one pass per doc emits (gram, pos)
+    * via the O(n) rolling-hash kernel; one shuffle groups by gram to find
+    * cross-document grams; a semi join (same key — the exchange is reused)
+    * keeps duplicated positions; covered chars then come from a per-doc
+    * window sum — consecutive sorted positions p_{i-1}, p_i add
+    * min(k, p_i − p_{i-1}) chars (k for the first), which equals the exact
+    * union length of the overlapping [p, p+k) intervals without building
+    * islands. Per-doc state is bounded by document length.
+    *
+    * `useKernel=false` switches gram identity from the 64-bit rolling hash
+    * to the literal substring — the oracle-parity path (a hash collision
+    * could in principle merge two distinct grams); PipelineSpec pins both
+    * paths equal on the corpus.
+    */
+  def duplicatedSpanCoverage(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minDocs: Int = 2, useKernel: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams =
+      if (useKernel)
+        df.select(col(idCol).as("doc_id"),
+          posexplode(rolling_hashes(col(textCol), k, 0L)).as(Seq("pos0", "gram")))
+      else
+        df.filter(length(col(textCol)) >= k)
+          .select(col(idCol).as("doc_id"),
+            posexplode(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
+              i => call_function("substring", col(textCol), i, lit(k)))).as(Seq("pos0", "gram")))
+    val pos = grams.select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    val dupGrams = pos.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram")
+    val dupPos = pos.join(dupGrams, Seq("gram"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val perDoc = dupPos
+      .withColumn("delta", col("pos") - lag(col("pos"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(when(col("delta").isNull, k).otherwise(least(col("delta"), lit(k)))).as("dup_chars"))
+    df.select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          greatest(col("n_chars"), lit(1L)), 6).as("dup_frac"),
+        coalesce(col("n_dup_grams"), lit(0L)).cast("long").as("n_dup_grams"))
+  }
 }

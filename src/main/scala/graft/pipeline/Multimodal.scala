@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -79,4 +79,37 @@ object Multimodal {
       .select(col("doc_id"), (col("frame_no") + 1).cast("bigint").as("frame_no"),
         length(col("frame_bytes")).cast("bigint").as("frame_len"),
         md5(col("frame_bytes")).as("frame_digest"))
+
+  /** 64-bit perceptual hash of an opaque binary payload — the dHash analog
+    * for byte streams (see [[graft.functions.HashKernels.phash]]): adjacent
+    * length-proportional segment sums vote the bits, so payloads differing
+    * only by byte-value noise (re-encodes, small corruptions) land within a
+    * few bits of each other. Codegen'd kernel — runs in the scan. */
+  def perceptualHash(payload: Column): Column =
+    graft.functions.HashExprs.phash64(payload)
+
+  /** Near-duplicate payload pairs by perceptual hash: the 64-bit phash is
+    * cut into four 16-bit bands; a candidate pair must agree exactly on at
+    * least one band (pigeonhole: hamming ≤ 8 guarantees ≥ 2 clean bands),
+    * then candidates are verified by full hamming distance ≤ `maxHamming`.
+    * The band bucket is the blocking key — one shuffle, no all-pairs; a
+    * pair surfacing in several bands is deduplicated by DISTINCT on the
+    * (id_a, id_b) result, which arrives already partitioned by the join
+    * key. Same LSH-banding shape as MinHash dedup, over a 64-bit sketch. */
+  def phashNearDupPairs(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val h = df.select(col(idCol).as("id"), perceptualHash(col(payloadCol)).as("ph"))
+    val banded = h.select(col("id"), col("ph"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("ph"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

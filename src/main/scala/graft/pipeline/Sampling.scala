@@ -79,4 +79,52 @@ object Sampling {
         size(slice(col("__toks"), start, lit(maxTokens)))
           .cast("bigint").as("chunk_tokens"))
   }
+
+  /** Deterministic global training-order shuffle: every row gets a
+    * `shuffle_key` from a seeded LCG mix of its id, and the corpus is
+    * totally ordered by (shuffle_key, id). At cluster scale the ORDER BY is
+    * a range-partitioned sort (sampled boundaries, no single-reducer
+    * bottleneck, no materialized global rank) and the epoch order is
+    * reproducible on any engine from (seed, id) alone — no RNG state, no
+    * driver coordination. A new seed is a new permutation of the same data. */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    // LCG → XOR with a seed-derived mask → LCG. The XOR is what makes seeds
+    // matter: any purely affine use of the seed (k = id·a + b + s, more
+    // affine rounds, even a seed-perturbed multiplier) shifts keys by a
+    // constant or by less than the typical key gap and leaves the ORDER
+    // unchanged. XOR-ing a full-width mask between two multiplies scrambles
+    // the relative order per seed. All three steps are plain-SQL-portable
+    // (xor + modular arithmetic, no engine hash function).
+    val mask = (seed * 2654435761L) % 2147483648L
+    val k1 = pmod(col(idCol).cast("long") * 1103515245L + 12345L, lit(2147483648L))
+    df.select(col(idCol),
+        pmod(k1.bitwiseXOR(lit(mask)) * 69069L + 1L, lit(2147483648L))
+          .as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col(idCol))
+  }
+
+  /** Exact nearest-rank quantiles of `valCol` within each `byCol` group
+    * (corpus length/token distributions per source). Nearest-rank
+    * (value at row ⌈p·n⌉ of the sorted group, p in thousandths) rather than
+    * interpolation: the result is an actual data value, identical on every
+    * engine — no float interpolation drift. One shuffle (the per-group
+    * window sort). At 100 TB the same report usually runs on
+    * `percentile_approx`; this is the exact-answer variant with ties broken
+    * by id so reruns are stable. */
+  def rankQuantiles(
+      df: DataFrame, byCol: String, valCol: String, idCol: String,
+      pctsMille: Seq[Int] = Seq(250, 500, 750, 900)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(byCol).orderBy(col("value"), col(idCol))
+    val wn = Window.partitionBy(byCol)
+    df.select(col(byCol), col(valCol).cast("long").as("value"), col(idCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("pct_mille", explode(array(pctsMille.map(lit): _*)))
+      // integer ceil: ⌈p·n/1000⌉ = (p·n + 999) div 1000 — exact on any engine
+      // (the double division is exact here: p·n+999 < 2^31 ≪ 2^53)
+      .filter(col("rn") ===
+        ((col("pct_mille").cast("long") * col("n") + 999L) / 1000L).cast("long"))
+      .select(col(byCol), col("pct_mille"), col("value"))
+  }
 }

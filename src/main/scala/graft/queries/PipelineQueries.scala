@@ -283,6 +283,56 @@ object PipelineQueries {
       Multimodal.sampleFrames(withBin, "doc_id", chunkBytes = 128)
         .orderBy(col("doc_id"), col("frame_no"))
     },
+
+    // CCNet-style line-level boilerplate removal. The synthetic corpus has
+    // no newlines, so both engines derive identical "lines" by splitting on
+    // the word 'the' (plain string replace — no regex dialect in play).
+    "q_strip_boilerplate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        call_function("replace", col("text"), lit(" the "), lit("\n")).as("text"))
+      CorpusFilters.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // duplicated-substring span coverage (Lee et al. 2022 signal): fraction
+    // of each doc's characters under a 20-char window shared with >= 2 docs.
+    // Kernel path (rolling-hash gram identity); substring parity in spec.
+    "q_dedup_spans" -> { (s, dir) =>
+      Dedup.duplicatedSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
+          k = 20, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // deterministic global training-order shuffle (seeded LCG permutation)
+    "q_global_shuffle" -> { (s, dir) =>
+      Sampling.shuffleOrder(t(s, dir, "documents"), "doc_id", seed = 20260812L)
+    },
+
+    // exact nearest-rank length quantiles per source
+    "q_corpus_quantiles" -> { (s, dir) =>
+      Sampling.rankQuantiles(t(s, dir, "documents"), "source", "n_chars", "doc_id")
+        .orderBy(col("source"), col("pct_mille"))
+    },
+
+    // perceptual hash of binary payloads, split hi/lo so the oracle never
+    // touches the sign bit
+    "q_multimodal_phash" -> { (s, dir) =>
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      withBin.select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          Multimodal.perceptualHash(col("payload")).as("ph"))
+        .select(col("doc_id"), col("n_bytes"),
+          shiftrightunsigned(col("ph"), 32).as("phash_hi"),
+          col("ph").bitwiseAND(lit(0xffffffffL)).as("phash_lo"))
+        .orderBy(col("doc_id"))
+    },
+
+    // phash near-dup pairs: 16-bit band blocking + hamming verify
+    "q_multimodal_phash_pairs" -> { (s, dir) =>
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      Multimodal.phashNearDupPairs(withBin, "doc_id", "payload", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -629,5 +679,104 @@ object PipelineQueries {
         |       md5(substring(d.text, CAST((f.frame_no - 1) * 128 + 1 AS INT), 128)) AS frame_digest
         |FROM f JOIN documents d ON f.doc_id = d.doc_id
         |ORDER BY d.doc_id, f.frame_no""".stripMargin,
+
+    "q_strip_boilerplate" ->
+      """WITH d AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),
+        |l0 AS (SELECT doc_id, lines, UNNEST(generate_series(1, len(lines))) AS pos
+        |       FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d) t),
+        |l AS (SELECT doc_id, pos, lines[pos] AS line FROM l0),
+        |c AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+        |k AS (SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM c)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |          string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM k GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+        |       CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |       COALESCE(a.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, UNNEST(generate_series(1, length(text) - 19)) AS pos
+        |  FROM documents WHERE length(text) >= 20),
+        |g AS (SELECT doc_id, pos, substring(text, CAST(pos AS INT), 20) AS gram FROM p),
+        |dg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dg)),
+        |c AS (SELECT doc_id, pos,
+        |        pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS delta FROM dp),
+        |a AS (SELECT doc_id, COUNT(*) AS n_dup_grams,
+        |        SUM(CASE WHEN delta IS NULL THEN 20 ELSE least(delta, 20) END) AS dup_chars
+        |      FROM c GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  ROUND(CAST(COALESCE(a.dup_chars, 0) AS DOUBLE) / greatest(length(d.text), 1), 6) AS dup_frac,
+        |  CAST(COALESCE(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_global_shuffle" ->
+      """SELECT doc_id,
+        |  (xor((doc_id*1103515245 + 12345) % 2147483648,
+        |       (20260812*2654435761) % 2147483648) * 69069 + 1) % 2147483648 AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    "q_corpus_quantiles" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |p AS (SELECT UNNEST([250, 500, 750, 900]) AS pct_mille)
+        |SELECT source, CAST(pct_mille AS INT) AS pct_mille, CAST(n_chars AS BIGINT) AS value
+        |FROM r, p WHERE rn = (pct_mille*n + 999)//1000
+        |ORDER BY source, pct_mille""".stripMargin,
+
+    "q_multimodal_phash" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, n, text, UNNEST(generate_series(0, n-1)) AS i FROM d WHERE n > 0),
+        |sb AS (SELECT doc_id, (i*65)//n AS seg,
+        |         unicode(substring(text, CAST(i+1 AS INT), 1)) AS byte FROM p),
+        |seg AS (SELECT doc_id, seg, SUM(byte) AS segsum FROM sb GROUP BY doc_id, seg),
+        |bits AS (
+        |  SELECT ids.doc_id, bb.b AS bit,
+        |    CASE WHEN COALESCE(s1.segsum, 0) > COALESCE(s2.segsum, 0) THEN 1 ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM d) ids
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS b) bb
+        |  LEFT JOIN seg s1 ON s1.doc_id = ids.doc_id AND s1.seg = bb.b
+        |  LEFT JOIN seg s2 ON s2.doc_id = ids.doc_id AND s2.seg = bb.b + 1),
+        |h AS (SELECT doc_id,
+        |    SUM(CASE WHEN bit >= 32 AND v = 1 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS phash_hi,
+        |    SUM(CASE WHEN bit < 32 AND v = 1 THEN (1::BIGINT << bit) ELSE 0 END) AS phash_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(h.phash_hi, 0) AS BIGINT) AS phash_hi,
+        |  CAST(COALESCE(h.phash_lo, 0) AS BIGINT) AS phash_lo
+        |FROM d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_phash_pairs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, n, text, UNNEST(generate_series(0, n-1)) AS i FROM d WHERE n > 0),
+        |sb AS (SELECT doc_id, (i*65)//n AS seg,
+        |         unicode(substring(text, CAST(i+1 AS INT), 1)) AS byte FROM p),
+        |seg AS (SELECT doc_id, seg, SUM(byte) AS segsum FROM sb GROUP BY doc_id, seg),
+        |bits AS (
+        |  SELECT ids.doc_id, bb.b AS bit,
+        |    CASE WHEN COALESCE(s1.segsum, 0) > COALESCE(s2.segsum, 0) THEN 1 ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM d) ids
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS b) bb
+        |  LEFT JOIN seg s1 ON s1.doc_id = ids.doc_id AND s1.seg = bb.b
+        |  LEFT JOIN seg s2 ON s2.doc_id = ids.doc_id AND s2.seg = bb.b + 1),
+        |h AS (SELECT doc_id,
+        |    SUM(CASE WHEN bit >= 32 AND v = 1 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS phash_hi,
+        |    SUM(CASE WHEN bit < 32 AND v = 1 THEN (1::BIGINT << bit) ELSE 0 END) AS phash_lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, phash_hi, phash_lo, UNNEST(generate_series(0, 3)) AS band FROM h),
+        |bb2 AS (SELECT doc_id, phash_hi, phash_lo, band,
+        |    CASE band WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536
+        |              WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS bucket
+        |  FROM bands)
+        |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash_hi, b2.phash_hi)) + bit_count(xor(a.phash_lo, b2.phash_lo)) AS INT) AS hamming
+        |FROM bb2 a JOIN bb2 b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.phash_hi, b2.phash_hi)) + bit_count(xor(a.phash_lo, b2.phash_lo)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.RollingHashes
 import graft.functions.RollingHashes.rolling_hashes
-import graft.pipeline.{CorpusFilters, Dedup, Similarity}
+import graft.pipeline.{CorpusFilters, Dedup, Sampling, Similarity}
 
 class PipelineSpec extends SparkTestBase {
   import spark.implicits._
@@ -365,6 +365,111 @@ class PipelineSpec extends SparkTestBase {
       .select(col("doc_id"), col("redacted")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     out.foreach { case (id, r) => assert(twice(id) == r.getAs[String]("redacted")) }
+  }
+
+  test("duplicated spans: kernel gram identity == literal substrings on the corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val byKernel = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 20)
+      .orderBy("doc_id").collect()
+    val bySubstr = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 20,
+        useKernel = false)
+      .orderBy("doc_id").collect()
+    assert(byKernel.length == bySubstr.length && byKernel.length == docs.count())
+    byKernel.zip(bySubstr).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("duplicated spans: overlapping windows merge to exact union coverage") {
+    // docs 1 and 2 share the 12-char prefix "aaaabbbbcccc": with k=4 the
+    // duplicated windows at positions 1..9 overlap — union = 12 chars, not 9*4
+    val docs = Seq(
+      (1L, "aaaabbbbccccXXXX"),
+      (2L, "aaaabbbbccccYYYY"),
+      (3L, "zzzzzzzzzzzzzzzz")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("dup_chars") == 12L && out(0).getAs[Long]("n_dup_grams") == 9L)
+    assert(out(1).getAs[Long]("dup_chars") == 12L)
+    // doc 3's windows repeat within itself only — one doc, not duplicated
+    assert(out(2).getAs[Long]("dup_chars") == 0L)
+  }
+
+  test("strip boilerplate lines: cross-doc lines removed, order kept, within-doc dups don't count") {
+    val docs = Seq(
+      (1L, "keep me\ncommon footer\nalso mine"),
+      (2L, "other text\ncommon footer"),
+      // 'twice' repeats within doc 3 only — countDistinct(doc) == 1, stays
+      (3L, "twice\ntwice\nunique tail"),
+      // doc 4 is nothing but the common line — clean_text must be ''
+      (4L, "common footer")).toDF("doc_id", "text")
+    val out = CorpusFilters.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "keep me\nalso mine")
+    assert(out(0).getAs[Long]("n_removed") == 1L && out(0).getAs[Long]("n_lines") == 3L)
+    assert(out(1).getAs[String]("clean_text") == "other text")
+    assert(out(2).getAs[String]("clean_text") == "twice\ntwice\nunique tail")
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+    assert(out(3).getAs[String]("clean_text") == "" && out(3).getAs[Long]("n_removed") == 1L)
+  }
+
+  test("shuffle order: a seeded permutation of all rows, different per seed") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = Sampling.shuffleOrder(docs, "doc_id", seed = 1L).collect()
+    val b = Sampling.shuffleOrder(docs, "doc_id", seed = 2L).collect()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a.map(_.getLong(0)).sorted.toSeq == ids, "seed 1 must be a permutation")
+    assert(b.map(_.getLong(0)).sorted.toSeq == ids, "seed 2 must be a permutation")
+    assert(a.map(_.getLong(0)).toSeq != b.map(_.getLong(0)).toSeq,
+      "different seeds must give different epoch orders")
+    // reproducible: same seed, same order
+    val a2 = Sampling.shuffleOrder(docs, "doc_id", seed = 1L).collect()
+    assert(a.map(_.getLong(0)).toSeq == a2.map(_.getLong(0)).toSeq)
+  }
+
+  test("rank quantiles: nearest-rank values on a known distribution") {
+    // group g: values 10..100 step 10 (n=10): p250→rank3=30, p500→rank5=50,
+    // p750→rank8=80, p900→rank9=90
+    val df = (1 to 10).map(i => ("g", i * 10L, i.toLong)).toDF("src", "v", "id")
+    val out = Sampling.rankQuantiles(df, "src", "v", "id")
+      .orderBy("pct_mille").collect()
+    assert(out.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((250, 30L), (500, 50L), (750, 80L), (900, 90L)))
+  }
+
+  test("phash: kernel matches a direct reimplementation; value noise stays within a few bits") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog " * 6, "short", "")
+    def ref(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      if (n == 0) 0L else {
+        val sums = new Array[Long](65)
+        bytes.indices.foreach(i => sums(((i.toLong * 65) / n).toInt) += (bytes(i) & 0xff).toLong)
+        (0 until 64).foldLeft(0L)((acc, b) => if (sums(b) > sums(b + 1)) acc | (1L << b) else acc)
+      }
+    }
+    val out = texts.toDF("t")
+      .select(graft.pipeline.Multimodal.perceptualHash(encode(col("t"), "UTF-8")))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == texts.map(t => ref(t.getBytes("UTF-8"))))
+    // byte-value noise (same length): few bits flip
+    val base = ref(texts.head.getBytes("UTF-8"))
+    val noisy = ref(texts.head.replace('o', '0').getBytes("UTF-8"))
+    assert(java.lang.Long.bitCount(base ^ noisy) <= 16)
+  }
+
+  test("phash near-dup pairs: identical payloads pair at hamming 0; blocking finds corpus near-dups") {
+    val docs = Seq(
+      (1L, "a document body that is long enough to segment meaningfully ok"),
+      (2L, "a document body that is long enough to segment meaningfully ok"),
+      (3L, "completely different content with other words and other sums!!")
+    ).toDF("doc_id", "text")
+    val withBin = graft.pipeline.Multimodal.withBinaryPayload(docs, "text")
+    val pairs = graft.pipeline.Multimodal.phashNearDupPairs(withBin, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)), s"identical payloads must pair: ${pairs.toSeq}")
+    // the corpus near-dups surface through band blocking (non-empty at sf0.001)
+    val corpus = graft.pipeline.Multimodal.withBinaryPayload(
+      Tables.load(spark, sfDir, "documents"), "text")
+    assert(graft.pipeline.Multimodal.phashNearDupPairs(corpus, "doc_id", "payload")
+      .count() > 0)
   }
 
   test("int8 quantization round-trips within scale/2 per component") {
