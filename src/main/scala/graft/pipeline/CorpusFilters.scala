@@ -323,8 +323,14 @@ object CorpusFilters {
     val lines = df.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
         .as(Seq("pos", "line")))
-    val common = lines.groupBy("line")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // distinct doc-count per line without countDistinct's two-phase distinct:
+    // dedupe lines inside each document map-side (narrow per-doc array), so
+    // a plain count() over one exchange counts documents
+    val common = df.select(
+        explode(array_distinct(split(col(textCol),
+          java.util.regex.Pattern.quote(delim)))).as("line"))
+      .groupBy("line")
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("line")
     val kept = lines.join(common, Seq("line"), "left_anti")

@@ -132,8 +132,21 @@ object Dedup {
             posexplode(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
               i => call_function("substring", col(textCol), i, lit(k)))).as(Seq("pos0", "gram")))
     val pos = grams.select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
-    val dupGrams = pos.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // distinct doc-count per gram WITHOUT countDistinct's Expand: dedupe the
+    // grams inside each document map-side (narrow, per-doc array) so a plain
+    // count() over the shuffle counts documents — within-doc repeats never
+    // reach the exchange
+    val docGrams =
+      if (useKernel)
+        df.select(col(idCol).as("doc_id"),
+          explode(array_distinct(rolling_hashes(col(textCol), k, 0L))).as("gram"))
+      else
+        df.filter(length(col(textCol)) >= k)
+          .select(col(idCol).as("doc_id"),
+            explode(array_distinct(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
+              i => call_function("substring", col(textCol), i, lit(k))))).as("gram"))
+    val dupGrams = docGrams.groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("gram")
     val dupPos = pos.join(dupGrams, Seq("gram"), "left_semi")

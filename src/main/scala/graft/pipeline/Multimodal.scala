@@ -98,12 +98,23 @@ object Multimodal {
     * key. Same LSH-banding shape as MinHash dedup, over a 64-bit sketch. */
   def phashNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, maxBucket: Int = 10000): DataFrame = {
     val h = df.select(col(idCol).as("id"), perceptualHash(col(payloadCol)).as("ph"))
-    val banded = h.select(col("id"), col("ph"),
+    val uncapped = h.select(col("id"), col("ph"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("ph"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
+    // skew guard (same shape as the MinHash LSH join): a degenerate bucket —
+    // e.g. a corpus of byte-identical payloads all hashing alike — would
+    // otherwise blow up quadratically in one task. Capped pairs can still
+    // surface through their other three bands. The default cap is high
+    // enough that healthy corpora never hit it (so the SQL oracle, which
+    // has no cap, stays exact at test scale).
+    val banded = uncapped
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

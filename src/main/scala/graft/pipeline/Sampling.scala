@@ -95,7 +95,7 @@ object Sampling {
     // unchanged. XOR-ing a full-width mask between two multiplies scrambles
     // the relative order per seed. All three steps are plain-SQL-portable
     // (xor + modular arithmetic, no engine hash function).
-    val mask = (seed * 2654435761L) % 2147483648L
+    val mask = java.lang.Math.floorMod(seed * 2654435761L, 2147483648L)
     val k1 = pmod(col(idCol).cast("long") * 1103515245L + 12345L, lit(2147483648L))
     df.select(col(idCol),
         pmod(k1.bitwiseXOR(lit(mask)) * 69069L + 1L, lit(2147483648L))

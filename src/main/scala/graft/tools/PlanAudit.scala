@@ -28,6 +28,11 @@ object PlanAudit {
     "q_text_pii",             // r5: codegen regex projection
     "q_chunk_docs",           // r5: narrow generate+slice explode
     "q_lm_unigram",           // r5: word_counts kernel, per-(doc,term) joins
+    "q_dedup_spans",          // r5b: kernel shingles + gram shuffle + window union
+    "q_strip_boilerplate",    // r5b: line shuffle + anti join + ordered rebuild
+    "q_multimodal_phash_pairs", // r5b: phash kernel + band blocking + hamming
+    "q_global_shuffle",       // r5b: range-partitioned total sort on seeded key
+    "q_corpus_quantiles",     // r5b: one window sort per group
   )
 
   def main(args: Array[String]): Unit = {

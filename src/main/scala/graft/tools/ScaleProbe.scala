@@ -98,6 +98,36 @@ object ScaleProbe {
         "doc_id", "source", "text").count()
     }
 
+    time("duplicated spans (k=20)") {
+      Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 20)
+        .agg(sum(col("dup_chars"))).head().getLong(0)
+    }
+    time("strip boilerplate lines") {
+      // derive "lines" by splitting on a frequent vocab word — same shape
+      // as newline splitting on a real corpus
+      CorpusFilters.stripBoilerplateLines(
+        docs.withColumn("text", regexp_replace(col("text"), " w0 ", "\n")),
+        "doc_id", "text", minDocs = 2)
+        .agg(sum(col("n_removed"))).head().getLong(0)
+    }
+    time("phash near-dup pairs") {
+      graft.pipeline.Multimodal.phashNearDupPairs(
+        docs.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload", maxHamming = 4, maxBucket = 2000).count()
+    }
+    time("global shuffle order") {
+      // noop sink so the range-partitioned total sort actually runs
+      // (an agg or limit on top would let Catalyst drop or top-k the sort)
+      graft.pipeline.Sampling.shuffleOrder(docs, "doc_id", seed = 7L)
+        .write.format("noop").mode("overwrite").save(); n
+    }
+    time("rank quantiles") {
+      graft.pipeline.Sampling.rankQuantiles(
+        docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(16))))
+          .withColumn("n_chars", length(col("text"))),
+        "source", "n_chars", "doc_id").count()
+    }
+
     // CEP at scale: n events over 10k keys, A+ B runs (value derived from a
     // hash so runs are irregular); one shuffle + per-key linear matcher
     val events = spark.range(n).toDF("event_id")

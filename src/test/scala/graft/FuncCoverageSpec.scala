@@ -121,8 +121,11 @@ class FuncCoverageSpec extends SparkTestBase {
         |       size(rolling_hashes('abcdef', 3, 0)) AS rh,
         |       word_ngrams('a b c d', 2) AS g2,
         |       word_ngrams('a b a b', 3, true) AS g3d,
-        |       quality_stats('the quick brown fox the') AS qs""".stripMargin).head()
+        |       quality_stats('the quick brown fox the') AS qs,
+        |       phash64(encode('some binary payload bytes', 'UTF-8')) AS ph""".stripMargin).head()
     assert(r.getAs[Long]("sh") != 0L)
+    assert(r.getAs[Long]("ph") ==
+      graft.functions.HashKernels.phash("some binary payload bytes".getBytes("UTF-8")))
     assert(r.getAs[Int]("mh") == 8)
     assert(r.getAs[Double]("vd") == 11.0)
     assert(r.getAs[Int]("rh") == 4)

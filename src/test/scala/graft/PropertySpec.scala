@@ -63,6 +63,23 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("phash: segment-sum reference == kernel for arbitrary byte payloads") {
+    forAll(Gen.zip(Gen.asciiPrintableStr, Gen.choose(0, 3))) { case (s, rep) =>
+      val bytes = (s * (rep + 1)).getBytes("UTF-8")
+      val got = graft.functions.HashKernels.phash(bytes)
+      val n = bytes.length
+      val expected = if (n == 0) 0L else {
+        val sums = new Array[Long](65)
+        bytes.indices.foreach(i => sums(((i.toLong * 65) / n).toInt) += (bytes(i) & 0xff).toLong)
+        (0 until 64).foldLeft(0L)((acc, b) => if (sums(b) > sums(b + 1)) acc | (1L << b) else acc)
+      }
+      assert(got == expected, s"payload of ${n} bytes")
+      // hash of a payload is invariant under appending an exact copy ONLY
+      // when segment boundaries align; but always deterministic:
+      assert(graft.functions.HashKernels.phash(bytes) == got)
+    }
+  }
+
   // ---- rewriter: idempotent on already-Spark SQL, literal-preserving ----
 
   test("rewrite preserves arbitrary string literals verbatim") {
