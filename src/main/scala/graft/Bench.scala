@@ -29,13 +29,24 @@ object Bench {
     // shared host (observed: a single query absorbing a 20 s stall that
     // vanishes on re-run). Both passes execute the full query; nothing is
     // cached between them beyond the JVM/JIT warmth the baseline assumes.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed pass must not win the min (a fast failure would mask the
+    // real measurement): failures rank as +inf; if BOTH passes fail, fall
+    // back to the measured elapsed time (old single-pass behavior) so the
+    // anomaly stays visible in the total instead of reporting ~0.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val (ta, oka) = timeOnce(fn)
+      val (tb, okb) = timeOnce(fn)
+      val best = (oka, okb) match {
+        case (true, false) => ta
+        case (false, true) => tb
+        case _ => math.min(ta, tb)
+      }
+      name -> best
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def jsonLine(qs: Seq[(String, Double)], omitted: Int): String = {

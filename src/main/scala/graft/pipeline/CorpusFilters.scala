@@ -339,7 +339,11 @@ object CorpusFilters {
         concat_ws(delim,
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             s => s.getField("line"))).as("clean_text"))
-    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    // n_lines is a narrow per-row expression — no need to explode and
+    // shuffle every line again just to count them
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .cast("long").as("n_lines"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),

@@ -37,9 +37,52 @@ object Dedup {
   def minhashSignature(textCol: Column, numHashes: Int = 32, shingleLen: Int = 9): Column =
     graft.functions.HashExprs.minhash_sig(normalize(textCol), shingleLen, numHashes)
 
+  /** Shared banded self-join with a skew guard, used by MinHash LSH and the
+    * perceptual-hash blocking. Input must have columns (id, band, bucket)
+    * plus any `carry` columns to surface on both sides of a pair.
+    *
+    * Buckets at or under `maxBucket` emit all intra-bucket pairs. OVERSIZED
+    * buckets (degenerate corpora — e.g. byte-identical payloads, where every
+    * band of every row collides) emit STAR edges instead: each member pairs
+    * with the bucket's min-id representative. That is linear in bucket size,
+    * cannot blow up one task quadratically, and — unlike dropping the bucket,
+    * which silently returns ZERO pairs exactly when duplication is total —
+    * keeps every member connected to its cluster for downstream grouping.
+    *
+    * Returns (id_a, id_b, carry_a*, carry_b*) with id_a < id_b, distinct. */
+  private[pipeline] def bandedPairs(
+      banded: DataFrame, maxBucket: Int, carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val wOrd = w.orderBy(col("id")) // running frame: first() == min-id row
+    val annotated = banded
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("rep_id", min(col("id")).over(w))
+    def sides(aId: Column, bId: Column, a: String => Column, b: String => Column) =
+      Seq(aId.as("id_a"), bId.as("id_b")) ++
+        carry.flatMap(c => Seq(a(c).as(s"${c}_a"), b(c).as(s"${c}_b")))
+    val small = annotated.filter(col("bucket_n") <= maxBucket)
+    val allPairs = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(sides(col("a.id"), col("b.id"),
+        c => col(s"a.$c"), c => col(s"b.$c")): _*)
+    val big = annotated.filter(col("bucket_n") > maxBucket)
+    val starPairs = big
+      .select((col("rep_id") +: col("id") +:
+          carry.map(c => first(col(c)).over(wOrd).as(s"__rep_$c")) ++:
+          carry.map(col)): _*)
+      .filter(col("rep_id") < col("id"))
+      .select(sides(col("rep_id"), col("id"),
+        c => col(s"__rep_$c"), c => col(c)): _*)
+    allPairs.union(starPairs).distinct()
+  }
+
   /** LSH candidate pairs from MinHash signatures: band the signature, bucket
-    * by (band index, band hash), emit intra-bucket pairs. `maxBucket` caps
-    * degenerate buckets (skew guard). Returns (id_a, id_b) with id_a < id_b. */
+    * by (band index, band hash), emit intra-bucket pairs. `maxBucket` is the
+    * skew guard — see [[bandedPairs]] (oversized buckets degrade to star
+    * edges against the bucket representative, never to zero pairs or a
+    * quadratic task). Returns (id_a, id_b) with id_a < id_b. */
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleLen: Int = 9,
@@ -51,16 +94,7 @@ object Dedup {
     val banded = sigs.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    bandedPairs(banded, maxBucket, carry = Seq.empty)
   }
 
   /** Exact n-gram Jaccard between two text columns (verification step after
@@ -156,7 +190,13 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_grams"),
         sum(when(col("delta").isNull, k).otherwise(least(col("delta"), lit(k)))).as("dup_chars"))
-    df.select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("n_chars"))
+    // length unit must match the gram enumeration's position unit or
+    // dup_frac can exceed 1.0 on non-ASCII text: the kernel walks UTF-8
+    // BYTES (octet_length), the substring path walks CHARACTERS (length).
+    // On ASCII corpora the two are identical (the parity spec relies on it).
+    val totalLen =
+      if (useKernel) octet_length(col(textCol)) else length(col(textCol))
+    df.select(col(idCol).as("doc_id"), totalLen.cast("long").as("n_chars"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),

@@ -90,36 +90,28 @@ object Multimodal {
 
   /** Near-duplicate payload pairs by perceptual hash: the 64-bit phash is
     * cut into four 16-bit bands; a candidate pair must agree exactly on at
-    * least one band (pigeonhole: hamming ≤ 8 guarantees ≥ 2 clean bands),
-    * then candidates are verified by full hamming distance ≤ `maxHamming`.
-    * The band bucket is the blocking key — one shuffle, no all-pairs; a
-    * pair surfacing in several bands is deduplicated by DISTINCT on the
-    * (id_a, id_b) result, which arrives already partitioned by the join
-    * key. Same LSH-banding shape as MinHash dedup, over a 64-bit sketch. */
+    * least one band, then candidates are verified by full hamming distance
+    * ≤ `maxHamming`. Banding recall: pairs at hamming ≤ 3 are GUARANTEED a
+    * clean band (pigeonhole over 4 bands); above that, blocking is
+    * probabilistic like any LSH — e.g. 4 differing bits landing one per
+    * band hide the pair (the bound is a recall/cost dial, same trade as the
+    * MinHash bands). The band bucket is the blocking key — one shuffle, no
+    * all-pairs; `maxBucket` is the skew guard shared with the MinHash join
+    * ([[graft.pipeline.Dedup.bandedPairs]]): oversized buckets degrade to
+    * star edges against the bucket representative, never to zero pairs or a
+    * quadratic task. The default cap is high enough that healthy corpora
+    * never hit it, so the cap-free SQL oracle stays exact at test scale. */
   def phashNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 8, maxBucket: Int = 10000): DataFrame = {
     val h = df.select(col(idCol).as("id"), perceptualHash(col(payloadCol)).as("ph"))
-    val uncapped = h.select(col("id"), col("ph"),
+    val banded = h.select(col("id"), col("ph"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("ph"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
-    // skew guard (same shape as the MinHash LSH join): a degenerate bucket —
-    // e.g. a corpus of byte-identical payloads all hashing alike — would
-    // otherwise blow up quadratically in one task. Capped pairs can still
-    // surface through their other three bands. The default cap is high
-    // enough that healthy corpora never hit it (so the SQL oracle, which
-    // has no cap, stays exact at test scale).
-    val banded = uncapped
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int").as("hamming"))
+    graft.pipeline.Dedup.bandedPairs(banded, maxBucket, carry = Seq("ph"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

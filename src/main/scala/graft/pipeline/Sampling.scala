@@ -97,9 +97,10 @@ object Sampling {
     // (xor + modular arithmetic, no engine hash function).
     val mask = java.lang.Math.floorMod(seed * 2654435761L, 2147483648L)
     val k1 = pmod(col(idCol).cast("long") * 1103515245L + 12345L, lit(2147483648L))
-    df.select(col(idCol),
-        pmod(k1.bitwiseXOR(lit(mask)) * 69069L + 1L, lit(2147483648L))
-          .as("shuffle_key"))
+    // withColumn, not select: the point is ordering the TRAINING DATA, so
+    // every corpus column rides along — no re-join needed downstream
+    df.withColumn("shuffle_key",
+        pmod(k1.bitwiseXOR(lit(mask)) * 69069L + 1L, lit(2147483648L)))
       .orderBy(col("shuffle_key"), col(idCol))
   }
 

@@ -303,9 +303,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // deterministic global training-order shuffle (seeded LCG permutation)
+    // deterministic global training-order shuffle (seeded LCG permutation;
+    // the operator carries all corpus columns — project the key pair here)
     "q_global_shuffle" -> { (s, dir) =>
       Sampling.shuffleOrder(t(s, dir, "documents"), "doc_id", seed = 20260812L)
+        .select(col("doc_id"), col("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
     },
 
     // exact nearest-rank length quantiles per source

@@ -472,6 +472,25 @@ class PipelineSpec extends SparkTestBase {
       .count() > 0)
   }
 
+  test("banded pairs: oversized buckets emit star edges, not zero pairs and not all-pairs") {
+    // 50 byte-identical payloads: every band bucket holds all 50 rows.
+    // With maxBucket=10 the old drop-the-bucket guard returned ZERO pairs;
+    // star edges keep every member connected to the min-id representative.
+    val docs = (1L to 50L).map(i => (i, "exactly the same payload bytes"))
+      .toDF("doc_id", "text")
+    val withBin = graft.pipeline.Multimodal.withBinaryPayload(docs, "text")
+    val pairs = graft.pipeline.Multimodal.phashNearDupPairs(
+        withBin, "doc_id", "payload", maxHamming = 0, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == (2L to 50L).map(i => (1L, i)).toSet,
+      s"expected 49 star edges to doc 1, got ${pairs.length}")
+    // healthy buckets (cap not hit) still produce ALL intra-bucket pairs
+    val allPairs = graft.pipeline.Multimodal.phashNearDupPairs(
+        withBin, "doc_id", "payload", maxHamming = 0, maxBucket = 100)
+      .count()
+    assert(allPairs == 50L * 49 / 2)
+  }
+
   test("int8 quantization round-trips within scale/2 per component") {
     val e = Tables.load(spark, sfDir, "embeddings").limit(50)
     val out = Similarity.quantizeInt8(e, "vec_id", "embedding")

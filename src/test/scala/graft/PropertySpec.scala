@@ -74,9 +74,6 @@ class PropertySpec extends SparkTestBase {
         (0 until 64).foldLeft(0L)((acc, b) => if (sums(b) > sums(b + 1)) acc | (1L << b) else acc)
       }
       assert(got == expected, s"payload of ${n} bytes")
-      // hash of a payload is invariant under appending an exact copy ONLY
-      // when segment boundaries align; but always deterministic:
-      assert(graft.functions.HashKernels.phash(bytes) == got)
     }
   }
 
