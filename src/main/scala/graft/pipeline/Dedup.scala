@@ -204,4 +204,87 @@ object Dedup {
           greatest(col("n_chars"), lit(1L)), 6).as("dup_frac"),
         coalesce(col("n_dup_grams"), lit(0L)).cast("long").as("n_dup_grams"))
   }
+
+  /** The REMOVE step of exact substring dedup (Lee et al. 2022): cut, from
+    * every document, each duplicated k-char window whose canonical owner
+    * (the MINIMUM doc id among documents containing that window) is another
+    * document. The owner keeps its occurrences, so exactly one copy of each
+    * duplicated region survives the corpus; overlapping cut windows merge
+    * into maximal spans before slicing. Returns
+    * (doc_id, n_chars, removed_chars, clean_text).
+    *
+    * Shape: the same gram shuffle as [[duplicatedSpanCoverage]] but the
+    * per-gram aggregate also carries min(doc_id) as the owner; cut windows
+    * merge via the classic gaps-and-islands (one per-doc sort), the kept
+    * complement segments come from one lag() over the islands, and the
+    * final text is rebuilt per doc from bounded arrays — no driver state,
+    * per-doc memory bounded by document size.
+    *
+    * Positions are CHARACTER-based (substring-path gram identity) so the
+    * slicing is unicode-safe; pass `useKernel=true` only for single-byte
+    * corpora — the rolling-hash gram walk is byte-based, and a duplicated
+    * byte-window boundary may split a multi-byte character. */
+  def cutDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minDocs: Int = 2, useKernel: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos =
+      if (useKernel)
+        df.select(col(idCol).as("doc_id"),
+            posexplode(rolling_hashes(col(textCol), k, 0L)).as(Seq("pos0", "gram")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+      else
+        df.filter(length(col(textCol)) >= k)
+          .select(col(idCol).as("doc_id"),
+            posexplode(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
+              i => call_function("substring", col(textCol), i, lit(k)))).as(Seq("pos0", "gram")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    // per-gram doc count + owner, from map-side-distinct doc grams
+    val gramStats = pos.select(col("doc_id"), col("gram")).distinct()
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gram"), col("owner"))
+    // windows to cut: duplicated occurrences in non-owner docs
+    val rm = pos.join(gramStats, Seq("gram"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("pos"))
+    // merge overlapping/adjacent [pos, pos+k) windows: gaps-and-islands
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = rm
+      .withColumn("newIsl",
+        when(lag(col("pos"), 1).over(wDoc).isNull
+          || col("pos") - lag(col("pos"), 1).over(wDoc) > k, 1).otherwise(0))
+      .withColumn("isl", sum(col("newIsl")).over(wDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).as("rm_start"), (max(col("pos")) + k).as("rm_end"))
+    // kept complement segments: [prev rm_end, rm_start) per island, plus the
+    // tail [last rm_end, len+1) — emitted as (seg_start, seg_len) pairs
+    val wIsl = Window.partitionBy("doc_id").orderBy("rm_start")
+    val heads = islands
+      .withColumn("seg_start", coalesce(lag(col("rm_end"), 1).over(wIsl), lit(1)))
+      .select(col("doc_id"), col("seg_start"), (col("rm_start") - col("seg_start")).as("seg_len"))
+    val tails = islands.groupBy("doc_id")
+      .agg(max(col("rm_end")).as("seg_start"),
+        sum(col("rm_end") - col("rm_start")).as("removed_chars"))
+    val segments = heads.select(col("doc_id"), col("seg_start"), col("seg_len"))
+      .union(tails.select(col("doc_id"), col("seg_start"), lit(Int.MaxValue).cast("long").as("seg_len")))
+      .filter(col("seg_len") > 0)
+    val rebuilt = segments
+      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")), Seq("doc_id"))
+      .select(col("doc_id"), col("seg_start"),
+        call_function("substring", col("__text"), col("seg_start").cast("int"),
+          col("seg_len").cast("int")).as("piece"))
+      .groupBy("doc_id")
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("seg_start"), col("piece")))),
+          s => s.getField("piece"))).as("cut_text"))
+    df.select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("n_chars"),
+        col(textCol).as("__orig"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(tails.select(col("doc_id"), col("removed_chars")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("removed_chars"), lit(0L)).cast("long").as("removed_chars"),
+        coalesce(col("cut_text"), col("__orig")).as("clean_text"))
+  }
 }

@@ -336,6 +336,37 @@ object PipelineQueries {
       Multimodal.phashNearDupPairs(withBin, "doc_id", "payload", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    // the REMOVE step of substring dedup (Lee et al. 2022): min-id owner
+    // keeps each duplicated 20-char region, every other doc has it cut out
+    "q_cut_spans" -> { (s, dir) =>
+      Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 20)
+        .orderBy(col("doc_id"))
+    },
+
+    // near-dup cluster survivors: the keep-list after duplicate grouping
+    // (cluster root = min doc id; every other member is dropped)
+    "q_dedup_survivors" -> { (s, dir) =>
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"),
+          array_distinct(transform(
+            sequence(lit(1), length(col("text")) - 2),
+            i => call_function("substring", col("text"), i, lit(3)))).as("grams"))
+      val pairs = d.as("a").join(d.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+            (size(col("a.grams")) + size(col("b.grams"))
+              - size(array_intersect(col("a.grams"), col("b.grams"))))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      val losers = CorpusFilters.duplicateGroups(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -781,5 +812,59 @@ object PipelineQueries {
         |FROM bb2 a JOIN bb2 b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.phash_hi, b2.phash_hi)) + bit_count(xor(a.phash_lo, b2.phash_lo)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_cut_spans" ->
+      """WITH p AS (SELECT doc_id, text, UNNEST(generate_series(1, length(text)-19)) AS pos
+        |           FROM documents WHERE length(text) >= 20),
+        |g AS (SELECT doc_id, pos, substring(text, CAST(pos AS INT), 20) AS gram FROM p),
+        |gs AS (SELECT gram, MIN(doc_id) AS owner
+        |       FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram HAVING COUNT(*) >= 2),
+        |rm AS (SELECT g.doc_id, g.pos FROM g JOIN gs USING (gram) WHERE g.doc_id <> gs.owner),
+        |fl AS (SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 20
+        |              THEN 1 ELSE 0 END AS newisl
+        |       FROM rm WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |il AS (SELECT doc_id, pos,
+        |         SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM fl),
+        |iv AS (SELECT doc_id, isl, MIN(pos) AS rm_start, MAX(pos)+20 AS rm_end
+        |       FROM il GROUP BY doc_id, isl),
+        |heads AS (SELECT doc_id, COALESCE(lag(rm_end) OVER w2, 1) AS seg_start,
+        |                 rm_start - COALESCE(lag(rm_end) OVER w2, 1) AS seg_len
+        |          FROM iv WINDOW w2 AS (PARTITION BY doc_id ORDER BY rm_start)),
+        |tails AS (SELECT doc_id, MAX(rm_end) AS seg_start,
+        |                 SUM(rm_end - rm_start) AS removed FROM iv GROUP BY doc_id),
+        |segs AS (SELECT doc_id, seg_start, seg_len FROM heads WHERE seg_len > 0
+        |         UNION ALL SELECT doc_id, seg_start, 1000000 AS seg_len FROM tails),
+        |pieces AS (SELECT s.doc_id, s.seg_start,
+        |             substring(d.text, CAST(s.seg_start AS INT), CAST(s.seg_len AS INT)) AS piece
+        |           FROM segs s JOIN documents d USING (doc_id)),
+        |cut AS (SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS cut_text
+        |        FROM pieces GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |       CAST(COALESCE(t.removed, 0) AS BIGINT) AS removed_chars,
+        |       COALESCE(c.cut_text, d.text) AS clean_text
+        |FROM documents d LEFT JOIN cut c USING (doc_id) LEFT JOIN tails t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(generate_series(1, length(text) - 2),
+        |                       i -> substring(text, CAST(i AS INT), 3))) AS grams
+        |  FROM documents WHERE doc_id < 300),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+        |losers AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(r))
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id < 300 AND doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

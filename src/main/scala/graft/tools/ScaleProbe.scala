@@ -102,6 +102,10 @@ object ScaleProbe {
       Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 20)
         .agg(sum(col("dup_chars"))).head().getLong(0)
     }
+    time("cut duplicated spans") {
+      Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 20, useKernel = true)
+        .agg(sum(col("removed_chars"))).head().getLong(0)
+    }
     time("strip boilerplate lines") {
       // derive "lines" by splitting on a frequent vocab word — same shape
       // as newline splitting on a real corpus

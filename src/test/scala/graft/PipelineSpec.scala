@@ -472,6 +472,49 @@ class PipelineSpec extends SparkTestBase {
       .count() > 0)
   }
 
+  test("cut spans: owner keeps the duplicated region, others lose exactly it") {
+    // docs 1..3 share the 12-char region "AAAABBBBCCCC" (k=4): doc 1 is the
+    // min-id owner and keeps its text verbatim; docs 2 and 3 have the region
+    // (and every window overlapping it) cut out
+    val docs = Seq(
+      (1L, "xxAAAABBBBCCCCyy"),
+      (2L, "mmmmAAAABBBBCCCCnnnn"),
+      (3L, "AAAABBBBCCCC"),
+      (4L, "totally unrelated!!")).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "xxAAAABBBBCCCCyy",
+      "min-id owner must keep its occurrence")
+    assert(out(0).getAs[Long]("removed_chars") == 0L)
+    // doc 2: the duplicated windows are the 9 starts of AAAABBBBCCCC inside
+    // it (positions 5..13) → merged cut [5, 17) = exactly the shared region
+    assert(out(1).getAs[String]("clean_text") == "mmmmnnnn")
+    assert(out(1).getAs[Long]("removed_chars") == 12L)
+    // doc 3 is nothing but the shared region → cut to empty, not null
+    assert(out(2).getAs[String]("clean_text") == "")
+    assert(out(2).getAs[Long]("removed_chars") == 12L)
+    // doc 4 untouched (and shorter-than-k docs would pass through too)
+    assert(out(3).getAs[String]("clean_text") == "totally unrelated!!")
+  }
+
+  test("cut spans: removed_chars equals coverage dup_chars for non-owner docs") {
+    // on the real corpus, a doc that owns none of its duplicated grams must
+    // have removed_chars == the coverage operator's dup_chars; owners have
+    // removed_chars <= dup_chars. Cut text length must always reconcile.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cov = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 20,
+        useKernel = false)
+      .select(col("doc_id"), col("dup_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 20)
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        assert(r.getAs[Long]("removed_chars") <= cov(id))
+        assert(r.getAs[String]("clean_text").length ==
+          r.getAs[Long]("n_chars") - r.getAs[Long]("removed_chars"))
+      }
+  }
+
   test("banded pairs: oversized buckets emit star edges, not zero pairs and not all-pairs") {
     // 50 byte-identical payloads: every band bucket holds all 50 rows.
     // With maxBucket=10 the old drop-the-bucket guard returned ZERO pairs;
