@@ -344,6 +344,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // end-to-end corpus pipeline: quality gate → repetition filter → exact
+    // dedup keeper, with the FIRST failing stage as the reject reason — the
+    // composition a real training-data run chains these operators into
+    "q_corpus_pipeline" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val quality = CorpusFilters.qualityGate(docs, "doc_id", "text",
+          minWords = 20, maxMeanWordLen = 5.0)
+        .select(col("doc_id"), col("reject_reason").as("q_reason"))
+      val rep = CorpusFilters.repetitionStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("dup_word_frac"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
+      val keeper = docs
+        .select(col("doc_id"), md5(Dedup.normalize(col("text"))).as("digest"))
+        .withColumn("keeper_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), (col("doc_id") === col("keeper_id")).as("is_keeper"))
+      val reason = when(col("q_reason").isNotNull, concat(lit("quality:"), col("q_reason")))
+        .when(col("dup_word_frac") > 0.6, lit("repetition"))
+        .when(!col("is_keeper"), lit("duplicate"))
+      quality.join(rep, Seq("doc_id")).join(keeper, Seq("doc_id"))
+        .select(col("doc_id"), reason.as("reject_reason"), reason.isNull.as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // near-dup cluster survivors: the keep-list after duplicate grouping
     // (cluster root = min doc id; every other member is dropped)
     "q_dedup_survivors" -> { (s, dir) =>
@@ -845,6 +868,41 @@ object PipelineQueries {
         |       COALESCE(c.cut_text, d.text) AS clean_text
         |FROM documents d LEFT JOIN cut c USING (doc_id) LEFT JOIN tails t USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS letters,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS symbols,
+        |    length(text) AS n_chars,
+        |    len(list_distinct(list_transform(list_filter(regexp_split_to_array(text, '\s+'),
+        |      w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(w))), w -> lower(w)))) AS stop_distinct
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_words < 20 THEN 'too_short'
+        |         WHEN n_words > 100000 THEN 'too_long'
+        |         WHEN CAST(letters AS DOUBLE)/greatest(n_words,1) < 2.0
+        |           OR CAST(letters AS DOUBLE)/greatest(n_words,1) > 5.0 THEN 'word_length'
+        |         WHEN CAST(symbols AS DOUBLE)/greatest(n_chars,1) > 0.1 THEN 'symbol_ratio'
+        |         WHEN stop_distinct < 2 THEN 'stopwords'
+        |         ELSE NULL END AS q_reason
+        |  FROM f),
+        |ww AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words FROM documents),
+        |r AS (SELECT doc_id, CASE WHEN len(words) <= 0 THEN 0.0
+        |        ELSE ROUND(CAST(len(words) - len(list_distinct(words)) AS DOUBLE) / len(words), 6) END AS dwf
+        |      FROM ww),
+        |dg AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest FROM documents),
+        |k AS (SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY digest) AS is_keeper FROM dg)
+        |SELECT m.doc_id,
+        |  CASE WHEN m.q_reason IS NOT NULL THEN 'quality:' || m.q_reason
+        |       WHEN r.dwf > 0.6 THEN 'repetition'
+        |       WHEN NOT k.is_keeper THEN 'duplicate' ELSE NULL END AS reject_reason,
+        |  (CASE WHEN m.q_reason IS NOT NULL THEN 'quality:' || m.q_reason
+        |       WHEN r.dwf > 0.6 THEN 'repetition'
+        |       WHEN NOT k.is_keeper THEN 'duplicate' ELSE NULL END) IS NULL AS keep
+        |FROM m JOIN r USING (doc_id) JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_survivors" ->
       """WITH RECURSIVE d AS (
