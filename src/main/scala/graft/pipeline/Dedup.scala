@@ -152,10 +152,13 @@ object Dedup {
     * could in principle merge two distinct grams); PipelineSpec pins both
     * paths equal on the corpus.
     */
-  def duplicatedSpanCoverage(
+  /** Per-position k-gram enumeration shared by the span operators:
+    * (doc_id, pos, gram) with 1-based `pos`. Kernel path: O(n) rolling-hash
+    * gram identity over UTF-8 BYTES; substring path: literal k-char grams
+    * over CHARACTERS (the oracle-parity, unicode-safe identity). */
+  private def gramPositions(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 20, minDocs: Int = 2, useKernel: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      k: Int, useKernel: Boolean): DataFrame = {
     val grams =
       if (useKernel)
         df.select(col(idCol).as("doc_id"),
@@ -165,21 +168,37 @@ object Dedup {
           .select(col(idCol).as("doc_id"),
             posexplode(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
               i => call_function("substring", col(textCol), i, lit(k)))).as(Seq("pos0", "gram")))
-    val pos = grams.select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
-    // distinct doc-count per gram WITHOUT countDistinct's Expand: dedupe the
-    // grams inside each document map-side (narrow, per-doc array) so a plain
-    // count() over the shuffle counts documents — within-doc repeats never
-    // reach the exchange
-    val docGrams =
-      if (useKernel)
-        df.select(col(idCol).as("doc_id"),
-          explode(array_distinct(rolling_hashes(col(textCol), k, 0L))).as("gram"))
-      else
-        df.filter(length(col(textCol)) >= k)
-          .select(col(idCol).as("doc_id"),
-            explode(array_distinct(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
-              i => call_function("substring", col(textCol), i, lit(k))))).as("gram"))
-    val dupGrams = docGrams.groupBy("gram")
+    grams.select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+  }
+
+  /** One row per DISTINCT (doc, gram) with the dedup done map-side (narrow,
+    * per-doc array) — so downstream per-gram aggregates count documents with
+    * a plain count() over ONE exchange, no countDistinct Expand, and
+    * within-doc repeats never reach the shuffle. */
+  private def docGramsDistinct(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, useKernel: Boolean): DataFrame =
+    if (useKernel)
+      df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(rolling_hashes(col(textCol), k, 0L))).as("gram"))
+    else
+      df.filter(length(col(textCol)) >= k)
+        .select(col(idCol).as("doc_id"),
+          explode(array_distinct(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
+            i => call_function("substring", col(textCol), i, lit(k))))).as("gram"))
+
+  /** Total text length in the same unit the gram walk uses — BYTES for the
+    * kernel path, CHARACTERS for the substring path. Mixing units would let
+    * coverage/removal exceed the reported length on non-ASCII text. */
+  private def lenInGramUnits(textCol: String, useKernel: Boolean): Column =
+    if (useKernel) octet_length(col(textCol)) else length(col(textCol))
+
+  def duplicatedSpanCoverage(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minDocs: Int = 2, useKernel: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = gramPositions(df, idCol, textCol, k, useKernel)
+    val dupGrams = docGramsDistinct(df, idCol, textCol, k, useKernel).groupBy("gram")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("gram")
@@ -190,13 +209,8 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_grams"),
         sum(when(col("delta").isNull, k).otherwise(least(col("delta"), lit(k)))).as("dup_chars"))
-    // length unit must match the gram enumeration's position unit or
-    // dup_frac can exceed 1.0 on non-ASCII text: the kernel walks UTF-8
-    // BYTES (octet_length), the substring path walks CHARACTERS (length).
-    // On ASCII corpora the two are identical (the parity spec relies on it).
-    val totalLen =
-      if (useKernel) octet_length(col(textCol)) else length(col(textCol))
-    df.select(col(idCol).as("doc_id"), totalLen.cast("long").as("n_chars"))
+    df.select(col(idCol).as("doc_id"),
+        lenInGramUnits(textCol, useKernel).cast("long").as("n_chars"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
@@ -228,19 +242,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minDocs: Int = 2, useKernel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos =
-      if (useKernel)
-        df.select(col(idCol).as("doc_id"),
-            posexplode(rolling_hashes(col(textCol), k, 0L)).as(Seq("pos0", "gram")))
-          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
-      else
-        df.filter(length(col(textCol)) >= k)
-          .select(col(idCol).as("doc_id"),
-            posexplode(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
-              i => call_function("substring", col(textCol), i, lit(k)))).as(Seq("pos0", "gram")))
-          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
-    // per-gram doc count + owner, from map-side-distinct doc grams
-    val gramStats = pos.select(col("doc_id"), col("gram")).distinct()
+    val pos = gramPositions(df, idCol, textCol, k, useKernel)
+    // per-gram doc count + owner, over the map-side-distinct doc grams —
+    // one exchange (the widest stream, every gram occurrence, is shuffled
+    // once, and within-doc repeats never reach it)
+    val gramStats = docGramsDistinct(df, idCol, textCol, k, useKernel)
       .groupBy("gram")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
       .filter(col("n_docs") >= minDocs)
@@ -279,7 +285,8 @@ object Dedup {
       .agg(concat_ws("",
         transform(array_sort(collect_list(struct(col("seg_start"), col("piece")))),
           s => s.getField("piece"))).as("cut_text"))
-    df.select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("n_chars"),
+    df.select(col(idCol).as("doc_id"),
+        lenInGramUnits(textCol, useKernel).cast("long").as("n_chars"),
         col(textCol).as("__orig"))
       .join(rebuilt, Seq("doc_id"), "left")
       .join(tails.select(col("doc_id"), col("removed_chars")), Seq("doc_id"), "left")

@@ -18,6 +18,30 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** The blocked candidate set shared by the exact-Jaccard dedup queries:
+    * bounded ids, per-doc distinct char trigrams via substring enumeration
+    * (DuckDB-oracle-parity tokenization — the kernel path is exercised by
+    * the LSH query). */
+  private def blockedTrigramDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("source"),
+        array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => call_function("substring", col("text"), i, lit(3)))).as("grams"))
+
+  /** Same-source blocked self-join with exact trigram Jaccard — the pair
+    * stream feeding grouping and the survivors keep-list. */
+  private def blockedJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = blockedTrigramDocs(s, dir)
+    d.as("a").join(d.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          (size(col("a.grams")) + size(col("b.grams"))
+            - size(array_intersect(col("a.grams"), col("b.grams"))))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup groups over normalized text
     "q_dedup_exact" -> { (s, dir) =>
@@ -29,18 +53,8 @@ object PipelineQueries {
     // bounded ids) — char-trigram sets via substring enumeration on both
     // engines (the rolling-hash fast path is exercised by the LSH query)
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
-      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("source"),
-          array_distinct(transform(
-            sequence(lit(1), length(col("text")) - 2),
-            i => call_function("substring", col("text"), i, lit(3)))).as("grams"))
-      d.as("a").join(d.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            (size(col("a.grams")) + size(col("b.grams"))
-              - size(array_intersect(col("a.grams"), col("b.grams")))), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      blockedJaccardPairs(s, dir)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -205,19 +219,7 @@ object PipelineQueries {
     // duplicate clusters via min-label propagation over the deterministic
     // blocked-Jaccard pair set (oracle: DuckDB recursive-CTE reachability)
     "q_dedup_groups" -> { (s, dir) =>
-      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("source"),
-          array_distinct(transform(
-            sequence(lit(1), length(col("text")) - 2),
-            i => call_function("substring", col("text"), i, lit(3)))).as("grams"))
-      val pairs = d.as("a").join(d.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            (size(col("a.grams")) + size(col("b.grams"))
-              - size(array_intersect(col("a.grams"), col("b.grams"))))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-      CorpusFilters.duplicateGroups(pairs)
+      CorpusFilters.duplicateGroups(blockedJaccardPairs(s, dir))
         .orderBy(col("doc_id"))
     },
 
@@ -370,19 +372,7 @@ object PipelineQueries {
     // near-dup cluster survivors: the keep-list after duplicate grouping
     // (cluster root = min doc id; every other member is dropped)
     "q_dedup_survivors" -> { (s, dir) =>
-      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("source"),
-          array_distinct(transform(
-            sequence(lit(1), length(col("text")) - 2),
-            i => call_function("substring", col("text"), i, lit(3)))).as("grams"))
-      val pairs = d.as("a").join(d.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            (size(col("a.grams")) + size(col("b.grams"))
-              - size(array_intersect(col("a.grams"), col("b.grams"))))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-      val losers = CorpusFilters.duplicateGroups(pairs)
+      val losers = CorpusFilters.duplicateGroups(blockedJaccardPairs(s, dir))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       t(s, dir, "documents").filter(col("doc_id") < 300)
@@ -857,7 +847,7 @@ object PipelineQueries {
         |tails AS (SELECT doc_id, MAX(rm_end) AS seg_start,
         |                 SUM(rm_end - rm_start) AS removed FROM iv GROUP BY doc_id),
         |segs AS (SELECT doc_id, seg_start, seg_len FROM heads WHERE seg_len > 0
-        |         UNION ALL SELECT doc_id, seg_start, 1000000 AS seg_len FROM tails),
+        |         UNION ALL SELECT doc_id, seg_start, 2147483647 AS seg_len FROM tails),
         |pieces AS (SELECT s.doc_id, s.seg_start,
         |             substring(d.text, CAST(s.seg_start AS INT), CAST(s.seg_len AS INT)) AS piece
         |           FROM segs s JOIN documents d USING (doc_id)),
@@ -883,9 +873,9 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CASE WHEN n_words < 20 THEN 'too_short'
         |         WHEN n_words > 100000 THEN 'too_long'
-        |         WHEN CAST(letters AS DOUBLE)/greatest(n_words,1) < 2.0
-        |           OR CAST(letters AS DOUBLE)/greatest(n_words,1) > 5.0 THEN 'word_length'
-        |         WHEN CAST(symbols AS DOUBLE)/greatest(n_chars,1) > 0.1 THEN 'symbol_ratio'
+        |         WHEN ROUND(CAST(letters AS DOUBLE)/greatest(n_words,1), 6) < 2.0
+        |           OR ROUND(CAST(letters AS DOUBLE)/greatest(n_words,1), 6) > 5.0 THEN 'word_length'
+        |         WHEN ROUND(CAST(symbols AS DOUBLE)/greatest(n_chars,1), 6) > 0.1 THEN 'symbol_ratio'
         |         WHEN stop_distinct < 2 THEN 'stopwords'
         |         ELSE NULL END AS q_reason
         |  FROM f),
