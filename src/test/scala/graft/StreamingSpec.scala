@@ -175,6 +175,48 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.size >= batch.size - 10, s"${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming corpus ingestion: exact dedup + phash + quality run on a document stream") {
+    // the pipeline operators are plain projections/stateful dedup, so they
+    // run unchanged on a streaming ingest: exact-dedup keep-first via
+    // dropDuplicates on the content digest, with phash + quality computed
+    // in the same pass. On bounded input the kept set must equal the batch
+    // keeper set (first arrival == min id here because the file source
+    // reads in order, but the CONTENT of the survivors is what we pin:
+    // one doc per distinct digest, with the same digests as batch).
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("documents.parquet")),
+      dir.resolve("documents.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+      .select(col("doc_id"),
+        md5(graft.pipeline.Dedup.normalize(col("text"))).as("digest"),
+        graft.pipeline.Multimodal.perceptualHash(encode(col("text"), "UTF-8")).as("ph"),
+        graft.functions.TextExprs.quality_stats(col("text"),
+          graft.pipeline.TextAnalysis.StopWords).getItem(0).as("n_words"))
+      .dropDuplicates("digest")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("corpus_ingest").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("corpus_ingest").collect()
+    val batchDigests = Tables.load(spark, sfDir, "documents")
+      .select(md5(graft.pipeline.Dedup.normalize(col("text"))).as("digest"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(streamed.map(_.getAs[String]("digest")).toSet == batchDigests,
+      "streaming keep-first must retain exactly one doc per distinct digest")
+    assert(streamed.length == batchDigests.size)
+    // the projections computed on the stream equal their batch values
+    val batchByDoc = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.pipeline.Multimodal.perceptualHash(encode(col("text"), "UTF-8")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamed.foreach { r =>
+      assert(r.getAs[Long]("ph") == batchByDoc(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_words") > 0)
+    }
+  }
+
   test("datagen (rate) streaming source produces typed rows continuously") {
     engine.TableEnv.clear()
     val b = engine.TableEnv.parseCreateTable(
