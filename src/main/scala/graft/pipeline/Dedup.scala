@@ -130,28 +130,6 @@ object Dedup {
   def simhash(textCol: Column): Column =
     graft.functions.HashExprs.simhash64(normalize(textCol))
 
-  /** Exact duplicated-substring coverage (the signal behind suffix-array
-    * substring dedup à la "Deduplicating Training Data Makes Language Models
-    * Better", Lee et al. 2022, done shuffle-native instead of with a global
-    * suffix array): for every position, the k-char window starting there is
-    * "duplicated" when the identical window occurs in ≥ `minDocs` distinct
-    * documents; per document we report how many characters lie under at
-    * least one duplicated window.
-    *
-    * Shape (all linear, no all-pairs): one pass per doc emits (gram, pos)
-    * via the O(n) rolling-hash kernel; one shuffle groups by gram to find
-    * cross-document grams; a semi join (same key — the exchange is reused)
-    * keeps duplicated positions; covered chars then come from a per-doc
-    * window sum — consecutive sorted positions p_{i-1}, p_i add
-    * min(k, p_i − p_{i-1}) chars (k for the first), which equals the exact
-    * union length of the overlapping [p, p+k) intervals without building
-    * islands. Per-doc state is bounded by document length.
-    *
-    * `useKernel=false` switches gram identity from the 64-bit rolling hash
-    * to the literal substring — the oracle-parity path (a hash collision
-    * could in principle merge two distinct grams); PipelineSpec pins both
-    * paths equal on the corpus.
-    */
   /** Per-position k-gram enumeration shared by the span operators:
     * (doc_id, pos, gram) with 1-based `pos`. Kernel path: O(n) rolling-hash
     * gram identity over UTF-8 BYTES; substring path: literal k-char grams
@@ -193,6 +171,28 @@ object Dedup {
   private def lenInGramUnits(textCol: String, useKernel: Boolean): Column =
     if (useKernel) octet_length(col(textCol)) else length(col(textCol))
 
+  /** Exact duplicated-substring coverage (the signal behind suffix-array
+    * substring dedup à la "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022, done shuffle-native instead of with a global
+    * suffix array): for every position, the k-char window starting there is
+    * "duplicated" when the identical window occurs in ≥ `minDocs` distinct
+    * documents; per document we report how many characters lie under at
+    * least one duplicated window.
+    *
+    * Shape (all linear, no all-pairs): one pass per doc emits (gram, pos)
+    * via the O(n) rolling-hash kernel; one shuffle groups by gram to find
+    * cross-document grams; a semi join (same key — the exchange is reused)
+    * keeps duplicated positions; covered chars then come from a per-doc
+    * window sum — consecutive sorted positions p_{i-1}, p_i add
+    * min(k, p_i − p_{i-1}) chars (k for the first), which equals the exact
+    * union length of the overlapping [p, p+k) intervals without building
+    * islands. Per-doc state is bounded by document length.
+    *
+    * `useKernel=false` switches gram identity from the 64-bit rolling hash
+    * to the literal substring — the oracle-parity path (a hash collision
+    * could in principle merge two distinct grams); PipelineSpec pins both
+    * paths equal on the corpus.
+    */
   def duplicatedSpanCoverage(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minDocs: Int = 2, useKernel: Boolean = true): DataFrame = {

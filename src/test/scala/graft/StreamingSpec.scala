@@ -198,7 +198,12 @@ class StreamingSpec extends SparkTestBase {
       .dropDuplicates("digest")
     val q = stream.writeStream.outputMode("append").format("memory")
       .queryName("corpus_ingest").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    try {
+      assert(q.awaitTermination(120000), "corpus ingest stream did not finish in time")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
     val streamed = spark.table("corpus_ingest").collect()
     val batchDigests = Tables.load(spark, sfDir, "documents")
       .select(md5(graft.pipeline.Dedup.normalize(col("text"))).as("digest"))
