@@ -104,6 +104,28 @@ object Sampling {
       .orderBy(col("shuffle_key"), col(idCol))
   }
 
+  /** Source balancing: deterministically downsample each source to at most
+    * ~`capTokens` whitespace tokens, so no single source dominates the mix.
+    * The per-source rate is derived from the ACTUAL token totals —
+    * rate‰ = min(1000, ⌊1000·cap/total⌋), pure integer division — then
+    * applied with the same engine-portable id hash as [[mixSources]]. Two
+    * aggregates over (source) — a tiny broadcast side — plus a scan-speed
+    * filter; the kept token count is approximate (hash sampling), which is
+    * the standard trade for a single-pass, coordination-free cap. */
+  def capSourceTokens(
+      df: DataFrame, idCol: String, sourceCol: String, textCol: String,
+      capTokens: Long): DataFrame = {
+    val tokens = size(CorpusFilters.splitWords(col(textCol))).cast("bigint")
+    val rates = df.select(col(sourceCol), tokens.as("n_tokens"))
+      .groupBy(sourceCol).agg(sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("rate_mille", least(lit(1000L),
+        expr(s"CAST(${1000L * capTokens} AS BIGINT) div total_tokens")))
+      .select(col(sourceCol), col("rate_mille"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashBucket(col(idCol)) < col("rate_mille"))
+      .select(col(idCol), col(sourceCol), col("rate_mille"))
+  }
+
   /** Exact nearest-rank quantiles of `valCol` within each `byCol` group
     * (corpus length/token distributions per source). Nearest-rank
     * (value at row ⌈p·n⌉ of the sorted group, p in thousandths) rather than

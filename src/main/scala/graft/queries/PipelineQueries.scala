@@ -313,6 +313,14 @@ object PipelineQueries {
         .orderBy(col("shuffle_key"), col("doc_id"))
     },
 
+    // source balancing: cap each source at ~1200 tokens, rate derived from
+    // the actual totals (two tiny aggregates + scan-speed hash filter)
+    "q_budget_mix" -> { (s, dir) =>
+      Sampling.capSourceTokens(t(s, dir, "documents"), "doc_id", "source", "text",
+          capTokens = 1200L)
+        .orderBy(col("doc_id"))
+    },
+
     // exact nearest-rank length quantiles per source
     "q_corpus_quantiles" -> { (s, dir) =>
       Sampling.rankQuantiles(t(s, dir, "documents"), "source", "n_chars", "doc_id")
@@ -765,6 +773,18 @@ object PipelineQueries {
         |  (xor((doc_id*1103515245 + 12345) % 2147483648,
         |       (20260812*2654435761) % 2147483648) * 69069 + 1) % 2147483648 AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    "q_budget_mix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n
+        |  FROM documents),
+        |tot AS (SELECT source, SUM(n) AS total FROM tok GROUP BY source),
+        |r AS (SELECT source, least(1000, 1200000 // total) AS rate_mille FROM tot)
+        |SELECT t.doc_id, t.source, CAST(r.rate_mille AS BIGINT) AS rate_mille
+        |FROM tok t JOIN r USING (source)
+        |WHERE (t.doc_id*1103515245 + 12345) % 2147483648 % 1000 < r.rate_mille
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_quantiles" ->
       """WITH r AS (SELECT source, n_chars, doc_id,

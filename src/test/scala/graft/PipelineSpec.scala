@@ -425,6 +425,33 @@ class PipelineSpec extends SparkTestBase {
     assert(a.map(_.getLong(0)).toSeq == a2.map(_.getLong(0)).toSeq)
   }
 
+  test("budget mix: rates derive from actual totals; uncapped sources keep everything") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = Sampling.capSourceTokens(docs, "doc_id", "source", "text", capTokens = 1200L)
+      .collect()
+    // per-source totals for the rate formula
+    val totals = docs
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratesSeen = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    ratesSeen.foreach { case (src, rate) =>
+      assert(rate == math.min(1000L, 1200000L / totals(src)),
+        s"rate for $src must be floor(1000*cap/total)")
+    }
+    // a source under the cap keeps every doc
+    val kept = out.map(_.getLong(0)).toSet
+    totals.filter(_._2 <= 1200L).keys.foreach { src =>
+      val ids = docs.filter(col("source") === src).select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(ids.forall(kept.contains), s"uncapped source $src must keep all docs")
+    }
+    // deterministic: second run identical
+    val again = Sampling.capSourceTokens(docs, "doc_id", "source", "text", 1200L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("rank quantiles: nearest-rank values on a known distribution") {
     // group g: values 10..100 step 10 (n=10): p250→rank3=30, p500→rank5=50,
     // p750→rank8=80, p900→rank9=90
