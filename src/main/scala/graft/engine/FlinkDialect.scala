@@ -222,6 +222,9 @@ object FlinkDialect {
     // PROCTIME() → current_timestamp()
     s = s.replaceAll("(?i)\\bPROCTIME\\s*\\(\\s*\\)", "current_timestamp()")
 
+    // quantified subquery comparisons x op ANY/SOME/ALL (SELECT ...) (G:279)
+    s = rewriteQuantified(s)
+
     // the UNKNOWN boolean literal (F:566) is a NULL boolean — but leave the
     // IS [NOT] UNKNOWN predicate forms alone (native in Spark)
     s = """(?i)\b(IS\s+(?:NOT\s+)?)?UNKNOWN\b""".r.replaceAllIn(s, m =>
@@ -345,6 +348,109 @@ object FlinkDialect {
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString.trim
     out.toSeq
+  }
+
+  // ------------------------------------------- quantified comparisons -----
+
+  private val QuantRe =
+    """(?i)(<>|!=|<=|>=|=|<|>)\s*\b(ALL|ANY|SOME)\b\s*\(""".r
+
+  /** `x op ANY/SOME/ALL (SELECT ...)` (G:279) → NULL-correct Spark SQL.
+    * Spark has no quantified comparison, so:
+    *  - `= ANY` → `IN`, `<> ALL` → `NOT IN` (native, already NULL-correct);
+    *  - ordering ops → a CASE over uncorrelated scalar aggregate subqueries
+    *    (count/min/max): the subquery collapses to one broadcast scalar per
+    *    aggregate, so at 100 TB the outer table is scanned once with no join,
+    *    and identical subquery plans are deduped by Spark's subquery reuse.
+    * NULL semantics match the standard exactly: empty set → TRUE for ALL /
+    * FALSE for ANY; otherwise FALSE/TRUE wins if a witness row decides, else
+    * NULL when the needle is NULL or the set contains NULLs.
+    * Runs on masked text (string literals / backticks are placeholders), so
+    * the LHS backscan only ever sees identifier-shaped tokens. */
+  private def rewriteQuantified(s0: String): String = {
+    var s = s0
+    var from = 0
+    var continue = true
+    while (continue) {
+      QuantRe.findFirstMatchIn(s.substring(from)) match {
+        case None => continue = false
+        case Some(inner) =>
+          val mStart = from + inner.start
+          val mEnd = from + inner.end
+          val op0 = inner.group(1)
+          val quant =
+            if (inner.group(2).equalsIgnoreCase("SOME")) "ANY" else inner.group(2).toUpperCase
+          // balanced close paren of the subquery
+          val open = mEnd - 1
+          var i = open + 1
+          var depth = 1
+          while (i < s.length && depth > 0) {
+            val c = s.charAt(i)
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            i += 1
+          }
+          val close = i - 1
+          val sub = s.substring(open + 1, close).trim
+          // only rewrite genuine subqueries; anything else is left for Catalyst
+          if (depth == 0 && sub.regionMatches(true, 0, "SELECT", 0, 6)) {
+            // LHS: identifier chain, or a balanced (...) call with its name
+            var j = mStart - 1
+            while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+            val lhsEnd = j + 1
+            if (j >= 0 && s.charAt(j) == ')') {
+              var d = 1; j -= 1
+              while (j >= 0 && d > 0) {
+                val c = s.charAt(j)
+                if (c == ')') d += 1 else if (c == '(') d -= 1
+                j -= 1
+              }
+            }
+            while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_' || s.charAt(j) == '.')) j -= 1
+            val lhs = s.substring(j + 1, lhsEnd).trim
+            if (lhs.nonEmpty) {
+              val repl = quantifiedSql(lhs, if (op0 == "!=") "<>" else op0, quant, sub)
+              s = s.substring(0, j + 1) + repl + s.substring(close + 1)
+              // replacement contains no quantifier keyword adjacent to a
+              // comparison op, but the subquery text (inlined verbatim) may
+              // itself hold a nested quantified comparison — rescan from the
+              // start of the replacement
+              from = j + 1
+            } else from = mEnd
+          } else from = mEnd
+      }
+    }
+    s
+  }
+
+  /** Build the Spark SQL replacement for one quantified comparison. */
+  private def quantifiedSql(lhs: String, op: String, quant: String, sub: String): String = {
+    def sq(agg: String) = s"(SELECT $agg FROM ($sub) __gq(__qc))"
+    val cnt = sq("count(*)")
+    val nullGuard = s"$lhs IS NULL OR $cnt <> ${sq("count(__qc)")}"
+    (op, quant) match {
+      case ("=", "ANY")  => s"($lhs IN ($sub))"
+      case ("<>", "ALL") => s"($lhs NOT IN ($sub))"
+      case ("=", "ALL") =>
+        s"(CASE WHEN $cnt = 0 THEN TRUE" +
+          s" WHEN ${sq("min(__qc)")} <> $lhs OR ${sq("max(__qc)")} <> $lhs THEN FALSE" +
+          s" WHEN $nullGuard THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)"
+      case ("<>", "ANY") =>
+        s"(CASE WHEN $cnt = 0 THEN FALSE" +
+          s" WHEN ${sq("min(__qc)")} <> $lhs OR ${sq("max(__qc)")} <> $lhs THEN TRUE" +
+          s" WHEN $nullGuard THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+      case (o, "ALL") =>
+        // witness extreme: the set element hardest to beat
+        val ext = if (o == ">" || o == ">=") "max" else "min"
+        s"(CASE WHEN $cnt = 0 THEN TRUE" +
+          s" WHEN NOT ($lhs $o ${sq(s"$ext(__qc)")}) THEN FALSE" +
+          s" WHEN $nullGuard THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)"
+      case (o, _) =>
+        // ANY: the easiest witness decides TRUE
+        val ext = if (o == ">" || o == ">=") "min" else "max"
+        s"(CASE WHEN $lhs $o ${sq(s"$ext(__qc)")} THEN TRUE" +
+          s" WHEN $cnt = 0 THEN FALSE" +
+          s" WHEN $nullGuard THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+    }
   }
 
   private val IdentSubRe = """([\w.`]+)\s*\[([^\[\]]+)\]""".r

@@ -100,6 +100,24 @@ object DialectQueries {
         |ORDER BY L.window_start, L.user_id""".stripMargin)
     },
 
+    // quantified subquery comparisons (G:279): Spark has no ANY/SOME/ALL, the
+    // dialect rewrites them to NULL-correct scalar-aggregate forms (= ANY →
+    // IN, <> ALL → NOT IN, ordering ops → CASE over count/min/max scalars).
+    // DuckDB supports the construct natively, so the oracle is verbatim.
+    "q_subq_quantified" -> { (s, dir) => fsql(s, dir,
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  o_totalprice > ALL (SELECT c_acctbal FROM customer
+        |                      WHERE c_nationkey = 3 AND c_acctbal < 1000) AS gt_all,
+        |  o_totalprice < SOME (SELECT c_acctbal FROM customer WHERE c_nationkey = 3) AS lt_some,
+        |  o_custkey = ALL (SELECT MIN(c_custkey) FROM customer) AS eq_all,
+        |  o_custkey <> ANY (SELECT n_nationkey FROM nation) AS ne_any,
+        |  o_totalprice >= ANY (SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END
+        |                       FROM customer WHERE c_nationkey = 7) AS ge_any_null
+        |FROM orders
+        |WHERE o_custkey = ANY (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // Flink 1-based array subscript + SIMILAR TO + SPLIT_INDEX shim
     "q_flink_misc" -> { (s, dir) => fsql(s, dir,
       """WITH toks AS (SELECT doc_id, lang, text, split(text, ' ') AS a FROM documents WHERE doc_id < 300)
@@ -194,6 +212,19 @@ object DialectQueries {
         |  '{' || string_agg(to_json(n_name) || ':' || to_json(n_nationkey), ',' ORDER BY n_name) || '}' AS obj,
         |  '{"region":' || to_json(CAST(n_regionkey AS VARCHAR)) || '}' AS meta
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_subq_quantified" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  o_totalprice > ALL (SELECT c_acctbal FROM customer
+        |                      WHERE c_nationkey = 3 AND c_acctbal < 1000) AS gt_all,
+        |  o_totalprice < SOME (SELECT c_acctbal FROM customer WHERE c_nationkey = 3) AS lt_some,
+        |  o_custkey = ALL (SELECT MIN(c_custkey) FROM customer) AS eq_all,
+        |  o_custkey <> ANY (SELECT n_nationkey FROM nation) AS ne_any,
+        |  o_totalprice >= ANY (SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END
+        |                       FROM customer WHERE c_nationkey = 7) AS ge_any_null
+        |FROM orders
+        |WHERE o_custkey = ANY (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_flink_misc" ->
       """SELECT doc_id,

@@ -109,6 +109,39 @@ class EngineSpec extends SparkTestBase {
     assert(h.contains("/*+ MERGE(a) */"))
   }
 
+  test("quantified ANY/SOME/ALL subquery comparisons are NULL-correct") {
+    def run(expr: String): Any =
+      spark.sql(FlinkDialect.rewrite(s"SELECT $expr AS r")).head().get(0)
+    // empty set: ALL → TRUE, ANY → FALSE
+    assert(run("5 > ALL (SELECT v FROM VALUES (1) AS t(v) WHERE v > 99)") == true)
+    assert(run("5 > ANY (SELECT v FROM VALUES (1) AS t(v) WHERE v > 99)") == false)
+    // decided by a witness row
+    assert(run("5 > ALL (SELECT v FROM VALUES (1), (4) AS t(v))") == true)
+    assert(run("5 > ALL (SELECT v FROM VALUES (1), (7) AS t(v))") == false)
+    assert(run("5 > SOME (SELECT v FROM VALUES (7), (4) AS t(v))") == true)
+    assert(run("5 <= ALL (SELECT v FROM VALUES (5), (9) AS t(v))") == true)
+    // NULLs in the set: a deciding witness still wins, otherwise UNKNOWN
+    assert(run("5 > ALL (SELECT v FROM VALUES (7), (CAST(NULL AS INT)) AS t(v))") == false)
+    assert(run("5 > ALL (SELECT v FROM VALUES (1), (CAST(NULL AS INT)) AS t(v))") == null)
+    assert(run("5 > ANY (SELECT v FROM VALUES (1), (CAST(NULL AS INT)) AS t(v))") == true)
+    assert(run("5 > ANY (SELECT v FROM VALUES (9), (CAST(NULL AS INT)) AS t(v))") == null)
+    // NULL needle against a non-empty set
+    assert(run("CAST(NULL AS INT) > ALL (SELECT v FROM VALUES (1) AS t(v))") == null)
+    assert(run("CAST(NULL AS INT) > ALL (SELECT v FROM VALUES (1) AS t(v) WHERE v > 99)") == true)
+    // equality family (= ANY → IN, <> ALL → NOT IN, aggregate forms otherwise)
+    assert(run("3 = ANY (SELECT v FROM VALUES (1), (3) AS t(v))") == true)
+    assert(run("3 <> ALL (SELECT v FROM VALUES (1), (2) AS t(v))") == true)
+    assert(run("3 <> ALL (SELECT v FROM VALUES (1), (3) AS t(v))") == false)
+    assert(run("3 = ALL (SELECT v FROM VALUES (3), (3) AS t(v))") == true)
+    assert(run("3 = ALL (SELECT v FROM VALUES (3), (4) AS t(v))") == false)
+    assert(run("3 = ALL (SELECT v FROM VALUES (3), (CAST(NULL AS INT)) AS t(v))") == null)
+    assert(run("3 <> ANY (SELECT v FROM VALUES (3), (4) AS t(v))") == true)
+    assert(run("3 <> ANY (SELECT v FROM VALUES (3), (3) AS t(v))") == false)
+    // quantifier keywords inside string literals stay untouched
+    val lit = FlinkDialect.rewrite("SELECT 'x > ALL (SELECT 1)' AS s FROM t")
+    assert(lit.contains("'x > ALL (SELECT 1)'"))
+  }
+
   // ------------------------------------------------------------- TableEnv --
 
   test("CREATE TABLE datagen parses schema, registers, batch-materializes") {
