@@ -18,7 +18,8 @@ import org.apache.spark.sql.types._
   *   AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST v | TO LAST v
   *   PATTERN: concatenation of variables or alternation groups (A|B), each
   *            with quantifiers + * ?  (greedy)
-  *   DEFINE V AS <predicate over V's own row, PREV(x.f[,n]) / NEXT(x.f[,n])>
+  *   DEFINE V AS <predicate over V's own row, PREV/NEXT(x.f[,n]) input-row
+  *            navigation, FIRST/LAST(x.f[,n]) match-state navigation>
   *   (pattern variables without a DEFINE are always-true, as in Flink)
   *
   * Execution model (100 TB-ready):
@@ -61,6 +62,16 @@ object MatchRecognize {
   /** PREV/NEXT navigation used by a DEFINE predicate: the predicate text
     * references `name`, which materializes as lag/lead(field, offset). */
   final case class Nav(name: String, fn: String, field: String, offset: Int)
+
+  /** Match-state-dependent navigation in DEFINE (G:363-367): FIRST/LAST walk
+    * the rows mapped to `variable` in the CURRENT match attempt (including
+    * the row under test), so they cannot be precomputed as columns; PREV/NEXT
+    * appear here too on the streaming path, where lag/lead window columns
+    * are unavailable. The predicate text references `name`, which the kernel
+    * fills per evaluation. `offset`: n-th from the first/last mapped row
+    * (FIRST/LAST, default 0) or input-row distance (PREV/NEXT, default 1). */
+  final case class DynNavSpec(name: String, kind: String, variable: String,
+      field: String, offset: Int)
 
   /** AFTER MATCH SKIP strategy (G:363-367 declares all four). */
   sealed trait SkipMode extends Serializable
@@ -122,7 +133,14 @@ object MatchRecognize {
   // ---------------------------------------------------------------- kernel --
 
   /** Serializable matcher + measure evaluator shared by the batch
-    * mapPartitions pass and the streaming stateful function. */
+    * mapPartitions pass and the streaming stateful function.
+    *
+    * Two predicate paths: static variables read precomputed boolean bit
+    * columns (Catalyst codegen, the common case); variables whose DEFINE
+    * uses match-state navigation (`dynBound(v) != null`) evaluate a bound
+    * Catalyst expression per candidate row, with FIRST/LAST slots computed
+    * from the attempt's partial variable assignment and PREV/NEXT slots
+    * read positionally from the buffered group. */
   private[operators] final class Kernel(
       pats: Array[Array[(Array[Int], Quant)]],
       nVars: Int,
@@ -136,7 +154,62 @@ object MatchRecognize {
       allRows: Boolean,
       // 0 = past last row, 1 = to next row, 2 = to first var, 3 = to last var
       skipKind: Int = 0,
-      skipVar: Int = -1) extends Serializable {
+      skipVar: Int = -1,
+      // dynamic-DEFINE support (empty/full-null when every variable is static)
+      dynBound: Array[org.apache.spark.sql.catalyst.expressions.Expression] = Array.empty,
+      navKinds: Array[Int] = Array.empty, // 0 prev, 1 next, 2 first, 3 last
+      navVars: Array[Int] = Array.empty,
+      navFieldIdx: Array[Int] = Array.empty,
+      navFieldTypes: Array[DataType] = Array.empty,
+      navOffs: Array[Int] = Array.empty,
+      rowSchema: StructType = new StructType()) extends Serializable {
+
+    private val hasDyn = dynBound.exists(_ != null)
+
+    @transient private lazy val toCatalyst =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(rowSchema)
+
+    /** per-scan state for dynamic evaluation */
+    @transient private var curIrows: Array[org.apache.spark.sql.catalyst.InternalRow] = _
+    @transient private var curClosed: Boolean = true
+
+    /** Evaluate a dynamic DEFINE for candidate variable `v` at row `p`,
+      * given the attempt's partial assignment over [start, p). */
+    private def dynEval(v: Int, p: Int, assign: Array[Int], start: Int, len: Int): Boolean = {
+      val slots = new Array[Any](navKinds.length)
+      var k = 0
+      while (k < navKinds.length) {
+        navKinds(k) match {
+          case 0 => // PREV: n-th previous input row (null before the group start)
+            val q = p - navOffs(k)
+            if (q >= 0) slots(k) = curIrows(q).get(navFieldIdx(k), navFieldTypes(k))
+          case 1 => // NEXT: n-th following input row; beyond the streaming
+            // frontier the value is unknowable yet → hold the attempt
+            val q = p + navOffs(k)
+            if (q < len) slots(k) = curIrows(q).get(navFieldIdx(k), navFieldTypes(k))
+            else if (!curClosed) hitEnd = true
+          case kind => // FIRST (2) / LAST (3) over rows mapped to navVars(k),
+            // the row under test counting as mapped to `v`
+            val tv = navVars(k)
+            var q = if (kind == 2) start else p
+            val step = if (kind == 2) 1 else -1
+            var seen = -1
+            var found = -1
+            while (found < 0 && q >= start && q <= p) {
+              val a = if (q == p) v else assign(q)
+              if (a == tv) { seen += 1; if (seen == navOffs(k)) found = q }
+              q += step
+            }
+            if (found >= 0) slots(k) = curIrows(found).get(navFieldIdx(k), navFieldTypes(k))
+        }
+        k += 1
+      }
+      val r = dynBound(v).eval(new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+        curIrows(p),
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(slots)))
+      r != null && r.asInstanceOf[Boolean]
+    }
 
     def conds(grp: IndexedSeq[Row]): Array[Array[Boolean]] =
       Array.tabulate(nVars) { v =>
@@ -174,13 +247,20 @@ object MatchRecognize {
     private def tryOne(pat: Array[(Array[Int], Quant)], len: Int,
         conds: Array[Array[Boolean]], start: Int): Array[Int] = {
       val assign = new Array[Int](len)
+      // static variables read the precomputed bit; dynamic ones evaluate
+      // against the attempt's partial assignment (rows in [start, p) are
+      // recorded in `assign` before any evaluation at p, including during
+      // the greedy forward scan below)
+      def condAt(v: Int, p: Int): Boolean =
+        if (dynBound.isEmpty || dynBound(v) == null) conds(v)(p)
+        else dynEval(v, p, assign, start, len)
       def rec(pos: Int, tok: Int): Int = {
         if (tok == pat.length) return pos
         val (alts, q) = pat(tok)
         def altAt(p: Int): Int = {
           var k = 0
           while (k < alts.length) {
-            if (conds(alts(k))(p)) return alts(k)
+            if (condAt(alts(k), p)) return alts(k)
             k += 1
           }
           -1
@@ -194,20 +274,28 @@ object MatchRecognize {
             }
           case Opt =>
             if (pos >= len) { hitEnd = true; rec(pos, tok + 1) }
-            else if (altAt(pos) >= 0) {
-              assign(pos) = altAt(pos)
-              val r = rec(pos + 1, tok + 1)
-              if (r >= 0) r else rec(pos, tok + 1)
-            } else rec(pos, tok + 1)
+            else {
+              val v = altAt(pos)
+              if (v >= 0) {
+                assign(pos) = v
+                val r = rec(pos + 1, tok + 1)
+                if (r >= 0) r else rec(pos, tok + 1)
+              } else rec(pos, tok + 1)
+            }
           case Plus | Star =>
+            // greedy forward scan, recording assignments as it extends so a
+            // dynamic FIRST/LAST at row p sees the run's prefix; backtracking
+            // only shrinks the run, so recorded prefixes stay valid
             var end = pos
-            while (end < len && altAt(end) >= 0) end += 1
+            var growing = true
+            while (growing && end < len) {
+              val v = altAt(end)
+              if (v >= 0) { assign(end) = v; end += 1 } else growing = false
+            }
             if (end >= len) hitEnd = true // run capped by the frontier
             val minLen = if (q == Plus) 1 else 0
             var runLen = end - pos // greedy: longest run first
             while (runLen >= minLen) {
-              var i = pos
-              while (i < pos + runLen) { assign(i) = altAt(i); i += 1 }
               val r = rec(pos + runLen, tok + 1)
               if (r >= 0) return r
               runLen -= 1
@@ -276,17 +364,29 @@ object MatchRecognize {
       Row.fromSeq(vals)
     }
 
-    /** Scan rows [0, grp.length): emit greedy non-overlapping matches.
-      * `closed = true` (batch / drained key): a match ending exactly at the
-      * end emits too. `closed = false` (streaming): matches or failed
-      * attempts that touched the frontier stop the scan — `retainFrom` is
-      * the first index a future row could still affect.
+    /** Scan rows [ctx, grp.length): emit greedy non-overlapping matches.
+      * Rows [0, ctx) are navigation context only (streaming PREV history) —
+      * never a match start. `closed = true` (batch / drained key): a match
+      * ending exactly at the end emits too. `closed = false` (streaming):
+      * matches or failed attempts that touched the frontier stop the scan —
+      * `retainFrom` is the first index a future row could still affect.
       * @return (output rows, retainFrom, matchNo after) */
-    def scan(grp: IndexedSeq[Row], closed: Boolean, matchNo0: Long): (Seq[Row], Int, Long) = {
+    def scan(grp: IndexedSeq[Row], closed: Boolean, matchNo0: Long,
+        ctx: Int = 0): (Seq[Row], Int, Long) = {
       val cs = conds(grp)
+      if (hasDyn) {
+        curIrows = new Array[org.apache.spark.sql.catalyst.InternalRow](grp.length)
+        var k = 0
+        while (k < grp.length) {
+          curIrows(k) = toCatalyst(grp(k))
+            .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          k += 1
+        }
+      }
+      curClosed = closed
       val out = ArrayBuffer.empty[Row]
       var matchNo = matchNo0
-      var i = 0
+      var i = ctx
       var retainFrom = -1
       while (i < grp.length && retainFrom < 0) {
         val assign = tryMatch(grp.length, cs, i)
@@ -351,29 +451,42 @@ object MatchRecognize {
       partitionBy: Seq[String], orderBy: String,
       defines: Seq[(String, Column)], patterns: Seq[Seq[PatTok]],
       measures: Seq[Measure], navs: Seq[Nav], allRows: Boolean,
-      streaming: Boolean, skip: SkipMode = SkipPastLastRow): (DataFrame, Kernel, StructType) = {
+      streaming: Boolean, skip: SkipMode = SkipPastLastRow,
+      dynNavs: Seq[DynNavSpec] = Nil): (DataFrame, Kernel, StructType) = {
 
     val varIdx = defines.map(_._1).zipWithIndex.toMap
     require(patterns.nonEmpty && patterns.forall(_.forall(_.vars.forall(varIdx.contains))),
       s"PATTERN variable without DEFINE: ${patterns.flatten.flatMap(_.vars)}")
     if (streaming)
-      require(navs.isEmpty, "PREV/NEXT navigation is batch-only for now")
+      require(navs.isEmpty,
+        "streaming PREV/NEXT must be passed as DynNavSpec (lag/lead columns are batch-only)")
 
     val measureFields =
       measures.filter(m => !Set("count", "classifier", "match_number")(m.kind))
         .map(_.field).distinct
     // columns the DEFINE predicates read: analyze them against a probe df
     // (nav names dummied to their source field so the probe type-checks; the
-    // real lag/lead columns are built post-sort)
-    val navNames = navs.map(_.name).toSet
-    val probe = navs.foldLeft(df)((d, nv) => d.withColumn(nv.name, col(nv.field)))
+    // real lag/lead columns are built post-sort, dynamic slots at match time)
+    val navNames = navs.map(_.name).toSet ++ dynNavs.map(_.name)
+    val probe = (navs.map(nv => nv.name -> nv.field) ++
+        dynNavs.map(nv => nv.name -> nv.field))
+      .foldLeft(df)((d, nv) => d.withColumn(nv._1, col(nv._2)))
     val defineRefs = probe.select(defines.map(_._2): _*)
       .queryExecution.analyzed.expressions
       .flatMap(_.references.map(_.name))
       .distinct.filterNot(navNames).filter(df.columns.contains)
+    // a DEFINE is dynamic iff it references any match-state nav slot
+    val dynNames = dynNavs.map(_.name).toSet
+    val isDyn: IndexedSeq[Boolean] =
+      if (dynNavs.isEmpty) IndexedSeq.fill(defines.size)(false)
+      else defines.toIndexedSeq.map { case (_, c) =>
+        probe.select(c).queryExecution.analyzed.expressions
+          .flatMap(_.references.map(_.name)).exists(dynNames)
+      }
     val baseCols =
       if (allRows) df.columns.toSeq
-      else ((partitionBy :+ orderBy) ++ measureFields ++ navs.map(_.field) ++ defineRefs).distinct
+      else ((partitionBy :+ orderBy) ++ measureFields ++ navs.map(_.field) ++
+        dynNavs.map(_.field) ++ defineRefs).distinct
     val projected = df.select(baseCols.map(col): _*)
 
     val sorted =
@@ -391,9 +504,13 @@ object MatchRecognize {
         (if (nv.fn == "next") lead(col(nv.field), nv.offset)
          else lag(col(nv.field), nv.offset)).over(navSpec))
     }
+    // dynamic DEFINEs get a placeholder bit (never read) — their predicate
+    // is bound below and evaluated by the kernel at match time
     val withBits = withNav.select(
       baseCols.map(col) ++
-        defines.zipWithIndex.map { case ((_, c), i) => c.as(s"__c_$i") }: _*)
+        defines.zipWithIndex.map { case ((_, c), i) =>
+          (if (isDyn(i)) lit(false) else c).as(s"__c_$i")
+        }: _*)
 
     val inSchema = withBits.schema
     val measureFieldIdx = measureFields.map(f => f -> inSchema.fieldIndex(f)).toMap
@@ -410,6 +527,36 @@ object MatchRecognize {
       else StructType(
         partitionBy.map(inSchema(_)) ++
           measures.map(m => StructField(m.alias, measureType(m), nullable = true)))
+
+    // bind dynamic DEFINE predicates against (row schema ++ nav slots):
+    // AttributeReferences become positional BoundReferences, so the kernel
+    // evaluates them with a JoinedRow(input row, nav slot row) — no
+    // per-evaluation analysis, and the Expression tree ships to executors
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Expression}
+    val dynBound: Array[Expression] =
+      if (!isDyn.contains(true)) Array.empty
+      else {
+        val navFields = dynNavs.map(nv =>
+          StructField(nv.name, inSchema(inSchema.fieldIndex(nv.field)).dataType, nullable = true))
+        val extSchema = StructType(inSchema.fields ++ navFields)
+        val nameToIdx = extSchema.fieldNames.zipWithIndex.toMap
+        val dummy = df.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[Row](), extSchema)
+        defines.zipWithIndex.map { case ((_, c), i) =>
+          if (!isDyn(i)) null
+          else {
+            val analyzed = dummy.select(c.cast("boolean")).queryExecution.analyzed
+            val e = analyzed.expressions.head match {
+              case a: Alias => a.child
+              case other => other
+            }
+            e.transform {
+              case a: AttributeReference =>
+                BoundReference(nameToIdx(a.name), a.dataType, a.nullable)
+            }
+          }
+        }.toArray
+      }
 
     val kernel = new Kernel(
       pats = patterns.map(_.map(t => (t.vars.map(varIdx).toArray, t.quant)).toArray).toArray,
@@ -434,7 +581,21 @@ object MatchRecognize {
         case SkipToLast(v) => varIdx.getOrElse(v, throw new IllegalArgumentException(
           s"SKIP TO LAST $v: no such pattern variable"))
         case _ => -1
-      })
+      },
+      dynBound = dynBound,
+      navKinds = dynNavs.map(nv => nv.kind match {
+        case "prev" => 0; case "next" => 1; case "first" => 2; case _ => 3
+      }).toArray,
+      navVars = dynNavs.map(nv =>
+        if (nv.kind == "first" || nv.kind == "last")
+          varIdx.getOrElse(nv.variable, throw new IllegalArgumentException(
+            s"${nv.kind.toUpperCase}(${nv.variable}.${nv.field}): no such pattern variable"))
+        else -1).toArray,
+      navFieldIdx = dynNavs.map(nv => inSchema.fieldIndex(nv.field)).toArray,
+      navFieldTypes = dynNavs.map(nv =>
+        inSchema(inSchema.fieldIndex(nv.field)).dataType).toArray,
+      navOffs = dynNavs.map(_.offset).toArray,
+      rowSchema = inSchema)
     (withBits, kernel, outSchema)
   }
 
@@ -448,11 +609,12 @@ object MatchRecognize {
       navs: Seq[Nav] = Nil,
       allRows: Boolean = false,
       altPatterns: Seq[Seq[PatTok]] = Nil,
-      skip: SkipMode = SkipPastLastRow): DataFrame = {
+      skip: SkipMode = SkipPastLastRow,
+      defineNavs: Seq[DynNavSpec] = Nil): DataFrame = {
 
     val (withBits, kernel, outSchema) =
       prepare(df, partitionBy, orderBy, defines, pattern +: altPatterns, measures,
-        navs, allRows, streaming = false, skip = skip)
+        navs, allRows, streaming = false, skip = skip, dynNavs = defineNavs)
     val keyIdx = partitionBy.map(withBits.schema.fieldIndex)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
 
@@ -492,7 +654,8 @@ object MatchRecognize {
       measures: Seq[Measure],
       watermarkDelay: Option[String] = None,
       allRows: Boolean = false,
-      altPatterns: Seq[Seq[PatTok]] = Nil): DataFrame = {
+      altPatterns: Seq[Seq[PatTok]] = Nil,
+      defineNavs: Seq[DynNavSpec] = Nil): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
     val watermarked = watermarkDelay match {
@@ -502,13 +665,18 @@ object MatchRecognize {
     }
     val (withBits, kernel, outSchema) =
       prepare(watermarked, partitionBy, orderBy, defines, pattern +: altPatterns,
-        measures, Nil, allRows, streaming = true)
+        measures, Nil, allRows, streaming = true, dynNavs = defineNavs)
+    // PREV references need history: retain up to maxPrev rows before the
+    // scan resume point as navigation-only context (never a match start)
+    val maxPrev = defineNavs.collect { case nv if nv.kind == "prev" => nv.offset }
+      .maxOption.getOrElse(0)
     val schema = withBits.schema
     val keyIdx = partitionBy.map(schema.fieldIndex)
     val tsIdx = schema.fieldIndex(orderBy)
     val rowEnc = org.apache.spark.sql.Encoders.row(schema)
     val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
-    val stateEnc = org.apache.spark.sql.Encoders.javaSerialization[(Array[Row], Long)]
+    // state: (buffered rows, match counter, leading context-row count)
+    val stateEnc = org.apache.spark.sql.Encoders.javaSerialization[(Array[Row], Long, Int)]
 
     def tsMillis(r: Row): Long = r.get(tsIdx) match {
       case t: java.sql.Timestamp => t.getTime
@@ -524,22 +692,27 @@ object MatchRecognize {
 
     val out = grouped.flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-      (_: String, rows: Iterator[Row], state: GroupState[(Array[Row], Long)]) => {
-        val (held, matchNo0) = state.getOption.getOrElse((Array.empty[Row], 0L))
+      (_: String, rows: Iterator[Row], state: GroupState[(Array[Row], Long, Int)]) => {
+        val (held, matchNo0, ctx0) = state.getOption.getOrElse((Array.empty[Row], 0L, 0))
+        // new rows pass the late filter (ts >= watermark) while context rows
+        // are strictly below it, so appending + sorting keeps ctx a prefix
         val buf = (held ++ rows).sortBy(tsMillis)
         val wm = state.getCurrentWatermarkMs()
         // STRICTLY below the watermark: Spark's late filter admits rows at
         // exactly the watermark, so ts == wm is not immutable yet
         val matureLen = buf.count(tsMillis(_) < wm) // sorted → prefix
         val mature = buf.take(matureLen).toIndexedSeq
-        val (emitted, retainFrom, matchNo) = kernel.scan(mature, closed = false, matchNo0)
-        val kept = buf.drop(retainFrom)
-        state.update((kept, matchNo))
+        val (emitted, retainFrom, matchNo) =
+          kernel.scan(mature, closed = false, matchNo0, ctx = ctx0)
+        val dropFrom = math.max(retainFrom - maxPrev, 0)
+        val kept = buf.drop(dropFrom)
+        state.update((kept, matchNo, retainFrom - dropFrom))
         // wake up when the watermark moves, so held matches drain even if
         // the key receives no more input; fully-drained keys go dormant (a
         // counter-sized entry, no timer — Flink keeps per-key NFA state the
-        // same way absent a state TTL)
-        if (!state.hasTimedOut || kept.nonEmpty)
+        // same way absent a state TTL). Context-only leftovers don't count
+        // as pending work.
+        if (!state.hasTimedOut || kept.length > retainFrom - dropFrom)
           state.setTimeoutTimestamp(wm + 1000)
         emitted.iterator
       })(stateEnc, outEnc)
@@ -566,7 +739,23 @@ object MatchRecognize {
   private val IntroRe =
     """(?i)(CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)\s+AS\s+(\w+)""".r
   private val NavRe =
-    """(?i)\b(PREV|NEXT)\s*\(\s*(\w+)\.(\w+)(?:\s*,\s*(\d+))?\s*\)""".r
+    """(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)(?:\s*,\s*(\d+))?\s*\)""".r
+
+  /** Split a MEASURES/DEFINE list on top-level commas (paren-depth aware —
+    * a regex lookahead mis-splits on nested calls like COALESCE(f(x), g(y))). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Run the SQL form against a registered table (streaming tables route to
     * the stateful streaming operator). */
@@ -583,7 +772,7 @@ object MatchRecognize {
     val allRows = m.group(5).equalsIgnoreCase("ALL ROWS")
     // parse the MEASURES list item-by-item so output columns keep the
     // declared order (aggregates and CLASSIFIER/MATCH_NUMBER may interleave)
-    val measures = m.group(4).split(",(?![^()]*\\))").toSeq.flatMap { item =>
+    val measures = splitTop(m.group(4)).flatMap { item =>
       MeasureRe.findFirstMatchIn(item).map { mm =>
         // Flink defaults: RUNNING in ALL ROWS mode, FINAL in ONE ROW mode
         val mode = Option(mm.group(1)).map(_.toLowerCase)
@@ -602,24 +791,40 @@ object MatchRecognize {
     val patternAlts = parseAlternatives(m.group(7))
     val pattern = patternAlts.head
 
-    // PREV/NEXT in DEFINE → named lag/lead navigation columns (position-based
-    // in Flink too: PREV(B.f) is the previous INPUT row's f, whatever matched)
-    val navs = ArrayBuffer.empty[Nav]
-    def rewriteNav(cond: String): String = NavRe.replaceAllIn(cond, mm => {
-      val fn = mm.group(1).toLowerCase
-      val field = mm.group(3)
-      val off = Option(mm.group(4)).map(_.toInt).getOrElse(1)
-      val name = s"__${fn}_${field}_$off"
-      if (!navs.exists(_.name == name)) navs += Nav(name, fn, field, off)
-      name
-    })
+    val input = spark.table(table)
+    val streaming = input.isStreaming
 
-    val defined = m.group(8).split(",(?![^()]*\\))").toSeq.map { d =>
-      val Array(v, cond) = d.split("(?i)\\s+AS\\s+", 2)
+    // navigation in DEFINE. PREV/NEXT are position-based (previous/next INPUT
+    // row, whatever matched — Flink semantics); FIRST/LAST walk the rows
+    // mapped to a variable in the current match attempt. Routing per define:
+    //  - batch, PREV/NEXT only → lag/lead columns (codegen, zero extra
+    //    shuffle: the window reuses the operator's own exchange+sort);
+    //  - FIRST/LAST anywhere, or any navigation on the streaming path →
+    //    match-state slots evaluated by the kernel (DynNavSpec).
+    val navs = ArrayBuffer.empty[Nav]
+    val dynNavs = ArrayBuffer.empty[DynNavSpec]
+    val defined = splitTop(m.group(8)).map { d =>
+      val Array(v, cond0) = d.split("(?i)\\s+AS\\s+", 2)
       val variable = v.trim
+      val local = ArrayBuffer.empty[DynNavSpec]
+      val navRewritten = NavRe.replaceAllIn(cond0.trim, mm => {
+        val fn = mm.group(1).toLowerCase
+        val navVar = mm.group(2)
+        val field = mm.group(3)
+        val off = Option(mm.group(4)).map(_.toInt)
+          .getOrElse(if (fn == "prev" || fn == "next") 1 else 0)
+        val name = s"__nav_${fn}_${navVar}_${field}_$off"
+        if (!local.exists(_.name == name)) local += DynNavSpec(name, fn, navVar, field, off)
+        name
+      })
+      val dynamic = streaming ||
+        local.exists(nv => nv.kind == "first" || nv.kind == "last")
+      local.foreach { nv =>
+        if (dynamic) { if (!dynNavs.exists(_.name == nv.name)) dynNavs += nv }
+        else if (!navs.exists(_.name == nv.name)) navs += Nav(nv.name, nv.kind, nv.field, nv.offset)
+      }
       // own-row predicate: strip the variable prefix (A.price → price)
-      val c = rewriteNav(cond.trim).replaceAll(s"(?i)\\b$variable\\.", "")
-      variable -> expr(c)
+      variable -> expr(navRewritten.replaceAll(s"(?i)\\b$variable\\.", ""))
     }
     // pattern variables without a DEFINE are always-true (Flink semantics);
     // collect them across ALL alternatives, not just the first
@@ -627,19 +832,16 @@ object MatchRecognize {
       .filterNot(v => defined.exists(_._1.equalsIgnoreCase(v)))
     val defines = defined ++ undefinedVars.map(_ -> lit(true))
 
-    val input = spark.table(table)
-    if (input.isStreaming && navs.nonEmpty)
-      throw new IllegalArgumentException(
-        "PREV/NEXT navigation in DEFINE is batch-only for now")
-    if (input.isStreaming && skip != SkipPastLastRow)
+    if (streaming && skip != SkipPastLastRow)
       throw new IllegalArgumentException(
         "AFTER MATCH SKIP modes other than PAST LAST ROW are batch-only for now")
-    if (input.isStreaming)
+    if (streaming)
       matchRecognizeStream(input, partitionBy, orderBy, defines, pattern, measures,
-        watermarkDelay = None, allRows = allRows, altPatterns = patternAlts.tail)
+        watermarkDelay = None, allRows = allRows, altPatterns = patternAlts.tail,
+        defineNavs = dynNavs.toSeq)
     else
       matchRecognize(input, partitionBy, orderBy, defines, pattern,
         measures, navs.toSeq, allRows, altPatterns = patternAlts.tail,
-        skip = skip)
+        skip = skip, defineNavs = dynNavs.toSeq)
   }
 }

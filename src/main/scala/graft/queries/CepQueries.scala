@@ -74,6 +74,28 @@ object CepQueries {
           |)""".stripMargin)
         .orderBy(col("user_id"), col("match_no"))
     },
+    // FIRST/LAST navigation inside DEFINE (G:363-367): the rising-run pattern
+    // re-expressed through match-state navigation — LAST(B.value, 1) is the
+    // previous row mapped to B, and the run's first B falls back to the
+    // anchor via FIRST(A.value). Semantically identical to q_cep_rising's
+    // PREV formulation, so the same gaps-and-islands oracle is exact.
+    "q_cep_define_nav" -> { (s, dir) =>
+      Tables.load(s, dir, "events").createOrReplaceTempView("cep_events")
+      MatchRecognize.sql(s,
+        """SELECT * FROM cep_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY event_id
+          |  MEASURES FIRST(A.event_id) AS start_event,
+          |           FIRST(A.value) AS base_val,
+          |           LAST(B.value) AS peak_val,
+          |           COUNT(B.*) AS n_rise
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A B+)
+          |  DEFINE B AS B.value > COALESCE(LAST(B.value, 1), FIRST(A.value))
+          |)""".stripMargin)
+        .orderBy(col("user_id"), col("start_event"))
+    },
+
     // AFTER MATCH SKIP TO NEXT ROW: overlapping matches — every consecutive
     // low-low pair is its own match, and MATCH_NUMBER counts all of them
     // (PAST LAST ROW would only yield floor(run/2) disjoint pairs)
@@ -139,6 +161,26 @@ object CepQueries {
     // of size >= 2 is anchor + rising stretch — exactly A B+ with
     // B AS value > PREV(value) under SKIP PAST LAST ROW
     "q_cep_rising" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         CASE WHEN value > lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM e)
+        |SELECT user_id,
+        |       MIN(event_id) AS start_event,
+        |       MIN_BY(value, event_id) AS base_val,
+        |       MAX_BY(value, event_id) AS peak_val,
+        |       COUNT(*) - 1 AS n_rise
+        |FROM g GROUP BY user_id, grp HAVING COUNT(*) >= 2
+        |ORDER BY user_id, start_event""".stripMargin,
+
+    // identical result set to q_cep_rising (same islands, navigated via
+    // FIRST/LAST instead of PREV)
+    "q_cep_define_nav" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,
         |         CASE WHEN value > lag(value) OVER (PARTITION BY user_id ORDER BY event_id)

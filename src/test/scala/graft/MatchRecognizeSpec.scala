@@ -267,6 +267,73 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((2L, 150.0), (1L, 160.0)))
   }
 
+  test("FIRST cross-variable navigation in DEFINE: run below the anchor value") {
+    // anchor 10: run 5,7 (<10) then 12 breaks; anchor 12: run 3,2
+    val df = mk(Seq((1, 1, 10.0), (1, 2, 5.0), (1, 3, 7.0),
+      (1, 4, 12.0), (1, 5, 3.0), (1, 6, 2.0)))
+    df.createOrReplaceTempView("mr_firstnav")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_firstnav MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(A.price) AS anchor, COUNT(B.*) AS n_below
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+)
+        |  DEFINE B AS B.price < FIRST(A.price)
+        |)""".stripMargin)
+    val rows = out.orderBy("anchor").collect().map(r => (r.getDouble(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((10.0, 2L), (12.0, 2L)))
+  }
+
+  test("LAST same-variable navigation with offset: rising run without PREV") {
+    // values 1 3 2 5 7 4: matches (1,3) and (2,5,7); trailing 4 unmatched
+    val df = mk(Seq((1, 1, 1.0), (1, 2, 3.0), (1, 3, 2.0),
+      (1, 4, 5.0), (1, 5, 7.0), (1, 6, 4.0)))
+    df.createOrReplaceTempView("mr_lastnav")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_lastnav MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(A.price) AS base, LAST(B.price) AS peak, COUNT(B.*) AS n
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+)
+        |  DEFINE B AS B.price > COALESCE(LAST(B.price, 1), FIRST(A.price))
+        |)""".stripMargin)
+    val rows = out.orderBy("base").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1.0, 3.0, 1L), (2.0, 7.0, 2L)))
+    // equivalence with the PREV formulation on the same data
+    val prevOut = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_lastnav MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(A.price) AS base, LAST(B.price) AS peak, COUNT(B.*) AS n
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+)
+        |  DEFINE B AS B.price > PREV(B.price)
+        |)""".stripMargin)
+      .orderBy("base").collect().map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(prevOut.toSeq == rows.toSeq)
+  }
+
+  test("FIRST/LAST in DEFINE mixes with a static define and greedy backtracking") {
+    // B: strictly above anchor, C closes at >= 100. 10 | 20 30 | 150
+    val df = mk(Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (1, 4, 150.0)))
+    df.createOrReplaceTempView("mr_mixnav")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_mixnav MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(A.price) AS anchor, COUNT(B.*) AS n_up, LAST(C.price) AS close_val
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B* C)
+        |  DEFINE B AS B.price > FIRST(A.price) AND B.price < 100,
+        |         C AS C.price >= 100
+        |)""".stripMargin)
+    val rows = out.collect().map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((10.0, 2L, 150.0)))
+  }
+
   test("undefined pattern variables are always-true (Flink semantics)") {
     val df = mk(Seq((1, 1, 500.0), (1, 2, 150.0)))
     df.createOrReplaceTempView("mr_any")

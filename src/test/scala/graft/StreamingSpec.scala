@@ -289,6 +289,103 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CEP PREV navigation: stream==batch parity with context retention") {
+    import graft.operators.MatchRecognize
+    import graft.operators.MatchRecognize._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val df = mem.toDF().toDF("k", "ts", "price")
+    // rising runs via PREV on the STREAMING path: B+ alone, so the row after
+    // a completed match navigates to the match's last row — which only works
+    // if the operator retains it as context after emission
+    val out = MatchRecognize.matchRecognizeStream(
+      df, Seq("k"), "ts",
+      defines = Seq("B" -> expr("price > __nav_prev_B_price_1")),
+      pattern = parsePattern("B+"),
+      measures = Seq(
+        Measure("first_p", "first", "B", "price"),
+        Measure("last_p", "last", "B", "price"),
+        Measure("n", "count", "B", "*")),
+      watermarkDelay = Some("0 seconds"),
+      defineNavs = Seq(DynNavSpec("__nav_prev_B_price_1", "prev", "B", "price", 1)))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("cep_prev_stream")
+      .outputMode("append").start()
+    try {
+      val data = Seq(1.0, 3.0, 2.0, 5.0, 7.0, 4.0).zipWithIndex.map { case (p, i) =>
+        (1, ts(f"2024-01-01 00:00:${10 + i}%02d"), p)
+      }
+      mem.addData(data.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(3): _*)
+      q.processAllAvailable()
+      // watermark pushes from another key drain key 1 via event-time timeout
+      mem.addData((2, ts("2024-01-01 00:10:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((2, ts("2024-01-01 00:10:10"), 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("cep_prev_stream").collect()
+        .map(r => (r.getAs[Double]("first_p"), r.getAs[Double]("last_p"), r.getAs[Long]("n")))
+        .toSeq.sortBy(_._1)
+      assert(streamed == Seq((3.0, 3.0, 1L), (5.0, 7.0, 2L)), streamed.toString)
+      // parity with the batch lag/lead path on the same rows
+      spark.createDataFrame(data).toDF("k", "ts", "price")
+        .createOrReplaceTempView("cep_prev_batch")
+      val batch = MatchRecognize.sql(spark,
+        """SELECT * FROM cep_prev_batch MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES FIRST(B.price) AS first_p, LAST(B.price) AS last_p, COUNT(B.*) AS n
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (B+)
+          |  DEFINE B AS B.price > PREV(B.price)
+          |)""".stripMargin).collect()
+        .map(r => (r.getAs[Double]("first_p"), r.getAs[Double]("last_p"), r.getAs[Long]("n")))
+        .toSeq.sortBy(_._1)
+      assert(batch == streamed, s"batch=$batch streamed=$streamed")
+    } finally q.stop()
+  }
+
+  test("streaming CEP FIRST/LAST navigation in DEFINE emits watermark-exactly") {
+    import graft.operators.MatchRecognize
+    import graft.operators.MatchRecognize._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val df = mem.toDF().toDF("k", "ts", "price")
+    // A anchor, B+ strictly below the anchor's value (cross-variable FIRST)
+    val out = MatchRecognize.matchRecognizeStream(
+      df, Seq("k"), "ts",
+      defines = Seq(
+        "A" -> expr("true"),
+        "B" -> expr("price < __nav_first_A_price_0")),
+      pattern = parsePattern("A B+"),
+      measures = Seq(
+        Measure("anchor", "first", "A", "price"),
+        Measure("n_below", "count", "B", "*")),
+      watermarkDelay = Some("0 seconds"),
+      defineNavs = Seq(DynNavSpec("__nav_first_A_price_0", "first", "A", "price", 0)))
+    val q = out.writeStream.format("memory").queryName("cep_fl_stream")
+      .outputMode("append").start()
+    try {
+      // the 50.0 row breaks the second below-run: a greedy B+ that touches
+      // the frontier is held (future rows could extend it), so each match
+      // needs a closing row to emit — same contract as Flink's greedy CEP
+      mem.addData(
+        (1, ts("2024-01-01 00:00:10"), 10.0), (1, ts("2024-01-01 00:00:11"), 5.0),
+        (1, ts("2024-01-01 00:00:12"), 7.0), (1, ts("2024-01-01 00:00:13"), 12.0),
+        (1, ts("2024-01-01 00:00:14"), 3.0), (1, ts("2024-01-01 00:00:15"), 50.0))
+      q.processAllAvailable()
+      mem.addData((2, ts("2024-01-01 00:10:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((2, ts("2024-01-01 00:10:10"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("cep_fl_stream").collect()
+        .map(r => (r.getAs[Double]("anchor"), r.getAs[Long]("n_below"))).toSeq.sortBy(_._1)
+      // anchor 10 -> below-run {5,7}; anchor 12 -> below-run {3}
+      assert(got == Seq((10.0, 2L), (12.0, 1L)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming CUMULATE: expanding windows aggregate (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Double)]
