@@ -222,6 +222,16 @@ object FlinkDialect {
     // PROCTIME() → current_timestamp()
     s = s.replaceAll("(?i)\\bPROCTIME\\s*\\(\\s*\\)", "current_timestamp()")
 
+    // SOURCE_WATERMARK() (G:467) is only meaningful in a WATERMARK DDL clause
+    // (TableEnv maps it to a zero-delay watermark there); as a query function
+    // it has no Spark counterpart — fail fast with a named reason (the
+    // protobuf pattern) rather than leak an "undefined function" error
+    if ("""(?i)\bSOURCE_WATERMARK\s*\(""".r.findFirstIn(s).isDefined)
+      throw new IllegalArgumentException(
+        "SOURCE_WATERMARK() is connector-defined and only supported inside a " +
+          "WATERMARK FOR ... AS SOURCE_WATERMARK() DDL clause (mapped to a " +
+          "zero-delay watermark); it cannot be evaluated in a query")
+
     // quantified subquery comparisons x op ANY/SOME/ALL (SELECT ...) (G:279)
     s = rewriteQuantified(s)
 

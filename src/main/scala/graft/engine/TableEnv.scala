@@ -218,6 +218,12 @@ object TableEnv {
 
   private val WatermarkRe =
     """(?i)WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+[\w`]+\s*-\s*INTERVAL\s+'([^']+)'\s+(\w+)""".r
+  // WATERMARK FOR c AS SOURCE_WATERMARK() (G:467): the connector supplies the
+  // watermark. Spark has no connector watermark channel; the closest semantic
+  // is the source frontier itself — the max event time seen — which is
+  // exactly withWatermark(c, '0 seconds').
+  private val SourceWatermarkRe =
+    """(?i)WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+SOURCE_WATERMARK\s*\(\s*\)""".r
   private val PkRe = """(?i)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
   private val MetadataRe = """(?i)([\w`]+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?$""".r
   private val ComputedRe = """(?i)([\w`]+)\s+AS\s+(.+)$""".r
@@ -247,6 +253,10 @@ object TableEnv {
             watermark = Some((wm.group(1).replace("`", ""),
               s"${wm.group(2)} ${FlinkDialect.unitName(wm.group(3))}"))
           }
+          if (watermark.isEmpty)
+            SourceWatermarkRe.findFirstMatchIn(w).foreach { wm =>
+              watermark = Some((wm.group(1).replace("`", ""), "0 seconds"))
+            }
         case p if p.toUpperCase.startsWith("PRIMARY") =>
           PkRe.findFirstMatchIn(p).foreach(x =>
             pk = x.group(1).split(",").map(_.trim.replace("`", "")).toSeq)

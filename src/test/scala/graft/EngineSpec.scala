@@ -80,6 +80,21 @@ class EngineSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 20)
   }
 
+  test("SOURCE_WATERMARK(): DDL maps to a zero-delay watermark, query use fails fast") {
+    val b = TableEnv.parseCreateTable(
+      """CREATE TABLE sw (id BIGINT, ts TIMESTAMP(3),
+        |  WATERMARK FOR ts AS SOURCE_WATERMARK()
+        |) WITH ('connector'='datagen','number-of-rows'='5')""".stripMargin)
+    assert(b.watermark.contains(("ts", "0 seconds")))
+    val err = intercept[IllegalArgumentException] {
+      FlinkDialect.rewrite("SELECT SOURCE_WATERMARK() FROM t")
+    }
+    assert(err.getMessage.contains("SOURCE_WATERMARK"))
+    // ...but the name inside a string literal is untouched
+    assert(FlinkDialect.rewrite("SELECT 'SOURCE_WATERMARK()' AS s FROM t")
+      .contains("'SOURCE_WATERMARK()'"))
+  }
+
   test("DDL parses computed columns containing comparison operators") {
     val b = TableEnv.parseCreateTable(
       "CREATE TABLE t (a INT, is_big AS quantity > 10, c INT, d STRING) WITH ('connector'='datagen')")
