@@ -30,9 +30,9 @@ object Bench {
     // vanishes on re-run). Both passes execute the full query; nothing is
     // cached between them beyond the JVM/JIT warmth the baseline assumes.
     // A failed pass must not win the min (a fast failure would mask the
-    // real measurement): failures rank as +inf; if BOTH passes fail, fall
-    // back to the measured elapsed time (old single-pass behavior) so the
-    // anomaly stays visible in the total instead of reporting ~0.
+    // real measurement): failures rank as +inf; if BOTH passes fail, report
+    // the SLOWER of the two failed attempts so the anomaly stays maximally
+    // visible in the total instead of reporting ~0.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
@@ -42,9 +42,10 @@ object Bench {
       val (ta, oka) = timeOnce(fn)
       val (tb, okb) = timeOnce(fn)
       val best = (oka, okb) match {
+        case (true, true)  => math.min(ta, tb)
         case (true, false) => ta
         case (false, true) => tb
-        case _ => math.min(ta, tb)
+        case _             => math.max(ta, tb)
       }
       name -> best
     }

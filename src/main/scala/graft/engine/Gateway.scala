@@ -336,6 +336,13 @@ class Gateway(root: SparkSession) {
         else Statement(s"Job $id not found")
       case _ if upper == "SHOW JOBS" =>
         Finished(Jobs.showJobs(spark))
+      // the reference's cluster-overview / task-managers panels are REST
+      // calls (taskManagersProvider.ts:84-193); surfaced here as metadata
+      // statements over sc.statusTracker
+      case _ if upper == "SHOW CLUSTER OVERVIEW" =>
+        Finished(Jobs.clusterOverview(spark))
+      case _ if upper == "SHOW TASK MANAGERS" =>
+        Finished(Jobs.showTaskManagers(spark))
       case s if upper.startsWith("EXPLAIN CHANGELOG_MODE") =>
         // report the changelog mode of the query (F:537): bounded queries are
         // one-shot; streaming projections append; unwatermarked streaming

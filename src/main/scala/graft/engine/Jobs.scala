@@ -41,6 +41,40 @@ object Jobs {
       .toDF("job_id", "job_name", "status", "start_time")
   }
 
+  /** Cluster overview (reference taskManagersProvider.ts:84-193 overview
+    * cards): a Flink task manager maps to a Spark executor and a slot to a
+    * task slot (core). Sourced from `sc.statusTracker` — the numbers the
+    * Spark UI's executors page shows; job counts come from this registry
+    * plus the tracker's active job list. */
+  def clusterOverview(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val execs = sc.statusTracker.getExecutorInfos.toSeq
+    val slotsTotal = sc.defaultParallelism
+    val runningTasks = execs.map(_.numRunningTasks()).sum
+    val js = list()
+    Seq((spark.version, execs.length, slotsTotal,
+        math.max(slotsTotal - runningTasks, 0),
+        js.count(_.status == "RUNNING"), js.count(_.status == "FINISHED"),
+        js.count(_.status == "CANCELED"), js.count(_.status == "FAILED")))
+      .toDF("version", "taskmanagers", "slots_total", "slots_available",
+        "jobs_running", "jobs_finished", "jobs_cancelled", "jobs_failed")
+  }
+
+  /** Per-executor rollup (the reference's per-TM cards: id, slots in use,
+    * memory): host:port id, running tasks, storage memory used/total, cached
+    * bytes. In local mode this is the single driver executor. */
+  def showTaskManagers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    sc.statusTracker.getExecutorInfos.toSeq
+      .map(e => (s"${e.host}:${e.port}", e.numRunningTasks(),
+        e.usedOnHeapStorageMemory(), e.totalOnHeapStorageMemory(), e.cacheSize()))
+      .sortBy(_._1)
+      .toDF("tm_id", "running_tasks", "used_storage_bytes",
+        "total_storage_bytes", "cached_bytes")
+  }
+
   /** STOP JOB 'name-or-id' [WITH SAVEPOINT | WITH DRAIN]: checkpoints are
     * already durable (Flink savepoint ≈ Spark checkpointLocation), so both
     * modifiers reduce to a clean stop. */

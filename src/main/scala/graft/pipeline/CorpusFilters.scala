@@ -282,18 +282,24 @@ object CorpusFilters {
       .select(col("gram"), col("n_docs"), col("first_doc"))
 
   /** Train/eval decontamination: flag training documents sharing any word
-    * `n`-gram with the (small) eval set. The eval grams are deduped and
-    * broadcast; the training side is one scan → explode distinct grams →
-    * broadcast semi join → distinct ids. No shuffle touches the corpus
-    * beyond the final distinct on the (tiny) contaminated-id set. */
+    * `n`-gram with the (small) eval set. The eval grams are deduped, HASHED
+    * (xxhash64 — an 8-byte key instead of a ~60-byte 8-gram string, so the
+    * broadcast table and every probe comparison shrink ~8×), and broadcast;
+    * the training side is one scan → explode distinct grams → hash → broadcast
+    * semi join → distinct ids. No shuffle touches the corpus beyond the final
+    * distinct on the (tiny) contaminated-id set. A 64-bit collision
+    * (~n²/2⁶⁵) can only over-flag a training doc — the conservative
+    * direction for decontamination. */
   def decontaminate(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     def grams(d: DataFrame) = d.select(col(idCol),
       explode(wordGrams(col(textCol), n, distinct = true)).as("gram"))
-    val evalGrams = grams(eval).select(col("gram")).distinct()
+    val evalGrams = grams(eval)
+      .select(xxhash64(col("gram")).as("gram_hash")).distinct()
     val contaminated = grams(train)
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col(idCol), xxhash64(col("gram")).as("gram_hash"))
+      .join(broadcast(evalGrams), Seq("gram_hash"), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("contaminated", lit(true))
     train.select(col(idCol))

@@ -235,9 +235,13 @@ object Dedup {
     * per-doc memory bounded by document size.
     *
     * Positions are CHARACTER-based (substring-path gram identity) so the
-    * slicing is unicode-safe; pass `useKernel=true` only for single-byte
-    * corpora — the rolling-hash gram walk is byte-based, and a duplicated
-    * byte-window boundary may split a multi-byte character. */
+    * slicing is unicode-safe; pass `useKernel=true` ONLY for corpora whose
+    * text is single-byte (ASCII/latin-1): the rolling-hash kernel reports
+    * BYTE offsets, while the rebuild slices with substring's CHARACTER
+    * offsets — on any document containing a multi-byte character every
+    * position after it is shifted, so cuts land on the wrong characters
+    * document-wide (not merely splitting one character at a window
+    * boundary). */
   def cutDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minDocs: Int = 2, useKernel: Boolean = false): DataFrame = {

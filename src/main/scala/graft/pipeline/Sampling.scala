@@ -116,10 +116,14 @@ object Sampling {
       df: DataFrame, idCol: String, sourceCol: String, textCol: String,
       capTokens: Long): DataFrame = {
     val tokens = size(CorpusFilters.splitWords(col(textCol))).cast("bigint")
+    // greatest(total, 1): an all-empty-text source has total_tokens = 0 and
+    // integer `div` would yield NULL, which least() skips — silently keeping
+    // everything; clamping to 1 keeps the zero-token source fully (it costs
+    // no budget) through arithmetic instead of a NULL leak
     val rates = df.select(col(sourceCol), tokens.as("n_tokens"))
       .groupBy(sourceCol).agg(sum(col("n_tokens")).as("total_tokens"))
       .withColumn("rate_mille", least(lit(1000L),
-        expr(s"CAST(${1000L * capTokens} AS BIGINT) div total_tokens")))
+        expr(s"CAST(${1000L * capTokens} AS BIGINT) div greatest(total_tokens, 1L)")))
       .select(col(sourceCol), col("rate_mille"))
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(hashBucket(col(idCol)) < col("rate_mille"))

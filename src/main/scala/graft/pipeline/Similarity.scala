@@ -66,8 +66,12 @@ object Similarity {
     // doubles, a few MB); Lloyd's iterations then run on the driver — exact,
     // deterministic, and free of the ~12 shuffles a distributed loop costs.
     // Only full-table ASSIGNMENT (ivfAssign) needs the cluster.
+    // Ordering by xxhash64(id) keeps the sample deterministic but spreads it
+    // uniformly over the table — first-N-by-id would bias the centroids
+    // toward whatever content correlates with low ids (ingest time, source).
     val sample: Array[Array[Double]] = vectors
-      .orderBy(col(idCol)).limit(math.max(trainLimit, nCentroids))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(trainLimit, nCentroids))
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     val k = math.min(nCentroids, sample.length)

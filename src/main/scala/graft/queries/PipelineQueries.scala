@@ -190,10 +190,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // corpus-level boilerplate: word 5-grams shared by >= 2 documents
-    // (map-side per-doc distinct, one shuffle on the gram)
+    // corpus-level boilerplate: word 5-grams shared by >= 2 documents.
+    // The gate runs the 100 TB shape: map-side per-doc distinct, then ONE
+    // shuffle on the 64-bit gram hash (~8-byte key vs ~40-byte strings),
+    // carrying a representative string per bucket.
     "q_boilerplate_ngrams" -> { (s, dir) =>
-      CorpusFilters.boilerplateNgrams(t(s, dir, "documents"), "doc_id", "text",
+      CorpusFilters.boilerplateNgramsHashed(t(s, dir, "documents"), "doc_id", "text",
           n = 5, minDocs = 2)
         .orderBy(col("gram"))
     },
@@ -780,7 +782,7 @@ object PipelineQueries {
         |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n
         |  FROM documents),
         |tot AS (SELECT source, SUM(n) AS total FROM tok GROUP BY source),
-        |r AS (SELECT source, least(1000, 1200000 // total) AS rate_mille FROM tot)
+        |r AS (SELECT source, least(1000, 1200000 // greatest(total, 1)) AS rate_mille FROM tot)
         |SELECT t.doc_id, t.source, CAST(r.rate_mille AS BIGINT) AS rate_mille
         |FROM tok t JOIN r USING (source)
         |WHERE (t.doc_id*1103515245 + 12345) % 2147483648 % 1000 < r.rate_mille
@@ -796,6 +798,10 @@ object PipelineQueries {
         |FROM r, p WHERE rn = (pct_mille*n + 999)//1000
         |ORDER BY source, pct_mille""".stripMargin,
 
+    // NOTE: `unicode(substring(...))` yields the CODE POINT, which equals the
+    // UTF-8 byte only because the synthetic corpus is all-ASCII (TESTDATA.md;
+    // same assumption as the rolling-hash oracles). The phash kernel itself
+    // walks bytes — a non-ASCII fixture would need an encode()-based oracle.
     "q_multimodal_phash" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |p AS (SELECT doc_id, n, text, UNNEST(generate_series(0, n-1)) AS i FROM d WHERE n > 0),
@@ -818,6 +824,7 @@ object PipelineQueries {
         |  CAST(COALESCE(h.phash_lo, 0) AS BIGINT) AS phash_lo
         |FROM d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // byte-vs-codepoint: see the q_multimodal_phash ASCII-only note above
     "q_multimodal_phash_pairs" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |p AS (SELECT doc_id, n, text, UNNEST(generate_series(0, n-1)) AS i FROM d WHERE n > 0),

@@ -28,10 +28,24 @@ object ScaleProbe {
             (pmod(xxhash64(col("doc_id"), lit(j)), lit(64)) + 1).cast("int"))): _*))
     docs.cache().count()
 
+    // shuffle-write accounting per timed block (A/B evidence for the
+    // hash-narrowed exchanges; listener events are async → short settle)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
     def time(name: String)(f: => Long): Unit = {
+      Thread.sleep(300)
+      val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val r = f
-      println(f"[probe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s   result=$r")
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      val mb = (shuffleBytes.get() - b0) / 1e6
+      println(f"[probe] $name%-24s $secs%8.1f s   shuffle=$mb%9.1f MB   result=$r")
     }
 
     time(s"exact dedup ($n docs)") {
@@ -61,6 +75,10 @@ object ScaleProbe {
     }
     time("boilerplate 5-grams") {
       CorpusFilters.boilerplateNgrams(docs, "doc_id", "text", n = 5, minDocs = 2)
+        .count()
+    }
+    time("boilerplate hashed") {
+      CorpusFilters.boilerplateNgramsHashed(docs, "doc_id", "text", n = 5, minDocs = 2)
         .count()
     }
     time("decontaminate (1% eval)") {

@@ -80,6 +80,24 @@ class EngineSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 20)
   }
 
+  test("SHOW CLUSTER OVERVIEW / SHOW TASK MANAGERS surface executor slot state") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val ov = gw.fetchResults(gw.executeStatement(h, "SHOW CLUSTER OVERVIEW"), 0)
+    assert(ov.columns == Seq("version", "taskmanagers", "slots_total", "slots_available",
+      "jobs_running", "jobs_finished", "jobs_cancelled", "jobs_failed"), ov.columns.toString)
+    val row = ov.rows.head
+    assert(row(0).toString == spark.version)
+    assert(row(1).toString.toInt >= 1)        // at least the driver executor
+    assert(row(2).toString.toInt >= 1)        // task slots = cores
+    assert(row(3).toString.toInt <= row(2).toString.toInt)
+    val tms = gw.fetchResults(gw.executeStatement(h, "SHOW TASK MANAGERS"), 0)
+    assert(tms.columns == Seq("tm_id", "running_tasks", "used_storage_bytes",
+      "total_storage_bytes", "cached_bytes"), tms.columns.toString)
+    assert(tms.rows.nonEmpty)
+    assert(tms.rows.head.head.toString.contains(":")) // host:port id
+  }
+
   test("SOURCE_WATERMARK(): DDL maps to a zero-delay watermark, query use fails fast") {
     val b = TableEnv.parseCreateTable(
       """CREATE TABLE sw (id BIGINT, ts TIMESTAMP(3),
