@@ -417,6 +417,15 @@ object FlinkDialect {
             }
             while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_' || s.charAt(j) == '.')) j -= 1
             val lhs = s.substring(j + 1, lhsEnd).trim
+            // a keyword "LHS" means the real operand extends further left
+            // (CASE ... END op ALL (...)) — the backscan cannot bound it, so
+            // fail with a named reason instead of emitting mangled SQL
+            if (Set("END", "NULL", "TRUE", "FALSE", "THEN", "ELSE", "WHEN",
+                "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "IS")
+                .contains(lhs.toUpperCase))
+              throw new IllegalArgumentException(
+                s"Quantified comparison after '$lhs' is not supported: wrap the " +
+                  "left-hand expression in parentheses, e.g. (CASE ... END) > ALL (...)")
             if (lhs.nonEmpty) {
               val repl = quantifiedSql(lhs, if (op0 == "!=") "<>" else op0, quant, sub)
               s = s.substring(0, j + 1) + repl + s.substring(close + 1)
@@ -432,14 +441,29 @@ object FlinkDialect {
     s
   }
 
-  /** Build the Spark SQL replacement for one quantified comparison. */
+  /** Build the Spark SQL replacement for one quantified comparison.
+    * Deliberately NOT `= ANY`→IN / `<> ALL`→NOT IN: Spark lowers an
+    * IN-subquery outside a filter to an ExistenceJoin whose result is
+    * two-valued, collapsing UNKNOWN to FALSE — wrong whenever the needle is
+    * NULL or the set contains NULLs and the predicate is projected. The
+    * membership CASE below keeps the standard's three-valued result in any
+    * context; its hit-count subquery is a correlated scalar aggregate with
+    * an equality predicate, which Catalyst decorrelates to one aggregate +
+    * join pass over the subquery. */
   private def quantifiedSql(lhs: String, op: String, quant: String, sub: String): String = {
     def sq(agg: String) = s"(SELECT $agg FROM ($sub) __gq(__qc))"
+    def hits = s"(SELECT count(*) FROM ($sub) __gq(__qc) WHERE __qc = $lhs)"
     val cnt = sq("count(*)")
     val nullGuard = s"$lhs IS NULL OR $cnt <> ${sq("count(__qc)")}"
     (op, quant) match {
-      case ("=", "ANY")  => s"($lhs IN ($sub))"
-      case ("<>", "ALL") => s"($lhs NOT IN ($sub))"
+      case ("=", "ANY") =>
+        s"(CASE WHEN $hits > 0 THEN TRUE" +
+          s" WHEN $cnt = 0 THEN FALSE" +
+          s" WHEN $nullGuard THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+      case ("<>", "ALL") =>
+        s"(CASE WHEN $hits > 0 THEN FALSE" +
+          s" WHEN $cnt = 0 THEN TRUE" +
+          s" WHEN $nullGuard THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)"
       case ("=", "ALL") =>
         s"(CASE WHEN $cnt = 0 THEN TRUE" +
           s" WHEN ${sq("min(__qc)")} <> $lhs OR ${sq("max(__qc)")} <> $lhs THEN FALSE" +

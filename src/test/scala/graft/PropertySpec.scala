@@ -92,6 +92,56 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("quantified comparisons match three-valued reference semantics exhaustively") {
+    val ops = Seq("=", "<>", "<", "<=", ">", ">=")
+    val sets: Seq[Seq[Option[Int]]] = Seq(
+      Seq(), Seq(Some(1)), Seq(None), Seq(Some(1), None),
+      Seq(Some(1), Some(2)), Seq(Some(2), Some(2)), Seq(None, None))
+    val needles: Seq[Option[Int]] = Seq(None, Some(0), Some(1), Some(2))
+    def opFn(o: String)(a: Int, b: Int): Boolean = o match {
+      case "="  => a == b
+      case "<>" => a != b
+      case "<"  => a < b
+      case "<=" => a <= b
+      case ">"  => a > b
+      case _    => a >= b
+    }
+    // the SQL-standard reference: a comparison with any NULL operand is
+    // UNKNOWN; ALL is a three-valued conjunction (empty → TRUE), ANY a
+    // three-valued disjunction (empty → FALSE)
+    def ref(o: String, q: String, x: Option[Int], set: Seq[Option[Int]]): Option[Boolean] = {
+      val cmps = set.map(c => for { a <- x; b <- c } yield opFn(o)(a, b))
+      if (q == "ALL") {
+        if (cmps.contains(Some(false))) Some(false)
+        else if (cmps.contains(None)) None
+        else Some(true)
+      } else {
+        if (cmps.contains(Some(true))) Some(true)
+        else if (cmps.contains(None)) None
+        else Some(false)
+      }
+    }
+    def subSql(set: Seq[Option[Int]]): String =
+      if (set.isEmpty) "SELECT v FROM VALUES (0) AS t(v) WHERE 1 = 0"
+      else "SELECT v FROM VALUES " + set.map {
+        case Some(i) => s"($i)"
+        case None => "(CAST(NULL AS INT))"
+      }.mkString(", ") + " AS t(v)"
+    val cases = for { o <- ops; q <- Seq("ANY", "ALL"); s <- sets; x <- needles }
+      yield (o, q, s, x)
+    cases.grouped(24).foreach { grp =>
+      val cols = grp.zipWithIndex.map { case ((o, q, s, x), i) =>
+        val nd = x.map(_.toString).getOrElse("CAST(NULL AS INT)")
+        s"$nd $o $q (${subSql(s)}) AS c$i"
+      }
+      val row = spark.sql(FlinkDialect.rewrite("SELECT " + cols.mkString(", "))).head()
+      grp.zipWithIndex.foreach { case ((o, q, s, x), i) =>
+        val got = Option(row.get(i)).map(_.asInstanceOf[Boolean])
+        assert(got == ref(o, q, x, s), s"$x $o $q $s: got $got want ${ref(o, q, x, s)}")
+      }
+    }
+  }
+
   test("StateKeys encoding is injective over arbitrary multi-column keys") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
