@@ -31,6 +31,46 @@ object Dedup {
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Incremental exact dedup: flag each row of a NEW batch whose normalized
+    * digest already exists in a (much larger) HISTORY corpus — the daily
+    * "dedup today's crawl against everything ingested so far" operation —
+    * WITHOUT ever shuffling the history.
+    *
+    * Shape: (1) one tree-aggregated pass builds a bloom filter over the
+    * history digests (fixed memory: ~1.2 GB per 10⁹ items at 1% fpp) that
+    * broadcasts to every executor; (2) bloom-negative new rows are
+    * DEFINITELY new (no false negatives) and skip the join entirely;
+    * (3) bloom-positive candidates — the true duplicates plus an fpp-sized
+    * trickle — are confirmed exactly by probing the history scan with the
+    * broadcast candidate digest set and broadcasting the confirmed set back.
+    * The result is therefore EXACT (the bloom only prunes; every positive is
+    * re-checked), both joins are broadcast (no exchange on either corpus),
+    * and the history is only ever scanned. `expectedItems <= 0` derives the
+    * bloom size from a history count. */
+  def incrementalDedup(
+      newDocs: DataFrame, history: DataFrame, idCol: String, textCol: String,
+      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    val hist = history.select(md5(normalize(col(textCol))).as("digest"))
+    val n = if (expectedItems > 0) expectedItems else math.max(hist.count(), 1L)
+    val bloom = hist.stat.bloomFilter("digest", n, fpp)
+    val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    // sketch probe, one call per row — not a per-token hot path, so a Scala
+    // UDF is the right tool (no Expression boilerplate for a broadcast probe)
+    val mightContain = udf((d: String) => bc.value.mightContainString(d))
+    val withDigest = newDocs
+      .select(col(idCol).as("doc_id"), md5(normalize(col(textCol))).as("digest"))
+    val candidates = withDigest.filter(mightContain(col("digest")))
+      .select(col("digest")).distinct()
+    // history side probes the BROADCAST candidate set (semi join, no shuffle
+    // of the big side); the confirmed digests are candidate-bounded → small
+    val confirmed = hist.join(broadcast(candidates), Seq("digest"), "left_semi")
+      .distinct()
+      .withColumn("__dup", lit(true))
+    withDigest.join(broadcast(confirmed), Seq("digest"), "left_outer")
+      .select(col("doc_id"), col("digest"),
+        coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+  }
+
   /** MinHash signature: ARRAY<BIGINT> of `numHashes` minima over char
     * `shingleLen`-gram rolling hashes. One text scan in a native kernel
     * expression (HashKernels.minhash) — fixed-width output, codegen'd. */

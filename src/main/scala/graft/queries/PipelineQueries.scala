@@ -49,6 +49,19 @@ object PipelineQueries {
         .orderBy(col("digest"))
     },
 
+    // incremental dedup of a "new batch" (doc_id%5==0) against a history
+    // corpus (doc_id%3<>0): bloom prefilter prunes definite-news, exact
+    // broadcast confirmation keeps the result oracle-exact — rows with ids
+    // in both slices carry identical text, so ~2/3 of the batch is flagged
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // exact 3-gram Jaccard over a blocked candidate set (same source,
     // bounded ids) — char-trigram sets via substring enumeration on both
     // engines (the rolling-hash fast path is exercised by the LSH query)
@@ -397,6 +410,17 @@ object PipelineQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
         |       MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH hist AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |n AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT n.doc_id, n.digest,
+        |       EXISTS (SELECT 1 FROM hist WHERE hist.digest = n.digest) AS is_duplicate
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       """WITH d AS (

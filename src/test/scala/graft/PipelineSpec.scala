@@ -50,6 +50,30 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "distant doc must not pair")
   }
 
+  test("incremental dedup is exact even when the bloom prefilter false-positives") {
+    // fpp = 0.5 over a tiny expected count forces bloom false positives, so
+    // the exact-confirmation join must strip them; bloom has no false
+    // negatives, so no true duplicate can be missed either way
+    val history = (0 until 200).map(i => (i.toLong, s"doc text number $i")).toDF("doc_id", "text")
+    val newDocs = (150 until 350).map(i => (1000L + i, s"doc text number $i")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(newDocs, history, "doc_id", "text",
+        fpp = 0.5, expectedItems = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (150 until 350).foreach { i =>
+      assert(out(1000L + i) == (i < 200), s"doc $i flagged ${out(1000L + i)}")
+    }
+    // normalization applies on both sides: case/whitespace variants are dups
+    val outNorm = Dedup.incrementalDedup(
+        Seq((1L, "DOC   Text  NUMBER 7")).toDF("doc_id", "text"),
+        history, "doc_id", "text")
+      .collect()
+    assert(outNorm.head.getBoolean(2), "normalized variant must be flagged")
+    // no history shuffle: both joins against the corpus are broadcast
+    val plan = Dedup.incrementalDedup(newDocs, history, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"history-side shuffle join:\n$plan")
+  }
+
   test("minhash signature approximates true Jaccard") {
     val a = "one two three four five six seven eight nine ten eleven twelve"
     val b = "one two three four five six seven eight nine ten thirteen fourteen"
