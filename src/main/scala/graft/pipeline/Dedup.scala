@@ -59,16 +59,33 @@ object Dedup {
     val mightContain = udf((d: String) => bc.value.mightContainString(d))
     val withDigest = newDocs
       .select(col(idCol).as("doc_id"), md5(normalize(col(textCol))).as("digest"))
-    val candidates = withDigest.filter(mightContain(col("digest")))
-      .select(col("digest")).distinct()
-    // history side probes the BROADCAST candidate set (semi join, no shuffle
-    // of the big side); the confirmed digests are candidate-bounded → small
-    val confirmed = hist.join(broadcast(candidates), Seq("digest"), "left_semi")
-      .distinct()
-      .withColumn("__dup", lit(true))
-    withDigest.join(broadcast(confirmed), Seq("digest"), "left_outer")
-      .select(col("doc_id"), col("digest"),
-        coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+    if (newDocs.isStreaming) {
+      // streaming new-batch (continuous-ingest dedup): a static-side semi
+      // join keyed by the stream is unsupported, so the stream stays on the
+      // LEFT of a stream-static outer join against the distinct history
+      // digests. The bloom still pays for itself — bloom-negative rows skip
+      // the join entirely — but the static side is evaluated per micro-batch:
+      // for a large history, point it at a pre-materialized digest table.
+      val histD = hist.distinct().withColumn("__dup", lit(true))
+      val pos = withDigest.filter(mightContain(col("digest")))
+        .join(histD, Seq("digest"), "left_outer")
+        .select(col("doc_id"), col("digest"),
+          coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+      val neg = withDigest.filter(!mightContain(col("digest")))
+        .select(col("doc_id"), col("digest"), lit(false).as("is_duplicate"))
+      pos.unionByName(neg)
+    } else {
+      val candidates = withDigest.filter(mightContain(col("digest")))
+        .select(col("digest")).distinct()
+      // history side probes the BROADCAST candidate set (semi join, no shuffle
+      // of the big side); the confirmed digests are candidate-bounded → small
+      val confirmed = hist.join(broadcast(candidates), Seq("digest"), "left_semi")
+        .distinct()
+        .withColumn("__dup", lit(true))
+      withDigest.join(broadcast(confirmed), Seq("digest"), "left_outer")
+        .select(col("doc_id"), col("digest"),
+          coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+    }
   }
 
   /** MinHash signature: ARRAY<BIGINT> of `numHashes` minima over char

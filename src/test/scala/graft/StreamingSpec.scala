@@ -175,6 +175,37 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.size >= batch.size - 10, s"${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming incremental dedup: a document stream flags dups vs static history") {
+    // the daily-ingest shape as a stream: the bloom is built once from the
+    // STATIC history at plan time, and both confirmation joins are
+    // stream-static broadcasts — so the operator runs unchanged on a
+    // streaming new-batch, with results equal to the batch run
+    val dir = java.nio.file.Files.createTempDirectory("graft-incstream")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val newBatch = docs.filter(col("doc_id") % 5 === 0)
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    newBatch.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+    val out = graft.pipeline.Dedup.incrementalDedup(stream, history, "doc_id", "text")
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("inc_dedup_stream").trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(60000), "incremental dedup stream did not finish")
+    finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+    val streamed = spark.table("inc_dedup_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val batch = graft.pipeline.Dedup.incrementalDedup(newBatch, history, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(streamed == batch, s"stream ${streamed.size} rows vs batch ${batch.size}")
+    assert(streamed.values.exists(identity) && streamed.values.exists(!_),
+      "split must produce both duplicates and new docs")
+  }
+
   test("streaming corpus ingestion: exact dedup + phash + quality run on a document stream") {
     // the pipeline operators are plain projections/stateful dedup, so they
     // run unchanged on a streaming ingest: exact-dedup keep-first via
