@@ -33,6 +33,9 @@ object PlanAudit {
     "q_multimodal_phash_pairs", // r5b: phash kernel + band blocking + hamming
     "q_global_shuffle",       // r5b: range-partitioned total sort on seeded key
     "q_corpus_quantiles",     // r5b: one window sort per group
+    "q_subq_quantified",      // r6: scalar-aggregate subqueries, reuse expected
+    "q_dedup_incremental",    // r6: bloom prefilter + broadcast-only joins
+    "q_cep_define_nav",       // r6: dynamic DEFINE, still one exchange
   )
 
   def main(args: Array[String]): Unit = {
