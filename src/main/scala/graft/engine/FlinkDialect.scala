@@ -367,7 +367,9 @@ object FlinkDialect {
 
   /** `x op ANY/SOME/ALL (SELECT ...)` (G:279) → NULL-correct Spark SQL.
     * Spark has no quantified comparison, so:
-    *  - `= ANY` → `IN`, `<> ALL` → `NOT IN` (native, already NULL-correct);
+    *  - the equality family becomes a membership CASE over a hit-count
+    *    subquery (NOT IN/NOT-IN fast paths are deliberately avoided — see
+    *    [[quantifiedSql]]: Spark's IN-subquery is two-valued outside filters);
     *  - ordering ops → a CASE over uncorrelated scalar aggregate subqueries
     *    (count/min/max): the subquery collapses to one broadcast scalar per
     *    aggregate, so at 100 TB the outer table is scanned once with no join,
@@ -416,6 +418,40 @@ object FlinkDialect {
               }
             }
             while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_' || s.charAt(j) == '.')) j -= 1
+            // extend left over binary arithmetic/concat operators: comparison
+            // binds looser, so `price * 1.1 > ALL (...)` and `a || b = ANY
+            // (...)` must bind the whole chain, not the last token. Stop when
+            // the preceding token is a keyword (start of the clause).
+            val stopWords = Set("SELECT", "WHERE", "AND", "OR", "NOT", "WHEN",
+              "THEN", "ELSE", "CASE", "ON", "BY", "HAVING", "IN", "IS", "LIKE",
+              "BETWEEN", "END", "SET", "RETURN")
+            var extending = true
+            while (extending) {
+              var p = j
+              while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+              val opLen =
+                if (p >= 1 && s.charAt(p) == '|' && s.charAt(p - 1) == '|') 2
+                else if (p >= 0 && "+-*/%".indexOf(s.charAt(p)) >= 0) 1
+                else 0
+              if (opLen == 0) extending = false
+              else {
+                var q2 = p - opLen
+                while (q2 >= 0 && s.charAt(q2).isWhitespace) q2 -= 1
+                var q3 = q2
+                if (q3 >= 0 && s.charAt(q3) == ')') {
+                  var d = 1; q3 -= 1
+                  while (q3 >= 0 && d > 0) {
+                    val ch = s.charAt(q3)
+                    if (ch == ')') d += 1 else if (ch == '(') d -= 1
+                    q3 -= 1
+                  }
+                }
+                while (q3 >= 0 && (s.charAt(q3).isLetterOrDigit || s.charAt(q3) == '_' || s.charAt(q3) == '.')) q3 -= 1
+                val tok = s.substring(q3 + 1, q2 + 1).trim
+                if (tok.isEmpty || stopWords.contains(tok.toUpperCase)) extending = false
+                else j = q3
+              }
+            }
             val lhs = s.substring(j + 1, lhsEnd).trim
             // a keyword "LHS" means the real operand extends further left
             // (CASE ... END op ALL (...)) — the backscan cannot bound it, so
@@ -427,7 +463,12 @@ object FlinkDialect {
                 s"Quantified comparison after '$lhs' is not supported: wrap the " +
                   "left-hand expression in parentheses, e.g. (CASE ... END) > ALL (...)")
             if (lhs.nonEmpty) {
-              val repl = quantifiedSql(lhs, if (op0 == "!=") "<>" else op0, quant, sub)
+              // compound operands substitute into the CASE several times —
+              // parenthesize so precedence can't shift around IS NULL / =
+              val lhsSafe =
+                if (lhs.forall(c => c.isLetterOrDigit || c == '_' || c == '.' || c == '`')) lhs
+                else s"($lhs)"
+              val repl = quantifiedSql(lhsSafe, if (op0 == "!=") "<>" else op0, quant, sub)
               s = s.substring(0, j + 1) + repl + s.substring(close + 1)
               // replacement contains no quantifier keyword adjacent to a
               // comparison op, but the subquery text (inlined verbatim) may

@@ -162,6 +162,10 @@ object MatchRecognize {
       navFieldIdx: Array[Int] = Array.empty,
       navFieldTypes: Array[DataType] = Array.empty,
       navOffs: Array[Int] = Array.empty,
+      // navMask(v)(k): does variable v's DEFINE reference nav slot k? Slots a
+      // predicate never reads are skipped — crucially, a foreign NEXT slot
+      // must not set hitEnd (holding an attempt that is fully decidable)
+      navMask: Array[Array[Boolean]] = Array.empty,
       rowSchema: StructType = new StructType()) extends Serializable {
 
     private val hasDyn = dynBound.exists(_ != null)
@@ -178,9 +182,11 @@ object MatchRecognize {
       * given the attempt's partial assignment over [start, p). */
     private def dynEval(v: Int, p: Int, assign: Array[Int], start: Int, len: Int): Boolean = {
       val slots = new Array[Any](navKinds.length)
+      val mask = navMask(v)
       var k = 0
       while (k < navKinds.length) {
-        navKinds(k) match {
+        if (!mask(k)) { k += 1 }
+        else { navKinds(k) match {
           case 0 => // PREV: n-th previous input row (null before the group start)
             val q = p - navOffs(k)
             if (q >= 0) slots(k) = curIrows(q).get(navFieldIdx(k), navFieldTypes(k))
@@ -203,7 +209,7 @@ object MatchRecognize {
             }
             if (found >= 0) slots(k) = curIrows(found).get(navFieldIdx(k), navFieldTypes(k))
         }
-        k += 1
+        k += 1 }
       }
       val r = dynBound(v).eval(new org.apache.spark.sql.catalyst.expressions.JoinedRow(
         curIrows(p),
@@ -475,14 +481,16 @@ object MatchRecognize {
       .queryExecution.analyzed.expressions
       .flatMap(_.references.map(_.name))
       .distinct.filterNot(navNames).filter(df.columns.contains)
-    // a DEFINE is dynamic iff it references any match-state nav slot
+    // a DEFINE is dynamic iff it references any match-state nav slot; the
+    // per-define slot sets also become the kernel's navMask
     val dynNames = dynNavs.map(_.name).toSet
-    val isDyn: IndexedSeq[Boolean] =
-      if (dynNavs.isEmpty) IndexedSeq.fill(defines.size)(false)
+    val defineDynRefs: IndexedSeq[Set[String]] =
+      if (dynNavs.isEmpty) IndexedSeq.fill(defines.size)(Set.empty[String])
       else defines.toIndexedSeq.map { case (_, c) =>
         probe.select(c).queryExecution.analyzed.expressions
-          .flatMap(_.references.map(_.name)).exists(dynNames)
+          .flatMap(_.references.map(_.name)).toSet.intersect(dynNames)
       }
+    val isDyn: IndexedSeq[Boolean] = defineDynRefs.map(_.nonEmpty)
     val baseCols =
       if (allRows) df.columns.toSeq
       else ((partitionBy :+ orderBy) ++ measureFields ++ navs.map(_.field) ++
@@ -595,6 +603,7 @@ object MatchRecognize {
       navFieldTypes = dynNavs.map(nv =>
         inSchema(inSchema.fieldIndex(nv.field)).dataType).toArray,
       navOffs = dynNavs.map(_.offset).toArray,
+      navMask = defineDynRefs.map(refs => dynNavs.map(nv => refs(nv.name)).toArray).toArray,
       rowSchema = inSchema)
     (withBits, kernel, outSchema)
   }
@@ -644,7 +653,11 @@ object MatchRecognize {
     * `flatMapGroupsWithState` with event-time timeouts. `orderBy` must be
     * the event-time column; the input must carry a watermark (bindings with
     * a WATERMARK DDL clause do; otherwise pass `watermarkDelay`). Matches
-    * emit exactly once, when the watermark passes their last row. */
+    * emit exactly once, when the watermark passes their last row.
+    *
+    * State format v2 (rows, matchNo, contextLen) — a checkpoint written by
+    * the v1 two-field format does not restore; restart such queries from a
+    * fresh checkpointLocation. */
   def matchRecognizeStream(
       df: DataFrame,
       partitionBy: Seq[String],
@@ -741,17 +754,28 @@ object MatchRecognize {
   private val NavRe =
     """(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)(?:\s*,\s*(\d+))?\s*\)""".r
 
-  /** Split a MEASURES/DEFINE list on top-level commas (paren-depth aware —
-    * a regex lookahead mis-splits on nested calls like COALESCE(f(x), g(y))). */
+  /** Split a MEASURES/DEFINE list on top-level commas — paren-depth aware (a
+    * regex lookahead mis-splits on nested calls like COALESCE(f(x), g(y)))
+    * AND quote-aware (a literal like 'x,y' or a backticked name must not
+    * split or shift depth). */
   private def splitTop(s: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
-    s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case c => cur += c
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' | '`' =>
+          val q = c
+          cur += c; i += 1
+          while (i < s.length && s.charAt(i) != q) { cur += s.charAt(i); i += 1 }
+          if (i < s.length) { cur += q; i += 1 }
+        case '(' => depth += 1; cur += c; i += 1
+        case ')' => depth -= 1; cur += c; i += 1
+        case ',' if depth == 0 => out += cur.toString; cur.clear(); i += 1
+        case other => cur += other; i += 1
+      }
     }
     out += cur.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)

@@ -51,12 +51,20 @@ object Dedup {
       newDocs: DataFrame, history: DataFrame, idCol: String, textCol: String,
       fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     val hist = history.select(md5(normalize(col(textCol))).as("digest"))
-    val n = if (expectedItems > 0) expectedItems else math.max(hist.count(), 1L)
+    // bloom sizing: caller-provided > catalog/CBO row-count estimate > one
+    // count pass. Pass expectedItems on a large history to keep the history
+    // cost at exactly two scans (bloom build + confirm).
+    val n = if (expectedItems > 0) expectedItems
+      else history.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).filter(_ > 0)
+        .getOrElse(math.max(hist.count(), 1L))
     val bloom = hist.stat.bloomFilter("digest", n, fpp)
     val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
     // sketch probe, one call per row — not a per-token hot path, so a Scala
-    // UDF is the right tool (no Expression boilerplate for a broadcast probe)
-    val mightContain = udf((d: String) => bc.value.mightContainString(d))
+    // UDF is the right tool (no Expression boilerplate for a broadcast probe).
+    // Null digests (null text) are trivially not duplicates — and must not
+    // reach mightContainString, which dereferences its argument.
+    val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))
     val withDigest = newDocs
       .select(col(idCol).as("doc_id"), md5(normalize(col(textCol))).as("digest"))
     if (newDocs.isStreaming) {

@@ -101,9 +101,10 @@ object DialectQueries {
     },
 
     // quantified subquery comparisons (G:279): Spark has no ANY/SOME/ALL, the
-    // dialect rewrites them to NULL-correct scalar-aggregate forms (= ANY →
-    // IN, <> ALL → NOT IN, ordering ops → CASE over count/min/max scalars).
-    // DuckDB supports the construct natively, so the oracle is verbatim.
+    // dialect rewrites them to NULL-correct scalar-aggregate forms (equality
+    // family → membership hit-count CASE, ordering ops → CASE over
+    // count/min/max scalars). DuckDB supports the construct natively, so the
+    // oracle is verbatim.
     "q_subq_quantified" -> { (s, dir) => fsql(s, dir,
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  o_totalprice > ALL (SELECT c_acctbal FROM customer

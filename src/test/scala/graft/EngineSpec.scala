@@ -173,6 +173,17 @@ class EngineSpec extends SparkTestBase {
     // quantifier keywords inside string literals stay untouched
     val lit = FlinkDialect.rewrite("SELECT 'x > ALL (SELECT 1)' AS s FROM t")
     assert(lit.contains("'x > ALL (SELECT 1)'"))
+    // compound LHS: the whole operator chain binds, not the last token
+    assert(run("2 * 3 > ALL (SELECT v FROM VALUES (5) AS t(v))") == true)
+    assert(run("2 * 3 > ALL (SELECT v FROM VALUES (7) AS t(v))") == false)
+    assert(run("'a' || 'b' = ANY (SELECT v FROM VALUES ('ab') AS t(v))") == true)
+    assert(run("10 - 4 - 1 <= ALL (SELECT v FROM VALUES (5), (9) AS t(v))") == true)
+    // keyword LHS (CASE ... END) fails with a named hint, never mangled SQL
+    val err = intercept[IllegalArgumentException] {
+      FlinkDialect.rewrite(
+        "SELECT CASE WHEN x THEN 1 ELSE 2 END > ALL (SELECT v FROM VALUES (1) t(v)) FROM t")
+    }
+    assert(err.getMessage.contains("parentheses"))
   }
 
   // ------------------------------------------------------------- TableEnv --

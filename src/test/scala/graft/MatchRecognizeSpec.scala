@@ -334,6 +334,22 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((10.0, 2L, 150.0)))
   }
 
+  test("MEASURES/DEFINE lists split safely around literals with commas and parens") {
+    val df = Seq((1, 1, "a,b", 10.0), (1, 2, "x(", 150.0)).toDF("k", "seq", "label", "price")
+    df.createOrReplaceTempView("mr_lit")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_lit MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(A.price) AS a_val, LAST(B.price) AS b_val
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B)
+        |  DEFINE A AS A.label = 'a,b', B AS B.label <> '(oops, nested)'
+        |)""".stripMargin)
+    val rows = out.collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((10.0, 150.0)))
+  }
+
   test("undefined pattern variables are always-true (Flink semantics)") {
     val df = mk(Seq((1, 1, 500.0), (1, 2, 150.0)))
     df.createOrReplaceTempView("mr_any")

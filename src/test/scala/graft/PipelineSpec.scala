@@ -72,6 +72,13 @@ class PipelineSpec extends SparkTestBase {
     val plan = Dedup.incrementalDedup(newDocs, history, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), s"history-side shuffle join:\n$plan")
+    // null text (routine in raw crawl data) must flow through as not-a-dup,
+    // not NPE inside the bloom probe
+    val withNulls = Seq((1L, null: String), (2L, "doc text number 7"))
+      .toDF("doc_id", "text")
+    val nullOut = Dedup.incrementalDedup(withNulls, history, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(nullOut == Map(1L -> false, 2L -> true))
   }
 
   test("minhash signature approximates true Jaccard") {
