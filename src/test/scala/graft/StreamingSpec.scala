@@ -417,6 +417,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CEP: an unreferenced NEXT slot never holds a decidable match") {
+    import graft.operators.MatchRecognize
+    import graft.operators.MatchRecognize._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val df = mem.toDF().toDF("k", "ts", "price")
+    // B (NEXT-using) is defined but absent from the pattern; evaluating C
+    // must not compute B's NEXT slot — doing so at the last mature row would
+    // flag the frontier and hold the (A C) match forever
+    val out = MatchRecognize.matchRecognizeStream(
+      df, Seq("k"), "ts",
+      defines = Seq(
+        "A" -> expr("true"),
+        "C" -> expr("price < __nav_first_A_price_0"),
+        "B" -> expr("price > __nav_next_B_price_1")),
+      pattern = parsePattern("A C"),
+      measures = Seq(
+        Measure("anchor", "first", "A", "price"),
+        Measure("c_val", "last", "C", "price")),
+      watermarkDelay = Some("0 seconds"),
+      defineNavs = Seq(
+        DynNavSpec("__nav_first_A_price_0", "first", "A", "price", 0),
+        DynNavSpec("__nav_next_B_price_1", "next", "B", "price", 1)))
+    val q = out.writeStream.format("memory").queryName("cep_mask_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1, ts("2024-01-01 00:00:10"), 10.0), (1, ts("2024-01-01 00:00:11"), 5.0))
+      q.processAllAvailable()
+      mem.addData((2, ts("2024-01-01 00:10:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((2, ts("2024-01-01 00:10:10"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("cep_mask_stream").collect()
+        .map(r => (r.getAs[Double]("anchor"), r.getAs[Double]("c_val"))).toSeq
+      assert(got == Seq((10.0, 5.0)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming CUMULATE: expanding windows aggregate (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Double)]
