@@ -49,15 +49,25 @@ object Dedup {
     * bloom size from a history count. */
   def incrementalDedup(
       newDocs: DataFrame, history: DataFrame, idCol: String, textCol: String,
-      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+      fpp: Double = 0.01, expectedItems: Long = -1L,
+      maxBroadcastCandidates: Long = 4000000L): DataFrame = {
     val hist = history.select(md5(normalize(col(textCol))).as("digest"))
-    // bloom sizing: caller-provided > catalog/CBO row-count estimate > one
-    // count pass. Pass expectedItems on a large history to keep the history
-    // cost at exactly two scans (bloom build + confirm).
-    val n = if (expectedItems > 0) expectedItems
+    // bloom sizing: caller-provided > catalog/CBO row-count estimate. There
+    // is deliberately NO count() fallback: an implicit third scan of a
+    // 100 TB history is exactly the cost this operator exists to avoid, so
+    // an unknown history size is the caller's problem to state, loudly.
+    // (Sizing only sets the false-positive rate — every positive is exactly
+    // re-confirmed — so a rough estimate is fine.)
+    val n = (if (expectedItems > 0) Some(expectedItems)
       else history.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.toLong).filter(_ > 0)
-        .getOrElse(math.max(hist.count(), 1L))
+        .map(_.toLong).filter(_ > 0))
+      .getOrElse(throw new IllegalArgumentException(
+        "incrementalDedup: history row count is unknown (no catalog/CBO " +
+          "stats) — pass expectedItems=<approx history rows> (a rough " +
+          "estimate is fine; it only sizes the bloom filter), or ANALYZE " +
+          "the history table. Refusing the implicit full scan that a " +
+          "count() fallback would cost. For histories beyond broadcast " +
+          "reach, use materializeHistoryDigests + incrementalDedupBucketed."))
     val bloom = hist.stat.bloomFilter("digest", n, fpp)
     val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
     // sketch probe, one call per row — not a per-token hot path, so a Scala
@@ -72,8 +82,10 @@ object Dedup {
       // join keyed by the stream is unsupported, so the stream stays on the
       // LEFT of a stream-static outer join against the distinct history
       // digests. The bloom still pays for itself — bloom-negative rows skip
-      // the join entirely — but the static side is evaluated per micro-batch:
-      // for a large history, point it at a pre-materialized digest table.
+      // the join entirely — but the static side is RE-EVALUATED per
+      // micro-batch: for a large history this branch is the wrong tool —
+      // use materializeHistoryDigests + incrementalDedupBucketed, whose
+      // static side is the digest table itself (scan, no re-derivation).
       val histD = hist.distinct().withColumn("__dup", lit(true))
       val pos = withDigest.filter(mightContain(col("digest")))
         .join(histD, Seq("digest"), "left_outer")
@@ -85,15 +97,86 @@ object Dedup {
     } else {
       val candidates = withDigest.filter(mightContain(col("digest")))
         .select(col("digest")).distinct()
-      // history side probes the BROADCAST candidate set (semi join, no shuffle
-      // of the big side); the confirmed digests are candidate-bounded → small
-      val confirmed = hist.join(broadcast(candidates), Seq("digest"), "left_semi")
-        .distinct()
-        .withColumn("__dup", lit(true))
-      withDigest.join(broadcast(confirmed), Seq("digest"), "left_outer")
-        .select(col("doc_id"), col("digest"),
-          coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+      // The broadcast plan assumes the candidate set is small (true dups +
+      // an fpp trickle). A high-duplicate-rate batch makes it batch-sized,
+      // and a forced broadcast then dies where a shuffle join would degrade
+      // gracefully — so count it first (one extra scan of the SMALL side;
+      // the history is never the side we re-scan) and fall back.
+      val nCand = candidates.count()
+      if (nCand <= maxBroadcastCandidates) {
+        // history side probes the BROADCAST candidate set (semi join, no
+        // shuffle of the big side); confirmed is candidate-bounded → small
+        val confirmed = hist.join(broadcast(candidates), Seq("digest"), "left_semi")
+          .distinct()
+          .withColumn("__dup", lit(true))
+        withDigest.join(broadcast(confirmed), Seq("digest"), "left_outer")
+          .select(col("doc_id"), col("digest"),
+            coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+      } else {
+        // graceful degradation: candidate set too big to broadcast — plain
+        // shuffle joins (the history pays one exchange, but nothing OOMs)
+        val confirmed = hist.join(candidates, Seq("digest"), "left_semi")
+          .distinct()
+          .withColumn("__dup", lit(true))
+        withDigest.join(confirmed, Seq("digest"), "left_outer")
+          .select(col("doc_id"), col("digest"),
+            coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+      }
     }
+  }
+
+  /** Materialize a history corpus's DISTINCT content digests as a BUCKETED
+    * catalog table (`bucketBy(digest) sortBy(digest)` — the FLIP-376
+    * `DISTRIBUTED BY (digest)` shape, TableEnv.scala's bucketed-binding
+    * path). One full history scan, once — after this, every daily
+    * [[incrementalDedupBucketed]] run joins the digest table IN PLACE with
+    * zero Exchange on the history side, and the table grows by appending
+    * each day's new digests. This is the REQUIRED form for histories beyond
+    * bloom-broadcast reach (a 10¹¹-item bloom is ~120 GB — no executor
+    * broadcasts that; a bucketed digest table just adds buckets). */
+  def materializeHistoryDigests(
+      history: DataFrame, textCol: String, table: String,
+      buckets: Int = 32): Unit = {
+    val spark = history.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a managed-table location orphaned by a previous session (table gone
+    // from this metastore, directory still on disk) blocks CREATE with
+    // LOCATION_ALREADY_EXISTS — clear it
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    history.select(md5(normalize(col(textCol))).as("digest"))
+      .distinct()
+      .write.bucketBy(buckets, "digest").sortBy("digest")
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** Incremental exact dedup of a new batch (batch OR streaming) against a
+    * pre-materialized bucketed digest table from
+    * [[materializeHistoryDigests]].
+    *
+    * Batch: a left-outer sort-merge join where the digest table's bucketed
+    * scan already satisfies the join's hash-partitioning requirement — the
+    * ONLY Exchange in the plan is the (small) new batch shuffling to the
+    * bucket count; the history side is read in place, never shuffled, never
+    * broadcast (asserted by PipelineSpec's executed-plan test).
+    *
+    * Streaming: the same join as a stream-static join — the static side is
+    * the already-distinct digest TABLE, so micro-batches re-SCAN it (cheap,
+    * pruned, no Exchange) instead of re-deriving `history.distinct()` from
+    * the raw corpus each batch, which is what the bloom-path streaming
+    * branch of [[incrementalDedup]] must do when handed a raw history. */
+  def incrementalDedupBucketed(
+      newDocs: DataFrame, digestTable: String,
+      idCol: String, textCol: String): DataFrame = {
+    val digests = newDocs.sparkSession.table(digestTable)
+      .withColumn("__dup", lit(true))
+    newDocs
+      .select(col(idCol).as("doc_id"), md5(normalize(col(textCol))).as("digest"))
+      .join(digests, Seq("digest"), "left_outer")
+      .select(col("doc_id"), col("digest"),
+        coalesce(col("__dup"), lit(false)).as("is_duplicate"))
   }
 
   /** MinHash signature: ARRAY<BIGINT> of `numHashes` minima over char

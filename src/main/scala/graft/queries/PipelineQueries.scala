@@ -58,6 +58,20 @@ object PipelineQueries {
       Dedup.incrementalDedup(
           docs.filter(col("doc_id") % 5 === 0),
           docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", expectedItems = 1L << 16)
+        .orderBy(col("doc_id"))
+    },
+
+    // the same operation in its beyond-bloom-reach form: history digests
+    // pre-materialized ONCE as a bucketed catalog table, daily batches
+    // left-outer join it in place — zero Exchange on the history side
+    // (plan asserted in PipelineSpec; this gate pins the VALUES)
+    "q_dedup_incremental_bucketed" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.materializeHistoryDigests(
+        docs.filter(col("doc_id") % 2 === 0), "text", "graft_digests_hist")
+      Dedup.incrementalDedupBucketed(
+          docs.filter(col("doc_id") % 7 === 0), "graft_digests_hist",
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
@@ -418,6 +432,17 @@ object PipelineQueries {
         |n AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
         |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT n.doc_id, n.digest,
+        |       EXISTS (SELECT 1 FROM hist WHERE hist.digest = n.digest) AS is_duplicate
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental_bucketed" ->
+      """WITH hist AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |n AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+        |  FROM documents WHERE doc_id % 7 = 0)
         |SELECT n.doc_id, n.digest,
         |       EXISTS (SELECT 1 FROM hist WHERE hist.digest = n.digest) AS is_duplicate
         |FROM n ORDER BY doc_id""".stripMargin,

@@ -15,6 +15,14 @@ object Shims {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Physical plan of a streaming query's most recent micro-batch — the
+    * only way to assert executed-plan shape (Exchange count, re-derived
+    * aggregates) for stream-static joins in tests. */
+  def lastExecutedPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.execution.SparkPlan =
+    q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+
   /** Register a Catalyst expression builder as a SQL function name. */
   def registerFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =

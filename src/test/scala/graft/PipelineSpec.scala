@@ -65,20 +65,118 @@ class PipelineSpec extends SparkTestBase {
     // normalization applies on both sides: case/whitespace variants are dups
     val outNorm = Dedup.incrementalDedup(
         Seq((1L, "DOC   Text  NUMBER 7")).toDF("doc_id", "text"),
-        history, "doc_id", "text")
+        history, "doc_id", "text", expectedItems = 200)
       .collect()
     assert(outNorm.head.getBoolean(2), "normalized variant must be flagged")
     // no history shuffle: both joins against the corpus are broadcast
-    val plan = Dedup.incrementalDedup(newDocs, history, "doc_id", "text")
+    val plan = Dedup.incrementalDedup(newDocs, history, "doc_id", "text",
+        expectedItems = 200)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), s"history-side shuffle join:\n$plan")
     // null text (routine in raw crawl data) must flow through as not-a-dup,
     // not NPE inside the bloom probe
     val withNulls = Seq((1L, null: String), (2L, "doc text number 7"))
       .toDF("doc_id", "text")
-    val nullOut = Dedup.incrementalDedup(withNulls, history, "doc_id", "text")
+    val nullOut = Dedup.incrementalDedup(withNulls, history, "doc_id", "text",
+        expectedItems = 200)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(nullOut == Map(1L -> false, 2L -> true))
+  }
+
+  test("incremental dedup refuses an unknown-size history instead of a silent count scan") {
+    // parquet scans carry no CBO row count by default — the operator must
+    // demand expectedItems, not silently pay a third scan of the history
+    val dir = java.nio.file.Files.createTempDirectory("graft-nostats")
+    try {
+      (0 until 50).map(i => (i.toLong, s"t $i")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir.toString)
+      val history = spark.read.parquet(dir.toString)
+      val newDocs = Seq((1L, "t 1")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.incrementalDedup(newDocs, history, "doc_id", "text")
+      }
+      assert(e.getMessage.contains("expectedItems"), e.getMessage)
+      // with the size stated, the same inputs work
+      val out = Dedup.incrementalDedup(newDocs, history, "doc_id", "text",
+          expectedItems = 50)
+        .collect()
+      assert(out.head.getBoolean(2))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("incremental dedup falls back to shuffle joins above the broadcast-candidate cap") {
+    // every new row is a duplicate → the candidate set is batch-sized; with
+    // the cap below it the operator must degrade to plain joins (no forced
+    // broadcast) and still return the exact answer
+    val history = (0 until 300).map(i => (i.toLong, s"doc text number $i")).toDF("doc_id", "text")
+    val newDocs = (0 until 300).map(i => (1000L + i, s"doc text number $i")).toDF("doc_id", "text")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable auto-broadcast so a FORCED broadcast hint would be visible;
+      // above the cap the operator must emit plain (shuffle-able) joins
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Dedup.incrementalDedup(newDocs, history, "doc_id", "text",
+        expectedItems = 300, maxBroadcastCandidates = 10)
+      val flags = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(flags.size == 300 && flags.values.forall(identity), "all rows are dups")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"expected shuffle-join degradation above the cap:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("bucketed incremental dedup: zero Exchange on the history side, batch and streaming") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("DROP TABLE IF EXISTS graft_digests_spec")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File("spark-warehouse/graft_digests_spec"))
+    val history = (0 until 400).map(i => (i.toLong, s"doc text number $i")).toDF("doc_id", "text")
+    Dedup.materializeHistoryDigests(history, "text", "graft_digests_spec", buckets = 4)
+    val newDocs = (300 until 500).map(i => (1000L + i, s"doc text number $i")).toDF("doc_id", "text")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val out = Dedup.incrementalDedupBucketed(newDocs, "graft_digests_spec", "doc_id", "text")
+      val flags = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      (300 until 500).foreach { i =>
+        assert(flags(1000L + i) == (i < 400), s"doc $i flagged ${flags(1000L + i)}")
+      }
+      // the bucketed scan satisfies the join's partitioning: the ONLY
+      // Exchange shuffles the new batch to the bucket count — the history
+      // digest table is read in place
+      // AQE's toString echoes the initial plan below the final one — count
+      // Exchanges only in the executed (final) section
+      val plan = out.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"history side must not shuffle:\n${plan.take(2500)}")
+      assert(plan.contains("Bucketed: true"), plan.take(2500))
+
+      // streaming: same join as a stream-static join against the digest
+      // TABLE — the static side re-scans (no distinct re-derivation) and
+      // still carries no Exchange
+      val dir = java.nio.file.Files.createTempDirectory("graft-bucketstream")
+      try {
+        newDocs.write.mode("overwrite").parquet(dir.toString)
+        val stream = spark.readStream
+          .schema(newDocs.schema).parquet(dir.toString)
+        val sout = Dedup.incrementalDedupBucketed(stream, "graft_digests_spec", "doc_id", "text")
+        assert(sout.isStreaming)
+        val q = sout.writeStream.outputMode("append").format("memory")
+          .queryName("inc_bucket_stream").trigger(Trigger.AvailableNow()).start()
+        try assert(q.awaitTermination(60000), "bucketed dedup stream did not finish")
+        finally q.stop()
+        val streamed = spark.table("inc_bucket_stream").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+        assert(streamed == flags, "stream == batch parity")
+        val splan = org.apache.spark.sql.graft.Shims.lastExecutedPlan(q).toString
+          .split("== Initial Plan ==").head
+        assert("Exchange hashpartitioning".r.findAllIn(splan).size <= 1,
+          s"history side must not shuffle in the micro-batch plan:\n${splan.take(2500)}")
+        assert(!splan.contains("HashAggregate"),
+          s"static side must not re-derive distinct():\n${splan.take(2500)}")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("minhash signature approximates true Jaccard") {

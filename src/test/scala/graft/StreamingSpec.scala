@@ -188,7 +188,8 @@ class StreamingSpec extends SparkTestBase {
     val stream = spark.readStream
       .schema(spark.read.parquet(dir.toString).schema)
       .parquet(dir.toString)
-    val out = graft.pipeline.Dedup.incrementalDedup(stream, history, "doc_id", "text")
+    val out = graft.pipeline.Dedup.incrementalDedup(stream, history, "doc_id", "text",
+      expectedItems = 1L << 16)
     assert(out.isStreaming)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("inc_dedup_stream").trigger(Trigger.AvailableNow()).start()
@@ -199,7 +200,8 @@ class StreamingSpec extends SparkTestBase {
     }
     val streamed = spark.table("inc_dedup_stream").collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    val batch = graft.pipeline.Dedup.incrementalDedup(newBatch, history, "doc_id", "text")
+    val batch = graft.pipeline.Dedup.incrementalDedup(newBatch, history, "doc_id", "text",
+        expectedItems = 1L << 16)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(streamed == batch, s"stream ${streamed.size} rows vs batch ${batch.size}")
     assert(streamed.values.exists(identity) && streamed.values.exists(!_),
