@@ -649,15 +649,31 @@ object MatchRecognize {
 
   // ----------------------------------------------------------- streaming --
 
+  /** Versioned envelope for the streaming operator's per-key state. The
+    * version field exists so a future format change can MIGRATE in place;
+    * checkpoints from the unversioned tuple formats (v1 `(rows, matchNo)`,
+    * v2 `(rows, matchNo, ctxLen)`) cannot — restoring one raises a clear
+    * restart-from-fresh-checkpoint error instead of an opaque
+    * ClassCastException deep in the state store. */
+  final case class CepState(
+      version: Int, rows: Array[Row], matchNo: Long, ctxLen: Int)
+  private val CepStateVersion = 3
+
   /** Streaming MATCH_RECOGNIZE: the same kernel inside
     * `flatMapGroupsWithState` with event-time timeouts. `orderBy` must be
     * the event-time column; the input must carry a watermark (bindings with
     * a WATERMARK DDL clause do; otherwise pass `watermarkDelay`). Matches
     * emit exactly once, when the watermark passes their last row.
     *
-    * State format v2 (rows, matchNo, contextLen) — a checkpoint written by
-    * the v1 two-field format does not restore; restart such queries from a
-    * fresh checkpointLocation. */
+    * All four AFTER MATCH SKIP modes run on this path. The overlapping
+    * modes (TO NEXT ROW, TO FIRST/LAST v) resume the scan INSIDE emitted
+    * matches; that is a kernel position, so retention is unchanged — rows
+    * from the first unfinished attempt onward are held, and every attempt
+    * before it (overlapping or not) has already been resolved exactly.
+    *
+    * State is the versioned [[CepState]] envelope — a checkpoint written by
+    * the pre-envelope tuple formats does not restore; restart such queries
+    * from a fresh checkpointLocation (the failure says so). */
   def matchRecognizeStream(
       df: DataFrame,
       partitionBy: Seq[String],
@@ -668,7 +684,8 @@ object MatchRecognize {
       watermarkDelay: Option[String] = None,
       allRows: Boolean = false,
       altPatterns: Seq[Seq[PatTok]] = Nil,
-      defineNavs: Seq[DynNavSpec] = Nil): DataFrame = {
+      defineNavs: Seq[DynNavSpec] = Nil,
+      skip: SkipMode = SkipPastLastRow): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
     val watermarked = watermarkDelay match {
@@ -678,7 +695,7 @@ object MatchRecognize {
     }
     val (withBits, kernel, outSchema) =
       prepare(watermarked, partitionBy, orderBy, defines, pattern +: altPatterns,
-        measures, Nil, allRows, streaming = true, dynNavs = defineNavs)
+        measures, Nil, allRows, streaming = true, skip = skip, dynNavs = defineNavs)
     // PREV references need history: retain up to maxPrev rows before the
     // scan resume point as navigation-only context (never a match start)
     val maxPrev = defineNavs.collect { case nv if nv.kind == "prev" => nv.offset }
@@ -688,8 +705,9 @@ object MatchRecognize {
     val tsIdx = schema.fieldIndex(orderBy)
     val rowEnc = org.apache.spark.sql.Encoders.row(schema)
     val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
-    // state: (buffered rows, match counter, leading context-row count)
-    val stateEnc = org.apache.spark.sql.Encoders.javaSerialization[(Array[Row], Long, Int)]
+    // state: buffered rows + match counter + leading context-row count,
+    // inside the versioned envelope
+    val stateEnc = org.apache.spark.sql.Encoders.javaSerialization[CepState]
 
     def tsMillis(r: Row): Long = r.get(tsIdx) match {
       case t: java.sql.Timestamp => t.getTime
@@ -705,8 +723,25 @@ object MatchRecognize {
 
     val out = grouped.flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-      (_: String, rows: Iterator[Row], state: GroupState[(Array[Row], Long, Int)]) => {
-        val (held, matchNo0, ctx0) = state.getOption.getOrElse((Array.empty[Row], 0L, 0))
+      (_: String, rows: Iterator[Row], state: GroupState[CepState]) => {
+        // the java-serialization blob of a pre-envelope checkpoint
+        // deserializes to a Tuple, and the first field access throws CCE —
+        // surface the documented guidance instead of the raw cast failure
+        val restored = try {
+          state.getOption.map(s =>
+            if (s.version == CepStateVersion) s
+            else throw new IllegalStateException(
+              s"streaming MATCH_RECOGNIZE state version ${s.version} found, " +
+                s"expected $CepStateVersion — this checkpoint was written by " +
+                "an incompatible release; restart from a fresh checkpointLocation"))
+        } catch {
+          case cce: ClassCastException => throw new IllegalStateException(
+            "streaming MATCH_RECOGNIZE state predates the versioned CepState " +
+              "envelope (the old (rows, matchNo[, ctxLen]) tuple format) and " +
+              "cannot be restored — restart from a fresh checkpointLocation", cce)
+        }
+        val CepState(_, held, matchNo0, ctx0) =
+          restored.getOrElse(CepState(CepStateVersion, Array.empty[Row], 0L, 0))
         // new rows pass the late filter (ts >= watermark) while context rows
         // are strictly below it, so appending + sorting keeps ctx a prefix
         val buf = (held ++ rows).sortBy(tsMillis)
@@ -719,7 +754,7 @@ object MatchRecognize {
           kernel.scan(mature, closed = false, matchNo0, ctx = ctx0)
         val dropFrom = math.max(retainFrom - maxPrev, 0)
         val kept = buf.drop(dropFrom)
-        state.update((kept, matchNo, retainFrom - dropFrom))
+        state.update(CepState(CepStateVersion, kept, matchNo, retainFrom - dropFrom))
         // wake up when the watermark moves, so held matches drain even if
         // the key receives no more input; fully-drained keys go dormant (a
         // counter-sized entry, no timer — Flink keeps per-key NFA state the
@@ -856,13 +891,10 @@ object MatchRecognize {
       .filterNot(v => defined.exists(_._1.equalsIgnoreCase(v)))
     val defines = defined ++ undefinedVars.map(_ -> lit(true))
 
-    if (streaming && skip != SkipPastLastRow)
-      throw new IllegalArgumentException(
-        "AFTER MATCH SKIP modes other than PAST LAST ROW are batch-only for now")
     if (streaming)
       matchRecognizeStream(input, partitionBy, orderBy, defines, pattern, measures,
         watermarkDelay = None, allRows = allRows, altPatterns = patternAlts.tail,
-        defineNavs = dynNavs.toSeq)
+        defineNavs = dynNavs.toSeq, skip = skip)
     else
       matchRecognize(input, partitionBy, orderBy, defines, pattern,
         measures, navs.toSeq, allRows, altPatterns = patternAlts.tail,

@@ -889,4 +889,64 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty && streamed.values.exists(_._3) && streamed.values.exists(!_._3))
   }
+
+  test("streaming CEP skip modes: stream == batch parity on overlapping matches") {
+    // all four AFTER MATCH SKIP modes on the streaming operator, pinned
+    // against the batch path over a corpus where the overlapping modes
+    // genuinely diverge from PAST LAST ROW (rising runs chain and overlap)
+    import graft.operators.MatchRecognize
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(1.0, 2.0, 3.0, 1.0, 5.0, 2.0, 7.0, 8.0, 1.0).zipWithIndex.map {
+      case (p, i) => (1, ts(f"2024-01-01 00:00:${10 + i}%02d"), p)
+    }
+    // watermark pushers on another key; descending so key 2 never matches
+    // (a key-2 match could never drain — its last row sits at the watermark)
+    val pushers = Seq((2, ts("2024-01-01 00:10:00"), 9.0),
+      (2, ts("2024-01-01 00:10:10"), 1.0))
+    def mrSql(view: String, mode: String) =
+      s"""SELECT * FROM $view MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ts
+         |  MEASURES FIRST(A.price) AS base, LAST(B.price) AS peak, MATCH_NUMBER() AS mno
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP $mode
+         |  PATTERN (A B+)
+         |  DEFINE B AS B.price > PREV(B.price)
+         |)""".stripMargin
+    spark.createDataFrame(data ++ pushers).toDF("k", "ts", "price")
+      .createOrReplaceTempView("cep_skip_batch")
+    val batchByMode =
+      Seq("PAST LAST ROW", "TO NEXT ROW", "TO FIRST B", "TO LAST B").map { mode =>
+        val mem = MemoryStream[(Int, Timestamp, Double)]
+        mem.toDF().toDF("k", "ts", "price").withWatermark("ts", "0 seconds")
+          .createOrReplaceTempView("cep_skip_stream")
+        val out = MatchRecognize.sql(spark, mrSql("cep_skip_stream", mode))
+        assert(out.isStreaming)
+        val qn = "cep_skip_out_" + mode.toLowerCase.replaceAll("\\W+", "_")
+        val q = out.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          // two waves so held/overlapping attempts cross a batch boundary
+          mem.addData(data.take(4): _*)
+          q.processAllAvailable()
+          mem.addData(data.drop(4): _*)
+          q.processAllAvailable()
+          pushers.foreach { p => mem.addData(p); q.processAllAvailable() }
+          val streamed = spark.table(qn).collect()
+            .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+            .toSeq.sorted
+          val batch = MatchRecognize.sql(spark, mrSql("cep_skip_batch", mode))
+            .collect()
+            .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+            .toSeq.sorted
+          assert(batch.nonEmpty, s"$mode: batch produced no matches — weak corpus")
+          assert(streamed == batch, s"$mode: stream $streamed vs batch $batch")
+          mode -> batch
+        } finally q.stop()
+      }.toMap
+    // the corpus must actually separate the overlapping modes, or the parity
+    // above is vacuous (TO LAST B legitimately coincides with PAST LAST ROW
+    // here: a rising run's peak can never start a new rising run)
+    assert(batchByMode("TO NEXT ROW").size > batchByMode("PAST LAST ROW").size)
+    assert(batchByMode("TO FIRST B").size > batchByMode("PAST LAST ROW").size)
+  }
 }
