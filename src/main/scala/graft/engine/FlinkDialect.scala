@@ -291,6 +291,17 @@ object FlinkDialect {
       s = s2
     }
 
+    // ROW(a, b) constructor (G:459) → struct(a, b): field names follow the
+    // argument columns, so FLATTEN / dotted access see Flink-shaped names.
+    // \b after ROW can't be relied on alone (ROW_NUMBER has no boundary
+    // before _, so it's safe; ROWS/ROW in frames/MATCH clauses carry no
+    // opening paren, which the lookahead requires)
+    s = """(?i)(?<![\w_])ROW\s*\(""".r.replaceAllIn(s, "struct(")
+    // FLATTEN(r) (G:459) expands a composite column to its fields — Spark's
+    // qualified star does exactly this in a select list
+    s = """(?i)(?<![\w_])FLATTEN\s*\(\s*([\w.`]+)\s*\)""".r.replaceAllIn(s, m =>
+      Regex.quoteReplacement(s"${m.group(1)}.*"))
+
     // 1-based subscripts x[e] → element_at(x, e) — any index expression
     // (F:453): element_at is 1-based for arrays (Flink semantics) and
     // identical for map keys; handles chains a[1][2] and call bases f(x)[i]

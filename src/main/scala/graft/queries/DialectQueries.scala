@@ -28,6 +28,26 @@ object DialectQueries {
         |FROM d CROSS JOIN UNNEST(tags) AS t(tag)
         |ORDER BY doc_id, tag""".stripMargin)
     },
+    // ROW constructor + FLATTEN expansion + dotted field access (G:459):
+    // the struct is genuinely built and re-expanded on the Spark side; the
+    // oracle sees only the flat columns
+    "q_flink_row_flatten" -> { (s, dir) => fsql(s, dir,
+      """WITH r AS (
+        |  SELECT o_orderkey, ROW(o_custkey, o_totalprice) AS rec
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT o_orderkey, FLATTEN(rec), rec.o_totalprice AS price_again
+        |FROM r ORDER BY o_orderkey""".stripMargin)
+    },
+    // MULTISET round-trip (G:459 COLLECT convention, SURVEY §1.2): build the
+    // element→count multiset, then read it back — per-element multiplicities
+    // by key access, distinct cardinality over its key set
+    "q_flink_multiset" -> { (s, dir) => fsql(s, dir,
+      """SELECT o_orderstatus,
+        |       CAST(COALESCE(COLLECT(o_orderpriority)['1-URGENT'], 0) AS BIGINT) AS n_urgent,
+        |       CAST(COALESCE(COLLECT(o_orderpriority)['5-LOW'], 0) AS BIGINT) AS n_low,
+        |       CAST(CARDINALITY(MAP_KEYS(COLLECT(o_orderpriority))) AS BIGINT) AS n_distinct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
     // typed Aggregator UDAF: exact decimal sum registered as SQL function
     "q_agg_typed_udaf" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -138,6 +158,17 @@ object DialectQueries {
       """SELECT doc_id, UNNEST(string_split(text, ' ')) AS tag, CAST(1 AS BIGINT) AS one
         |FROM documents WHERE doc_id < 100
         |ORDER BY doc_id, tag""".stripMargin,
+
+    "q_flink_row_flatten" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_totalprice AS price_again
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_flink_multiset" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low,
+        |       COUNT(DISTINCT o_orderpriority) AS n_distinct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_typed_udaf" ->
       """SELECT l_returnflag,

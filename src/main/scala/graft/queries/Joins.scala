@@ -42,6 +42,17 @@ object Joins {
         .orderBy(col("nationkey"))
     },
 
+    // RIGHT OUTER: the mirrored shape — orders on the left, every customer
+    // kept from the right (native Spark right_outer; dialect passthrough)
+    "q_join_right_outer" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          count(when(col("o_totalprice") > 3000, true)).as("n_large"))
+        .orderBy(col("c_custkey"))
+    },
+
     // CROSS JOIN (tiny dims only — region × nation)
     "q_join_cross" -> { (s, dir) =>
       t(s, dir, "region").crossJoin(t(s, dir, "nation"))
@@ -154,6 +165,12 @@ object Joins {
         |       COALESCE(n_customers, 0) AS n_customers
         |FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey
         |ORDER BY nationkey""".stripMargin,
+
+    "q_join_right_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |       COUNT(CASE WHEN o_totalprice > 3000 THEN TRUE END) AS n_large
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
 
     "q_join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
