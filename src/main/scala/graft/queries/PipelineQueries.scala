@@ -131,6 +131,43 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // ANN recall@10 vs brute-force ground truth as a GATE-visible metric:
+    // the brute side is SQL-recomputable (same shape as q_sim_topk_brute's
+    // oracle), and the engine-dependent IVF/LSH results enter only through
+    // threshold booleans asserted IN the query — a recall regression flips
+    // them and the oracle hash mismatches. Thresholds sit under the measured
+    // floors at every sweep SF (tools/RecallProbe: ivf min 0.10 avg ≥0.52,
+    // lsh(nBits=4) min 0.10 avg ≥0.44).
+    "q_sim_recall" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val brute = Similarity.bruteForceTopK(
+          e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4).select(col("query_id"), col("vec_id"))
+      val lsh = Similarity.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, nBits = 4).select(col("query_id"), col("vec_id"))
+      def recall(ann: DataFrame, name: String) =
+        brute.join(ann, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy(col("query_id")).agg((count(lit(1)) / 10.0).as(name))
+      val perQ = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(recall(ivf, "ivf_recall"), Seq("query_id"), "left_outer")
+        .join(recall(lsh, "lsh_recall"), Seq("query_id"), "left_outer")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("ivf_recall"), lit(0.0)).as("ivf_recall"),
+          coalesce(col("lsh_recall"), lit(0.0)).as("lsh_recall"))
+      val avgs = perQ.agg(avg(col("ivf_recall")).as("ivf_avg"),
+        avg(col("lsh_recall")).as("lsh_avg"))
+      perQ.crossJoin(broadcast(avgs))
+        .select(col("query_id"), col("n_brute"),
+          (col("ivf_recall") >= 0.05).as("ivf_floor_ok"),
+          (col("lsh_recall") >= 0.05).as("lsh_floor_ok"),
+          (col("ivf_avg") >= 0.40).as("ivf_avg_ok"),
+          (col("lsh_avg") >= 0.30).as("lsh_avg_ok"))
+        .orderBy(col("query_id"))
+    },
+
     // token counting + quality features + composite score
     "q_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")
@@ -472,6 +509,25 @@ object PipelineQueries {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(c, 6) AS cos FROM p WHERE ROUND(c, 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |               (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |                sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, COUNT(*) AS n_brute,
+        |       TRUE AS ivf_floor_ok, TRUE AS lsh_floor_ok,
+        |       TRUE AS ivf_avg_ok, TRUE AS lsh_avg_ok
+        |FROM ranked WHERE rnk <= 10
+        |GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     "q_sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
