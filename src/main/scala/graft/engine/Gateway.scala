@@ -296,6 +296,69 @@ class Gateway(root: SparkSession) {
       case _ => route(spark, stmt)
     }
 
+  // ---------------------------------------------- completion resolution --
+
+  private val RefRe =
+    """(?im)(?:FROM|JOIN)\s+([`\w\-.]+)(?:\s+(?:AS\s+)?(?!ON\b|WHERE\b|GROUP\b|ORDER\b|LEFT\b|RIGHT\b|INNER\b|FULL\b|CROSS\b|JOIN\b|USING\b|LATERAL\b)([`\w\-]+))?""".r
+  private def stripQ(s: String) = s.replace("`", "")
+
+  /** Completion-metadata resolution backend. The reference resolves the
+    * dot-chain CLIENT-side over per-call gateway metadata requests
+    * (completionProvider.ts:107-170: `cat.` → databases, `cat.db.` →
+    * tables, `alias.`/`table.` → columns via DESCRIBE, bare prefix →
+    * catalogs + tables + context columns); this surfaces the same
+    * resolution as one engine endpoint. Returns (label, kind) pairs,
+    * kind ∈ catalog|database|table|column. Every metadata read routes
+    * through the session metaCache, so a burst of completion requests
+    * coalesces into one SHOW/DESCRIBE each (TTL + in-flight dedup). */
+  def resolve(sessionHandle: String, linePrefix: String,
+      sqlText: String = ""): Seq[(String, String)] = {
+    val spark = session(sessionHandle).spark
+    // the NAME column: Spark-native listings carry (namespace, tableName,
+    // isTemporary) / (namespace) — prefer the *name column over position
+    def firstCol(stmt: String): Seq[String] =
+      try {
+        val (cols, rs) = routeCached(sessionHandle, spark, stmt) match {
+          case Rows(c, r) => (c, r)
+          case Finished(df) => (df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
+          case _ => (Nil, Nil)
+        }
+        val idx = cols.indexWhere(c => c.equalsIgnoreCase("tableName")
+          || c.equalsIgnoreCase("namespace") && cols.size == 1
+          || c.equalsIgnoreCase("databaseName"))
+        rs.map(r => r(math.max(idx, 0))).filter(_ != null).map(_.toString)
+      } catch { case _: Exception => Nil }
+    // FROM/JOIN references with their (implicit) aliases, as the reference's
+    // extractTableReferences does — fullPath kept verbatim for DESCRIBE
+    val refs = RefRe.findAllMatchIn(sqlText).map { m =>
+      val full = m.group(1)
+      val tableName = stripQ(full.split('.').last)
+      val alias = Option(m.group(2)).map(stripQ).getOrElse(tableName)
+      (tableName, alias, full)
+    }.toSeq
+    val DoubleDot = """([`\w\-]+)\.([`\w\-]+)\.\s*$""".r
+    val SingleDot = """([`\w\-]+)\.\s*$""".r
+    linePrefix match {
+      case DoubleDot(_, _) =>
+        // catalog.database. → tables (session-context listing, as the
+        // reference's getTables does for the resolved pair)
+        firstCol("SHOW TABLES").map(_ -> "table")
+      case SingleDot(id0) =>
+        val id = stripQ(id0)
+        val fromRefs = refs.filter(r => r._2 == id || r._1 == id).flatMap(r =>
+          firstCol(s"DESCRIBE ${r._3}").map(_ -> "column"))
+        val asCatalog =
+          if (firstCol("SHOW CATALOGS").contains(id))
+            firstCol("SHOW DATABASES").map(_ -> "database")
+          else Nil
+        fromRefs ++ asCatalog
+      case _ =>
+        firstCol("SHOW CATALOGS").map(_ -> "catalog") ++
+          firstCol("SHOW TABLES").map(_ -> "table") ++
+          refs.flatMap(r => firstCol(s"DESCRIBE ${r._3}").map(_ -> "column"))
+    }
+  }
+
   private def route(spark: SparkSession, stmt: String): OpResult = {
     val upper = stmt.toUpperCase
     stmt match {

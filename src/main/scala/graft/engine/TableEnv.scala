@@ -371,6 +371,19 @@ object TableEnv {
       } catch { case _: Exception => false }
       if (!samePath) spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(b)}")
     }
+    // 3rd-party connector bundle (reference connector-value list, G:513):
+    // no client jar or backing service exists in this environment, so each
+    // name fails fast AT DDL TIME with its specific missing-runtime reason
+    // (the protobuf-format precedent) instead of a baffling
+    // table-not-found at first SELECT
+    unavailableConnectors.get(b.connector).foreach { needs =>
+      throw new IllegalArgumentException(
+        s"connector '${b.connector}' (binding '${b.name}') requires $needs, " +
+          "which is not available in this environment. Available connectors: " +
+          "filesystem, kafka/upsert-kafka, jdbc, elasticsearch-6/-7 (sink), " +
+          "datagen, values, print, blackhole, and the *-cdc family " +
+          "(changelog replay).")
+    }
     registry.put(b.name, b)
     // materialize a session view: unbounded datagen/kafka register their
     // STREAMING df so SELECT plans a streaming query (§3.1); jdbc registers a
@@ -378,6 +391,20 @@ object TableEnv {
     rebind(spark, b)
     b
   }
+
+  /** Connector → the runtime it needs (G:513 names this environment cannot
+    * back). Kept specific per name so the error tells the user exactly
+    * what's missing, mirroring the reference toolkit's factory errors. */
+  private val unavailableConnectors: Map[String, String] = Map(
+    "hive" -> "a Hive metastore and warehouse (Spark hive jars + metastore URI)",
+    "hbase-1.4" -> "an HBase 1.4 client and a reachable HBase cluster",
+    "hbase-2.2" -> "an HBase 2.2 client and a reachable HBase cluster",
+    "kinesis" -> "the AWS Kinesis client and AWS credentials",
+    "firehose" -> "the AWS Firehose client and AWS credentials",
+    "dynamodb" -> "the AWS DynamoDB client and AWS credentials",
+    "pulsar" -> "the Pulsar client and a reachable Pulsar broker",
+    "rabbitmq" -> "the RabbitMQ client and a reachable broker",
+    "mongodb" -> "the MongoDB driver and a reachable MongoDB server")
 
   // -------------------------------------------------------------- sources --
 

@@ -786,4 +786,64 @@ class EngineSpec extends SparkTestBase {
     gw2.fetchResults(gw2.executeStatement(h, "INSERT INTO bt1 SELECT id, v FROM bsrc LIMIT 10"), 0)
     assert(TableEnv.batchDF(spark, TableEnv.lookup("bt1").get).count() == 10)
   }
+
+  test("completion resolution endpoint: dot-chain levels resolve through the meta cache") {
+    // the reference resolves completion metadata client-side
+    // (completionProvider.ts:107-170); this is the same resolution as one
+    // gateway endpoint — every level, plus the cache-coalescing behavior
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    gw.executeStatement(h,
+      "CREATE TABLE ct_res (id BIGINT, name STRING) WITH ('connector'='datagen','number-of-rows'='5')")
+    // bare prefix → catalogs + visible tables
+    val bare = gw.resolve(h, "SELECT * FROM ")
+    assert(bare.exists(_._2 == "catalog"), bare.toString)
+    assert(bare.contains("ct_res" -> "table"), bare.toString)
+    // alias. → the aliased table's columns from statement context
+    val byAlias = gw.resolve(h, "SELECT a.", "SELECT a. FROM ct_res a")
+    assert(byAlias.filter(_._2 == "column").map(_._1).toSet == Set("id", "name"), byAlias.toString)
+    // the table name itself is its implicit alias
+    val byName = gw.resolve(h, "SELECT ct_res.", "SELECT ct_res. FROM ct_res")
+    assert(byName.filter(_._2 == "column").map(_._1).toSet == Set("id", "name"), byName.toString)
+    // catalog. → its databases; cat.db. → tables
+    val dbs = gw.resolve(h, "spark_catalog.")
+    assert(dbs.nonEmpty && dbs.forall(_._2 == "database"), dbs.toString)
+    val tbls = gw.resolve(h, "spark_catalog.default.")
+    assert(tbls.contains("ct_res" -> "table"), tbls.toString)
+    // cache reuse: repeating a prefix must hit the TTL cache, not re-route
+    val misses0 = gw.metaCache.misses.get()
+    val hits0 = gw.metaCache.hits.get()
+    gw.resolve(h, "SELECT * FROM ")
+    assert(gw.metaCache.misses.get() == misses0, "repeat resolve re-computed metadata")
+    assert(gw.metaCache.hits.get() >= hits0 + 2, "repeat resolve bypassed the cache")
+  }
+
+  test("3rd-party connectors fail fast with their specific missing-runtime reason") {
+    // the reference grammar's connector list (G:513) names services this
+    // environment can't back — each must fail AT DDL TIME naming what's
+    // missing, not parse-error or table-not-found at first SELECT
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val cases = Map(
+      "hive" -> "Hive metastore",
+      "hbase-1.4" -> "HBase 1.4 client",
+      "hbase-2.2" -> "HBase 2.2 client",
+      "kinesis" -> "Kinesis client",
+      "firehose" -> "Firehose client",
+      "dynamodb" -> "DynamoDB client",
+      "pulsar" -> "Pulsar client",
+      "rabbitmq" -> "RabbitMQ client",
+      "mongodb" -> "MongoDB driver")
+    cases.foreach { case (conn, hint) =>
+      val page = gw.fetchResults(gw.executeStatement(h,
+        s"CREATE TABLE t_conn (id BIGINT) WITH ('connector'='$conn')"), 0)
+      assert(page.columns == Seq("error"), s"'$conn' was accepted: $page")
+      val msg = page.rows.flatten.mkString(" ")
+      assert(msg.contains(hint) && msg.contains(s"'$conn'"),
+        s"'$conn' error lacks its specific reason: $msg")
+      assert(TableEnv.lookup("t_conn").isEmpty, s"'$conn' binding registered despite failure")
+    }
+  }
 }
