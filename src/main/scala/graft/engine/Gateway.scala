@@ -611,6 +611,10 @@ class Gateway(root: SparkSession) {
       case s if CurrentWatermarkRe.findFirstIn(s).isDefined =>
         currentWatermarkSelect(spark, s)
       case s =>
+        ttlAggregate(spark, s) match {
+          // flatMapGroupsWithState(Update) requires update output mode
+          case Some(df) => startStreamingSelect(spark, df, forceMode = Some("update"))
+          case None =>
         streamingDedup(spark, s) match {
           case Some(df) => startStreamingSelect(spark, df)
           case None =>
@@ -621,6 +625,52 @@ class Gateway(root: SparkSession) {
                 if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
             }
         }
+        }
+    }
+  }
+
+  // ------------------------------------------------------------ state TTL --
+
+  private val TtlAggRe =
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+([\w.`,\s]+?)\s*;?\s*$""".r
+  private val TtlItemAggRe =
+    """(?i)^(COUNT|SUM|MIN|MAX)\s*\(\s*(\*|[\w.`]+)\s*\)\s+AS\s+(\w+)$""".r
+
+  /** `table.exec.state.ttl` honored for the shape it exists for: a simple
+    * keyed streaming aggregation (`SELECT keys.., AGG(..) AS a FROM t GROUP
+    * BY keys`) over a WATERMARKED binding. The aggregation runs through
+    * [[graft.operators.StateTtl]] — per-key state evicted once the
+    * watermark passes the key's last update + TTL, so an idle key restarts
+    * from zero like Flink's expired state. Statements outside this shape
+    * (windowed aggs, joins, expressions in GROUP BY) return None and take
+    * the native path, where the TTL stays accepted-and-carried (windowed
+    * aggregation state is already watermark-bounded by Spark itself). */
+  private[graft] def ttlAggregate(spark: SparkSession, s: String): Option[DataFrame] = {
+    val ttl = spark.conf.getOption("graft.state.ttl")
+      .map(graft.operators.StateTtl.parseTtlMillis)
+    if (ttl.isEmpty) return None
+    TtlAggRe.findFirstMatchIn(s.trim.stripSuffix(";")).flatMap { m =>
+      val tbl = m.group(2).replace("`", "")
+      val keys = m.group(3).split(",").map(_.trim.replace("`", "")).toSeq
+      if (keys.exists(k => !k.matches("\\w+"))) return None // expressions → native
+      TableEnv.lookup(tbl).filter(_.watermark.isDefined).flatMap { b =>
+        val items = FlinkDialect.splitAssignments(m.group(1))
+        val parsed = items.map { it =>
+          val t = it.trim
+          TtlItemAggRe.findFirstMatchIn(t) match {
+            case Some(a) => Right((a.group(1).toLowerCase,
+              a.group(2).replace("`", ""), a.group(3)))
+            case None if keys.contains(t.replace("`", "")) => Left(t.replace("`", ""))
+            case None => return None // anything fancier → native path
+          }
+        }
+        val aggs = parsed.collect { case Right(a) => a }
+        if (aggs.isEmpty) return None
+        val df = try spark.table(tbl) catch { case _: Exception => return None }
+        if (!df.isStreaming) None
+        else Some(graft.operators.StateTtl.ttlKeyedAgg(
+          df, keys, b.watermark.get._1, aggs, ttl.get))
+      }
     }
   }
 
@@ -822,7 +872,8 @@ class Gateway(root: SparkSession) {
 
   private def startStreamingSelect(spark: SparkSession, df: DataFrame,
       batchTransform: DataFrame => DataFrame = identityTransform,
-      name0: Option[String] = None): OpResult = {
+      name0: Option[String] = None,
+      forceMode: Option[String] = None): OpResult = {
     val buffer = new RingBuffer()
     val name = name0.getOrElse(s"select_${System.nanoTime()}")
     // derive output columns by probing the transform with an empty BATCH
@@ -836,8 +887,9 @@ class Gateway(root: SparkSession) {
       .queryName(name).start()
     // changelog semantics: projections stream in append mode; aggregations
     // without a watermark need update mode (Flink's retract/upsert stream —
-    // EXPLAIN CHANGELOG_MODE would report exactly this)
-    val q = try start("append") catch {
+    // EXPLAIN CHANGELOG_MODE would report exactly this); stateful operators
+    // that declare their own output mode pin it via forceMode
+    val q = forceMode.map(start).getOrElse(try start("append") catch {
       case e: Exception if e.getMessage != null &&
           e.getMessage.contains("STREAMING_OUTPUT_MODE") =>
         // a per-batch transform (window top-N rank) is only correct when
@@ -849,7 +901,7 @@ class Gateway(root: SparkSession) {
               "(group by window_start, window_end over a watermarked TVF window); " +
               "this aggregation can only run in update mode")
         start("update")
-    }
+    })
     Jobs.register(name, q)
     StreamingOp(name, buffer, cols)
   }

@@ -890,6 +890,69 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.values.exists(_._3) && streamed.values.exists(!_._3))
   }
 
+  test("state TTL: keyed aggregation state evicts after the watermark passes TTL") {
+    // Flink's table.exec.state.ttl mapped to watermark-driven eviction: an
+    // idle key restarts its aggregate from zero; an active key accumulates
+    import graft.operators.StateTtl
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val df = mem.toDF().toDF("k", "ts", "v").withWatermark("ts", "0 seconds")
+    val out = StateTtl.ttlKeyedAgg(df, Seq("k"), "ts",
+      Seq(("count", "*", "cnt"), ("sum", "v", "total")), ttlMillis = 5000)
+    val q = out.writeStream.format("memory").queryName("ttl_agg")
+      .outputMode("update").start()
+    // update-mode sink appends each refresh — latest row per key wins
+    def latest(): Map[Int, (Long, Double)] =
+      spark.table("ttl_agg").collect().foldLeft(Map.empty[Int, (Long, Double)]) {
+        (acc, r) => acc + (r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      }
+    try {
+      mem.addData((1, ts("2024-01-01 00:00:10"), 1.0), (1, ts("2024-01-01 00:00:11"), 2.0))
+      q.processAllAvailable()
+      assert(latest()(1) == (2L, 3.0), latest().toString)
+      // watermark jumps to 00:00:30 — past key 1's last update (11s) + 5s TTL
+      mem.addData((2, ts("2024-01-01 00:00:30"), 9.0))
+      q.processAllAvailable()
+      // key 1 returns AFTER its TTL: state must have been evicted → restart
+      mem.addData((1, ts("2024-01-01 00:00:31"), 5.0))
+      q.processAllAvailable()
+      assert(latest()(1) == (1L, 5.0), s"expired key did not restart: ${latest()}")
+      // key 2 updates within its TTL window → accumulates normally
+      mem.addData((2, ts("2024-01-01 00:00:33"), 1.0))
+      q.processAllAvailable()
+      assert(latest()(2) == (2L, 10.0), s"active key lost state: ${latest()}")
+    } finally q.stop()
+  }
+
+  test("table.exec.state.ttl routes keyed streaming aggregation through the TTL operator") {
+    import graft.engine.{Gateway, TableEnv}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val sess = gw.session(h).spark
+    gw.executeStatement(h,
+      """CREATE TABLE ttl_src (k INT, ts TIMESTAMP(3), v DOUBLE,
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+        |WITH ('connector'='datagen','rows-per-second'='100')""".stripMargin)
+    // no TTL set → native update-mode aggregation path
+    assert(gw.ttlAggregate(sess, "SELECT k, COUNT(*) AS c FROM ttl_src GROUP BY k").isEmpty)
+    gw.executeStatement(h, "SET 'table.exec.state.ttl' = '10 min'")
+    val df = gw.ttlAggregate(sess,
+      "SELECT k, COUNT(*) AS c, SUM(v) AS s FROM ttl_src GROUP BY k")
+    assert(df.isDefined, "TTL-shaped aggregation did not route to the TTL operator")
+    assert(df.get.isStreaming && df.get.columns.toSeq == Seq("k", "c", "s"))
+    assert(df.get.queryExecution.logical.toString.toLowerCase
+      .contains("flatmapgroupswithstate"), df.get.queryExecution.logical.toString.take(500))
+    // outside the shape → native path (windowed agg state is already
+    // watermark-bounded by Spark; GROUP BY expressions unsupported here)
+    assert(gw.ttlAggregate(sess,
+      "SELECT k, COUNT(*) AS c FROM ttl_src GROUP BY k % 2").isEmpty)
+    assert(gw.ttlAggregate(sess,
+      """SELECT window_start, COUNT(*) AS c
+        |FROM TABLE(TUMBLE(TABLE ttl_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        |GROUP BY window_start""".stripMargin).isEmpty)
+  }
+
   test("streaming CEP skip modes: stream == batch parity on overlapping matches") {
     // all four AFTER MATCH SKIP modes on the streaming operator, pinned
     // against the batch path over a corpus where the overlapping modes
