@@ -459,8 +459,16 @@ object FlinkDialect {
                 }
                 while (q3 >= 0 && (s.charAt(q3).isLetterOrDigit || s.charAt(q3) == '_' || s.charAt(q3) == '.')) q3 -= 1
                 val tok = s.substring(q3 + 1, q2 + 1).trim
-                if (tok.isEmpty || stopWords.contains(tok.toUpperCase)) extending = false
-                else j = q3
+                if (tok.isEmpty || stopWords.contains(tok.toUpperCase)) {
+                  // a +/- with NO left operand (clause start, keyword, or
+                  // another operator before it) is a UNARY sign: absorb it
+                  // into the operand and keep scanning (`WHERE -5 > ALL
+                  // (...)`, `a * -5 = ANY (...)`) — leaving it outside
+                  // would emit `- (CASE ...)`, unary minus over boolean
+                  if (opLen == 1 && (s.charAt(p) == '+' || s.charAt(p) == '-'))
+                    j = p - 1
+                  else extending = false
+                } else j = q3
               }
             }
             val lhs = s.substring(j + 1, lhsEnd).trim
@@ -473,6 +481,31 @@ object FlinkDialect {
               throw new IllegalArgumentException(
                 s"Quantified comparison after '$lhs' is not supported: wrap the " +
                   "left-hand expression in parentheses, e.g. (CASE ... END) > ALL (...)")
+            // row-value LHS `(a, b) = ANY (...)`: the scalar CASE rewrite
+            // cannot express a row comparison — fail with named guidance
+            // instead of emitting `__qc = (a, b)`, which cannot resolve
+            if (lhs.startsWith("(")) {
+              var d = 0; var topComma = false
+              lhs.foreach { c =>
+                if (c == '(') d += 1 else if (c == ')') d -= 1
+                else if (c == ',' && d == 1) topComma = true
+              }
+              if (topComma) throw new IllegalArgumentException(
+                s"Quantified comparison with a row-value left-hand side $lhs " +
+                  "is not supported — compare the columns individually " +
+                  "(a = ANY (...) AND b = ANY (...) is NOT equivalent; use " +
+                  "EXISTS with a row predicate instead)")
+            }
+            // the subquery text is inlined into up to five scalar
+            // subqueries (Spark's ReuseSubquery dedups the identical ones);
+            // a NON-deterministic set could disagree between copies — the
+            // known non-deterministic builtins are rejected loudly
+            if ("""(?i)\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id|rand_integer)\s*\(""".r
+                .findFirstIn(sub).isDefined)
+              throw new IllegalArgumentException(
+                "Quantified comparison over a non-deterministic subquery is " +
+                  "not supported (the rewrite evaluates the set more than " +
+                  "once) — materialize the subquery into a view first")
             if (lhs.nonEmpty) {
               // compound operands substitute into the CASE several times —
               // parenthesize so precedence can't shift around IS NULL / =
@@ -501,7 +534,13 @@ object FlinkDialect {
     * membership CASE below keeps the standard's three-valued result in any
     * context; its hit-count subquery is a correlated scalar aggregate with
     * an equality predicate, which Catalyst decorrelates to one aggregate +
-    * join pass over the subquery. */
+    * join pass over the subquery.
+    *
+    * Single-evaluation assumption: the subquery TEXT is inlined into up to
+    * five scalar subqueries. Spark's ReuseSubquery rule collapses the
+    * byte-identical copies, but the rewrite is only semantically sound for
+    * deterministic subqueries — the caller rejects the known
+    * non-deterministic builtins before reaching here. */
   private def quantifiedSql(lhs: String, op: String, quant: String, sub: String): String = {
     def sq(agg: String) = s"(SELECT $agg FROM ($sub) __gq(__qc))"
     def hits = s"(SELECT count(*) FROM ($sub) __gq(__qc) WHERE __qc = $lhs)"

@@ -50,7 +50,15 @@ object Jobs {
     import spark.implicits._
     val sc = spark.sparkContext
     val execs = sc.statusTracker.getExecutorInfos.toSeq
-    val slotsTotal = sc.defaultParallelism
+    // live slot capacity from the CURRENT executor list × configured cores:
+    // defaultParallelism is a launch-time value that misreports under
+    // dynamic allocation or non-default executor sizing. Counting every
+    // tracker entry keeps the overview consistent with SHOW TASK MANAGERS,
+    // which rolls up the same list. Local mode: one executor whose slot
+    // count is the local[n] thread count.
+    val slotsTotal =
+      if (sc.isLocal) sc.defaultParallelism
+      else execs.length * sc.getConf.getInt("spark.executor.cores", 1)
     val runningTasks = execs.map(_.numRunningTasks()).sum
     val js = list()
     Seq((spark.version, execs.length, slotsTotal,

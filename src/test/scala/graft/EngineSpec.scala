@@ -184,6 +184,27 @@ class EngineSpec extends SparkTestBase {
         "SELECT CASE WHEN x THEN 1 ELSE 2 END > ALL (SELECT v FROM VALUES (1) t(v)) FROM t")
     }
     assert(err.getMessage.contains("parentheses"))
+    // unary sign binds into the operand (clause start, keyword, operator):
+    // `- (CASE ...)` would fail analysis as unary minus over boolean
+    assert(run("-5 > ALL (SELECT v FROM VALUES (-7), (-9) AS t(v))") == true)
+    assert(run("-5 > ALL (SELECT v FROM VALUES (-3) AS t(v))") == false)
+    assert(run("2 * -3 >= ALL (SELECT v FROM VALUES (-6), (-7) AS t(v))") == true)
+    assert(run("+5 > ANY (SELECT v FROM VALUES (4) AS t(v))") == true)
+    // binary minus still extends over the whole chain
+    assert(run("10 - 5 > ALL (SELECT v FROM VALUES (4) AS t(v))") == true)
+    // row-value LHS fails with named guidance, not unresolvable SQL
+    val rowErr = intercept[IllegalArgumentException] {
+      FlinkDialect.rewrite(
+        "SELECT * FROM t WHERE (a, b) = ANY (SELECT x, y FROM u)")
+    }
+    assert(rowErr.getMessage.contains("row-value"))
+    // non-deterministic subquery rejected loudly (the rewrite would
+    // evaluate the set more than once)
+    val ndErr = intercept[IllegalArgumentException] {
+      FlinkDialect.rewrite(
+        "SELECT 5 > ALL (SELECT rand() FROM VALUES (1) AS t(v)) AS r")
+    }
+    assert(ndErr.getMessage.contains("non-deterministic"))
   }
 
   // ------------------------------------------------------------- TableEnv --
