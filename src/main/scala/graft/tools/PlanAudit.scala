@@ -36,6 +36,9 @@ object PlanAudit {
     "q_subq_quantified",      // r6: scalar-aggregate subqueries, reuse expected
     "q_dedup_incremental",    // r6: bloom prefilter + broadcast-only joins
     "q_cep_define_nav",       // r6: dynamic DEFINE, still one exchange
+    "q_dedup_incremental_bucketed", // r7: bucketed digest scan, one Exchange
+    "q_sim_recall",           // r7: brute NLJ + IVF + LSH + semi-join recall
+    "q_join_right_outer",     // r7: shuffled right-outer + agg, reused exchange
   )
 
   def main(args: Array[String]): Unit = {
