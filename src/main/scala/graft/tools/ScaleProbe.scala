@@ -37,7 +37,10 @@ object ScaleProbe {
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
 
-    def time(name: String)(f: => Long): Unit = {
+    // PROBE_ONLY=<substring> runs just the matching blocks (re-probing one
+    // operator family without paying the full sweep)
+    val only = sys.env.get("PROBE_ONLY")
+    def time(name: String)(f: => Long): Unit = if (only.forall(name.contains)) {
       Thread.sleep(300)
       val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
@@ -51,6 +54,26 @@ object ScaleProbe {
     time(s"exact dedup ($n docs)") {
       Dedup.exactGroups(docs, "doc_id", "text").filter(col("group_size") > 1).count()
     }
+    // round-7: daily-ingest incremental dedup — bloom vs bucketed-digest
+    // path on the same inputs. New batch = n/10 rows straddling the history
+    // boundary (half duplicate by construction, half genuinely new).
+    val batchIds = spark.range(n - n / 20, n + n / 20).toDF("doc_id")
+    val newBatch = batchIds.withColumn("text", concat_ws(" ",
+      (0 until 15).map(j =>
+        element_at(typedLit(vocab),
+          (pmod(xxhash64(col("doc_id"), lit(j)), lit(64)) + 1).cast("int"))): _*))
+    time("incdedup bloom") {
+      Dedup.incrementalDedup(newBatch, docs, "doc_id", "text", expectedItems = n)
+        .filter(col("is_duplicate")).count()
+    }
+    time("incdedup digest build") {
+      Dedup.materializeHistoryDigests(docs, "text", "probe_digests", buckets = 16); n
+    }
+    time("incdedup bucketed") {
+      Dedup.incrementalDedupBucketed(newBatch, "probe_digests", "doc_id", "text")
+        .filter(col("is_duplicate")).count()
+    }
+
     time("simhash groups") {
       docs.select(Dedup.simhash(col("text")).as("h")).groupBy("h").count()
         .filter(col("count") > 1).count()
