@@ -63,9 +63,11 @@ object StateTtl {
       s"unsupported TTL aggregate in ${aggs.map(_._1)}")
 
     val schema = df.schema
-    val keyIdx = keys.map(schema.fieldIndex)
+    val keyIdx = keys.map(schema.fieldIndex).toArray
     val tsIdx = schema.fieldIndex(tsCol)
-    val aggIdx = aggs.map(a => if (a._2 == "*") -1 else schema.fieldIndex(a._2))
+    // the fold below runs per row — index positionally, never walk a List
+    val aggsArr = aggs.toArray
+    val aggIdx = aggs.map(a => if (a._2 == "*") -1 else schema.fieldIndex(a._2)).toArray
     val outSchema = StructType(
       keys.map(k => schema(schema.fieldIndex(k))) ++
         aggs.map(a => StructField(a._3,
@@ -100,20 +102,20 @@ object StateTtl {
           Iterator.empty
         } else {
           val wm = state.getCurrentWatermarkMs()
-          val (acc0, last0) = state.getOption.getOrElse((Array.fill(aggs.size)(Double.NaN), Long.MinValue))
+          val (acc0, last0) = state.getOption.getOrElse((Array.fill(aggsArr.length)(Double.NaN), Long.MinValue))
           // a key can receive fresh rows in the same batch its state would
           // have expired — apply the eviction before folding, as the timeout
           // callback only fires for keys with NO data this batch
           val expired = last0 != Long.MinValue && wm > last0 + ttlMillis
-          val acc = if (expired) Array.fill(aggs.size)(Double.NaN) else acc0
+          val acc = if (expired) Array.fill(aggsArr.length)(Double.NaN) else acc0
           var last = if (expired) Long.MinValue else last0
           var keyRow: Row = null
           rows.foreach { r =>
             keyRow = r
             last = math.max(last, tsMillis(r))
             var i = 0
-            while (i < aggs.size) {
-              val (kind, _, _) = aggs(i)
+            while (i < aggsArr.length) {
+              val (kind, _, _) = aggsArr(i)
               if (kind == "count") acc(i) = (if (acc(i).isNaN) 0d else acc(i)) + 1d
               else num(r, aggIdx(i)).foreach { v =>
                 acc(i) =
@@ -131,9 +133,10 @@ object StateTtl {
           state.setTimeoutTimestamp(last + ttlMillis)
           if (keyRow == null) Iterator.empty
           else Iterator.single(Row.fromSeq(
-            keyIdx.map(keyRow.get) ++ aggs.zipWithIndex.map { case ((kind, _, _), i) =>
-              if (kind == "count") (if (acc(i).isNaN) 0L else acc(i).toLong)
-              else if (acc(i).isNaN) null else acc(i)
+            keyIdx.toSeq.map(keyRow.get) ++ aggsArr.toSeq.zipWithIndex.map {
+              case ((kind, _, _), i) =>
+                if (kind == "count") (if (acc(i).isNaN) 0L else acc(i).toLong)
+                else if (acc(i).isNaN) null else acc(i)
             }))
         }
       })(stateEnc, outEnc)
