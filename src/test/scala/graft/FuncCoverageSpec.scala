@@ -27,7 +27,10 @@ class FuncCoverageSpec extends SparkTestBase {
   /** Dialect-level rewrites (no function object): covered by EngineSpec and
     * the q_fn_json_agg gate. */
   val dialectRewrites = Set("ELEMENT", "COLLECT", "PROCTIME", "SIMILAR TO",
-    "JSON_ARRAYAGG", "JSON_OBJECTAGG", "JSON_OBJECT", "JSON_ARRAY")
+    "JSON_ARRAYAGG", "JSON_OBJECTAGG", "JSON_OBJECT", "JSON_ARRAY",
+    // r7: the support.function.row group (G:459) — ROW → struct,
+    // FLATTEN → qualified-star expansion (q_flink_row_flatten gate)
+    "ROW", "FLATTEN")
 
   /** Parser-level constructs: DESCRIBE FUNCTION doesn't know them, but the
     * SQL form works — verified by execution below. */
@@ -75,6 +78,8 @@ class FuncCoverageSpec extends SparkTestBase {
     "ARRAY_SORT", "ARRAY_EXCEPT", "ARRAY_INTERSECT", "ARRAY_PREPEND",
     "ARRAY_APPEND", "MAP_KEYS", "MAP_VALUES", "MAP_ENTRIES", "MAP_FROM_ARRAYS",
     "MAP_UNION", "ELEMENT_AT", "EXPLODE", "GENERATE_SERIES", "UNNEST", "SLICE",
+    // row (G:459)
+    "ROW", "FLATTEN",
     // aggregates (G:415-419)
     "COUNT", "SUM", "AVG", "MIN", "MAX", "STDDEV", "STDDEV_POP", "STDDEV_SAMP",
     "VARIANCE", "VAR_POP", "VAR_SAMP", "LISTAGG", "ARRAY_AGG",
