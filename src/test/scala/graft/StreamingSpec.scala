@@ -1011,5 +1011,37 @@ class StreamingSpec extends SparkTestBase {
     // here: a rising run's peak can never start a new rising run)
     assert(batchByMode("TO NEXT ROW").size > batchByMode("PAST LAST ROW").size)
     assert(batchByMode("TO FIRST B").size > batchByMode("PAST LAST ROW").size)
+
+    // ALL ROWS PER MATCH under an overlapping skip mode: rows of overlapping
+    // matches emit once per match they belong to, stream == batch
+    def allRowsSql(view: String) =
+      s"""SELECT * FROM $view MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ts
+         |  MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS cls
+         |  ALL ROWS PER MATCH
+         |  AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN (A B+)
+         |  DEFINE B AS B.price > PREV(B.price)
+         |)""".stripMargin
+    val mem2 = MemoryStream[(Int, Timestamp, Double)]
+    mem2.toDF().toDF("k", "ts", "price").withWatermark("ts", "0 seconds")
+      .createOrReplaceTempView("cep_skip_allrows")
+    val out2 = MatchRecognize.sql(spark, allRowsSql("cep_skip_allrows"))
+    val q2 = out2.writeStream.format("memory").queryName("cep_skip_allrows_out")
+      .outputMode("append").start()
+    try {
+      mem2.addData(data: _*)
+      q2.processAllAvailable()
+      pushers.foreach { p => mem2.addData(p); q2.processAllAvailable() }
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs
+        .map(r => (r.getAs[Int]("k"), r.getAs[Double]("price"),
+          r.getAs[Long]("mno"), r.getAs[String]("cls"))).toSeq.sorted
+      val streamed = shape(spark.table("cep_skip_allrows_out").collect())
+      val batch = shape(MatchRecognize.sql(spark, allRowsSql("cep_skip_batch")).collect())
+      assert(batch.nonEmpty && streamed == batch,
+        s"ALL ROWS overlap parity: stream ${streamed.size} vs batch ${batch.size}")
+      // overlap means some price participates in more than one match number
+      assert(batch.groupBy(r => (r._1, r._2)).exists(_._2.map(_._3).distinct.size > 1))
+    } finally q2.stop()
   }
 }
