@@ -339,17 +339,17 @@ class Gateway(root: SparkSession) {
     val DoubleDot = """([`\w\-]+)\.([`\w\-]+)\.\s*$""".r
     val SingleDot = """([`\w\-]+)\.\s*$""".r
     linePrefix match {
-      case DoubleDot(_, _) =>
-        // catalog.database. → tables (session-context listing, as the
-        // reference's getTables does for the resolved pair)
-        firstCol("SHOW TABLES").map(_ -> "table")
+      case DoubleDot(cat0, db0) =>
+        // catalog.database. → tables IN that pair (the reference's getTables
+        // resolves the qualified prefix, not the session context)
+        firstCol(s"SHOW TABLES IN `${stripQ(cat0)}`.`${stripQ(db0)}`").map(_ -> "table")
       case SingleDot(id0) =>
         val id = stripQ(id0)
         val fromRefs = refs.filter(r => r._2 == id || r._1 == id).flatMap(r =>
           firstCol(s"DESCRIBE ${r._3}").map(_ -> "column"))
         val asCatalog =
           if (firstCol("SHOW CATALOGS").contains(id))
-            firstCol("SHOW DATABASES").map(_ -> "database")
+            firstCol(s"SHOW DATABASES IN `$id`").map(_ -> "database")
           else Nil
         fromRefs ++ asCatalog
       case _ =>
@@ -667,9 +667,22 @@ class Gateway(root: SparkSession) {
         val aggs = parsed.collect { case Right(a) => a }
         if (aggs.isEmpty) return None
         val df = try spark.table(tbl) catch { case _: Exception => return None }
-        if (!df.isStreaming) None
-        else Some(graft.operators.StateTtl.ttlKeyedAgg(
-          df, keys, b.watermark.get._1, aggs, ttl.get))
+        if (!df.isStreaming) return None
+        // typed-accumulator coverage: decimal / non-numeric aggregate inputs
+        // keep the native path (StateTtl would change their result type)
+        val typed = aggs.forall { case (kind, field, _) =>
+          kind == "count" && field == "*" || (
+            (try Some(df.schema(field).dataType) catch { case _: Exception => None })
+              .exists(dt => kind == "count" || graft.operators.StateTtl.supportedInput(dt)))
+        }
+        if (!typed) return None
+        val ttlDf = graft.operators.StateTtl.ttlKeyedAgg(
+          df, keys, b.watermark.get._1, aggs, ttl.get)
+        // StateTtl emits keys-first; re-project to the statement's own
+        // select-item order/shape (a key omitted from the list stays omitted)
+        val wanted = parsed.map { case Left(k) => k; case Right((_, _, alias)) => alias }
+        Some(if (wanted == ttlDf.columns.toSeq) ttlDf
+             else ttlDf.select(wanted.map(org.apache.spark.sql.functions.col): _*))
       }
     }
   }

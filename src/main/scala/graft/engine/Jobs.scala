@@ -46,10 +46,29 @@ object Jobs {
     * task slot (core). Sourced from `sc.statusTracker` — the numbers the
     * Spark UI's executors page shows; job counts come from this registry
     * plus the tracker's active job list. */
+  /** The task-manager entries: `statusTracker.getExecutorInfos` minus the
+    * driver. In cluster mode the tracker lists the driver's block manager as
+    * an entry, but the driver runs no tasks — counting it would overstate
+    * slot capacity by one executor's cores. The public `SparkExecutorInfo`
+    * does not carry the executor id, so the driver is identified by its
+    * host (`spark.driver.host`) and exactly ONE such entry is dropped —
+    * executors co-located on the driver host keep theirs. Local mode: the
+    * single entry IS the executor, keep it. Shared by the overview and
+    * SHOW TASK MANAGERS so both report the same fleet. */
+  private def tmEntries(sc: org.apache.spark.SparkContext): Seq[org.apache.spark.SparkExecutorInfo] = {
+    val all = sc.statusTracker.getExecutorInfos.toSeq
+    if (sc.isLocal || all.size <= 1) all
+    else {
+      val driverHost = sc.getConf.get("spark.driver.host", "")
+      val i = all.indexWhere(_.host == driverHost)
+      if (i >= 0) all.patch(i, Nil, 1) else all
+    }
+  }
+
   def clusterOverview(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
-    val execs = sc.statusTracker.getExecutorInfos.toSeq
+    val execs = tmEntries(sc)
     // live slot capacity from the CURRENT executor list × configured cores:
     // defaultParallelism is a launch-time value that misreports under
     // dynamic allocation or non-default executor sizing. Counting every
@@ -75,7 +94,7 @@ object Jobs {
   def showTaskManagers(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
-    sc.statusTracker.getExecutorInfos.toSeq
+    tmEntries(sc)
       .map(e => (s"${e.host}:${e.port}", e.numRunningTasks(),
         e.usedOnHeapStorageMemory(), e.totalOnHeapStorageMemory(), e.cacheSize()))
       .sortBy(_._1)

@@ -18,20 +18,31 @@ import org.apache.spark.sql.types._
   * NeverReturnExpired visibility), with the watermark standing in for
   * processing time so the semantics stay replayable/deterministic.
   *
-  * Scale: state per live key is a fixed-width array of doubles — no rows are
-  * buffered; eviction is O(1) per expired key via the timeout callback, the
-  * same shape Spark's own streaming dedup uses. Output is an update-mode
-  * changelog (one refreshed row per key per batch), matching the unwindowed
-  * streaming aggregation it replaces.
+  * Scale: state per live key is a fixed-width array of accumulator cells —
+  * no rows are buffered; eviction is O(1) per expired key via the timeout
+  * callback, the same shape Spark's own streaming dedup uses. Output is an
+  * update-mode changelog (one refreshed row per key per batch), matching the
+  * unwindowed streaming aggregation it replaces.
   *
-  * Aggregates supported: COUNT(*) (long), SUM/MIN/MAX(numeric-castable
-  * column, emitted as double). Anything else should stay on the native
-  * (non-TTL) path.
+  * Aggregates supported: COUNT(*) / COUNT(col) (long; COUNT(col) skips
+  * NULLs like SQL), SUM/MIN/MAX over integral (byte/short/int/long) and
+  * floating (float/double) columns. Accumulation is TYPED so the result
+  * types match the native aggregation being replaced: SUM(integral) → long,
+  * SUM(floating) → double, MIN/MAX(t) → t. Decimal and non-numeric inputs
+  * are not supported here — [[graft.engine.Gateway.ttlAggregate]] routes
+  * those statements to the native (non-TTL) path.
   */
 object StateTtl {
 
   /** (kind, field, alias); kind ∈ count | sum | min | max ("*" field for count). */
   type AggSpec = (String, String, String)
+
+  /** Input types the typed accumulators cover. Decimals are deliberately
+    * excluded (sum precision widening is the native path's job). */
+  def supportedInput(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _ => false
+  }
 
   /** Parse a Flink TTL value: bare millis, or "<n> <unit>" with the usual
     * unit spellings. Returns milliseconds. */
@@ -68,15 +79,34 @@ object StateTtl {
     // the fold below runs per row — index positionally, never walk a List
     val aggsArr = aggs.toArray
     val aggIdx = aggs.map(a => if (a._2 == "*") -1 else schema.fieldIndex(a._2)).toArray
+    val inType: Array[DataType] =
+      aggIdx.map(i => if (i < 0) LongType else schema(i).dataType)
+    inType.zip(aggsArr).foreach { case (dt, (kind, field, _)) =>
+      require(kind == "count" || supportedInput(dt),
+        s"TTL $kind($field): unsupported input type $dt — " +
+          "integral/floating only (decimals keep the native path)")
+    }
+    // integral inputs accumulate in a Long cell, floating in a Double cell;
+    // COUNT always in Long — result types then match the native aggregation
+    val isLongCell: Array[Boolean] = aggsArr.indices.map { i =>
+      aggsArr(i)._1 == "count" || (inType(i) match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }.toArray
+    def outType(i: Int): DataType = aggsArr(i)._1 match {
+      case "count" => LongType
+      case "sum" => if (isLongCell(i)) LongType else DoubleType
+      case _ => inType(i) // min/max keep the input type
+    }
     val outSchema = StructType(
       keys.map(k => schema(schema.fieldIndex(k))) ++
-        aggs.map(a => StructField(a._3,
-          if (a._1 == "count") LongType else DoubleType, nullable = true)))
+        aggsArr.indices.map(i => StructField(aggsArr(i)._3, outType(i), nullable = true)))
     val rowEnc = org.apache.spark.sql.Encoders.row(schema)
     val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
-    // state: one slot per aggregate (count as a double cell; NaN = unseen
-    // for min/max) + the newest event time folded into this key's state
-    val stateEnc = org.apache.spark.sql.Encoders.javaSerialization[(Array[Double], Long)]
+    // state: one boxed cell per aggregate (java.lang.Long or java.lang.Double
+    // per isLongCell; null = unseen) + the newest event time for this key
+    val stateEnc = org.apache.spark.sql.Encoders.javaSerialization[(Array[AnyRef], Long)]
 
     def tsMillis(r: Row): Long = r.get(tsIdx) match {
       case t: java.sql.Timestamp => t.getTime
@@ -85,29 +115,40 @@ object StateTtl {
       case l: Long => l
       case other => throw new IllegalArgumentException(s"not an event time: $other")
     }
-    def num(r: Row, i: Int): Option[Double] = if (r.isNullAt(i)) None else (r.get(i) match {
-      case n: Number => Some(n.doubleValue())
-      case other => throw new IllegalArgumentException(s"not numeric: $other")
-    })
+    // emit the accumulator in the declared output type (cast back for
+    // narrow min/max inputs); count's unseen cell is 0, others NULL
+    def emit(i: Int, cell: AnyRef): Any = {
+      if (cell == null) return if (aggsArr(i)._1 == "count") 0L else null
+      (outType(i), cell) match {
+        case (LongType, l: java.lang.Long) => l.longValue()
+        case (IntegerType, l: java.lang.Long) => l.intValue()
+        case (ShortType, l: java.lang.Long) => l.shortValue()
+        case (ByteType, l: java.lang.Long) => l.byteValue()
+        case (DoubleType, d: java.lang.Double) => d.doubleValue()
+        case (FloatType, d: java.lang.Double) => d.floatValue()
+        case (t, c) => throw new IllegalStateException(s"TTL emit mismatch $t/$c")
+      }
+    }
 
     val grouped = df.as(rowEnc)
       .groupByKey(StateKeys.encoder(schema, keys))(org.apache.spark.sql.Encoders.STRING)
 
     val out = grouped.flatMapGroupsWithState(
       OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
-      (_: String, rows: Iterator[Row], state: GroupState[(Array[Double], Long)]) => {
+      (_: String, rows: Iterator[Row], state: GroupState[(Array[AnyRef], Long)]) => {
         if (state.hasTimedOut) {
           // watermark passed lastEventTime + ttl with no updates: expire
           state.remove()
           Iterator.empty
         } else {
           val wm = state.getCurrentWatermarkMs()
-          val (acc0, last0) = state.getOption.getOrElse((Array.fill(aggsArr.length)(Double.NaN), Long.MinValue))
+          val (acc0, last0) =
+            state.getOption.getOrElse((new Array[AnyRef](aggsArr.length), Long.MinValue))
           // a key can receive fresh rows in the same batch its state would
           // have expired — apply the eviction before folding, as the timeout
           // callback only fires for keys with NO data this batch
           val expired = last0 != Long.MinValue && wm > last0 + ttlMillis
-          val acc = if (expired) Array.fill(aggsArr.length)(Double.NaN) else acc0
+          val acc = if (expired) new Array[AnyRef](aggsArr.length) else acc0
           var last = if (expired) Long.MinValue else last0
           var keyRow: Row = null
           rows.foreach { r =>
@@ -116,15 +157,41 @@ object StateTtl {
             var i = 0
             while (i < aggsArr.length) {
               val (kind, _, _) = aggsArr(i)
-              if (kind == "count") acc(i) = (if (acc(i).isNaN) 0d else acc(i)) + 1d
-              else num(r, aggIdx(i)).foreach { v =>
-                acc(i) =
-                  if (acc(i).isNaN) v
-                  else kind match {
-                    case "sum" => acc(i) + v
-                    case "min" => math.min(acc(i), v)
-                    case "max" => math.max(acc(i), v)
-                  }
+              val idx = aggIdx(i)
+              val isNull = idx >= 0 && r.isNullAt(idx)
+              if (kind == "count") {
+                // COUNT(col) skips NULLs; COUNT(*) (idx < 0) counts every row
+                if (!isNull) {
+                  val prev = if (acc(i) == null) 0L else acc(i).asInstanceOf[java.lang.Long].longValue()
+                  acc(i) = java.lang.Long.valueOf(prev + 1L)
+                }
+              } else if (!isNull) {
+                val n = r.get(idx).asInstanceOf[Number]
+                if (isLongCell(i)) {
+                  val v = n.longValue()
+                  acc(i) =
+                    if (acc(i) == null) java.lang.Long.valueOf(v)
+                    else {
+                      val p = acc(i).asInstanceOf[java.lang.Long].longValue()
+                      java.lang.Long.valueOf(kind match {
+                        case "sum" => p + v
+                        case "min" => math.min(p, v)
+                        case "max" => math.max(p, v)
+                      })
+                    }
+                } else {
+                  val v = n.doubleValue()
+                  acc(i) =
+                    if (acc(i) == null) java.lang.Double.valueOf(v)
+                    else {
+                      val p = acc(i).asInstanceOf[java.lang.Double].doubleValue()
+                      java.lang.Double.valueOf(kind match {
+                        case "sum" => p + v
+                        case "min" => math.min(p, v)
+                        case "max" => math.max(p, v)
+                      })
+                    }
+                }
               }
               i += 1
             }
@@ -133,11 +200,7 @@ object StateTtl {
           state.setTimeoutTimestamp(last + ttlMillis)
           if (keyRow == null) Iterator.empty
           else Iterator.single(Row.fromSeq(
-            keyIdx.toSeq.map(keyRow.get) ++ aggsArr.toSeq.zipWithIndex.map {
-              case ((kind, _, _), i) =>
-                if (kind == "count") (if (acc(i).isNaN) 0L else acc(i).toLong)
-                else if (acc(i).isNaN) null else acc(i)
-            }))
+            keyIdx.toSeq.map(keyRow.get) ++ aggsArr.indices.map(i => emit(i, acc(i)))))
         }
       })(stateEnc, outEnc)
 

@@ -832,6 +832,18 @@ class EngineSpec extends SparkTestBase {
     assert(dbs.nonEmpty && dbs.forall(_._2 == "database"), dbs.toString)
     val tbls = gw.resolve(h, "spark_catalog.default.")
     assert(tbls.contains("ct_res" -> "table"), tbls.toString)
+    // the qualified prefix must be RESOLVED, not swallowed into the current
+    // context: a non-current database's tables come back for cat.db.
+    spark.sql("CREATE DATABASE IF NOT EXISTS ct_res_db2")
+    try {
+      spark.sql("CREATE TABLE IF NOT EXISTS spark_catalog.ct_res_db2.ct_elsewhere (x INT) USING parquet")
+      gw.metaCache.invalidateAll() // DDL went around the gateway above
+      val other = gw.resolve(h, "spark_catalog.ct_res_db2.")
+      assert(other.contains("ct_elsewhere" -> "table"), other.toString)
+      val dbs2 = gw.resolve(h, "spark_catalog.")
+      assert(dbs2.map(_._1).contains("ct_res_db2"), dbs2.toString)
+    } finally spark.sql("DROP DATABASE IF EXISTS ct_res_db2 CASCADE")
+    gw.resolve(h, "SELECT * FROM ") // re-prime after the invalidateAll above
     // cache reuse: repeating a prefix must hit the TTL cache, not re-route
     val misses0 = gw.metaCache.misses.get()
     val hits0 = gw.metaCache.hits.get()

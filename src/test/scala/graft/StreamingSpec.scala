@@ -924,6 +924,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("state TTL: COUNT(col) skips NULLs and accumulators keep native result types") {
+    // the TTL operator must be observably identical to the native
+    // aggregation it replaces: COUNT(col) ignores NULL rows (COUNT(*) does
+    // not), SUM(int) stays LongType, MIN/MAX keep the input type
+    import graft.operators.StateTtl
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, java.lang.Integer)]
+    val df = mem.toDF().toDF("k", "ts", "v").withWatermark("ts", "0 seconds")
+    val out = StateTtl.ttlKeyedAgg(df, Seq("k"), "ts",
+      Seq(("count", "*", "c_all"), ("count", "v", "c_v"),
+        ("sum", "v", "s"), ("min", "v", "lo"), ("max", "v", "hi")),
+      ttlMillis = 60000)
+    import org.apache.spark.sql.types._
+    assert(out.schema("c_all").dataType == LongType)
+    assert(out.schema("c_v").dataType == LongType)
+    assert(out.schema("s").dataType == LongType, "SUM(INT) must stay integral (long), not double")
+    assert(out.schema("lo").dataType == IntegerType, "MIN(INT) must keep the input type")
+    assert(out.schema("hi").dataType == IntegerType)
+    val q = out.writeStream.format("memory").queryName("ttl_typed")
+      .outputMode("update").start()
+    try {
+      mem.addData((1, ts("2024-01-01 00:00:10"), 7), (1, ts("2024-01-01 00:00:11"), null),
+        (1, ts("2024-01-01 00:00:12"), 3))
+      q.processAllAvailable()
+      val r = spark.table("ttl_typed").collect().last
+      assert(r.getLong(1) == 3L, s"COUNT(*) must count the NULL row: $r")
+      assert(r.getLong(2) == 2L, s"COUNT(v) must skip the NULL row: $r")
+      assert(r.getLong(3) == 10L && r.getInt(4) == 3 && r.getInt(5) == 7, r.toString)
+    } finally q.stop()
+  }
+
   test("table.exec.state.ttl routes keyed streaming aggregation through the TTL operator") {
     import graft.engine.{Gateway, TableEnv}
     TableEnv.clear()
@@ -943,6 +974,24 @@ class StreamingSpec extends SparkTestBase {
     assert(df.get.isStreaming && df.get.columns.toSeq == Seq("k", "c", "s"))
     assert(df.get.queryExecution.logical.toString.toLowerCase
       .contains("flatmapgroupswithstate"), df.get.queryExecution.logical.toString.take(500))
+    // the output shape follows the statement's OWN select-item order — an
+    // aggregate-first list must not come back keys-first, and a key omitted
+    // from the list must not reappear
+    val reordered = gw.ttlAggregate(sess,
+      "SELECT COUNT(*) AS c, k FROM ttl_src GROUP BY k")
+    assert(reordered.get.columns.toSeq == Seq("c", "k"), reordered.get.columns.toSeq)
+    val keyless = gw.ttlAggregate(sess,
+      "SELECT SUM(v) AS s FROM ttl_src GROUP BY k")
+    assert(keyless.get.columns.toSeq == Seq("s"), keyless.get.columns.toSeq)
+    // decimal aggregate input → native path (typed TTL accumulators would
+    // change the result type; Spark's sum-precision widening is native-only)
+    gw.executeStatement(h,
+      """CREATE TABLE ttl_dec (k INT, ts TIMESTAMP(3), d DECIMAL(10,2),
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+        |WITH ('connector'='datagen','rows-per-second'='100')""".stripMargin)
+    assert(gw.ttlAggregate(sess,
+      "SELECT k, SUM(d) AS s FROM ttl_dec GROUP BY k").isEmpty,
+      "decimal SUM must keep the native path")
     // outside the shape → native path (windowed agg state is already
     // watermark-bounded by Spark; GROUP BY expressions unsupported here)
     assert(gw.ttlAggregate(sess,
