@@ -8,17 +8,18 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, decoded/feature-extracted in partition-local
   * batches.
   *
-  * The actual codec step is a clearly-marked STUB (no image/audio libraries
-  * in this environment): `decodeStub` derives deterministic fake metadata
-  * from the raw bytes. Everything around it — the binary column, the schema
-  * of the decoded struct, the `mapPartitions` batch shape (the Scala analog
-  * of `mapInPandas`: one iterator per partition, library handles initialized
-  * once per partition, rows streamed through), and the chunked frame-sampling
-  * explode — is real and is what survives a swap-in of a real codec.
+  * The image codec is REAL: `javax.imageio.ImageIO` (JDK `java.desktop`
+  * module — PNG/JPEG/BMP/GIF readers, no external dependency) parses actual
+  * image bytes for dimensions/format, with `ImageReader` instances cached
+  * per format PER PARTITION — the `mapPartitions` analog of `mapInPandas`'s
+  * once-per-batch library init. Lossless formats (png/bmp/gif) are decoded
+  * to pixels for an exact mean-luminance stat; lossy jpeg stops at the SOF
+  * header (dimensions only, no full decode in the scan path).
   *
-  * Scale: decode is partition-local (no shuffle); frame sampling is a
-  * projection-explode with bounded fanout (numFrames), so output size is
-  * predictable at planning time.
+  * Scale: decode is partition-local (no shuffle); header-only metadata for
+  * lossy formats keeps the per-row cost O(header), not O(pixels); frame
+  * sampling is a projection-explode with bounded fanout (numFrames), so
+  * output size is predictable at planning time.
   */
 object Multimodal {
 
@@ -27,41 +28,137 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("format", StringType)))
+    StructField("format", StringType),
+    StructField("mean_px", DoubleType)))
 
-  /** STUB codec: deterministic pseudo-metadata from payload bytes.
-    * A real implementation would hand `bytes` to an image library here;
-    * the function signature and batch shape are the contract. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
-    val n = bytes.length
-    val first = if (n > 0) bytes(0) & 0xff else 0
-    val width = 64 + n % 448
-    val height = 64 + (n * 7) % 448
-    val format = (first % 3) match {
-      case 0 => "jpeg"
-      case 1 => "png"
-      case _ => "webp"
+  /** Per-partition `ImageReader` cache: readers are stateful and reusable
+    * via `setInput`, and SPI lookup per row is the thing to avoid. The
+    * format is sniffed from magic bytes first so the right cached reader is
+    * picked without a probe pass over the stream. */
+  final class ImageReaders {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling on executors
+    private val cache =
+      scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+    def forFormat(fmt: String): Option[javax.imageio.ImageReader] =
+      cache.get(fmt).orElse {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (it.hasNext) { val r = it.next(); cache.put(fmt, r); Some(r) } else None
+      }
+  }
+
+  /** Container format from magic bytes — the cheap dispatch key for the
+    * reader cache. Returns the canonical lowercase name. */
+  def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    def b(i: Int) = bytes(i) & 0xff
+    if (bytes.length < 12) None
+    else if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) Some("jpeg")
+    else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else None
+  }
+
+  private def losslessFormat(fmt: String): Boolean =
+    fmt == "png" || fmt == "bmp" || fmt == "gif"
+
+  /** Decoded metadata: (width, height, format, mean pixel value for
+    * lossless formats). None for undecodable/unknown payloads. */
+  def decodeImage(bytes: Array[Byte], readers: ImageReaders)
+      : Option[(Int, Int, String, Option[Double])] =
+    sniffFormat(bytes).flatMap { fmt =>
+      readers.forFormat(fmt).flatMap { reader =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          // lossless → exact pixel stat; lossy → header-only (scan-cheap)
+          val mean = if (losslessFormat(fmt)) Some(meanPixel(reader.read(0))) else None
+          Some((w, h, fmt, mean))
+        } catch { case _: Exception => None }
+        finally iis.close()
+      }
     }
-    (width, height, format)
+
+  private def meanPixel(img: java.awt.image.BufferedImage): Double = {
+    val raster = img.getRaster
+    val (w, h, bands) = (raster.getWidth, raster.getHeight, raster.getNumBands)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    sum.toDouble / (w.toLong * h * bands)
   }
 
   /** Attach a synthetic binary payload column (UTF-8 bytes of a string col) —
-    * stands in for real image bytes in the fixtures. */
+    * the opaque-bytes stand-in for the frame-sampling / perceptual-hash
+    * paths, which treat payloads as raw byte streams by design. */
   def withBinaryPayload(df: DataFrame, srcCol: String): DataFrame =
     df.withColumn("payload", encode(col(srcCol), "UTF-8"))
 
+  /** The image-fixture manifest arithmetic: (width, height, format, fill
+    * value) as a pure function of the id, so an external oracle can
+    * recompute what the decoded metadata MUST be (TESTDATA has no real
+    * image column; the payloads are rendered from this spec). */
+  def fixtureSpec(id: Long): (Int, Int, String, Int) = {
+    val w = 8 + (id % 57).toInt
+    val h = 8 + ((id * 3) % 41).toInt
+    val fmt = (id % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "bmp" }
+    (w, h, fmt, (id % 256).toInt)
+  }
+
+  /** Render the fixture image for an id: a real encoded png/jpeg/bmp of the
+    * manifest dimensions, solid-filled with the manifest value (so lossless
+    * mean-luminance is exactly that value). */
+  def renderFixture(id: Long): Array[Byte] = {
+    val (w, h, fmt, v) = fixtureSpec(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Attach REAL image payloads (rendered per row from [[fixtureSpec]]) —
+    * partition-local, no shuffle; encoders initialized by ImageIO per call
+    * (fixture-generation path, not the scan path). */
+  def withImagePayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("doc_id")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), renderFixture(r.getLong(0))))
+    }(enc)
+  }
+
   /** Decode binary payloads to typed metadata in partition-local batches
-    * (mapPartitions ≈ mapInPandas: per-partition init, streamed rows). */
+    * (mapPartitions ≈ mapInPandas: per-partition reader init, streamed
+    * rows). Undecodable payloads come back as format='unknown' with NULL
+    * dimensions — a corrupt image must not fail the scan. */
   def decodeImages(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     val withBin = df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
     withBin.mapPartitions { rows =>
-      // per-partition codec init would go here (once, not per row)
+      val readers = new ImageReaders // once per partition, reused across rows
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, fmt) = decodeStub(bytes)
-        Row(id, bytes.length.toLong, w, h, fmt)
+        decodeImage(bytes, readers) match {
+          case Some((w, h, fmt, mean)) =>
+            Row(id, bytes.length.toLong, w, h, fmt, mean.orNull)
+          case None => Row(id, bytes.length.toLong, null, null, "unknown", null)
+        }
       }
     }(enc)
   }

@@ -336,11 +336,15 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     },
 
-    // multimodal: binary payload → partition-local decode (stub codec) —
-    // mapPartitions batch shape; metadata is a pure function of the bytes
+    // multimodal: REAL image payloads (rendered per row from the fixture
+    // manifest) → partition-local ImageIO decode. The oracle recomputes the
+    // manifest arithmetic, so width/height/format/mean_px are verified
+    // against what the actual decoded bytes must contain. n_bytes is the
+    // encoder's output size — not oracle-predictable, so not projected.
     "q_multimodal_decode" -> { (s, dir) =>
-      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
-      Multimodal.decodeImages(s, withBin, "doc_id")
+      val withImg = Multimodal.withImagePayload(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeImages(s, withImg, "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("format"), col("mean_px"))
         .orderBy(col("doc_id"))
     },
 
@@ -825,11 +829,12 @@ object PipelineQueries {
         |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_multimodal_decode" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-        |       CAST(64 + length(text) % 448 AS INT) AS width,
-        |       CAST(64 + (length(text) * 7) % 448 AS INT) AS height,
-        |       CASE ascii(substring(text, 1, 1)) % 3
-        |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+      """SELECT doc_id,
+        |       CAST(8 + doc_id % 57 AS INT) AS width,
+        |       CAST(8 + (doc_id * 3) % 41 AS INT) AS height,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'bmp' END AS format,
+        |       CASE WHEN doc_id % 3 = 1 THEN NULL
+        |            ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_px
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->

@@ -611,6 +611,54 @@ class PipelineSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(base ^ noisy) <= 16)
   }
 
+  test("image codec: ImageIO decodes real png/jpeg/bmp/gif bytes to true dimensions") {
+    // the codec is REAL: bytes rendered by ImageIO are decoded back by
+    // ImageIO for width/height/format, and lossless formats return an exact
+    // mean pixel value — no derived-from-length pseudo-metadata anywhere
+    import graft.pipeline.Multimodal
+    val readers = new Multimodal.ImageReaders
+    for (fmt <- Seq("png", "jpeg", "bmp", "gif")) {
+      val img = new java.awt.image.BufferedImage(
+        37, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(200, 200, 200)); g.fillRect(0, 0, 37, 21)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK $fmt writer")
+      val Some((w, h, f, mean)) = Multimodal.decodeImage(bos.toByteArray, readers)
+      assert((w, h, f) == (37, 21, fmt), s"$fmt decoded to ($w,$h,$f)")
+      if (fmt == "png" || fmt == "bmp")
+        assert(mean.contains(200.0), s"$fmt mean_px: $mean")
+      if (fmt == "jpeg") assert(mean.isEmpty, "jpeg must stay header-only")
+    }
+    // corrupt/unknown payloads must decode to None, not throw
+    assert(Multimodal.decodeImage("not an image at all".getBytes, readers).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte](0x89.toByte, 'P', 'N', 'G'), readers).isEmpty)
+    // truncated png: valid magic, unreadable body
+    val png = { val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB), "png", b); b.toByteArray }
+    assert(Multimodal.decodeImage(png.take(20), readers).isEmpty)
+  }
+
+  test("image decode on the corpus: fixture manifest round-trips through real encoded bytes") {
+    import graft.pipeline.Multimodal
+    val docs = Tables.load(spark, sfDir, "documents")
+    val decoded = Multimodal.decodeImages(
+      spark, Multimodal.withImagePayload(docs, "doc_id"), "doc_id").collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, fmt, v) = Multimodal.fixtureSpec(id)
+      assert(r.getInt(2) == w && r.getInt(3) == h && r.getString(4) == fmt, r.toString)
+      assert(r.getLong(1) > 0L, "n_bytes must be the real encoded size")
+      if (fmt == "jpeg") assert(r.isNullAt(5), "jpeg is header-only")
+      else assert(r.getDouble(5) == v.toDouble, s"lossless mean drifted: $r")
+    }
+    // all three formats exercised across the corpus
+    assert(decoded.map(_.getString(4)).toSet == Set("png", "jpeg", "bmp"))
+  }
+
   test("phash near-dup pairs: identical payloads pair at hamming 0; blocking finds corpus near-dups") {
     val docs = Seq(
       (1L, "a document body that is long enough to segment meaningfully ok"),
