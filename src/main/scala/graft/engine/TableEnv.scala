@@ -683,9 +683,11 @@ object TableEnv {
             s"format 'raw' supports STRING/BYTES columns, not $t")
         }
         struct(v.cast(c.sparkType).as(c.name))
-      case "protobuf" => throw new IllegalArgumentException(
-        "format 'protobuf' needs the protobuf runtime library, which is not " +
-          "on this classpath — use avro or json")
+      case "protobuf" =>
+        // hand-rolled wire-format decode, DDL schema as the descriptor
+        // (ProtobufWire Scaladoc) — descriptor-needing column types still
+        // fail fast with their specific reason inside validate()
+        graft.sources.ProtobufWire.fromProtoValue(payload, subSchema(cols))
       case f => throw new IllegalArgumentException(s"unsupported kafka format '$f'")
     }
     // a kafka binding must SAY its format — Binding.format's "parquet"

@@ -63,6 +63,30 @@ object MiscQueries {
         |  CAST(X'4142' AS STRING) AS bin_lit
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin)
     },
+
+    // protobuf format: REAL wire bytes round-tripped through the hand-rolled
+    // codec (encode per partition → decode through the kafka-value column
+    // path). The oracle recomputes the pre-encode projection, so a decode
+    // that drops/mangles/defaults any field hash-mismatches.
+    "q_format_protobuf" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("snippet", StringType),
+        StructField("k_mod", IntegerType), StructField("flag", BooleanType)))
+      val src = Tables.load(s, dir, "documents").select(
+        col("doc_id"), substring(col("text"), 1, 40).as("snippet"),
+        (col("doc_id") % 1000).cast("int").as("k_mod"),
+        (col("doc_id") % 2 === 0).as("flag"))
+      val binSchema = StructType(Seq(StructField("value", BinaryType)))
+      val payloads = src.mapPartitions(rows =>
+        rows.map(r => Row(graft.sources.ProtobufWire.encodeMessage(r, schema))))(
+        org.apache.spark.sql.Encoders.row(binSchema))
+      payloads
+        .select(graft.sources.ProtobufWire.fromProtoValue(col("value"), schema).as("d"))
+        .select("d.*").orderBy("doc_id")
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -102,5 +126,11 @@ object MiscQueries {
         |  CAST(ts AS TIMESTAMP) + INTERVAL '1 day 2 hours 3 minutes 4 seconds' AS plus_dts,
         |  'AB' AS bin_lit
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+
+    "q_format_protobuf" ->
+      """SELECT doc_id, substring(text, 1, 40) AS snippet,
+        |       CAST(doc_id % 1000 AS INT) AS k_mod,
+        |       doc_id % 2 = 0 AS flag
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -226,13 +226,21 @@ class AvroSpec extends SparkTestBase {
     assert(dbzRow.getAs[Long]("id") == 3L && dbzRow.getAs[String]("name") == "cda")
     assert(dbzRow.getAs[String]("__op") == "c" && dbzRow.getAs[Long]("__ts_ms") == 1700000001234L)
 
-    // protobuf: documented-unsupported with a clear reason
+    // protobuf: hand-rolled wire decode, DDL schema as descriptor
+    val pbSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val pbBytes = graft.sources.ProtobufWire.encodeMessage(Row(42L, "pb"), pbSchema)
     val bpb = TableEnv.parseCreateTable(
-      "CREATE TABLE pb_t (id BIGINT) WITH ('connector'='kafka','format'='protobuf')")
+      "CREATE TABLE pb_t (id BIGINT, name STRING) WITH ('connector'='kafka','format'='protobuf')")
+    val pbRow = TableEnv.decodeKafkaRecords(kafkaFrame(null, pbBytes), bpb).head()
+    assert(pbRow.getAs[Long]("id") == 42L && pbRow.getAs[String]("name") == "pb")
+    // descriptor-needing column types still fail fast with the reason
+    val bpb2 = TableEnv.parseCreateTable(
+      "CREATE TABLE pb_bad (ts TIMESTAMP(3)) WITH ('connector'='kafka','format'='protobuf')")
     val e3 = intercept[IllegalArgumentException] {
-      TableEnv.decodeKafkaRecords(kafkaFrame(null, Array[Byte](1)), bpb)
+      TableEnv.decodeKafkaRecords(kafkaFrame(null, pbBytes), bpb2)
     }
-    assert(e3.getMessage.contains("protobuf"))
+    assert(e3.getMessage.contains("descriptor"), e3.getMessage)
   }
 
   test("avro filesystem binding streams: file stream decoded per batch") {
