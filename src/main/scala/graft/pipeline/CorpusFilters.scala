@@ -174,16 +174,7 @@ object CorpusFilters {
     */
   def duplicateGroups(pairs: DataFrame, maxIters: Int = 20,
       driverLimit: Long = 1000000L): DataFrame = {
-    // materialize the pair plan once (eager localCheckpoint) BEFORE the
-    // both-directions union — the union's two branches would otherwise each
-    // re-run the (possibly expensive) candidate-pair join; the propagation
-    // loop below would re-run it per round on top. Checkpointing also
-    // truncates per-iteration lineage growth.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val edges = symmetricEdges(pairs)
     if (edges.count() <= driverLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -208,26 +199,63 @@ object CorpusFilters {
       val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
       return ids.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
     }
+    propagateMinLabels(edges, maxIters)._1
+  }
+
+  /** Both-directions distinct edge list, materialized once. The eager
+    * localCheckpoint runs the (possibly expensive) candidate-pair plan a
+    * single time — the union's two branches would otherwise each re-run
+    * it, and the propagation loop would re-run it per round on top.
+    * Checkpointing also truncates per-iteration lineage growth. */
+  private def symmetricEdges(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** The distributed branch of [[duplicateGroups]]: iterative min-label
+    * propagation, two hash joins per round, no driver-side graph. Returns
+    * (labels, rounds-to-converge) — the round count is the O(cluster
+    * diameter) claim made in the operator's Scaladoc, surfaced so the
+    * scale probe can record it instead of asserting it in a comment. */
+  private def propagateMinLabels(edges: DataFrame, maxIters: Int): (DataFrame, Int) = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val viaNeighbor = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+      // eager localCheckpoint each round: cache() alone leaves the LOGICAL
+      // plan growing by two joins per round, and by ~13 rounds the plan
+      // (and AQE's per-update explain rendering of it) is exponentially
+      // large — deep components OOMed the driver before any executor did
+      // real work. Checkpointing truncates lineage so every round's plan
+      // is round-1-sized; the materialization is free (the `changed` probe
+      // below forces it anyway), and out-of-scope checkpoint blocks are
+      // reclaimed by the ContextCleaner as rounds advance.
       val prev = labels
       val next = labels.join(viaNeighbor, Seq("id"), "left_outer")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(prev.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = next
-      prev.unpersist(false)
       converged = changed == 0
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), iter)
   }
+
+  /** Probe/spec hook: force the distributed label-propagation branch
+    * regardless of edge count (a ≥`driverLimit`-edge fixture would make
+    * unit tests pay minutes of shuffle). Returns (labels, rounds). */
+  private[graft] def duplicateGroupsDistributed(
+      pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) =
+    propagateMinLabels(symmetricEdges(pairs), maxIters)
 
   /** Unigram language-model quality score: the mean log-probability of a
     * document's tokens under the corpus unigram distribution — the classic

@@ -155,6 +155,31 @@ object ScaleProbe {
         "doc_id", "text", minDocs = 2)
         .agg(sum(col("n_removed"))).head().getLong(0)
     }
+    // clustering fallback at scale: the distributed label-propagation
+    // branch of duplicateGroups, forced on a ≥2M-edge graph (stars of 4
+    // chained pairwise — diameter ~4, the shape LSH near-dup output has).
+    // Parity vs the driver union-find on the SAME edges is the correctness
+    // pin; wall time and round count land in PLANS.md.
+    val edgeDocs = math.max(n, 2700000L) // ≥2M edges after the 3-in-4 filter
+    val star = spark.range(edgeDocs).toDF("id")
+      .filter(col("id") % 4 =!= 0)
+      .select((col("id") - (col("id") % 4)).as("id_a"), col("id").as("id_b"))
+    val chain = spark.range(edgeDocs / 8).toDF("i")
+      .select((col("i") * 8).as("id_a"), (col("i") * 8 + 4).as("id_b"))
+    val bigPairs = star.union(chain)
+    time(s"cluster propagate (${edgeDocs / 4 * 3 + edgeDocs / 8} edges)") {
+      val (labels, rounds) = CorpusFilters.duplicateGroupsDistributed(bigPairs, maxIters = 20)
+      val nClusters = labels.select(col("cluster_id")).distinct().count()
+      println(s"[probe] cluster propagate rounds=$rounds clusters=$nClusters")
+      nClusters
+    }
+    time("cluster union-find (same edges)") {
+      // driverLimit raised so the driver path takes the same input; the
+      // cluster count must match the propagated branch exactly
+      CorpusFilters.duplicateGroups(bigPairs, driverLimit = Long.MaxValue)
+        .select(col("cluster_id")).distinct().count()
+    }
+
     time("phash near-dup pairs") {
       graft.pipeline.Multimodal.phashNearDupPairs(
         docs.withColumn("payload", encode(col("text"), "UTF-8")),

@@ -418,6 +418,32 @@ class PipelineSpec extends SparkTestBase {
     assert(viaLoop == expected)
   }
 
+  test("duplicate groups: distributed branch matches union-find on chains and on the corpus") {
+    // a 12-deep path graph: min-label propagation advances the root label
+    // one hop per round, so this pins the O(diameter) convergence claim
+    // (rounds ≈ diameter, NOT the 3-5 of shallow stars) and that maxIters
+    // is honored as a ceiling, not a fixed cost
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = CorpusFilters.duplicateGroupsDistributed(chain, maxIters = 20)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 12L).map(_ -> 0L).toMap, got.toString)
+    assert(rounds >= 12 && rounds <= 14, s"expected ~diameter rounds, got $rounds")
+    // shallow stars converge in the documented 3-5
+    val stars = (1L to 60L).filter(_ % 4 != 0).map(i => (i - i % 4, i)).toDF("id_a", "id_b")
+    val (_, starRounds) = CorpusFilters.duplicateGroupsDistributed(stars, maxIters = 20)
+    assert(starRounds <= 5, s"stars took $starRounds rounds")
+    // corpus-shaped input: the REAL LSH pair stream — both branches must
+    // produce identical cluster assignments, not just counts
+    val corpusPairs = Dedup.nearDuplicatePairs(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text", threshold = 0.5)
+    val viaUf = CorpusFilters.duplicateGroups(corpusPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = CorpusFilters.duplicateGroupsDistributed(corpusPairs)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUf.nonEmpty && viaUf == viaProp,
+      s"branches disagree on ${viaUf.size}/${viaProp.size} corpus assignments")
+  }
+
   test("tf-idf: rarer terms outrank common ones at equal tf") {
     val df = Seq(
       (1L, "apple banana common"), (2L, "apple cherry common"), (3L, "apple dates common")
