@@ -15,11 +15,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ SetsAndSubqueries.queries ++
-      Aggregates.queries ++ OverWindows.queries ++ WindowTVFs.queries ++ Funcs.queries ++ Funcs2.queries ++ PipelineQueries.queries ++ DialectQueries.queries ++ CepQueries.queries ++ MiscQueries.queries
+      Aggregates.queries ++ OverWindows.queries ++ WindowTVFs.queries ++ Funcs.queries ++ Funcs2.queries ++ PipelineQueries.queries ++ DialectQueries.queries ++ CepQueries.queries ++ MiscQueries.queries ++ StreamParityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ SetsAndSubqueries.oracle ++
-      Aggregates.oracle ++ OverWindows.oracle ++ WindowTVFs.oracle ++ Funcs.oracle ++ Funcs2.oracle ++ PipelineQueries.oracle ++ DialectQueries.oracle ++ CepQueries.oracle ++ MiscQueries.oracle
+      Aggregates.oracle ++ OverWindows.oracle ++ WindowTVFs.oracle ++ Funcs.oracle ++ Funcs2.oracle ++ PipelineQueries.oracle ++ DialectQueries.oracle ++ CepQueries.oracle ++ MiscQueries.oracle ++ StreamParityQueries.oracle
 }
