@@ -58,6 +58,24 @@ object Similarity {
     * the training cost is constant in the table size). Assignment uses
     * cosine, so un-normalized means are fine (cosine is scale-invariant).
     * Clusters that lose all members drop out (fewer, denser buckets). */
+  /** Below this sample/population ratio the bounded k-means sample is a
+    * silent quality cap — the centroids describe ≤10% of the corpus. */
+  private[graft] val CoverageWarnRatio = 0.1
+
+  /** The last coverage warning [[kmeansCentroids]] raised (probe/spec
+    * visibility — log output is not inspectable from a spec). */
+  private[graft] val lastCoverageWarning =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  /** Thin-sample warning text, None when coverage is healthy. Pure — the
+    * threshold decision is spec-pinned here, logging is a side channel. */
+  private[graft] def coverageWarning(sampleN: Long, popN: Long): Option[String] =
+    if (popN > 0 && sampleN.toDouble / popN < CoverageWarnRatio)
+      Some(f"IVF k-means trained on $sampleN of $popN vectors " +
+        f"(${100.0 * sampleN / popN}%.2f%%) — centroid quality is " +
+        "sample-limited; raise trainLimit if recall matters at this scale")
+    else None
+
   def kmeansCentroids(
       vectors: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 3, trainLimit: Int = 4096): DataFrame = {
@@ -69,11 +87,21 @@ object Similarity {
     // Ordering by xxhash64(id) keeps the sample deterministic but spreads it
     // uniformly over the table — first-N-by-id would bias the centroids
     // toward whatever content correlates with low ids (ingest time, source).
+    val limit = math.max(trainLimit, nCentroids)
     val sample: Array[Array[Double]] = vectors
       .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(math.max(trainLimit, nCentroids))
+      .limit(limit)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    // a full sample means the table is larger than the cap — measure how
+    // much larger (one count job, training-time only) and surface thin
+    // coverage instead of silently capping quality at 100x scale
+    val warning =
+      if (sample.length < limit) None
+      else coverageWarning(sample.length.toLong, vectors.count())
+    lastCoverageWarning.set(warning)
+    warning.foreach(w =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(w))
     val k = math.min(nCentroids, sample.length)
     def dotA(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -127,9 +155,9 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      kmeansIters: Int = 3): DataFrame = {
+      kmeansIters: Int = 3, trainLimit: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = kmeansCentroids(vectors, idCol, vecCol, nCentroids, kmeansIters)
+    val centroids = kmeansCentroids(vectors, idCol, vecCol, nCentroids, kmeansIters, trainLimit)
     val assigned = ivfAssign(vectors, idCol, vecCol, centroids)
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).cast("array<double>").as("q"))

@@ -224,6 +224,32 @@ class PipelineSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("k-means sample coverage: thin training samples warn, healthy ones don't") {
+    // the decision function is pinned: below CoverageWarnRatio of the
+    // population the warning names both counts and the knob to raise
+    assert(Similarity.coverageWarning(4096L, 1000000L).exists(w =>
+      w.contains("4096") && w.contains("1000000") && w.contains("trainLimit")))
+    assert(Similarity.coverageWarning(4096L, 8000L).isEmpty, "51% coverage is healthy")
+    assert(Similarity.coverageWarning(4096L, 0L).isEmpty)
+    // end to end: a trainLimit far under the corpus size must raise the
+    // warning; a trainLimit covering the corpus must not (and must not
+    // even pay the count job — the sample came back under the cap)
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val pop = e.count()
+    Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      nCentroids = 4, trainLimit = math.max((pop / 20).toInt, 4))
+    assert(Similarity.lastCoverageWarning.get().isDefined,
+      s"no warning training on ~5% of $pop vectors")
+    Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      nCentroids = 4, trainLimit = (pop * 2).toInt)
+    assert(Similarity.lastCoverageWarning.get().isEmpty)
+    // ivfTopK exposes the knob
+    val q = e.filter(col("vec_id") < 2)
+    Similarity.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 4, trainLimit = math.max((pop / 20).toInt, 4)).collect()
+    assert(Similarity.lastCoverageWarning.get().isDefined)
+  }
+
   test("k-means centroids beat first-N seeding on skewed clusters") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
