@@ -31,6 +31,36 @@ object StreamParityQueries {
   /** marker key for watermark pushers — excluded from both diff sides */
   private val PusherKey = -1L
 
+  /** Parity gates run ~2k driver-fed rows through 5-6 micro-batches; at the
+    * session default of 32 shuffle partitions each micro-batch pays 32 state
+    * store partitions of task + checkpoint-delta overhead for a handful of
+    * rows apiece. 4 partitions keeps the multi-partition state path honest
+    * (the parity diff would catch a partitioning bug) at ~1/8 the overhead.
+    * Disabling no-data micro-batches halves the batch count: every wave
+    * otherwise triggers a data batch PLUS a watermark-advance batch, and the
+    * gates never rely on no-data emission — the far-future pusher batches
+    * are data batches that advance the watermark and flush all real-key
+    * state (pusher-key state itself is filtered from the diff). Both confs
+    * are read at query START, so setting them around the whole gate
+    * (build + drain + diff) is sufficient and safe. */
+  private def withParityConf[A](s: SparkSession)(body: => A): A = {
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      // the per-batch watermark literal makes each micro-batch's generated
+      // code unique, so codegen pays a fresh janino compile EVERY batch to
+      // execute ~700 rows — interpreted mode is strictly cheaper here and
+      // semantically identical (Catalyst's interpreted/codegen contract)
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   private def memStream(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType): MemoryStream[Row] =
     MemoryStream[Row](org.apache.spark.sql.Encoders.row(schema), s.sqlContext)
@@ -53,7 +83,15 @@ object StreamParityQueries {
     * execution replaces (not duplicates) the first. */
   private def drain(s: SparkSession, out: DataFrame, name: String)(
       feed: StreamingQuery => Unit): DataFrame = {
+    // checkpoint on tmpfs when present — the offset/commit WAL of this
+    // ephemeral query is pure overhead on a real disk; wiped before start
+    // because MemoryStream offsets restart from 0 every execution
+    val ckptBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ckpt = new java.io.File(s"$ckptBase/graft_parity_ckpt/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
     val q = out.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
       .outputMode("append").start()
     try { feed(q); q.processAllAvailable() } finally q.stop()
     s.table(name)
@@ -77,12 +115,23 @@ object StreamParityQueries {
   private def summary(s: SparkSession, op: String,
       batch: DataFrame, streamed: DataFrame): DataFrame = {
     import s.implicits._
-    // align column order; exceptAll both ways = exact multiset difference
+    // align column order, then diff the multisets DRIVER-SIDE: both sides
+    // are bounded (≤ a few thousand rows from the 2k-row slice) and a
+    // local counting map costs ~0 vs two exceptAll shuffles + a union.
+    // Row values compare exactly (timestamps, longs, same-scale decimals)
+    // — the same binary equality exceptAll used.
     val cols = batch.columns.toSeq.sorted.map(col)
-    val b = batch.select(cols: _*)
-    val st = streamed.select(cols: _*)
-    val diff = b.exceptAll(st).union(st.exceptAll(b)).count()
-    val nonempty = b.limit(1).count() > 0
+    def counts(df: DataFrame): collection.mutable.Map[Seq[Any], Long] = {
+      val m = collection.mutable.Map.empty[Seq[Any], Long]
+      df.select(cols: _*).collect().foreach { r =>
+        val k = r.toSeq; m.update(k, m.getOrElse(k, 0L) + 1L)
+      }
+      m
+    }
+    val (bc, sc) = (counts(batch), counts(streamed))
+    val diff = (bc.keySet ++ sc.keySet).iterator
+      .map(k => math.abs(bc.getOrElse(k, 0L) - sc.getOrElse(k, 0L))).sum
+    val nonempty = bc.nonEmpty
     Seq((op, diff, nonempty)).toDF("op", "diff_rows", "nonempty")
   }
 
@@ -210,14 +259,14 @@ object StreamParityQueries {
     }
 
   val queries: Map[String, Q] = Map(
-    "q_stream_parity_cep" -> { (s, dir) =>
-      val (b, st) = pairCep(s, dir); summary(s, "cep", b, st) },
-    "q_stream_parity_asof" -> { (s, dir) =>
-      val (b, st) = pairAsof(s, dir); summary(s, "asof", b, st) },
-    "q_stream_parity_tumble" -> { (s, dir) =>
-      val (b, st) = pairTumble(s, dir); summary(s, "tumble", b, st) },
-    "q_stream_parity_dedup" -> { (s, dir) =>
-      val (b, st) = pairDedup(s, dir); summary(s, "dedup", b, st) },
+    "q_stream_parity_cep" -> { (s, dir) => withParityConf(s) {
+      val (b, st) = pairCep(s, dir); summary(s, "cep", b, st) } },
+    "q_stream_parity_asof" -> { (s, dir) => withParityConf(s) {
+      val (b, st) = pairAsof(s, dir); summary(s, "asof", b, st) } },
+    "q_stream_parity_tumble" -> { (s, dir) => withParityConf(s) {
+      val (b, st) = pairTumble(s, dir); summary(s, "tumble", b, st) } },
+    "q_stream_parity_dedup" -> { (s, dir) => withParityConf(s) {
+      val (b, st) = pairDedup(s, dir); summary(s, "dedup", b, st) } },
   )
 
   val oracle: Map[String, String] = Map(
