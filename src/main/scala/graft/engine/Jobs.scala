@@ -49,18 +49,22 @@ object Jobs {
   /** The task-manager entries: `statusTracker.getExecutorInfos` minus the
     * driver. In cluster mode the tracker lists the driver's block manager as
     * an entry, but the driver runs no tasks — counting it would overstate
-    * slot capacity by one executor's cores. The public `SparkExecutorInfo`
-    * does not carry the executor id, so the driver is identified by its
-    * host (`spark.driver.host`) and exactly ONE such entry is dropped —
-    * executors co-located on the driver host keep theirs. Local mode: the
-    * single entry IS the executor, keep it. Shared by the overview and
-    * SHOW TASK MANAGERS so both report the same fleet. */
+    * slot capacity by one executor's cores. Tracker entries are block
+    * managers reported as (host, port), so the driver's is matched on BOTH
+    * (via [[org.apache.spark.GraftSparkInternals]] — the public info type
+    * omits the executor id): an executor co-located on the driver host has
+    * a different port and keeps its entry. Host-only match is the fallback
+    * if the env is unreadable. Local mode: the single entry IS the
+    * executor, keep it. Shared by the overview and SHOW TASK MANAGERS so
+    * both report the same fleet. */
   private def tmEntries(sc: org.apache.spark.SparkContext): Seq[org.apache.spark.SparkExecutorInfo] = {
     val all = sc.statusTracker.getExecutorInfos.toSeq
     if (sc.isLocal || all.size <= 1) all
     else {
-      val driverHost = sc.getConf.get("spark.driver.host", "")
-      val i = all.indexWhere(_.host == driverHost)
+      val i = org.apache.spark.GraftSparkInternals.driverBlockManagerHostPort() match {
+        case Some((h, p)) => all.indexWhere(e => e.host == h && e.port == p)
+        case None => all.indexWhere(_.host == sc.getConf.get("spark.driver.host", ""))
+      }
       if (i >= 0) all.patch(i, Nil, 1) else all
     }
   }

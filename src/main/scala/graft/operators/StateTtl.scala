@@ -185,10 +185,14 @@ object StateTtl {
                     if (acc(i) == null) java.lang.Double.valueOf(v)
                     else {
                       val p = acc(i).asInstanceOf[java.lang.Double].doubleValue()
+                      // Double.compare's total order (NaN greatest), not
+                      // math.min/max: Spark SQL MIN of [5.0, NaN, 3.0] is
+                      // 3.0 (NaN sorts greatest), while math.min would
+                      // propagate NaN for the rest of the key's lifetime
                       java.lang.Double.valueOf(kind match {
                         case "sum" => p + v
-                        case "min" => math.min(p, v)
-                        case "max" => math.max(p, v)
+                        case "min" => if (java.lang.Double.compare(p, v) <= 0) p else v
+                        case "max" => if (java.lang.Double.compare(p, v) >= 0) p else v
                       })
                     }
                 }

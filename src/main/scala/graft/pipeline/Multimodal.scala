@@ -81,21 +81,28 @@ object Multimodal {
       }
     }
 
+  /** Mean luminance: (r+g+b)/3 per pixel through the image's ColorModel.
+    * NOT raster samples — for indexed images (every GIF, palette PNGs) a
+    * raster sample is the palette INDEX, not a color, so a solid-gray GIF
+    * would report the index mean (≈0) instead of the gray value. Alpha is
+    * ignored (a transparent pixel still has a color). Bulk getRGB keeps it
+    * one ColorModel dispatch per row of pixels, not per pixel. */
   private def meanPixel(img: java.awt.image.BufferedImage): Double = {
-    val raster = img.getRaster
-    val (w, h, bands) = (raster.getWidth, raster.getHeight, raster.getNumBands)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rowBuf = new Array[Int](w)
     var sum = 0L
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
       var x = 0
       while (x < w) {
-        var b = 0
-        while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+        val rgb = rowBuf(x)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
         x += 1
       }
       y += 1
     }
-    sum.toDouble / (w.toLong * h * bands)
+    sum.toDouble / (3.0 * w.toLong * h)
   }
 
   /** Attach a synthetic binary payload column (UTF-8 bytes of a string col) —

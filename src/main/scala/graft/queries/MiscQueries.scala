@@ -75,8 +75,13 @@ object MiscQueries {
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("snippet", StringType),
         StructField("k_mod", IntegerType), StructField("flag", BooleanType)))
+      // coalesce before substring: proto3 cannot represent NULL string —
+      // encode omits the field and decode restores '' — so a NULL text
+      // would silently become '' on the Spark side while the oracle keeps
+      // NULL; pinning '' on BOTH sides keeps the gate honest if a corpus
+      // with NULL text ever lands
       val src = Tables.load(s, dir, "documents").select(
-        col("doc_id"), substring(col("text"), 1, 40).as("snippet"),
+        col("doc_id"), substring(coalesce(col("text"), lit("")), 1, 40).as("snippet"),
         (col("doc_id") % 1000).cast("int").as("k_mod"),
         (col("doc_id") % 2 === 0).as("flag"))
       val binSchema = StructType(Seq(StructField("value", BinaryType)))
@@ -128,7 +133,7 @@ object MiscQueries {
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
 
     "q_format_protobuf" ->
-      """SELECT doc_id, substring(text, 1, 40) AS snippet,
+      """SELECT doc_id, substring(coalesce(text, ''), 1, 40) AS snippet,
         |       CAST(doc_id % 1000 AS INT) AS k_mod,
         |       doc_id % 2 = 0 AS flag
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -77,13 +77,21 @@ object PipelineQueries {
     // time the recurring join, not the setup.
     "q_dedup_incremental_bucketed" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      digestFixture.computeIfAbsent(dir, _ => {
-        Dedup.materializeHistoryDigests(
-          docs.filter(col("doc_id") % 2 === 0), "text", "graft_digests_hist")
-        "graft_digests_hist"
+      // fixture table name carries the source dir (hash-suffixed) so two
+      // dirs in one JVM can't serve each other's history; the memo makes
+      // the CURRENT code version materialize once per JVM (overwriting a
+      // stale warehouse table from an older build), and the catalog
+      // re-check covers a fresh session in the same JVM whose warehouse
+      // lost the table
+      val tbl = f"graft_digests_hist_${dir.hashCode & 0x7fffffff}%08x"
+      digestFixture.compute(tbl, (_, done) => {
+        if (done == null || !s.catalog.tableExists(tbl))
+          Dedup.materializeHistoryDigests(
+            docs.filter(col("doc_id") % 2 === 0), "text", tbl)
+        tbl
       })
       Dedup.incrementalDedupBucketed(
-          docs.filter(col("doc_id") % 7 === 0), "graft_digests_hist",
+          docs.filter(col("doc_id") % 7 === 0), tbl,
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },

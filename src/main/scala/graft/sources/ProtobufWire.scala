@@ -39,14 +39,29 @@ object ProtobufWire {
   private def validateType(dt: DataType, path: String): Unit = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | StringType | BinaryType => ()
-    case ArrayType(et, _) => validateType(et, s"$path[]")
+    case ArrayType(et, _) => et match {
+      // proto3 cannot nest repeated/map inside repeated directly — protoc
+      // itself requires a wrapper message; reject at DDL time instead of
+      // crashing mid-scan with a wire-type error
+      case _: ArrayType | _: MapType => throw new IllegalArgumentException(
+        s"protobuf: '$path' is a repeated ${et.simpleString} — proto3 has no " +
+          "direct repeated-of-repeated/map; wrap the element in a ROW(...) " +
+          "(an embedded message), as protoc requires")
+      case _ => validateType(et, s"$path[]")
+    }
     case MapType(kt, vt, _) =>
       kt match {
         case BooleanType | ByteType | ShortType | IntegerType | LongType | StringType => ()
         case other => throw new IllegalArgumentException(
           s"protobuf: map key of '$path' must be an integral/bool/string type, not $other")
       }
-      validateType(vt, s"$path{}")
+      vt match {
+        // same protoc rule on the value side: map<_, repeated/map> doesn't exist
+        case _: ArrayType | _: MapType => throw new IllegalArgumentException(
+          s"protobuf: map value of '$path' is ${vt.simpleString} — proto3 map " +
+            "values cannot be repeated/map; wrap it in a ROW(...)")
+        case _ => validateType(vt, s"$path{}")
+      }
     case st: StructType => st.fields.foreach(f => validateType(f.dataType, s"$path.${f.name}"))
     case other => throw new IllegalArgumentException(
       s"protobuf: column '$path' has type $other, which needs a descriptor / " +
@@ -99,9 +114,9 @@ object ProtobufWire {
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
-      case 1 => pos += 8
+      case 1 => readFixed64() // bounds-checked: a truncated unknown field fails loudly too
       case 2 => readDelimited()
-      case 5 => pos += 4
+      case 5 => readFixed32()
       case g => throw new IllegalArgumentException(
         s"protobuf: group wire type $g needs full descriptors (proto1 relic)")
     }
@@ -169,9 +184,12 @@ object ProtobufWire {
             while (er.hasMore) {
               val et = er.readVarint()
               val ew = (et & 7).toInt
+              // wire/type mismatches inside an entry skip tolerantly, the
+              // same degradation top-level fields get — a producer-side
+              // map-value type evolution must not kill the whole scan
               (et >>> 3).toInt match {
-                case 1 => k = readScalar(er, ew, kt, bytes)
-                case 2 => v = readScalar(er, ew, vt, bytes)
+                case 1 if ew == wireTypeOf(kt) => k = readScalar(er, ew, kt, bytes)
+                case 2 if ew == wireTypeOf(vt) => v = readScalar(er, ew, vt, bytes)
                 case _ => er.skip(ew)
               }
             }

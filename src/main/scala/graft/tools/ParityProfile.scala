@@ -46,10 +46,14 @@ object ParityProfile {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
       val out = agg(mem.toDF().withWatermark("ets", "0 seconds"))
       val q = phase("stream start") {
-        val ckpt = s"/dev/shm/graft_pp_ckpt"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        // same tmpfs-or-tmpdir rule as StreamParityQueries.drain — the
+        // gate this tool profiles
+        val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+          else System.getProperty("java.io.tmpdir")
+        val ckpt = new java.io.File(s"$base/graft_pp_ckpt")
+        org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
         out.writeStream.format("memory").queryName("pp_out")
-          .option("checkpointLocation", ckpt)
+          .option("checkpointLocation", ckpt.getAbsolutePath)
           .outputMode("append").start()
       }
       val n = rows.length

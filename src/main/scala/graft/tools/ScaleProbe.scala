@@ -40,7 +40,7 @@ object ScaleProbe {
     // PROBE_ONLY=<substring> runs just the matching blocks (re-probing one
     // operator family without paying the full sweep)
     val only = sys.env.get("PROBE_ONLY")
-    def time(name: String)(f: => Long): Unit = if (only.forall(name.contains)) {
+    def time(name: String)(f: => Long): Option[Long] = if (only.forall(name.contains)) {
       Thread.sleep(300)
       val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
@@ -49,7 +49,8 @@ object ScaleProbe {
       Thread.sleep(300)
       val mb = (shuffleBytes.get() - b0) / 1e6
       println(f"[probe] $name%-24s $secs%8.1f s   shuffle=$mb%9.1f MB   result=$r")
-    }
+      Some(r)
+    } else None
 
     time(s"exact dedup ($n docs)") {
       Dedup.exactGroups(docs, "doc_id", "text").filter(col("group_size") > 1).count()
@@ -167,18 +168,24 @@ object ScaleProbe {
     val chain = spark.range(edgeDocs / 8).toDF("i")
       .select((col("i") * 8).as("id_a"), (col("i") * 8 + 4).as("id_b"))
     val bigPairs = star.union(chain)
-    time(s"cluster propagate (${edgeDocs / 4 * 3 + edgeDocs / 8} edges)") {
+    val propagated = time(s"cluster propagate (${edgeDocs / 4 * 3 + edgeDocs / 8} edges)") {
       val (labels, rounds) = CorpusFilters.duplicateGroupsDistributed(bigPairs, maxIters = 20)
       val nClusters = labels.select(col("cluster_id")).distinct().count()
       println(s"[probe] cluster propagate rounds=$rounds clusters=$nClusters")
       nClusters
     }
-    time("cluster union-find (same edges)") {
-      // driverLimit raised so the driver path takes the same input; the
-      // cluster count must match the propagated branch exactly
+    val unionFound = time("cluster union-find (same edges)") {
+      // driverLimit raised so the driver path takes the same input
       CorpusFilters.duplicateGroups(bigPairs, driverLimit = Long.MaxValue)
         .select(col("cluster_id")).distinct().count()
     }
+    // the parity PIN, enforced — a probe that only prints two numbers
+    // records a broken branch (non-convergence in maxIters, a wrong merge)
+    // as "verified"; member-level equality is pinned in PipelineSpec at
+    // spec scale, the probe asserts the cluster count at 2M+ edges
+    // (skipped only when PROBE_ONLY excluded one of the two blocks)
+    for (p <- propagated; u <- unionFound) require(p == u,
+      s"clustering parity broken at scale: propagate=$p unionFind=$u")
 
     time("phash near-dup pairs") {
       graft.pipeline.Multimodal.phashNearDupPairs(

@@ -679,7 +679,10 @@ class PipelineSpec extends SparkTestBase {
       assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK $fmt writer")
       val Some((w, h, f, mean)) = Multimodal.decodeImage(bos.toByteArray, readers)
       assert((w, h, f) == (37, 21, fmt), s"$fmt decoded to ($w,$h,$f)")
-      if (fmt == "png" || fmt == "bmp")
+      // gif included: the JDK writer palettizes it, so this pins that
+      // mean_px reads COLORS through the IndexColorModel, not palette
+      // indices (a solid-gray gif would otherwise report ~0)
+      if (fmt == "png" || fmt == "bmp" || fmt == "gif")
         assert(mean.contains(200.0), s"$fmt mean_px: $mean")
       if (fmt == "jpeg") assert(mean.isEmpty, "jpeg must stay header-only")
     }

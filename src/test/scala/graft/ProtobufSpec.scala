@@ -139,6 +139,41 @@ class ProtobufSpec extends SparkTestBase {
         StructField("when", DateType)))))))
     }
     assert(e2.getMessage.contains("outer.when"), e2.getMessage)
+    // proto3 has no repeated-of-repeated/map and no repeated/map map values
+    // — protoc requires a wrapper message; the DDL gate must say so instead
+    // of crashing mid-scan with a wire-type error
+    for (bad <- Seq(
+        ArrayType(ArrayType(IntegerType)),
+        ArrayType(MapType(StringType, IntegerType)),
+        MapType(StringType, ArrayType(LongType)),
+        MapType(StringType, MapType(StringType, StringType)))) {
+      val e3 = intercept[IllegalArgumentException] {
+        ProtobufWire.validate(StructType(Seq(StructField("c", bad))))
+      }
+      assert(e3.getMessage.contains("ROW"), s"$bad: ${e3.getMessage}")
+    }
+    // the legal wrapped forms pass
+    ProtobufWire.validate(StructType(Seq(
+      StructField("ok1", ArrayType(StructType(Seq(StructField("v", ArrayType(IntegerType)))))),
+      StructField("ok2", MapType(StringType, StructType(Seq(StructField("v", ArrayType(LongType)))))))))
+  }
+
+  test("degradation symmetry: wire/type mismatches skip, truncation fails — everywhere") {
+    // a map VALUE whose wire type evolved (string → varint here) skips the
+    // entry field tolerantly, like a top-level mismatch — not a thrown
+    // error that kills the scan
+    val ms = StructType(Seq(StructField("m", MapType(StringType, IntegerType))))
+    // field 1 entry: key "k" (tag 0a), value as STRING "vv" (tag 12, wire 2
+    // — mismatches IntegerType's varint): value falls back to default 0
+    val evolved = Array(0x0a, 0x07, 0x0a, 0x01, 0x6b, 0x12, 0x02, 0x76, 0x76).map(_.toByte)
+    assert(ProtobufWire.decodeMessage(evolved, 0, evolved.length, ms) ==
+      Row(Map("k" -> 0)), "evolved map value must degrade, not throw")
+    // a truncated unknown FIXED field fails loudly like truncated varints —
+    // field 9 wire 1 (fixed64) with only 3 payload bytes
+    val s = StructType(Seq(StructField("a", IntegerType)))
+    intercept[IllegalArgumentException] {
+      ProtobufWire.decodeMessage(Array(0x49, 0x01, 0x02, 0x03).map(_.toByte), 0, 4, s)
+    }
   }
 
   test("column decode end to end: nested rows and arrays through the kafka-value path") {

@@ -955,6 +955,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("state TTL: double MIN/MAX use Spark's NaN-greatest order, not NaN propagation") {
+    // Spark SQL sorts NaN above every value: MIN of [5.0, NaN, 3.0] is 3.0
+    // and MAX is NaN. math.min/max would propagate NaN into MIN for the
+    // rest of the key's TTL lifetime — a silent result change vs the
+    // native aggregation whenever the TTL conf is toggled on
+    import graft.operators.StateTtl
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val df = mem.toDF().toDF("k", "ts", "v").withWatermark("ts", "0 seconds")
+    val out = StateTtl.ttlKeyedAgg(df, Seq("k"), "ts",
+      Seq(("min", "v", "lo"), ("max", "v", "hi")), ttlMillis = 60000)
+    val q = out.writeStream.format("memory").queryName("ttl_nan")
+      .outputMode("update").start()
+    try {
+      mem.addData((1, ts("2024-01-01 00:00:10"), 5.0),
+        (1, ts("2024-01-01 00:00:11"), Double.NaN),
+        (1, ts("2024-01-01 00:00:12"), 3.0))
+      q.processAllAvailable()
+      val r = spark.table("ttl_nan").collect().last
+      assert(r.getDouble(1) == 3.0, s"MIN must treat NaN as greatest: $r")
+      assert(r.getDouble(2).isNaN, s"MAX of a NaN-containing group IS NaN: $r")
+    } finally q.stop()
+  }
+
   test("table.exec.state.ttl routes keyed streaming aggregation through the TTL operator") {
     import graft.engine.{Gateway, TableEnv}
     TableEnv.clear()
