@@ -256,6 +256,10 @@ class Gateway(root: SparkSession) {
   private val AlterSetRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+SET\s*\((.*)\)\s*$""".r
   private val AlterRenameRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*$""".r
   private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val LoadModuleRe =
+    """(?is)^LOAD\s+MODULE\s+`?(\w+)`?(?:\s+WITH\s*\(.*\))?\s*$""".r
+  private val UnloadModuleRe = """(?is)^UNLOAD\s+MODULE\s+`?(\w+)`?\s*$""".r
+  private val UseModulesRe = """(?is)^USE\s+MODULES\s+(.+)$""".r
   private val OptionsHintRe = """(?is)/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/""".r
   private val IfNotExistsRe = """(?i)IF\s+NOT\s+EXISTS""".r
 
@@ -359,6 +363,72 @@ class Gateway(root: SparkSession) {
     }
   }
 
+  // -------------------------------------------------------------- modules --
+  // Flink's module system scopes FUNCTION resolution (G:371 SHOW MODULES,
+  // LOAD/UNLOAD MODULE, USE MODULES). The one module that concretely exists
+  // here is `core` — the Flink-dialect function catalog FlinkFunctions
+  // registers per session — so the registry is real, not a no-op: unloading
+  // (or USE MODULES without) core drops those functions from the session
+  // and a query calling SPLIT_INDEX fails to resolve until core returns.
+  // `hive` (the only other stock Flink module) fails fast with its
+  // missing-runtime reason, the connector posture. Keyed by session
+  // identity: gateway sessions have isolated registries (newSession()).
+  private val sessionModules = scala.collection.concurrent.TrieMap
+    .empty[Int, scala.collection.mutable.LinkedHashMap[String, Boolean]]
+
+  private def modulesOf(spark: SparkSession) =
+    sessionModules.getOrElseUpdate(System.identityHashCode(spark),
+      scala.collection.mutable.LinkedHashMap("core" -> true))
+
+  /** Re-sync the session's function registry with core's used flag. */
+  private def syncCoreModule(spark: SparkSession,
+      mods: scala.collection.mutable.LinkedHashMap[String, Boolean]): Unit =
+    if (mods.getOrElse("core", false)) graft.functions.FlinkFunctions.registerAll(spark)
+    else graft.functions.FlinkFunctions.unregisterAll(spark)
+
+  private def loadModule(spark: SparkSession, name: String): OpResult = {
+    val mods = modulesOf(spark)
+    if (mods.contains(name))
+      throw new IllegalArgumentException(s"A module with name '$name' already exists")
+    name match {
+      case "core" =>
+        mods.put("core", true); syncCoreModule(spark, mods)
+        Statement("Module core loaded")
+      case "hive" => throw new IllegalArgumentException(
+        "module 'hive' needs a Hive runtime (flink-sql-connector-hive jar + " +
+          "a metastore) — neither exists on this classpath")
+      case other => throw new IllegalArgumentException(
+        s"Could not find a module factory for '$other' — only 'core' (and, " +
+          "with a Hive runtime, 'hive') exist as stock Flink modules")
+    }
+  }
+
+  private def unloadModule(spark: SparkSession, name: String): OpResult = {
+    val mods = modulesOf(spark)
+    if (!mods.contains(name))
+      throw new IllegalArgumentException(s"No module with name '$name' exists")
+    mods.remove(name)
+    if (name == "core") syncCoreModule(spark, mods)
+    Statement(s"Module $name unloaded")
+  }
+
+  private def useModules(spark: SparkSession, names: Seq[String]): OpResult = {
+    val mods = modulesOf(spark)
+    val dup = names.diff(names.distinct)
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"Module '${dup.head}' appears more than once in USE MODULES")
+    names.find(!mods.contains(_)).foreach(m =>
+      throw new IllegalArgumentException(s"No module with name '$m' exists"))
+    // USE order becomes resolution (and SHOW MODULES) order; loaded-but-
+    // unlisted modules stay loaded with used=false (Flink semantics)
+    val rebuilt = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    names.foreach(m => rebuilt.put(m, true))
+    mods.keys.foreach(m => if (!rebuilt.contains(m)) rebuilt.put(m, false))
+    mods.clear(); rebuilt.foreach { case (k, v) => mods.put(k, v) }
+    syncCoreModule(spark, mods)
+    Statement(s"Modules in use: ${names.mkString(", ")}")
+  }
+
   private def route(spark: SparkSession, stmt: String): OpResult = {
     val upper = stmt.toUpperCase
     stmt match {
@@ -426,9 +496,15 @@ class Gateway(root: SparkSession) {
         { import spark.implicits._
           Finished(spark.sparkContext.listJars().toSeq.toDF("jar")) }
       case _ if upper == "SHOW MODULES" =>
-        Statement("Modules are not supported (Flink module system has no Spark counterpart)")
-      case _ if upper.startsWith("LOAD MODULE") || upper.startsWith("UNLOAD MODULE") =>
-        Statement("Modules are not supported (Flink module system has no Spark counterpart)")
+        Rows(Seq("module name"),
+          modulesOf(spark).collect { case (m, true) => Seq[Any](m) }.toSeq)
+      case _ if upper == "SHOW FULL MODULES" =>
+        Rows(Seq("module name", "used"),
+          modulesOf(spark).map { case (m, u) => Seq[Any](m, u) }.toSeq)
+      case LoadModuleRe(name) => loadModule(spark, name.toLowerCase)
+      case UnloadModuleRe(name) => unloadModule(spark, name.toLowerCase)
+      case UseModulesRe(list) => useModules(spark,
+        list.split(",").map(_.trim.replace("`", "").toLowerCase).toSeq)
       case _ if upper.startsWith("REMOVE JAR") =>
         Statement("REMOVE JAR is unsupported — a Spark session cannot unload a jar once added")
       case s if upper.startsWith("USE CATALOG ") =>

@@ -119,8 +119,30 @@ object FlinkFunctions {
                    WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END""",
   )
 
+  /** Names the shim/UDF paths below register — the `core` module's function
+    * catalog, enumerable so UNLOAD MODULE core can drop exactly these. */
+  private[graft] val shimFunctionNames: Seq[String] = Seq(
+    "multiset_from_array", "array_concat", "array_reverse", "array_slice",
+    "map_union", "generate_series", "simhash64", "phash64", "minhash_sig",
+    "vec_dot", "rolling_hashes", "word_ngrams", "quality_stats")
+  private[graft] def sqlUdfNames: Seq[String] =
+    sqlUdfs.flatMap("""FUNCTION\s+(\w+)\s*\(""".r.findFirstMatchIn(_).map(_.group(1)))
+  def functionNames: Seq[String] = sqlUdfNames ++ shimFunctionNames ++ Seq("GCD", "LCM")
+
   private val registered =
     scala.collection.concurrent.TrieMap.empty[Int, Boolean]
+
+  /** Drop every `core`-module function from the session (UNLOAD MODULE core
+    * / USE MODULES without core) and clear the memo so a later re-load
+    * re-registers. Session-scoped: temp functions never leak across
+    * `newSession()` boundaries, so other gateway sessions keep theirs. */
+  def unregisterAll(spark: SparkSession): Unit = {
+    functionNames.foreach { n =>
+      try spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS `$n`")
+      catch { case _: Exception => () }
+    }
+    registered.remove(System.identityHashCode(spark))
+  }
 
   /** Register everything into the session (memoized per session). Names that
     * Spark already ships as builtins (e.g. dayname/monthname/to_timestamp_ltz

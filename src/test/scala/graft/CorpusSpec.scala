@@ -19,7 +19,12 @@ class CorpusSpec extends SparkTestBase {
     * corpus statement probing a nonexistent `backtick identifier` column may
     * produce it. */
   private val environmental = Seq(
-    "TABLE_OR_VIEW_NOT_FOUND", "CATALOG_NOT_FOUND", "SCHEMA_NOT_FOUND")
+    "TABLE_OR_VIEW_NOT_FOUND", "CATALOG_NOT_FOUND", "SCHEMA_NOT_FOUND",
+    // the corpus LOADs then UNLOADs the hive module: the load fails for
+    // the no-Hive-runtime reason (r8 real module registry), and the unload
+    // then correctly reports the module absent — an environmental cascade,
+    // not a routing failure
+    "needs a Hive runtime", "No module with name 'hive'")
   private def allowedUnresolvedColumn(msg: String): Boolean =
     msg.contains("UNRESOLVED_COLUMN") && msg.contains("backtick identifier")
 
@@ -43,8 +48,12 @@ class CorpusSpec extends SparkTestBase {
     }
     assert(unexpected.isEmpty,
       s"non-environmental failures:\n${unexpected.mkString("\n")}")
-    // 42 statements run fully with no kafka connector and no external
-    // catalogs present; regressions below that mean lost coverage
-    assert(ok >= 42, s"only $ok statements succeeded")
+    // 40 statements run fully with no kafka connector and no external
+    // catalogs present; regressions below that mean lost coverage.
+    // (Was 42 before r8: LOAD/UNLOAD MODULE hive used to "succeed" as
+    // documented no-ops — the real module registry now fails them with the
+    // honest no-Hive-runtime reason, trading 2 hollow successes for
+    // fail-fast behavior, like the connector DDL posture.)
+    assert(ok >= 40, s"only $ok statements succeeded")
   }
 }

@@ -127,9 +127,41 @@ class ResultsSpec extends SparkTestBase {
     val jars = gw.fetchResults(gw.executeStatement(h, "SHOW JARS"), 0)
     assert(jars.columns == Seq("jar")) // empty list is fine in local mode
     val mods = gw.fetchResults(gw.executeStatement(h, "SHOW MODULES"), 0)
-    assert(mods.rows.head.head.toString.contains("not supported"))
+    assert(mods.columns == Seq("module name") && mods.rows == Seq(Seq("core")))
     val fns = gw.fetchResults(gw.executeStatement(h, "SHOW FUNCTIONS LIKE 'split*'"), 0)
     assert(fns.rows.exists(_.head.toString.contains("split")))
+  }
+
+  test("module registry: core gates Flink function resolution; hive/unknown fail fast") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    val sess = gw.session(h).spark
+    def run(stmt: String) = gw.fetchResults(gw.executeStatement(h, stmt), 0)
+    // core loaded+used by default, and its functions resolve
+    assert(sess.sql("SELECT SPLIT_INDEX('a,b,c', ',', 1)").head.getString(0) == "b")
+    assert(run("SHOW FULL MODULES").rows == Seq(Seq("core", true)))
+    // unload → the Flink-registered function stops resolving IN THIS SESSION
+    run("UNLOAD MODULE core")
+    assert(run("SHOW MODULES").rows.isEmpty)
+    intercept[Exception] { sess.sql("SELECT SPLIT_INDEX('a,b,c', ',', 1)").collect() }
+    // other sessions keep their registry (temp functions are session-scoped)
+    val h2 = gw.openSession()
+    assert(gw.session(h2).spark.sql("SELECT SPLIT_INDEX('a,b', ',', 0)").head.getString(0) == "a")
+    // reload → resolves again; double-load is Flink's already-exists error
+    run("LOAD MODULE core")
+    assert(sess.sql("SELECT SPLIT_INDEX('a,b,c', ',', 2)").head.getString(0) == "c")
+    val dup = run("LOAD MODULE core")
+    assert(dup.rows.head.head.toString.contains("already exists"), dup.rows.toString)
+    // USE MODULES with an empty effective set disables without unloading
+    // ... USE MODULES requires ≥1 name, so disable via unload/reload instead;
+    // USE MODULES core is a no-op reorder of the singleton
+    run("USE MODULES core")
+    assert(run("SHOW FULL MODULES").rows == Seq(Seq("core", true)))
+    // hive and unknown modules carry their specific reasons
+    assert(run("LOAD MODULE hive").rows.head.head.toString.contains("Hive runtime"))
+    assert(run("LOAD MODULE fancy").rows.head.head.toString.contains("module factory"))
+    assert(run("UNLOAD MODULE nope").rows.head.head.toString.contains("No module"))
+    assert(run("USE MODULES core, nope").rows.head.head.toString.contains("No module"))
   }
 
   test("metadata TTL cache: dedup, TTL expiry, DDL invalidation") {
