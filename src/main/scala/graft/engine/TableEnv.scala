@@ -206,6 +206,12 @@ object TableEnv {
       val Seq(k, v) = splitTop(t.substring(4, t.length - 1))
       s"MAP<${mapType(k)}, ${mapType(v)}>"
     }
+    // RAW('class', 'serializer-snapshot') — Flink's opaque serialized type.
+    // Even in Flink, SQL can only carry a RAW value through (no operators
+    // apply); the class/snapshot args need that class on the classpath, which
+    // a SQL engine doesn't have. BINARY is the faithful SQL-side shape:
+    // select it, forward it, hand the bytes back to the owning application.
+    else if (up.startsWith("RAW(") || up.startsWith("RAW<")) "BINARY"
     else up match {
       case "VARCHAR" | "CHAR" | "STRING" => "STRING"
       case "BYTES" | "VARBINARY" | "BINARY" => "BINARY"

@@ -250,6 +250,20 @@ class EngineSpec extends SparkTestBase {
     assert(types("metadata") == "MAP<STRING, INT>")
   }
 
+  test("CREATE TABLE maps RAW('class','snapshot') to an opaque BINARY passthrough") {
+    // RAW is Flink's serialized-object type; SQL can only carry it through
+    // (no class on a SQL engine's classpath) — BINARY is that exact shape
+    val b = TableEnv.parseCreateTable(
+      """CREATE TABLE raw_table (
+        |  id BIGINT,
+        |  payload RAW('com.example.MyType', 'AEdjb20uZXhhbXBsZQ=='),
+        |  name STRING
+        |) WITH ('connector' = 'datagen')""".stripMargin)
+    val types = b.cols.map(c => c.name -> c.sparkType).toMap
+    assert(types("payload") == "BINARY", types.toString)
+    assert(types("id") == "BIGINT" && types("name") == "STRING")
+  }
+
   test("filesystem connector reads parquet via binding") {
     TableEnv.clear()
     TableEnv.createTable(spark,
