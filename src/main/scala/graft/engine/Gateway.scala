@@ -73,7 +73,11 @@ class Gateway(root: SparkSession) {
   val metaCache = new MetaCache[(Seq[String], Seq[Seq[Any]])]()
   private val MetaStmtRe =
     """(?is)^(SHOW\s+(TABLES|DATABASES|VIEWS|FUNCTIONS|CATALOGS|COLUMNS|PARTITIONS)\b.*|(?:DESCRIBE|DESC)\s+.*)$""".r
-  private val MutatingRe = """(?is)^\s*(CREATE|DROP|ALTER|USE|INSERT|TRUNCATE)\b.*""".r
+  // LOAD/UNLOAD MODULE change what SHOW FUNCTIONS returns — without them
+  // here a cached function list would stay stale for the TTL window after
+  // the registry actually changed (USE MODULES is already covered by USE)
+  private val MutatingRe =
+    """(?is)^\s*(CREATE|DROP|ALTER|USE|INSERT|TRUNCATE|LOAD\s+MODULE|UNLOAD\s+MODULE)\b.*""".r
 
   // ------------------------------------------------------------- sessions --
 
@@ -93,7 +97,10 @@ class Gateway(root: SparkSession) {
   }
 
   def closeSession(handle: String): Unit = {
-    sessions.remove(handle).foreach(_.alive = false)
+    sessions.remove(handle).foreach { s =>
+      s.alive = false
+      sessionModules.remove(s.spark)
+    }
     metaCache.invalidatePrefix(s"$handle::")
   }
 
@@ -371,13 +378,17 @@ class Gateway(root: SparkSession) {
   // (or USE MODULES without) core drops those functions from the session
   // and a query calling SPLIT_INDEX fails to resolve until core returns.
   // `hive` (the only other stock Flink module) fails fast with its
-  // missing-runtime reason, the connector posture. Keyed by session
-  // identity: gateway sessions have isolated registries (newSession()).
+  // missing-runtime reason, the connector posture. Keyed by the
+  // SparkSession OBJECT (identity equals — SparkSession doesn't override
+  // equals), not identityHashCode: hash values are not unique, and a
+  // collision would silently fuse two sessions' registries. Entries are
+  // dropped in closeSession so a long-lived gateway doesn't accumulate
+  // dead registries.
   private val sessionModules = scala.collection.concurrent.TrieMap
-    .empty[Int, scala.collection.mutable.LinkedHashMap[String, Boolean]]
+    .empty[SparkSession, scala.collection.mutable.LinkedHashMap[String, Boolean]]
 
   private def modulesOf(spark: SparkSession) =
-    sessionModules.getOrElseUpdate(System.identityHashCode(spark),
+    sessionModules.getOrElseUpdate(spark,
       scala.collection.mutable.LinkedHashMap("core" -> true))
 
   /** Re-sync the session's function registry with core's used flag. */

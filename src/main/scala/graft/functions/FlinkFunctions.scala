@@ -119,18 +119,31 @@ object FlinkFunctions {
                    WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END""",
   )
 
-  /** Names the shim/UDF paths below register — the `core` module's function
-    * catalog, enumerable so UNLOAD MODULE core can drop exactly these. */
-  private[graft] val shimFunctionNames: Seq[String] = Seq(
-    "multiset_from_array", "array_concat", "array_reverse", "array_slice",
-    "map_union", "generate_series", "simhash64", "phash64", "minhash_sig",
-    "vec_dot", "rolling_hashes", "word_ngrams", "quality_stats")
-  private[graft] def sqlUdfNames: Seq[String] =
-    sqlUdfs.flatMap("""FUNCTION\s+(\w+)\s*\(""".r.findFirstMatchIn(_).map(_.group(1)))
-  def functionNames: Seq[String] = sqlUdfNames ++ shimFunctionNames ++ Seq("GCD", "LCM")
+  /** Names the shim registrations below actually used — appended as each
+    * registers, so the UNLOAD list cannot drift from the registrations. */
+  private val shimNamesSeen = scala.collection.mutable.LinkedHashSet.empty[String]
 
-  private val registered =
-    scala.collection.concurrent.TrieMap.empty[Int, Boolean]
+  /** Name of a SQL UDF declaration — registerAll REFUSES a declaration this
+    * cannot parse (a silent miss here would let the function escape
+    * UNLOAD MODULE core and break the module-gating invariant). */
+  private[graft] def sqlUdfName(ddl: String): String =
+    """FUNCTION\s+`?(\w+)`?\s*\(""".r.findFirstMatchIn(ddl).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"core-module bookkeeping cannot parse the function name from: ${ddl.take(80)}"))
+  private[graft] def sqlUdfNames: Seq[String] = sqlUdfs.map(sqlUdfName)
+
+  /** The `core` module's full function catalog — what UNLOAD MODULE core
+    * drops. Shim names come from the live registration record (populated on
+    * first registerAll; the UNLOAD path always runs after one). */
+  def functionNames: Seq[String] =
+    sqlUdfNames ++ shimNamesSeen.toSeq ++ Seq("GCD", "LCM")
+
+  // memo keyed by the session OBJECT (identity equals), weakly — an
+  // identityHashCode key can collide across sessions (silently skipping
+  // registration), and a strong key would pin closed sessions forever
+  private val registered: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Drop every `core`-module function from the session (UNLOAD MODULE core
     * / USE MODULES without core) and clear the memo so a later re-load
@@ -141,14 +154,14 @@ object FlinkFunctions {
       try spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS `$n`")
       catch { case _: Exception => () }
     }
-    registered.remove(System.identityHashCode(spark))
+    registered.remove(spark)
   }
 
   /** Register everything into the session (memoized per session). Names that
     * Spark already ships as builtins (e.g. dayname/monthname/to_timestamp_ltz
     * in 4.1) are left alone — the builtin wins. */
   def registerAll(spark: SparkSession): Unit = {
-    if (registered.putIfAbsent(System.identityHashCode(spark), true).nonEmpty) return
+    if (!registered.add(spark)) return
     // Flink map construction/union is last-key-wins; Spark's default policy
     // throws on duplicate keys — align the session
     try spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
@@ -160,25 +173,29 @@ object FlinkFunctions {
           e.getMessage.contains("CANNOT_REPLACE_NON_SQL_UDF") => ()
       }
     }
+    // every shim registration records its name so UNLOAD MODULE core drops
+    // exactly what was registered — no hand-maintained copy to drift
+    def shim(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+      shimNamesSeen.synchronized { shimNamesSeen += name }
+      org.apache.spark.sql.graft.Shims.registerFunction(spark, name, builder)
+    }
     // COLLECT(x) multiset kernel (single-pass element→count)
-    org.apache.spark.sql.graft.Shims.registerFunction(spark, "multiset_from_array",
-      args => MultisetFromArray(args.head))
+    shim("multiset_from_array")(args => MultisetFromArray(args.head))
     // Flink collection-function names over generic element types: SQL UDFs
     // can't be generic, so these register the native Catalyst builders
     // under the Flink name (G:455)
     import org.apache.spark.sql.catalyst.expressions._
-    val shims = org.apache.spark.sql.graft.Shims
-    shims.registerFunction(spark, "array_concat", args => Concat(args))
-    shims.registerFunction(spark, "array_reverse", args => Reverse(args.head))
+    shim("array_concat")(args => Concat(args))
+    shim("array_reverse")(args => Reverse(args.head))
     // Flink ARRAY_SLICE(arr, start[, end]) takes INCLUSIVE offsets; Spark
     // Slice takes a length — translate, and default the end to the array end
-    shims.registerFunction(spark, "array_slice", args => {
+    shim("array_slice")(args => {
       val end = args.lift(2).getOrElse(Size(args(0)))
       Slice(args(0), args(1), Add(Subtract(end, args(1)), Literal(1)))
     })
-    shims.registerFunction(spark, "map_union", args => MapConcat(args))
-    shims.registerFunction(spark, "generate_series",
-      args => new Sequence(args(0), args(1), args.lift(2)))
+    shim("map_union")(args => MapConcat(args))
+    shim("generate_series")(args => new Sequence(args(0), args(1), args.lift(2)))
     // pipeline kernels as SQL functions: a gateway user can run the dedup/
     // quality operators from plain SQL (SELECT simhash64(text) ... GROUP BY)
     // at kernel speed — all codegen'd expressions, no UDF boxing
@@ -187,17 +204,17 @@ object FlinkFunctions {
       case l: Long => l.toInt
       case x => throw new IllegalArgumentException(s"$what must be an integer literal, got $x")
     }
-    shims.registerFunction(spark, "simhash64", args => SimHash64(args.head))
-    shims.registerFunction(spark, "phash64", args => PHash64(args.head))
-    shims.registerFunction(spark, "minhash_sig", args =>
+    shim("simhash64")(args => SimHash64(args.head))
+    shim("phash64")(args => PHash64(args.head))
+    shim("minhash_sig")(args =>
       MinHashSig(args(0), Cast(args(1), IntegerType), Cast(args(2), IntegerType)))
-    shims.registerFunction(spark, "vec_dot", args => VecDot(args(0), args(1)))
-    shims.registerFunction(spark, "rolling_hashes", args =>
+    shim("vec_dot")(args => VecDot(args(0), args(1)))
+    shim("rolling_hashes")(args =>
       RollingHashes(args(0), Cast(args(1), IntegerType), Cast(args(2), LongType)))
-    shims.registerFunction(spark, "word_ngrams", args => WordNgrams(args(0),
+    shim("word_ngrams")(args => WordNgrams(args(0),
       litInt(args(1), "word_ngrams n"),
       args.lift(2).exists(_.eval() == true)))
-    shims.registerFunction(spark, "quality_stats", args => QualityStats(args(0),
+    shim("quality_stats")(args => QualityStats(args(0),
       graft.pipeline.TextAnalysis.StopWords))
     // GCD/LCM need iteration — Scala UDFs (rarely on a hot path).
     if (!spark.catalog.functionExists("gcd")) {

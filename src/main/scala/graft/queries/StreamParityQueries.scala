@@ -43,7 +43,7 @@ object StreamParityQueries {
     * state (pusher-key state itself is filtered from the diff). Both confs
     * are read at query START, so setting them around the whole gate
     * (build + drain + diff) is sufficient and safe. */
-  private def withParityConf[A](s: SparkSession)(body: => A): A = {
+  private[graft] def withParityConf[A](s: SparkSession)(body: => A): A = {
     val keys = Seq(
       "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
@@ -81,14 +81,19 @@ object StreamParityQueries {
   /** Run a streaming query to completion over waves + pushers, return the
     * sink table. The memory sink name is deterministic so bench's second
     * execution replaces (not duplicates) the first. */
-  private def drain(s: SparkSession, out: DataFrame, name: String)(
+  private[graft] def drain(s: SparkSession, out: DataFrame, name: String)(
       feed: StreamingQuery => Unit): DataFrame = {
     // checkpoint on tmpfs when present — the offset/commit WAL of this
     // ephemeral query is pure overhead on a real disk; wiped before start
-    // because MemoryStream offsets restart from 0 every execution
+    // because MemoryStream offsets restart from 0 every execution.
+    // Namespaced by user + JVM pid: a fixed world-shared path on a shared
+    // host would collide across users (deleteQuietly fails silently on a
+    // foreign owner, then the query resumes against stale offsets)
     val ckptBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val ckpt = new java.io.File(s"$ckptBase/graft_parity_ckpt/$name")
+    val who = System.getProperty("user.name", "anon")
+    val ckpt = new java.io.File(
+      s"$ckptBase/graft_parity_ckpt_${who}_${ProcessHandle.current().pid()}/$name")
     org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
     val q = out.writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt.getAbsolutePath)
