@@ -17,7 +17,7 @@ import scala.util.matching.Regex
   *    notebookController.ts:88 naively splits inside strings — fixed here);
   *  - window TVFs TUMBLE/HOP/CUMULATE/SESSION (F:196-239) → window()/
   *    session_window() grouping;
-  *  - 1-based array subscripts arr[i] → element_at(arr, i) (F:453);
+  *  - 1-based array subscripts arr[i] → try_element_at(arr, i) (F:453);
   *  - PROCTIME() → current_timestamp() (F:19);
   *  - ELEMENT(x) → guarded single-element extraction (generic over type);
   *  - SIMILAR TO → anchored regexp_like translation (G:279);
@@ -176,7 +176,7 @@ object FlinkDialect {
       s"""(SELECT *, window_start + make_dt_interval(0, 0, 0, __end_sec) AS window_end FROM (
          |  SELECT *, window(`$ts`, '$size seconds').start AS window_start,
          |    explode(sequence(
-         |      ((unix_micros(cast(`$ts` as timestamp)) - unix_micros(cast(window(`$ts`, '$size seconds').start as timestamp))) div 1000000 div $step + 1) * $step,
+         |      ((unix_micros(cast(`$ts` as timestamp_ltz)) - unix_micros(cast(window(`$ts`, '$size seconds').start as timestamp_ltz))) div 1000000 div $step + 1) * $step,
          |      ${size}L, ${step}L)) AS __end_sec
          |  FROM $t))""".stripMargin
     })
@@ -193,16 +193,29 @@ object FlinkDialect {
       s = SessionTvf.replaceAllIn(s, Regex.quoteReplacement(t))
       s = s.replaceAll("(?i)GROUP\\s+BY\\s+window_start\\s*,\\s*window_end",
         Regex.quoteReplacement(s"GROUP BY session_window(`$ts`, '$gap')"))
-      s = s.replaceAll("(?i)\\bwindow_start\\s*,\\s*window_end\\b",
+      // FIRST remaining occurrence only — that is the SELECT list (GROUP BY's
+      // pair was consumed above). Later references (ORDER BY/HAVING
+      // window_start) resolve against these SELECT aliases; rewriting them
+      // too would inject `AS` where aliases are illegal.
+      s = """(?i)\bwindow_start\s*,\s*window_end\b""".r.replaceFirstIn(s,
         "session_window.start AS window_start, session_window.end AS window_end")
     }
 
     // SIMILAR TO pattern → anchored regexp_like ('%'→'.*', '_'→'.')
-    // (must run before literal masking: it consumes its pattern literal)
-    s = """(?i)([\w.`()']+)\s+SIMILAR\s+TO\s+'([^']*)'""".r.replaceAllIn(s, m => {
-      val rx = m.group(2).replace("%", ".*").replace("_", ".")
-      Regex.quoteReplacement(s"regexp_like(${m.group(1)}, '^$rx$$')")
-    })
+    // (must run before literal masking: it consumes its pattern literal).
+    // Regex metacharacters that are LITERALS in SQL SIMILAR TO (. ^ $ \)
+    // are escaped first — 'a.b' must match only "a.b", not "aXb"; the
+    // escapes run before %/_ translation so the introduced '.'/'.*' survive.
+    s = """(?i)((?:[\w.`']|\((?:[^()']|'[^']*'|\([^()]*\))*\))+)\s+SIMILAR\s+TO\s+'([^']*)'""".r
+      .replaceAllIn(s, m => {
+        // DOUBLE backslash in the emitted SQL text: Spark's string-literal
+        // unescaping consumes one layer ('\.' parses to '.'), the regex
+        // engine needs the other
+        val rx = m.group(2).replace("\\", "\\\\\\\\").replace(".", "\\\\.")
+          .replace("^", "\\\\^").replace("$", "\\\\$")
+          .replace("%", ".*").replace("_", ".")
+        Regex.quoteReplacement(s"regexp_like(${m.group(1)}, '^$rx$$')")
+      })
 
     // ---- mask string literals: none of the remaining rewrites may touch
     // the INSIDE of a quoted constant ('code 0xFF', 'a[1]', 'SHUFFLE_MERGE')
@@ -302,8 +315,10 @@ object FlinkDialect {
     s = """(?i)(?<![\w_])FLATTEN\s*\(\s*([\w.`]+)\s*\)""".r.replaceAllIn(s, m =>
       Regex.quoteReplacement(s"${m.group(1)}.*"))
 
-    // 1-based subscripts x[e] → element_at(x, e) — any index expression
-    // (F:453): element_at is 1-based for arrays (Flink semantics) and
+    // 1-based subscripts x[e] → try_element_at(x, e) — any index expression
+    // (F:453): try_element_at is 1-based for arrays and, unlike element_at
+    // under Spark 4's default ANSI mode (which THROWS), returns NULL for an
+    // out-of-range index or missing map key — Flink's documented value — and
     // identical for map keys; handles chains a[1][2] and call bases f(x)[i]
     s = rewriteSubscripts(s)
 
@@ -312,10 +327,15 @@ object FlinkDialect {
     s = """\b0[xX]([0-9a-fA-F]+)\b""".r.replaceAllIn(s,
       m => java.lang.Long.parseLong(m.group(1), 16).toString)
 
-    // TIMESTAMP_LTZ → TIMESTAMP (instant semantics in Spark)
-    s = s.replaceAll("(?i)\\bTIMESTAMP_LTZ\\b(\\s*\\(\\d\\))?", "TIMESTAMP")
-    // TIMESTAMP(p) precision in DDL/CAST → TIMESTAMP_NTZ (Flink wall-clock)
-    s = s.replaceAll("(?i)\\bTIMESTAMP\\s*\\(\\d\\)", "TIMESTAMP_NTZ")
+    // TIMESTAMP_LTZ → Spark TIMESTAMP (instant semantics) via a placeholder
+    // so the bare-TIMESTAMP rule below cannot re-map it; Flink's TIMESTAMP —
+    // bare or with precision — is WALL-CLOCK (bare ≡ TIMESTAMP(6)), so both
+    // forms map to TIMESTAMP_NTZ. Mapping only the precisioned form (the
+    // pre-r8 behavior) silently gave the same Flink type two different Spark
+    // types, drifting by the session offset in any non-UTC deployment.
+    s = s.replaceAll("(?i)\\bTIMESTAMP_LTZ\\b(\\s*\\(\\d\\))?", "__GRAFT_TS_LTZ__")
+    s = s.replaceAll("(?i)\\bTIMESTAMP\\b(\\s*\\(\\d\\))?", "TIMESTAMP_NTZ")
+    s = s.replace("__GRAFT_TS_LTZ__", "TIMESTAMP")
 
     // EXPLAIN variants (F:535-539): Flink modifiers → Spark EXPLAIN forms
     s = s.replaceAll("(?i)\\bEXPLAIN\\s+PLAN\\s+FOR\\b", "EXPLAIN")
@@ -420,12 +440,28 @@ object FlinkDialect {
             var j = mStart - 1
             while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
             val lhsEnd = j + 1
-            if (j >= 0 && s.charAt(j) == ')') {
-              var d = 1; j -= 1
-              while (j >= 0 && d > 0) {
-                val c = s.charAt(j)
-                if (c == ')') d += 1 else if (c == '(') d -= 1
-                j -= 1
+            // unwind trailing balanced groups — ')' (call/paren expr) and
+            // ']' (subscript, possibly chained: tags[1][2] = ANY (...)) —
+            // then the identifier chain. The subscript pass runs AFTER this
+            // rewrite, so '[' is still present here.
+            var unwinding = true
+            while (unwinding && j >= 0) {
+              s.charAt(j) match {
+                case ')' =>
+                  var d = 1; j -= 1
+                  while (j >= 0 && d > 0) {
+                    val c = s.charAt(j)
+                    if (c == ')') d += 1 else if (c == '(') d -= 1
+                    j -= 1
+                  }
+                case ']' =>
+                  var d = 1; j -= 1
+                  while (j >= 0 && d > 0) {
+                    val c = s.charAt(j)
+                    if (c == ']') d += 1 else if (c == '[') d -= 1
+                    j -= 1
+                  }
+                case _ => unwinding = false
               }
             }
             while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_' || s.charAt(j) == '.')) j -= 1
@@ -593,7 +629,7 @@ object FlinkDialect {
       IdentSubRe.findFirstMatchIn(s) match {
         case Some(m) =>
           s = s.substring(0, m.start) +
-            s"element_at(${m.group(1)}, ${m.group(2).trim})" + s.substring(m.end)
+            s"try_element_at(${m.group(1)}, ${m.group(2).trim})" + s.substring(m.end)
           changed = true
         case None =>
           val idx = s.indexOf(")[")
@@ -612,7 +648,7 @@ object FlinkDialect {
             if (i >= 0 && close > idx) {
               val base = s.substring(j + 1, idx + 1)
               val inner = s.substring(idx + 2, close).trim
-              s = s.substring(0, j + 1) + s"element_at($base, $inner)" + s.substring(close + 1)
+              s = s.substring(0, j + 1) + s"try_element_at($base, $inner)" + s.substring(close + 1)
               changed = true
             }
           }

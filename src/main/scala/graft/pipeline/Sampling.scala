@@ -18,9 +18,23 @@ object Sampling {
     * congruential mix, chosen over xxhash64 because it is exactly
     * expressible in plain SQL on any engine (the correctness oracle included)
     * while still decorrelating adjacent ids. Production pipelines can swap
-    * in the registered xxhash64 kernel — the operator shape is identical. */
-  def hashBucket(id: Column): Column =
-    pmod(id.cast("long") * 1103515245L + 12345L, lit(2147483648L)) % 1000
+    * in the registered xxhash64 kernel — the operator shape is identical.
+    *
+    * The id is reduced to 31 bits BEFORE the multiply: ANSI mode (Spark 4's
+    * default) makes Long overflow a runtime error, and id·1103515245
+    * overflows past |id| ≈ 8.4e9 — squarely inside the id range of a 100 TB
+    * corpus. After reduction the worst case is (2^31+2^31)·1103515245 ≈
+    * 4.7e18 < 2^63. Values are unchanged for ids < 2^31.
+    *
+    * `salt` decorrelates CHAINED sampling stages: two stages sharing the
+    * unsalted hash select nested subsets (the second stage keeps 100% or
+    * rate2/rate1 of the first — never an independent rate2 sample). Each
+    * distinct operation in a pipeline should pass its own salt. */
+  def hashBucket(id: Column, salt: Long = 0L): Column = {
+    val saltMix = java.lang.Math.floorMod(salt * 2654435761L, 2147483648L)
+    pmod((pmod(id.cast("long"), lit(2147483648L)) + lit(saltMix)) * 1103515245L
+      + 12345L, lit(2147483648L)) % 1000
+  }
 
   /** Source-mixing filter: keep each row with its source's sampling rate
     * (in thousandths, e.g. "src0" -> 1000 keeps all, "src1" -> 250 keeps
@@ -47,7 +61,11 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     // the canonical corpus tokenization, shared with CorpusFilters
     val tokens = size(CorpusFilters.splitWords(col(textCol))).cast("bigint")
+    // ROWS, not the default RANGE frame: RANGE sums ALL peer rows of the
+    // current order value, so duplicate ids within a source would produce
+    // overlapping token_start values instead of end-to-end packing
     val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), col(sourceCol), tokens.as("n_tokens"))
       .withColumn("token_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("chunk_id", floor(col("token_start") / budgetTokens))
@@ -96,7 +114,10 @@ object Sampling {
     // the relative order per seed. All three steps are plain-SQL-portable
     // (xor + modular arithmetic, no engine hash function).
     val mask = java.lang.Math.floorMod(seed * 2654435761L, 2147483648L)
-    val k1 = pmod(col(idCol).cast("long") * 1103515245L + 12345L, lit(2147483648L))
+    // same 31-bit pre-reduction as hashBucket — ANSI overflow safety at
+    // production id ranges, value-identical below 2^31
+    val k1 = pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) * 1103515245L
+      + 12345L, lit(2147483648L))
     // withColumn, not select: the point is ordering the TRAINING DATA, so
     // every corpus column rides along — no re-join needed downstream
     df.withColumn("shuffle_key",
@@ -125,8 +146,14 @@ object Sampling {
       .withColumn("rate_mille", least(lit(1000L),
         expr(s"CAST(${1000L * capTokens} AS BIGINT) div greatest(total_tokens, 1L)")))
       .select(col(sourceCol), col("rate_mille"))
-    df.join(broadcast(rates), Seq(sourceCol))
-      .filter(hashBucket(col(idCol)) < col("rate_mille"))
+    // null-safe join key: a NULL source still groups (its rate row exists)
+    // but `=` would never match it — NULL-source docs must be capped like
+    // any other source, not silently dropped (mixSources keeps them too).
+    // salt=1: this stage must sample INDEPENDENTLY of mixSources (salt 0) —
+    // unsalted, a mix→cap chain keeps min(rate) instead of rate1·rate2/1000
+    val r = rates.withColumnRenamed(sourceCol, "__cap_src")
+    df.join(broadcast(r), col(sourceCol) <=> col("__cap_src"))
+      .filter(hashBucket(col(idCol), salt = 1L) < col("rate_mille"))
       .select(col(idCol), col(sourceCol), col("rate_mille"))
   }
 

@@ -768,7 +768,7 @@ object PipelineQueries {
 
     "q_mix_sources" ->
       """SELECT doc_id, source FROM documents
-        |WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 1000 <
+        |WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000 <
         |      CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
         |                  WHEN 'src2' THEN 250 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
@@ -902,7 +902,7 @@ object PipelineQueries {
 
     "q_global_shuffle" ->
       """SELECT doc_id,
-        |  (xor((doc_id*1103515245 + 12345) % 2147483648,
+        |  (xor(((doc_id % 2147483648)*1103515245 + 12345) % 2147483648,
         |       (20260812*2654435761) % 2147483648) * 69069 + 1) % 2147483648 AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
@@ -915,7 +915,7 @@ object PipelineQueries {
         |r AS (SELECT source, least(1000, 1200000 // greatest(total, 1)) AS rate_mille FROM tot)
         |SELECT t.doc_id, t.source, CAST(r.rate_mille AS BIGINT) AS rate_mille
         |FROM tok t JOIN r USING (source)
-        |WHERE (t.doc_id*1103515245 + 12345) % 2147483648 % 1000 < r.rate_mille
+        |WHERE ((t.doc_id % 2147483648 + 506952113)*1103515245 + 12345) % 2147483648 % 1000 < r.rate_mille
         |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_quantiles" ->

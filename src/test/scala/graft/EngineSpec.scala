@@ -62,7 +62,7 @@ class EngineSpec extends SparkTestBase {
     assert(r.contains("'SHUFFLE_MERGE'"))
     // ...but the same constructs outside literals are still rewritten
     val r2 = FlinkDialect.rewrite("SELECT 0xFF AS m, arr[1] AS e FROM t")
-    assert(r2.contains("255") && r2.contains("element_at(arr, 1)"))
+    assert(r2.contains("255") && r2.contains("try_element_at(arr, 1)"))
   }
 
   test("lowercase DDL routes to TableEnv and statement sets tolerate lowercase end") {
@@ -137,9 +137,51 @@ class EngineSpec extends SparkTestBase {
       "SELECT /*+ STATE_TTL('o'='1h') */ PROCTIME() AS p, arr[2] AS e FROM t")
     assert(!r.contains("STATE_TTL"))
     assert(r.contains("current_timestamp()"))
-    assert(r.contains("element_at(arr, 2)"))
+    assert(r.contains("try_element_at(arr, 2)"))
     val h = FlinkDialect.rewrite("SELECT /*+ SHUFFLE_MERGE(a) */ * FROM a JOIN b ON a.x = b.x")
     assert(h.contains("/*+ MERGE(a) */"))
+  }
+
+  test("dialect hardening: SIMILAR TO literals, session pair aliasing, subscript LHS, OOB NULL, TIMESTAMP NTZ") {
+    import spark.implicits._
+    // SIMILAR TO: '.' is a LITERAL in SQL SIMILAR TO — 'a.b' must not match 'aXb'
+    val dot = spark.sql(FlinkDialect.rewrite(
+      "SELECT v FROM VALUES ('a.b'), ('aXb') AS t(v) WHERE v SIMILAR TO 'a.b'")).collect()
+    assert(dot.map(_.getString(0)).toSeq == Seq("a.b"), dot.mkString(","))
+    // ...while % and _ still translate ('_' any one char)
+    val pct = spark.sql(FlinkDialect.rewrite(
+      "SELECT v FROM VALUES ('abc'), ('ac') AS t(v) WHERE v SIMILAR TO 'a_c'")).collect()
+    assert(pct.map(_.getString(0)).toSeq == Seq("abc"))
+    // multi-argument call LHS must capture the WHOLE call, not truncate at a space
+    val castLhs = FlinkDialect.rewrite("SELECT * FROM t WHERE CAST(x AS STRING) SIMILAR TO 'a%'")
+    assert(castLhs.contains("regexp_like(CAST(x AS STRING), '^a.*$')"), castLhs)
+    val multiArg = spark.sql(FlinkDialect.rewrite(
+      "SELECT v FROM VALUES (12), (34) AS t(v) WHERE CAST(v AS STRING) SIMILAR TO '1%'")).collect()
+    assert(multiArg.map(_.getInt(0)).toSeq == Seq(12))
+    // ORDER BY window_start, window_end after a SESSION TVF must not get AS aliases
+    val sess = FlinkDialect.rewrite(
+      """SELECT window_start, window_end, COUNT(*) AS c
+        |FROM TABLE(SESSION(TABLE ev, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |GROUP BY window_start, window_end
+        |ORDER BY window_start, window_end""".stripMargin)
+    assert(sess.toUpperCase.indexOf(" AS WINDOW_END") ==
+      sess.toUpperCase.lastIndexOf(" AS WINDOW_END"), sess)
+    assert(!sess.toUpperCase.replaceAll("\\s+", " ")
+      .matches("(?s).*ORDER BY.*\\bAS WINDOW_START\\b.*"), sess)
+    // subscripted LHS of a quantified comparison parses and evaluates
+    val sub = spark.sql(FlinkDialect.rewrite(
+      "SELECT ARRAY[1, 9][2] = ANY (SELECT v FROM VALUES (9), (3) AS t(v)) AS r")).head.get(0)
+    assert(sub == true)
+    // out-of-range subscripts are NULL (Flink), not an ANSI runtime error
+    val oob = spark.sql(FlinkDialect.rewrite(
+      "SELECT ARRAY[1, 2][5] AS a, MAP['k', 1]['missing'] AS m")).head
+    assert(oob.isNullAt(0) && oob.isNullAt(1))
+    // bare TIMESTAMP is Flink wall-clock (≡ TIMESTAMP(6)) → NTZ, same as
+    // the precisioned form; TIMESTAMP_LTZ keeps instant semantics
+    val c = spark.sql(FlinkDialect.rewrite("SELECT CAST('2024-01-02 03:04:05' AS TIMESTAMP) AS t"))
+    assert(c.schema("t").dataType == org.apache.spark.sql.types.TimestampNTZType, c.schema.toString)
+    val l = spark.sql(FlinkDialect.rewrite("SELECT CAST('2024-01-02 03:04:05' AS TIMESTAMP_LTZ) AS t"))
+    assert(l.schema("t").dataType == org.apache.spark.sql.types.TimestampType, l.schema.toString)
   }
 
   test("quantified ANY/SOME/ALL subquery comparisons are NULL-correct") {
@@ -505,16 +547,16 @@ class EngineSpec extends SparkTestBase {
 
   test("subscripts: computed index, chained, call base, map key, constructors") {
     val r1 = FlinkDialect.rewrite("SELECT a[i + 1] AS x FROM t")
-    assert(r1.contains("element_at(a, i + 1)"))
+    assert(r1.contains("try_element_at(a, i + 1)"))
     val r2 = FlinkDialect.rewrite("SELECT a[1][2] AS x FROM t")
-    assert(r2.contains("element_at(element_at(a, 1), 2)"))
+    assert(r2.contains("try_element_at(try_element_at(a, 1), 2)"))
     val r3 = FlinkDialect.rewrite("SELECT split(s, ',')[2] AS x FROM t")
-    assert(r3.contains("element_at(split(s, ','), 2)"))
+    assert(r3.contains("try_element_at(split(s, ','), 2)"))
     val r4 = FlinkDialect.rewrite("SELECT m['key'] AS x FROM t")
-    assert(r4.contains("element_at(m, 'key')"))
+    assert(r4.contains("try_element_at(m, 'key')"))
     val r5 = FlinkDialect.rewrite("SELECT ARRAY[1, 2, 3][2] AS x, MAP['a', 1]['a'] AS y FROM t")
-    assert(r5.contains("element_at(array(1, 2, 3), 2)"))
-    assert(r5.contains("element_at(map('a', 1), 'a')"))
+    assert(r5.contains("try_element_at(array(1, 2, 3), 2)"))
+    assert(r5.contains("try_element_at(map('a', 1), 'a')"))
     // end-to-end 1-based semantics
     val v = spark.sql(FlinkDialect.rewrite("SELECT ARRAY[10, 20, 30][2] AS x")).head().getInt(0)
     assert(v == 20)

@@ -633,6 +633,44 @@ class PipelineSpec extends SparkTestBase {
     assert(again == kept)
   }
 
+  test("sampling hash: ANSI-safe at production ids; salt decorrelates; NULL source capped") {
+    import spark.implicits._
+    // ids past ~8.4e9: the unreduced LCG multiply overflows Long, and ANSI
+    // mode (Spark 4's default, never disabled here) makes that a crash
+    val big = Seq(10000000000L, 8400000001L, Long.MaxValue - 5).toDF("id")
+    big.select(Sampling.hashBucket(col("id"))).collect()
+    Sampling.shuffleOrder(big, "id", seed = 3L).collect()
+    // the salt must make chained stages sample independently: at rate 500,
+    // an unsalted second stage would agree with the first on EVERY id
+    val ids = spark.range(2000).toDF("id")
+    val h = ids.select(Sampling.hashBucket(col("id")).as("b0"),
+      Sampling.hashBucket(col("id"), salt = 1L).as("b1")).collect()
+    val agree = h.count(r => (r.getLong(0) < 500L) == (r.getLong(1) < 500L))
+    assert(agree > 100 && agree < 1900, s"salted stage still correlated: $agree/2000 agree")
+    // a NULL-source doc is capped like any source, not dropped by the join
+    val docs = Seq((1L, null: String, "a b c"), (2L, "s", "d e"))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.capSourceTokens(docs, "doc_id", "source", "text", 1000000L).collect()
+    assert(out.length == 2, s"NULL-source doc vanished: ${out.mkString(",")}")
+  }
+
+  test("packSequences: duplicate ids still pack end-to-end (ROWS frame)") {
+    import spark.implicits._
+    // two docs share id=1: the default RANGE frame would sum both peers
+    // into each row's running total and produce overlapping token_starts
+    val df = Seq((1L, "s", "a b"), (1L, "s", "c d e"), (2L, "s", "f"))
+      .toDF("doc_id", "source", "text")
+    val rows = Sampling.packSequences(df, "doc_id", "source", "text", 4L)
+      .orderBy("token_start").collect()
+    var expectStart = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("token_start") == expectStart,
+        s"packing not end-to-end: ${rows.mkString(",")}")
+      expectStart += r.getAs[Long]("n_tokens")
+    }
+    assert(expectStart == 6L)
+  }
+
   test("rank quantiles: nearest-rank values on a known distribution") {
     // group g: values 10..100 step 10 (n=10): p250→rank3=30, p500→rank5=50,
     // p750→rank8=80, p900→rank9=90
