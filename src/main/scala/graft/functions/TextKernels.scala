@@ -113,10 +113,12 @@ object TextKernels {
 
 object QualityKernel {
   /** One pass over the UTF-8 bytes computing the quality-gate features:
-    * word count, non-whitespace codepoints, symbol codepoints (anything that
-    * is not ASCII alnum and not whitespace — the same set as the regex
-    * `[^A-Za-z0-9\s]` for ASCII text, with non-ASCII codepoints counted as
-    * symbols), and the number of DISTINCT stopwords hit (case-insensitive
+    * word count, non-whitespace codepoints, symbol codepoints (anything
+    * that is not a UNICODE letter/digit and not whitespace — the regex
+    * `[^\p{L}\p{Nd}\s]`; counting every non-ASCII codepoint as a symbol
+    * would reject any Russian/Greek/CJK document at a 10% symbol cap,
+    * silently dropping all non-Latin corpora), and the number of DISTINCT
+    * stopwords hit (case-insensitive
     * ASCII compare against `stops`). Returns [n_words, letters, symbols,
     * stop_distinct] — a struct-free long[4] kept cheap enough that a filter
     * predicate re-evaluating it per branch still runs at scan speed (the
@@ -143,7 +145,18 @@ object QualityKernel {
           // count codepoints (skip UTF-8 continuation bytes)
           if ((c & 0xc0) != 0x80) {
             letters += 1
-            val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+            val alnum =
+              if ((c & 0x80) == 0) // ASCII fast path — no table lookup
+                (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+              else { // decode the full codepoint for the Unicode classes
+                val n = if ((c & 0xe0) == 0xc0) 1 else if ((c & 0xf0) == 0xe0) 2 else 3
+                var cp = c & (0x3f >> n)
+                var k = 1
+                while (k <= n && i + k < bytes.length) {
+                  cp = (cp << 6) | (bytes(i + k) & 0x3f); k += 1
+                }
+                Character.isLetterOrDigit(cp)
+              }
             if (!alnum) symbols += 1
           }
           i += 1

@@ -175,7 +175,15 @@ object CorpusFilters {
   def duplicateGroups(pairs: DataFrame, maxIters: Int = 20,
       driverLimit: Long = 1000000L): DataFrame = {
     val edges = symmetricEdges(pairs)
-    if (edges.count() <= driverLimit) {
+    // the driver union-find below works on Long keys; non-integral id
+    // columns (string doc ids are common) would cast to NULL and crash the
+    // typed collect — the distributed branch is id-type-agnostic, use it
+    val integralIds = Seq("id_a", "id_b").forall(c => pairs.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (integralIds && edges.count() <= driverLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -247,6 +255,14 @@ object CorpusFilters {
       converged = changed == 0
       iter += 1
     }
+    // a silent exit at maxIters returns WRONG labels (one real cluster
+    // split into several ids) — min labels move one hop per round, so a
+    // component of diameter > maxIters simply hasn't finished. Fail with
+    // the knob named rather than report fractured clusters as truth.
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIters rounds — a duplicate " +
+        "cluster has diameter > maxIters; raise maxIters (rounds needed ≈ " +
+        "the longest chain of overlapping near-duplicates)")
     (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), iter)
   }
 
@@ -284,12 +300,20 @@ object CorpusFilters {
       .select(col("term"),
         round(log(col("tf").cast("double") / col("total")), 9)
           .cast("decimal(11,9)").as("lp"))
-    dtf.join(termLp, "term")
+    val scored = dtf.join(termLp, "term")
       .groupBy(col("doc_id"))
       .agg(sum(col("dtf")).as("n_tokens"),
         sum(col("lp") * col("dtf")).as("lp_sum"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("lp_sum").cast("double") / col("n_tokens"), 6).as("avg_logprob"))
+    // one row per INPUT doc like every sibling per-doc operator: an
+    // empty/null text has no tokens to explode and would otherwise vanish
+    // from the output (an inner-join consumer silently loses the doc);
+    // emit n_tokens=0 with a NULL score instead
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_logprob"))
   }
 
   /** The 100 TB variant of [[boilerplateNgrams]]: shuffle on the 64-bit
@@ -363,6 +387,10 @@ object CorpusFilters {
     val common = df.select(
         explode(array_distinct(split(col(textCol),
           java.util.regex.Pattern.quote(delim)))).as("line"))
+      // blank/whitespace-only lines are STRUCTURE, not boilerplate — any
+      // two docs with a paragraph break would otherwise make "" a common
+      // line and every document would lose its paragraph separators
+      .filter(col("line").rlike("\\S"))
       .groupBy("line")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

@@ -138,18 +138,34 @@ object Dedup {
       history: DataFrame, textCol: String, table: String,
       buckets: Int = 32): Unit = {
     val spark = history.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // quote each dotted part separately: backticking the whole string would
+    // treat "mydb.digests" as ONE identifier in the current database, so
+    // the real table never dropped and the orphan check looked at the
+    // wrong directory
+    val parts = table.split('.')
+    val quoted = parts.map(p => s"`$p`").mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
     // a managed-table location orphaned by a previous session (table gone
     // from this metastore, directory still on disk) blocks CREATE with
-    // LOCATION_ALREADY_EXISTS — clear it
+    // LOCATION_ALREADY_EXISTS — clear it. Managed layout: db tables live
+    // under <warehouse>/<db>.db/<table>; default-database tables directly
+    // under <warehouse>/<table>. Only that computed managed path is ever
+    // deleted, and only while no catalog entry references it (the DROP
+    // above removed ours; an EXTERNAL table's data lives at its own
+    // LOCATION, not the managed path).
+    val relPath = parts.map(_.toLowerCase) match {
+      case Array(t) => t
+      case Array(db, t) => s"$db.db/$t"
+      case more => more.mkString("/")
+    }
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.conf.get("spark.sql.warehouse.dir"), relPath)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc) && !spark.catalog.tableExists(table)) fs.delete(loc, true)
     history.select(md5(normalize(col(textCol))).as("digest"))
       .distinct()
       .write.bucketBy(buckets, "digest").sortBy("digest")
-      .mode("overwrite").saveAsTable(table)
+      .mode("overwrite").saveAsTable(quoted)
   }
 
   /** Incremental exact dedup of a new batch (batch OR streaming) against a
@@ -246,13 +262,23 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard between two text columns (verification step after
-    * LSH, or standalone for bounded candidate sets). */
+    * LSH, or standalone for bounded candidate sets).
+    *
+    * Sub-`n`-length texts have EMPTY gram sets; 0/0 would be NULL and a
+    * `NULL >= threshold` verify silently drops the pair — so two empty gram
+    * sets define jaccard = 1 exactly when the normalized texts are equal
+    * (they are literal duplicates), else 0. Without this, identical short
+    * docs funnel into one LSH bucket (all-sentinel signatures), survive
+    * banding, and are then discarded by the NULL verify — wasted candidate
+    * work that never reports the true duplicate. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     def grams(c: Column) = array_distinct(rolling_hashes(normalize(c), n, 0L))
     val ga = grams(a); val gb = grams(b)
     // |A∩B| / (|A| + |B| - |A∩B|) with the intersection computed once
     val inter = size(array_intersect(ga, gb))
-    inter.cast("double") / (size(ga) + size(gb) - inter)
+    when(size(ga) === 0 && size(gb) === 0,
+      when(normalize(a) === normalize(b), lit(1.0)).otherwise(lit(0.0)))
+      .otherwise(inter.cast("double") / (size(ga) + size(gb) - inter))
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard.

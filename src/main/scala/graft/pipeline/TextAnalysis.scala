@@ -15,16 +15,17 @@ import graft.functions.RollingHashes.rolling_hashes
   */
 object TextAnalysis {
 
-  /** Whitespace token count (0 for empty/blank text — split of an empty
-    * string yields one empty token, which must not count). */
+  /** Whitespace token count (0 for empty/blank text). Uses the canonical
+    * [[CorpusFilters.splitWords]] split-then-drop-empties tokenization:
+    * `trim` strips only SPACES, so a text starting with a tab or newline
+    * would otherwise carry a phantom empty token ("\tfoo bar" → 3). */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("bigint"))
+    size(CorpusFilters.splitWords(text)).cast("bigint")
 
   /** BPE-ish subword count: runs of letters, digit runs, and single
     * punctuation each count as one token (the usual pre-tokenizer shape). */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("bigint")
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{Nd}]+|[^\\p{L}\\p{Nd}\\s]"), lit(0))).cast("bigint")
 
   /** Quality features + a composite score in [0, 1]:
     * penalizes very short docs, high punctuation ratio, low stopword ratio,
@@ -32,9 +33,12 @@ object TextAnalysis {
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val nChars = length(t).cast("double")
-    val toks = split(trim(t), "\\s+")
-    val nToks = when(length(trim(t)) === 0, lit(0.0)).otherwise(size(toks).cast("double"))
-    val punct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    // splitWords, not split(trim(..)): trim strips only spaces, and a
+    // leading tab/newline would inflate n_tokens (and skew every ratio
+    // whose denominator it feeds) by a phantom empty token
+    val toks = CorpusFilters.splitWords(t)
+    val nToks = size(toks).cast("double")
+    val punct = size(regexp_extract_all(t, lit("[^\\p{L}\\p{Nd}\\s]"), lit(0))).cast("double")
     val stop = size(filter(toks, w => lower(w).isin(StopWords: _*))).cast("double")
     df.select(
       col(idCol),
@@ -90,8 +94,12 @@ object TextAnalysis {
   def urlStats(df: DataFrame, idCol: String, textCol: String,
       blockedSuffixes: Seq[String]): DataFrame = {
     val urls = regexp_extract_all(col(textCol), lit(UrlRe), lit(0))
+    // strip an explicit :port before the suffix check — "evil.com:8080"
+    // does not endsWith "evil.com", so a port (even ":80") would bypass
+    // the blocklist entirely
     val domains = array_sort(array_distinct(
-      transform(urls, u => regexp_extract(u, DomainRe, 1))))
+      transform(urls, u =>
+        regexp_replace(regexp_extract(u, DomainRe, 1), ":[0-9]+$", ""))))
     val blocked = blockedSuffixes.foldLeft(lit(false)) { (acc, sfx) =>
       acc || exists(domains, d => d.endsWith(sfx))
     }

@@ -573,12 +573,12 @@ object PipelineQueries {
       """WITH f AS (
         |  SELECT doc_id,
         |    length(text) AS n_chars,
-        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |    ROUND(CAST(length(text) AS DOUBLE) / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS mean_word_len,
-        |    ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
-        |    ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_tokens,
+        |    ROUND(CAST(length(text) AS DOUBLE) / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')), 1), 6) AS mean_word_len,
+        |    ROUND(CAST(len(regexp_extract_all(text, '[^\p{L}\p{Nd}\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+        |    ROUND(CAST(len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''),
         |        w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(w)))) AS DOUBLE)
-        |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS stopword_ratio
+        |      / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')), 1), 6) AS stopword_ratio
         |  FROM documents)
         |SELECT *, ROUND(least(1.0, n_tokens / 20.0) * 0.4
         |        + least(1.0, stopword_ratio * 4.0) * 0.3
@@ -587,8 +587,8 @@ object PipelineQueries {
 
     "q_text_tokens" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{Nd}]+|[^\p{L}\p{Nd}\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
@@ -655,7 +655,7 @@ object PipelineQueries {
         |d AS (
         |  SELECT doc_id, urls,
         |    list_sort(list_distinct(list_transform(urls,
-        |      x -> regexp_extract(x, 'https?://([^/\s]+)', 1)))) AS doms
+        |      x -> regexp_replace(regexp_extract(x, 'https?://([^/\s]+)', 1), ':[0-9]+$', '')))) AS doms
         |  FROM u)
         |SELECT doc_id,
         |  CAST(len(urls) AS BIGINT) AS n_urls,
@@ -699,7 +699,7 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_words,
         |    length(regexp_replace(text, '\s', '', 'g')) AS letters,
-        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS symbols,
+        |    len(regexp_extract_all(text, '[^\p{L}\p{Nd}\s]')) AS symbols,
         |    length(text) AS n_chars,
         |    len(list_distinct(list_transform(list_filter(regexp_split_to_array(text, '\s+'),
         |      w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(w))), w -> lower(w)))) AS stop_distinct
@@ -760,10 +760,13 @@ object PipelineQueries {
         |tot AS (SELECT SUM(tf) AS total FROM tf),
         |lp AS (
         |  SELECT term, CAST(ROUND(ln(CAST(tf AS DOUBLE) / total), 9) AS DECIMAL(28,12)) AS lp
-        |  FROM tf CROSS JOIN tot)
-        |SELECT t.doc_id, COUNT(*) AS n_tokens,
-        |       ROUND(CAST(SUM(lp.lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
-        |FROM t JOIN lp USING (term) GROUP BY t.doc_id
+        |  FROM tf CROSS JOIN tot),
+        |s AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |         ROUND(CAST(SUM(lp.lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        |  FROM t JOIN lp USING (term) GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens, s.avg_logprob
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_mix_sources" ->
@@ -806,7 +809,7 @@ object PipelineQueries {
 
     "q_tfidf_top_terms" ->
       """WITH t AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE length(term) > 0 GROUP BY 1, 2),
         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
@@ -872,7 +875,8 @@ object PipelineQueries {
         |l0 AS (SELECT doc_id, lines, UNNEST(generate_series(1, len(lines))) AS pos
         |       FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d) t),
         |l AS (SELECT doc_id, pos, lines[pos] AS line FROM l0),
-        |c AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+        |c AS (SELECT line FROM l WHERE regexp_matches(line, '\S')
+        |      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
         |k AS (SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM c)),
         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
         |          string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM k GROUP BY doc_id),
@@ -1021,7 +1025,7 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_words,
         |    length(regexp_replace(text, '\s', '', 'g')) AS letters,
-        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS symbols,
+        |    len(regexp_extract_all(text, '[^\p{L}\p{Nd}\s]')) AS symbols,
         |    length(text) AS n_chars,
         |    len(list_distinct(list_transform(list_filter(regexp_split_to_array(text, '\s+'),
         |      w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], lower(w))), w -> lower(w)))) AS stop_distinct

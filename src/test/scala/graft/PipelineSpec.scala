@@ -633,6 +633,55 @@ class PipelineSpec extends SparkTestBase {
     assert(again == kept)
   }
 
+  test("corpus operators: multilingual symbols, port bypass, blank lines, short docs, empty docs") {
+    import spark.implicits._
+    import graft.pipeline.{CorpusFilters, Dedup, TextAnalysis}
+    // a Russian document is letters, not symbols — the ASCII-alnum kernel
+    // classified 100% of it as symbols and the default 10% cap rejected
+    // every non-Latin document
+    val ru = Seq((1L, "Это обычный русский текст без лишних символов и достаточно длинный чтобы пройти фильтры качества el la"))
+      .toDF("doc_id", "text")
+    val gate = CorpusFilters.qualityGate(ru, "doc_id", "text", minWords = 3, minStopwords = 0)
+      .collect().head
+    assert(gate.getAs[Double]("symbol_ratio") < 0.05, gate.toString)
+    // a :port must not bypass the domain blocklist
+    val urls = Seq((1L, "see http://malware.evil.com:8080/x now"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.urlStats(urls, "doc_id", "text", Seq("evil.com"))
+      .collect().head.getAs[Boolean]("has_blocked"))
+    // leading tab: no phantom token
+    assert(Seq(("\tfoo bar")).toDF("text")
+      .select(TextAnalysis.tokenCount(col("text"))).head.getLong(0) == 2L)
+    // blank lines are structure, not boilerplate — paragraph breaks survive
+    val para = Seq((1L, "alpha\n\nbeta"), (2L, "gamma\n\ndelta"))
+      .toDF("doc_id", "text")
+    val stripped = CorpusFilters.stripBoilerplateLines(para, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(stripped(1L) == "alpha\n\nbeta", stripped.toString)
+    // identical sub-shingle docs ARE duplicates (jaccard 1), different ones are not (0)
+    val jac = Seq(("abc", "abc"), ("abc", "xyz")).toDF("a", "b")
+      .select(Dedup.ngramJaccard(col("a"), col("b"), n = 9)).collect()
+    assert(jac(0).getDouble(0) == 1.0 && jac(1).getDouble(0) == 0.0)
+    // an empty-text doc still gets its per-doc unigram row (NULL score)
+    val lm = CorpusFilters.unigramLogProb(
+      Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == Map(1L -> 2L, 2L -> 0L), lm.toString)
+    // string ids route to the distributed clustering branch instead of
+    // crashing the driver union-find's long cast
+    val groups = CorpusFilters.duplicateGroups(
+      Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b"))
+      .collect().map(_.getString(1)).distinct
+    assert(groups.toSeq == Seq("a"), groups.mkString(","))
+    // non-convergence is an error naming the knob, never silent wrong labels
+    val chain = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      CorpusFilters.duplicateGroupsDistributed(chain, maxIters = 3)._1.collect()
+    }
+    assert(e.getMessage.contains("maxIters"), e.getMessage)
+  }
+
   test("sampling hash: ANSI-safe at production ids; salt decorrelates; NULL source capped") {
     import spark.implicits._
     // ids past ~8.4e9: the unreduced LCG multiply overflows Long, and ANSI
