@@ -263,7 +263,12 @@ object TableEnv {
             SourceWatermarkRe.findFirstMatchIn(w).foreach { wm =>
               watermark = Some((wm.group(1).replace("`", ""), "0 seconds"))
             }
-        case p if p.toUpperCase.startsWith("PRIMARY") =>
+        // both forms: `PRIMARY KEY (id) NOT ENFORCED` and the named-
+        // constraint `CONSTRAINT pk PRIMARY KEY (id) NOT ENFORCED` — the
+        // latter otherwise fell through to the plain-column branch as a
+        // bogus column named CONSTRAINT with the PK silently dropped
+        case p if p.toUpperCase.startsWith("PRIMARY") ||
+            p.toUpperCase.startsWith("CONSTRAINT") =>
           PkRe.findFirstMatchIn(p).foreach(x =>
             pk = x.group(1).split(",").map(_.trim.replace("`", "")).toSeq)
         case MetadataRe(n, t, from, _) =>
@@ -390,6 +395,13 @@ object TableEnv {
           "datagen, values, print, blackhole, and the *-cdc family " +
           "(changelog replay).")
     }
+    // Flink rejects PK-less upsert-kafka at DDL time — so do we (the sink
+    // path double-checks, but first SELECT is too late to learn your DDL
+    // was invalid)
+    if (b.connector == "upsert-kafka" && b.primaryKey.isEmpty)
+      throw new IllegalArgumentException(
+        s"'${b.name}': upsert-kafka requires a PRIMARY KEY (it is the Kafka " +
+          "record key; log compaction keeps the latest record per key)")
     registry.put(b.name, b)
     // materialize a session view: unbounded datagen/kafka register their
     // STREAMING df so SELECT plans a streaming query (§3.1); jdbc registers a
@@ -833,15 +845,20 @@ object TableEnv {
   /** Flink kafka connector options → Spark kafka source options
     * (G:508 property keys; startup modes G:523). Pure translation so it is
     * testable without the kafka connector jar on the classpath. */
-  def kafkaSourceOptions(b: Binding): Map[String, String] = Map(
-    "kafka.bootstrap.servers" ->
-      b.options.getOrElse("properties.bootstrap.servers", "localhost:9092"),
-    "subscribe" -> b.options.getOrElse("topic", b.name),
-    "startingOffsets" -> (b.options.get("scan.startup.mode") match {
-      case Some("latest-offset") => "latest"
-      case Some("timestamp") =>
-        // startingTimestamp wants epoch millis; pass through the Flink option
-        b.options.getOrElse("scan.startup.timestamp-millis", "earliest")
+  def kafkaSourceOptions(b: Binding): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" ->
+        b.options.getOrElse("properties.bootstrap.servers", "localhost:9092"),
+      "subscribe" -> b.options.getOrElse("topic", b.name))
+    // timestamp startup goes under startingTimestamp — startingOffsets only
+    // accepts earliest/latest/offset-JSON and rejects epoch millis at query
+    // start; the two keys are mutually exclusive on the Spark source
+    val startup = b.options.get("scan.startup.mode") match {
+      case Some("timestamp") => Map("startingTimestamp" ->
+        b.options.getOrElse("scan.startup.timestamp-millis",
+          throw new IllegalArgumentException(
+            "scan.startup.mode=timestamp requires 'scan.startup.timestamp-millis'")))
+      case Some("latest-offset") => Map("startingOffsets" -> "latest")
       case Some("specific-offsets") =>
         // Flink 'partition:0,offset:42;partition:1,offset:300' →
         // Spark {"topic":{"0":42,"1":300}}
@@ -853,10 +870,11 @@ object TableEnv {
             val o = kv.find(_(0).equalsIgnoreCase("offset")).map(_(1).trim).getOrElse("0")
             s""""$p":$o"""
           }
-        s"""{"$topic":{${pairs.mkString(",")}}}"""
-      case _ => "earliest" // earliest-offset / group-offsets / unset
-    }),
-  ) ++ b.options.get("properties.group.id").map("kafka.group.id" -> _)
+        Map("startingOffsets" -> s"""{"$topic":{${pairs.mkString(",")}}}""")
+      case _ => Map("startingOffsets" -> "earliest") // earliest-offset / group-offsets / unset
+    }
+    base ++ startup ++ b.options.get("properties.group.id").map("kafka.group.id" -> _)
+  }
 
   /** Deterministic typed columns for datagen from a sequence column. */
   private def synthesize(seqDf: DataFrame, b: Binding): DataFrame = {
@@ -985,6 +1003,12 @@ object TableEnv {
     * exactly the latest version per key, which IS Flink's upsert-kafka
     * contract. Pure transformation so it is testable without a broker. */
   def upsertKafkaRecords(df: DataFrame, b: Binding): DataFrame = {
+    // Flink rejects PK-less upsert-kafka DDL, and so must we: with an empty
+    // PK every record keys as '{}' and log compaction retains exactly ONE
+    // record for the whole topic — silent near-total data loss
+    if (b.primaryKey.isEmpty) throw new IllegalArgumentException(
+      s"'${b.name}': upsert-kafka requires a PRIMARY KEY (the Kafka record " +
+        "key; log compaction keeps the latest record per key)")
     val data = df.drop("__op", "__ts_ms", "__seq")
     val dataCols = data.columns.map(c => s"`$c`").mkString(", ")
     val value =
@@ -1046,14 +1070,19 @@ object TableEnv {
     case "print" => df.show(numRows = 20, truncate = false)
     case "blackhole" => df.write.format("noop").mode("overwrite").save()
     case "elasticsearch-6" | "elasticsearch-7" =>
-      // each flush lands in its own monotonically-named subdirectory so
-      // "replay the spool in lexicographic order" really reproduces the
-      // index state across batches (append part-file names are random)
-      val bulkDir =
-        if (overwrite) esSpoolPath(b)
-        else f"${esSpoolPath(b)}/bulk-${esBulkSeq.incrementAndGet()}%016d"
-      esBulkRecords(df, b).write.mode(if (overwrite) "overwrite" else "append")
-        .text(bulkDir)
+      // each flush — the overwrite base INCLUDED — lands in its own
+      // monotonically-named subdirectory so "replay the spool in
+      // lexicographic order" really reproduces the index state across
+      // batches. (Writing the overwrite base at the spool ROOT would break
+      // the contract: root 'part-*' sorts AFTER 'bulk-*' subdirs, so a
+      // base written after appends would replay LAST and clobber them.)
+      if (overwrite) {
+        val root = new org.apache.hadoop.fs.Path(esSpoolPath(b))
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true) // overwrite resets the index
+      }
+      val bulkDir = f"${esSpoolPath(b)}/bulk-${esBulkSeq.incrementAndGet()}%016d"
+      esBulkRecords(df, b).write.mode("overwrite").text(bulkDir)
     case "jdbc" =>
       val opts = jdbcOptions(b)
       if (b.primaryKey.nonEmpty && !overwrite) {
@@ -1323,9 +1352,17 @@ object TableEnv {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path.toString + s".rewrite-${System.nanoTime()}")
     val trash = new org.apache.hadoop.fs.Path(path.toString + s".old-${System.nanoTime()}")
-    val w = df.write.format(b.format).mode("overwrite")
-    (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
-      .save(tmp.toString)
+    if (b.format == "avro") {
+      // no avro DataSource on this classpath — the same gap batchInsert
+      // guards; route through the custom writer (materialize first: the
+      // rewrite reads the very files it replaces)
+      val materialized = df.localCheckpoint()
+      graft.sources.AvroFiles.write(materialized, tmp.toString, overwrite = true)
+    } else {
+      val w = df.write.format(b.format).mode("overwrite")
+      (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
+        .save(tmp.toString)
+    }
     // move-aside before delete: a crash between the renames leaves the data
     // recoverable in one of the two directories, never gone
     fs.rename(path, trash)

@@ -91,7 +91,8 @@ object MatchRecognize {
   }
 
   private val TokRe =
-    """\(\s*(\w+(?:\s*\|\s*\w+)*)\s*\)\s*([+*?])?|(\w+)\s*([+*?])?""".r
+    """\(\s*(\w+(?:\s*\|\s*\w+)*)\s*\)\s*([+*?]\??|\{\d+(?:,\d*)?\})?|(\w+)\s*([+*?]\??|\{\d+(?:,\d*)?\})?""".r
+  private val BraceQuantRe = """\{(\d+)(?:,(\d*))?\}""".r
 
   /** Parse a full PATTERN body into ordered alternatives:
     * `PERMUTE(A, B, C)` expands to every ordering (G:363); `A B | C D` splits
@@ -120,15 +121,51 @@ object MatchRecognize {
     }
   }
 
-  /** Parse "A+ (B|C)* D?" into tokens. */
-  def parsePattern(p: String): Seq[PatTok] =
-    TokRe.findAllMatchIn(p).map { m =>
-      if (m.group(1) != null)
-        PatTok(m.group(1).split("\\|").map(_.trim).toSeq,
-          quantOf(Option(m.group(2)).getOrElse("")))
-      else
-        PatTok(Seq(m.group(3)), quantOf(Option(m.group(4)).getOrElse("")))
-    }.toSeq
+  /** Parse "A+ (B|C)* D?" into tokens. Range quantifiers expand:
+    * `A{n}` → n required A's, `A{n,m}` → n required + (m-n) optional,
+    * `A{n,}` → n required + A*. Anything the tokenizer cannot consume —
+    * including reluctant `+?`/`*?`/`??` (not implemented; greedy-vs-
+    * reluctant changes which rows land in which variable) — is a loud
+    * error: a silently-dropped quantifier would run a DIFFERENT pattern
+    * and return wrong matches with no sign anything was ignored. */
+  def parsePattern(p: String): Seq[PatTok] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatTok]
+    var last = 0
+    def gapCheck(upTo: Int): Unit = {
+      val gap = p.substring(last, upTo).trim
+      require(gap.isEmpty,
+        s"unsupported PATTERN syntax at '$gap' in '$p' — this engine " +
+          "implements variables, (a|b) groups, +, *, ?, {n}, {n,}, {n,m}, " +
+          "and PERMUTE(...)")
+    }
+    TokRe.findAllMatchIn(p).foreach { m =>
+      gapCheck(m.start)
+      last = m.end
+      val (vars, q) =
+        if (m.group(1) != null)
+          (m.group(1).split("\\|").map(_.trim).toSeq, Option(m.group(2)).getOrElse(""))
+        else (Seq(m.group(3)), Option(m.group(4)).getOrElse(""))
+      q match {
+        case "" | "+" | "*" | "?" => out += PatTok(vars, quantOf(q))
+        case BraceQuantRe(n0, max0) =>
+          val n = n0.toInt
+          require(n > 0 || max0 != null, s"A{0} matches nothing: '$q' in '$p'")
+          (1 to n).foreach(_ => out += PatTok(vars, One))
+          Option(max0) match {
+            case None => () // {n}: exactly n
+            case Some("") => out += PatTok(vars, Star) // {n,}: unbounded tail
+            case Some(mx) =>
+              require(mx.toInt >= n, s"bad range quantifier '$q' in '$p'")
+              (n until mx.toInt).foreach(_ => out += PatTok(vars, Opt))
+          }
+        case other => throw new IllegalArgumentException(
+          s"unsupported quantifier '$other' in PATTERN '$p' — reluctant " +
+            "quantifiers are not implemented (greedy matching only)")
+      }
+    }
+    gapCheck(p.length)
+    out.toSeq
+  }
 
   // ---------------------------------------------------------------- kernel --
 
@@ -271,22 +308,42 @@ object MatchRecognize {
           }
           -1
         }
+        // One/Opt BACKTRACK over the variable choice: when a row satisfies
+        // both A and B in (A|B), committing to A must not kill a match
+        // that only exists under B (a downstream dynamic DEFINE or SKIP TO
+        // may depend on which variable the row mapped to) — SQL alternation
+        // tries the next alternative on downstream failure. Greedy runs
+        // (+/*) keep first-satisfying per row: per-row choice backtracking
+        // inside a run is exponential, and the run's variables are
+        // interchangeable for the overwhelmingly common static DEFINEs.
         q match {
           case One =>
             if (pos >= len) { hitEnd = true; -1 }
             else {
-              val v = altAt(pos)
-              if (v >= 0) { assign(pos) = v; rec(pos + 1, tok + 1) } else -1
+              var k = 0
+              while (k < alts.length) {
+                if (condAt(alts(k), pos)) {
+                  assign(pos) = alts(k)
+                  val r = rec(pos + 1, tok + 1)
+                  if (r >= 0) return r
+                }
+                k += 1
+              }
+              -1
             }
           case Opt =>
             if (pos >= len) { hitEnd = true; rec(pos, tok + 1) }
             else {
-              val v = altAt(pos)
-              if (v >= 0) {
-                assign(pos) = v
-                val r = rec(pos + 1, tok + 1)
-                if (r >= 0) r else rec(pos, tok + 1)
-              } else rec(pos, tok + 1)
+              var k = 0
+              while (k < alts.length) {
+                if (condAt(alts(k), pos)) {
+                  assign(pos) = alts(k)
+                  val r = rec(pos + 1, tok + 1)
+                  if (r >= 0) return r
+                }
+                k += 1
+              }
+              rec(pos, tok + 1)
             }
           case Plus | Star =>
             // greedy forward scan, recording assignments as it extends so a
@@ -398,11 +455,14 @@ object MatchRecognize {
         val assign = tryMatch(grp.length, cs, i)
         if (assign != null) {
           val end = matchEnd
-          // a match is FINAL when rows beyond the frontier cannot change it:
-          // it ends before the frontier (the next row is already immutable),
-          // or its attempt never touched the frontier (trailing quantifiers
-          // had no room to extend)
-          if (closed || end < grp.length || !hitEnd) {
+          // a match is FINAL only when NO attempted path touched the
+          // frontier: hitEnd accumulates across alternatives tried BEFORE
+          // the winner, so "ends before the frontier" is NOT sufficient — a
+          // more-preferred alternative that ran out of rows could still
+          // complete with future data and must win (PATTERN (A B B | C)
+          // with A,B-prefix buffered: emitting C now would contradict the
+          // batch result once the final B arrives)
+          if (closed || !hitEnd) {
             matchNo += 1
             if (allRows) {
               var j = i
@@ -831,15 +891,21 @@ object MatchRecognize {
     val allRows = m.group(5).equalsIgnoreCase("ALL ROWS")
     // parse the MEASURES list item-by-item so output columns keep the
     // declared order (aggregates and CLASSIFIER/MATCH_NUMBER may interleave)
-    val measures = splitTop(m.group(4)).flatMap { item =>
-      MeasureRe.findFirstMatchIn(item).map { mm =>
+    val measures = splitTop(m.group(4)).map { item =>
+      // matches must CONSUME the whole item — a partial regex hit on e.g.
+      // `LAST(a.p) - FIRST(a.p) AS delta` would alias the fragment wrong,
+      // and an unmatched item must not silently vanish from the schema
+      MeasureRe.findFirstMatchIn(item).filter(_.matched.trim == item.trim).map { mm =>
         // Flink defaults: RUNNING in ALL ROWS mode, FINAL in ONE ROW mode
         val mode = Option(mm.group(1)).map(_.toLowerCase)
           .getOrElse(if (allRows) "running" else "final")
         Measure(mm.group(5), mm.group(2).toLowerCase, mm.group(3), mm.group(4), mode)
-      }.orElse(IntroRe.findFirstMatchIn(item).map { mm =>
+      }.orElse(IntroRe.findFirstMatchIn(item).filter(_.matched.trim == item.trim).map { mm =>
         Measure(mm.group(2), mm.group(1).toLowerCase, "", "")
-      })
+      }).getOrElse(throw new IllegalArgumentException(
+        s"unsupported MEASURES item '$item' — supported: [RUNNING|FINAL] " +
+          "FIRST/LAST/MIN/MAX/SUM/AVG/COUNT(var.field|var.*) AS alias, " +
+          "CLASSIFIER() AS alias, MATCH_NUMBER() AS alias"))
     }
     val skip: SkipMode = m.group(6).toUpperCase.replaceAll("\\s+", " ") match {
       case "PAST LAST ROW" => SkipPastLastRow

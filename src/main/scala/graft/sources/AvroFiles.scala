@@ -237,7 +237,12 @@ object AvroFiles {
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val avroSchema = new Schema.Parser().parse(avroJson)
         val attempt = java.util.UUID.randomUUID().toString.take(8)
-        val target = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$jobId.avro")
+        // task commit target is STAGED (dot-prefixed → invisible to readers
+        // and globs): tasks finishing early must not expose rows while
+        // sibling tasks can still fail the job — the driver promotes the
+        // whole generation after the action completes (FileOutputCommitter
+        // v1 shape: task commit atomic, job commit a driver rename sweep)
+        val target = new org.apache.hadoop.fs.Path(path, f".staged-part-$pid%05d-$jobId.avro")
         val tmp = new org.apache.hadoop.fs.Path(path, f".part-$pid%05d-$jobId-$attempt.tmp")
         val fs = target.getFileSystem(conf)
         val out = fs.create(tmp, true)
@@ -260,8 +265,20 @@ object AvroFiles {
         Iterator.single(n)
       }
     }.sum().toLong
-    // job commit for overwrite: the new generation is fully in place,
-    // retire the previous files (+ any stale tmps)
+    // job commit: every task succeeded — promote the staged generation to
+    // its visible names, then (overwrite) retire the previous files. A
+    // mid-JOB failure before this point leaves only dot-files no reader
+    // sees; a re-run never duplicates rows. (A driver crash mid-promotion
+    // can still expose a partial generation — the standard limitation of
+    // rename-based job commit without a manifest.)
+    dfs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith(".staged-") &&
+        p.getName.contains(s"-$jobId.avro"))
+      .foreach { p =>
+        val visible = new org.apache.hadoop.fs.Path(dir, p.getName.stripPrefix(".staged-"))
+        if (!dfs.rename(p, visible) && !dfs.exists(visible))
+          throw new java.io.IOException(s"avro write: job commit failed for $visible")
+      }
     previous.foreach(p => try dfs.delete(p, false) catch { case _: Exception => () })
     written
   }

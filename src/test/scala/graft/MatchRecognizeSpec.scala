@@ -350,6 +350,65 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((10.0, 150.0)))
   }
 
+
+  test("range quantifiers expand; unsupported pattern syntax errors loudly") {
+    // A{2} B: exactly two lows then a high — a silent drop of {2} would
+    // run A B and also match single-low prefixes
+    val df = mk(Seq(
+      (1, 1, 10.0), (1, 2, 20.0), (1, 3, 150.0), // L L H -> match
+      (2, 1, 10.0), (2, 2, 150.0)))              // L H   -> no match
+    val out = MatchRecognize.matchRecognize(
+      df, Seq("k"), "seq",
+      defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") >= 100)),
+      pattern = parsePattern("A{2} B"),
+      measures = Seq(Measure("n_low", "count", "A", "*")))
+    assert(out.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 2L)))
+    // {n,m}: 1..2 lows accepted
+    val out2 = MatchRecognize.matchRecognize(
+      df, Seq("k"), "seq",
+      defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") >= 100)),
+      pattern = parsePattern("A{1,2} B"),
+      measures = Seq(Measure("n_low", "count", "A", "*")))
+    assert(out2.collect().map(r => (r.getInt(0), r.getLong(1))).toSet == Set((1, 2L), (2, 1L)))
+    // reluctant and unknown syntax refuse instead of silently running a
+    // different pattern
+    assert(intercept[IllegalArgumentException](parsePattern("A+? B"))
+      .getMessage.contains("reluctant"))
+    assert(intercept[IllegalArgumentException](parsePattern("A ^ B"))
+      .getMessage.contains("unsupported PATTERN"))
+  }
+
+  test("unsupported MEASURES items error instead of vanishing from the schema") {
+    val stmt =
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES LAST(A.price) - FIRST(A.price) AS delta
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+) DEFINE A AS A.price < 100)""".stripMargin
+    mk(Seq((1, 1, 10.0))).createOrReplaceTempView("t")
+    val e = intercept[IllegalArgumentException](MatchRecognize.sql(spark, stmt))
+    assert(e.getMessage.contains("unsupported MEASURES item"), e.getMessage)
+  }
+
+  test("alternation backtracks the variable choice when a downstream DEFINE needs it") {
+    // row 1 satisfies A and B; C is defined via FIRST(B.price), so the
+    // match only exists when row 1 maps to B — first-satisfying commitment
+    // to A must not kill it (SQL alternation tries the next alternative on
+    // downstream failure)
+    mk(Seq((1, 1, 50.0), (1, 2, 60.0))).createOrReplaceTempView("mr_altbt")
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_altbt MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES LAST(C.price) AS c_price
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((A|B) C)
+        |  DEFINE A AS A.price < 100, B AS B.price < 100,
+        |         C AS C.price > FIRST(B.price)
+        |)""".stripMargin)
+    assert(out.collect().map(_.getDouble(1)).toSeq == Seq(60.0))
+  }
+
   test("undefined pattern variables are always-true (Flink semantics)") {
     val df = mk(Seq((1, 1, 500.0), (1, 2, 150.0)))
     df.createOrReplaceTempView("mr_any")

@@ -55,6 +55,21 @@ class ScaleSpec extends SparkTestBase {
     assert(opts("subscribe") == "t")
     assert(opts("startingOffsets") == "latest")
     assert(opts("kafka.group.id") == "cg")
+    // timestamp startup: epoch millis go under startingTimestamp — the
+    // startingOffsets key only accepts earliest/latest/offset-JSON and
+    // would reject the millis at query start
+    val bt = TableEnv.parseCreateTable(
+      """CREATE TABLE kts (id BIGINT) WITH ('connector' = 'kafka', 'topic' = 't',
+        |  'format' = 'json', 'scan.startup.mode' = 'timestamp',
+        |  'scan.startup.timestamp-millis' = '1690000000000')""".stripMargin)
+    val optsT = TableEnv.kafkaSourceOptions(bt)
+    assert(optsT("startingTimestamp") == "1690000000000")
+    assert(!optsT.contains("startingOffsets"), optsT.toString)
+    val btBad = TableEnv.parseCreateTable(
+      """CREATE TABLE kts2 (id BIGINT) WITH ('connector' = 'kafka', 'topic' = 't',
+        |  'format' = 'json', 'scan.startup.mode' = 'timestamp')""".stripMargin)
+    val em = intercept[IllegalArgumentException](TableEnv.kafkaSourceOptions(btBad))
+    assert(em.getMessage.contains("timestamp-millis"))
     // the kafka connector jar is not shipped in this environment — the
     // source itself cannot instantiate here; the DataFrame assembly path is
     // identical to the (tested) datagen/filesystem streaming paths
