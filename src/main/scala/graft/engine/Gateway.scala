@@ -77,7 +77,7 @@ class Gateway(root: SparkSession) {
   // here a cached function list would stay stale for the TTL window after
   // the registry actually changed (USE MODULES is already covered by USE)
   private val MutatingRe =
-    """(?is)^\s*(CREATE|DROP|ALTER|USE|INSERT|TRUNCATE|LOAD\s+MODULE|UNLOAD\s+MODULE)\b.*""".r
+    """(?is)^\s*(CREATE|DROP|ALTER|USE|INSERT|TRUNCATE|UPDATE|DELETE|MERGE|LOAD\s+MODULE|UNLOAD\s+MODULE)\b.*""".r
 
   // ------------------------------------------------------------- sessions --
 
@@ -123,9 +123,9 @@ class Gateway(root: SparkSession) {
   private val ShowCreateRe = """(?is)SHOW\s+CREATE\s+TABLE\s+([\w.`]+)""".r
   private val DescribeRe = """(?is)(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.`]+)""".r
   private val CreateViewRe =
-    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.*)""".r
+    """(?is)CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.*)""".r
   private val ShowCreateViewRe = """(?is)SHOW\s+CREATE\s+VIEW\s+([\w.`]+)""".r
-  private val DropViewRe = """(?is)DROP\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?([\w.`]+)""".r
+  private val DropViewRe = """(?is)DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)""".r
   private val UpdateRe = """(?is)^UPDATE\s+([\w.`]+)\s+SET\s+(.*)$""".r
 
   /** Split "assignments [WHERE predicate]" at the top-level WHERE — never
@@ -621,26 +621,42 @@ class Gateway(root: SparkSession) {
         val b = TableEnv.lookup(target.replace("`", "")).get
         TableEnv.batchInsert(spark, b, spark.sql(FlinkDialect.rewrite(select)), overwrite = true)
         Statement(s"Overwrote ${b.name}")
-      case CreateViewRe(temp, name, select) =>
+      case CreateViewRe(orReplace, temp, ifNotExists, name, select) =>
         // Flink views are catalog objects; the engine registry is in-memory,
         // so both forms land as session temp views + a stored definition
         // (F:77-90). The view body goes through the dialect layer.
+        // Conflict semantics match Flink: plain CREATE on an existing view
+        // fails, IF NOT EXISTS no-ops, only OR REPLACE redefines.
         val viewName = name.replace("`", "")
-        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$viewName` AS " +
-          FlinkDialect.rewrite(select))
-        TableEnv.registerView(viewName, select.trim, temp != null)
-        Statement(s"View $viewName created")
+        val exists = TableEnv.viewDef(viewName).isDefined ||
+          spark.catalog.tableExists(viewName)
+        if (exists && orReplace == null) {
+          if (ifNotExists != null) Statement(s"View $viewName already exists (no-op)")
+          else throw new IllegalArgumentException(
+            s"View '$viewName' already exists — use CREATE OR REPLACE VIEW to redefine it")
+        } else {
+          spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$viewName` AS " +
+            FlinkDialect.rewrite(select))
+          TableEnv.registerView(viewName, select.trim, temp != null)
+          Statement(s"View $viewName created")
+        }
       case ShowCreateViewRe(target) =>
         TableEnv.viewDef(target.replace("`", "")) match {
           case Some((sql, temp)) => Statement(
             s"CREATE ${if (temp) "TEMPORARY " else ""}VIEW `${target.replace("`", "")}` AS $sql")
           case None => Finished(spark.sql(s"SHOW CREATE TABLE $target"))
         }
-      case DropViewRe(target) =>
+      case DropViewRe(ifExists, target) =>
         val n = target.replace("`", "")
         val hadDef = TableEnv.dropView(n)
         if (spark.catalog.dropTempView(n) || hadDef) Statement(s"View $n dropped")
-        else { spark.sql(stmt); Statement(s"View $n dropped") } // catalog view
+        else {
+          // catalog-view fallthrough rebuilt WITHOUT the TEMPORARY keyword —
+          // Spark's grammar has no DROP TEMPORARY VIEW, so re-running the
+          // raw Flink text would ParseException on the one-token difference
+          spark.sql(s"DROP VIEW ${if (ifExists != null) "IF EXISTS " else ""}`$n`")
+          Statement(s"View $n dropped")
+        }
       case AlterSetRe(target, optStr) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         val opts = OptRe.findAllMatchIn(optStr).map(x => x.group(1) -> x.group(2)).toMap
         val b = TableEnv.alterOptions(spark, target.replace("`", ""), opts)
@@ -674,8 +690,13 @@ class Gateway(root: SparkSession) {
           OptRe.findAllMatchIn(m.group(1)).map(x => x.group(1) -> x.group(2)).toMap)
           .getOrElse(Map.empty)
         val stripped = OptionsHintRe.replaceAllIn(s, "")
-        val target = """(?is)\bFROM\s+([\w.`]+)""".r.findFirstMatchIn(stripped)
-          .map(_.group(1).replace("`", ""))
+        // the hint modifies the table reference it is ATTACHED to (Flink
+        // places it right after the table, before or after the alias) — not
+        // whatever table happens to come first in the statement
+        val target = """(?is)\b(?:FROM|JOIN)\s+([\w.`]+)(?:\s+(?:AS\s+)?[\w`]+)?\s*/\*\+\s*OPTIONS""".r
+          .findFirstMatchIn(s).map(_.group(1).replace("`", ""))
+          .orElse("""(?is)\bFROM\s+([\w.`]+)""".r.findFirstMatchIn(stripped)
+            .map(_.group(1).replace("`", "")))
         target.flatMap(TableEnv.lookup) match {
           case Some(b) if overrides.nonEmpty =>
             val nb = b.copy(options = b.options ++ overrides)
@@ -690,8 +711,14 @@ class Gateway(root: SparkSession) {
         }
       case s if graft.operators.AsOfJoin.isTemporalSql(s) =>
         // versioned temporal join → carry-forward as-of; unresolvable version
-        // time (processing-time dims) falls through to the snapshot rewrite
-        graft.operators.AsOfJoin.sql(spark, s).map(Finished(_)).getOrElse {
+        // time (processing-time dims) falls through to the snapshot rewrite.
+        // Streaming inputs must route through the streaming lifecycle — a
+        // Finished(streaming df) would escape the Failed contract later, at
+        // fetch time, when toLocalIterator refuses streaming sources
+        graft.operators.AsOfJoin.sql(spark, s).map { df =>
+          if (df.isStreaming) startStreamingSelect(spark, df)
+          else Finished(df): OpResult
+        }.getOrElse {
           val df = spark.sql(FlinkDialect.rewrite(s))
           if (df.isStreaming) startStreamingSelect(spark, df) else Finished(df)
         }

@@ -64,7 +64,14 @@ object AsOfJoin {
       Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__side")) ++
         leftCols.filterNot(_ == key).map(col) ++
         rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
-    right.select(rCols: _*).unionByName(left.select(lCols: _*))
+    // NULL-keyed right versions are dropped: the join condition is SQL
+    // equality (l.k = r.k), and NULL = NULL is not true — partitioning
+    // groups nulls together, so without this filter a NULL-keyed left row
+    // would pick up a NULL-keyed right version no SQL engine would match.
+    // NULL-keyed LEFT rows stay (LEFT join) and naturally carry NULL
+    // payloads from their now-empty partition.
+    right.filter(col(key).isNotNull).select(rCols: _*)
+      .unionByName(left.select(lCols: _*))
   }
 
   // ----------------------------------------------------------- streaming --
@@ -113,9 +120,10 @@ object AsOfJoin {
     // constant per-query: output slot -> payload slot (-1 = copy from left row)
     val outToPayload: Array[Int] = outIdx.map(payloadIdx.indexOf).toArray
 
-    val keyIdx = schema.fieldIndex(key)
     unioned.as(rowEnc)
-      .groupByKey(r => if (r.isNullAt(keyIdx)) "\u0000" else String.valueOf(r.get(keyIdx)))(
+      // shared length-prefixed key encoding: the hand-rolled null-sentinel
+      // variant collided NULL with the literal one-char "\u0000" string
+      .groupByKey(StateKeys.encoder(schema, Seq(key)))(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: String, rows: Iterator[Row], state: GroupState[(Array[Row], Option[Array[Any]])]) => {
@@ -133,10 +141,16 @@ object AsOfJoin {
           while (i < matureLen) {
             val r = buf(i)
             if (r.getInt(sideIdx) == 0) carry = Some(payloadIdx.map(r.get).toArray)
-            else out += Row.fromSeq(outIdx.indices.map { o =>
-              val pi = outToPayload(o)
-              if (pi >= 0) carry.map(_(pi)).orNull else r.get(outIdx(o))
-            })
+            else {
+              // a NULL-event-time left row has NO preceding right version in
+              // batch (NULLS FIRST sorts it before every right row) — the
+              // cross-batch carry must not leak onto it
+              val useCarry = if (r.isNullAt(tsIdx)) None else carry
+              out += Row.fromSeq(outIdx.indices.map { o =>
+                val pi = outToPayload(o)
+                if (pi >= 0) useCarry.map(_(pi)).orNull else r.get(outIdx(o))
+              })
+            }
             i += 1
           }
           val kept = buf.drop(matureLen)
@@ -206,6 +220,7 @@ object AsOfJoin {
            |    FROM (
            |      SELECT `$rk` AS __k, `$rts` AS __ts, 0 AS __side,
            |             NULL AS __lrow, struct($ra.*) AS __rrow FROM $rt AS $ra
+           |      WHERE `$rk` IS NOT NULL
            |      UNION ALL
            |      SELECT `$lk`, `$aofCol`, 1, struct($la.*), NULL FROM $lt AS $la
            |    )

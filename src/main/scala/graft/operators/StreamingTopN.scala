@@ -54,9 +54,13 @@ object StreamingTopN {
       val n = Option(m.group(7)).map(_.toInt).getOrElse(1)
       val OrderItem =
         """(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$""".r
-      val orderCols = m.group(3).split(",").map(_.trim).map {
+      // top-level comma split, not raw split(","): a multi-argument rank
+      // expression like GREATEST(a, b) DESC must stay one item; and the
+      // expression goes through the dialect like its sibling fragments
+      val orderCols = graft.engine.FlinkDialect.splitAssignments(m.group(3))
+        .map(_.trim).map {
         case OrderItem(e, dir, nulls) =>
-          val base = expr(e) // full expressions allowed, e.g. ABS(delta)
+          val base = expr(dialect(e)) // full expressions allowed, e.g. GREATEST(a, b)
           val desc = dir != null && dir.equalsIgnoreCase("DESC")
           // Spark defaults (asc → nulls first, desc → nulls last) unless an
           // explicit NULLS FIRST/LAST overrides

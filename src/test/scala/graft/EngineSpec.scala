@@ -184,6 +184,48 @@ class EngineSpec extends SparkTestBase {
     assert(l.schema("t").dataType == org.apache.spark.sql.types.TimestampType, l.schema.toString)
   }
 
+  test("view conflict semantics and DROP TEMPORARY VIEW fallthrough") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    assert(run("CREATE VIEW v_conf AS SELECT 1 AS x").columns != Seq("error"))
+    // IF NOT EXISTS no-ops; plain CREATE fails; OR REPLACE redefines
+    run("CREATE VIEW IF NOT EXISTS v_conf AS SELECT 2 AS x")
+    val sess = gw.session(h).spark
+    assert(sess.sql("SELECT x FROM v_conf").head.getInt(0) == 1,
+      "IF NOT EXISTS must not redefine an existing view")
+    assert(run("CREATE VIEW v_conf AS SELECT 3 AS x").rows.head.head.toString
+      .contains("already exists"))
+    run("CREATE OR REPLACE VIEW v_conf AS SELECT 4 AS x")
+    assert(sess.sql("SELECT x FROM v_conf").head.getInt(0) == 4)
+    // DROP TEMPORARY VIEW IF EXISTS on a missing view is a quiet no-op,
+    // not a ParseException from Spark's TEMPORARY-less grammar
+    val d = run("DROP TEMPORARY VIEW IF EXISTS never_created_view")
+    assert(d.columns != Seq("error"), d.rows.toString)
+  }
+
+  test("OPTIONS hint binds to the table it is attached to, not the first FROM") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession()
+    def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    run("CREATE TABLE oh_a (id BIGINT) WITH ('connector'='datagen','number-of-rows'='5')")
+    run("CREATE TABLE oh_b (id BIGINT) WITH ('connector'='datagen','number-of-rows'='5')")
+    // hint attached to the JOINED table must override THAT binding: raising
+    // oh_b's row count changes the join cardinality; if the hint were
+    // misapplied to oh_a the count would stay 5
+    val page = run(
+      """SELECT COUNT(*) AS n FROM oh_a a
+        |JOIN oh_b /*+ OPTIONS('number-of-rows'='7') */ b ON a.id = b.id""".stripMargin)
+    assert(page.columns != Seq("error"), page.rows.toString)
+    assert(page.rows.head.head.toString == "5", page.rows.toString) // join of 5 x 7 on id
+    // and the overridden binding really materialized 7 rows
+    val shadows = gw.session(h).spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("oh_b__opts"))
+    assert(shadows.nonEmpty, "no shadow view for the hinted binding")
+    assert(gw.session(h).spark.table(shadows.head).count() == 7)
+  }
+
   test("quantified ANY/SOME/ALL subquery comparisons are NULL-correct") {
     def run(expr: String): Any =
       spark.sql(FlinkDialect.rewrite(s"SELECT $expr AS r")).head().get(0)
