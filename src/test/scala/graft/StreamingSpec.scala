@@ -597,6 +597,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CEP holds a later alternative while a preferred one spans the frontier") {
+    // PATTERN (A B B | C) with A and C sharing a predicate: rows r0=50
+    // (A or C), r1=150 (B) buffered — alternative 1 (A B B) needs a row
+    // beyond the frontier, alternative 2 (C) matches NOW. Emitting C early
+    // contradicts the batch result once r2=150 arrives and the PREFERRED
+    // A B B completes; the emit condition must hold whenever ANY attempted
+    // alternative touched the frontier
+    import graft.operators.MatchRecognize
+    import graft.operators.MatchRecognize._
+    implicit val sqlCtx = spark.sqlContext
+    val defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") >= 100),
+      "C" -> (col("price") < 100))
+    val measures = Seq(Measure("n_rows", "count", "A", "*"),
+      Measure("c_rows", "count", "C", "*"))
+    val alts = parseAlternatives("A B B | C")
+    val data = Seq((1, ts("2024-01-01 00:00:01"), 50.0),
+      (1, ts("2024-01-01 00:00:02"), 150.0), (1, ts("2024-01-01 00:00:03"), 150.0))
+    val batch = MatchRecognize.matchRecognize(
+      data.toDF("k", "ts", "price"), Seq("k"), "ts", defines, alts.head, measures,
+      altPatterns = alts.tail)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, 0L)), s"batch must prefer A B B: $batch")
+    val mem = MemoryStream[(Int, Timestamp, Double)]
+    val out = MatchRecognize.matchRecognizeStream(
+      mem.toDF().toDF("k", "ts", "price"), Seq("k"), "ts", defines, alts.head,
+      measures, watermarkDelay = Some("0 seconds"), altPatterns = alts.tail)
+    val q = out.writeStream.format("memory").queryName("cep_altfront_out")
+      .outputMode("append").start()
+    try {
+      // waves: (r0, r1) mature first — the moment the buggy condition
+      // emitted C — then r2, then watermark pushers drain
+      mem.addData(data(0), data(1)); q.processAllAvailable()
+      mem.addData(data(2)); q.processAllAvailable()
+      mem.addData((9, ts("2024-01-01 01:00:00"), 1.0)); q.processAllAvailable()
+      mem.addData((9, ts("2024-01-01 01:10:00"), 1.0)); q.processAllAvailable()
+      val streamed = spark.table("cep_altfront_out")
+        .filter(col("k") === 1).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"stream/batch diverged: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("event-time dedup keeps the min-rowtime row, not the first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Int, Timestamp, Double)]
