@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * All timestamps are surfaced as TIMESTAMP_NTZ (wall-clock, no zone) to match
   * Flink's `TIMESTAMP(p)` semantics (reference grammar
   * syntaxes/flink.tmLanguage.json:175) and DuckDB's naive TIMESTAMP, so results
-  * hash-compare across engines. `events.ts` is written as parquet
-  * TIMESTAMP(NANOS) which Spark's reader rejects; we read it as a long
-  * (legacy nanosAsLong) and truncate to microseconds — exactly what DuckDB
-  * does when casting TIMESTAMP_NS → TIMESTAMP.
+  * hash-compare across engines. Depending on the generator version,
+  * `events.ts` arrives either as parquet TIMESTAMP(NANOS) — which Spark reads
+  * as a long under legacy nanosAsLong, so we truncate to microseconds exactly
+  * as DuckDB does for TIMESTAMP_NS → TIMESTAMP — or natively as TIMESTAMP(µs).
+  * The loader detects which and normalizes both to TIMESTAMP_NTZ.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -21,8 +22,13 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val tsNorm = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) read as epoch-nanos long
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+        case _ => col("ts").cast("timestamp_ntz")
+      }
+      raw.withColumn("ts", tsNorm)
     case other =>
       spark.read.parquet(s"$sfDir/$other.parquet")
   }

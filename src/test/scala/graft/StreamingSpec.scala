@@ -147,10 +147,15 @@ class StreamingSpec extends SparkTestBase {
     val batchEvents = Tables.load(spark, sfDir, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // watermarks require TimestampType (not NTZ); UTC session = same wall clock
-    val streamEvents = spark.readStream
-      .schema(spark.read.parquet(dir.toString).schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val streamEvents = {
+      val s = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => s.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    }
     val agg = streamEvents
       .withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
