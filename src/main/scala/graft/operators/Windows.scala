@@ -75,4 +75,55 @@ object Windows {
       .withColumn("window_start", col("__w.start"))
       .withColumn("window_end", col("__w.end"))
       .drop("__w")
+
+  /** A decomposable aggregate for [[cumulativeAgg]]: `partial` computes the
+    * per-bucket piece, `merge` recombines partials across buckets into the
+    * final value under the same output name. */
+  final case class CumAgg(partial: Column, merge: String => Column, alias: String)
+  object CumAgg {
+    def count(alias: String): CumAgg =
+      CumAgg(org.apache.spark.sql.functions.count(lit(1)),
+        p => sum(col(p)).cast("long"), alias)
+    /** Exact-decimal sum surfaced as double (the repo-wide dsum convention —
+      * partials stay decimal so the merge order can't drift the hash). */
+    def dsum(e: String, alias: String): CumAgg =
+      CumAgg(expr(s"sum(cast(($e) as decimal(18,4)))"),
+        p => expr(s"cast(sum(`$p`) as double)"), alias)
+    def min(e: String, alias: String): CumAgg =
+      CumAgg(org.apache.spark.sql.functions.min(expr(e)),
+        p => org.apache.spark.sql.functions.min(col(p)), alias)
+    def max(e: String, alias: String): CumAgg =
+      CumAgg(org.apache.spark.sql.functions.max(expr(e)),
+        p => org.apache.spark.sql.functions.max(col(p)), alias)
+  }
+
+  /** CUMULATE + decomposable GROUP BY (window_start, window_end, keys...) in
+    * two phases: aggregate per (aligned start, first-open-window end, keys)
+    * FIRST, then explode each tiny partial row into the windows it feeds and
+    * merge. [[cumulate]]'s row expansion multiplies the INPUT by up to
+    * size/step before any reduction — fine at test scale, but at 10^11 rows
+    * that is size/step extra passes of partial aggregation. Here the explode
+    * runs on post-aggregation cardinality (buckets × keys — data-independent
+    * once the corpus covers the key space), so the expansion cost is
+    * O(groups), not O(rows): the shape that survives a 1000× scale-up.
+    * Results are bit-identical to cumulate-then-aggregate for any
+    * decomposable [[CumAgg]] (spec-pinned). */
+  def cumulativeAgg(df: DataFrame, tsCol: String, stepSec: Long, sizeSec: Long,
+      keys: Seq[String], aggs: Seq[CumAgg]): DataFrame = {
+    require(sizeSec % stepSec == 0, s"CUMULATE size ($sizeSec s) must be a multiple of step ($stepSec s)")
+    require(aggs.nonEmpty, "cumulativeAgg needs at least one aggregate")
+    val partialCols = aggs.zipWithIndex.map { case (a, i) => a.partial.as(s"__p$i") }
+    val mergeCols = aggs.zipWithIndex.map { case (a, i) => a.merge(s"__p$i").as(a.alias) }
+    val keyCols = keys.map(col)
+    df.withColumn("window_start", window(col(tsCol), s"$sizeSec seconds").getField("start"))
+      .withColumn("__first_end_sec",
+        (expr(s"((unix_micros(cast(`$tsCol` as timestamp)) - unix_micros(cast(window_start as timestamp))) div 1000000) div $stepSec")
+          + lit(1L)) * lit(stepSec))
+      .groupBy(col("window_start") +: col("__first_end_sec") +: keyCols: _*)
+      .agg(partialCols.head, partialCols.tail: _*)
+      .withColumn("__end_sec", explode(sequence(col("__first_end_sec"), lit(sizeSec), lit(stepSec))))
+      .withColumn("window_end", expr("window_start + make_dt_interval(0, 0, 0, __end_sec)"))
+      .groupBy(col("window_start") +: col("window_end") +: keyCols: _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+  }
 }

@@ -42,9 +42,10 @@ object WindowTVFs {
 
     // CUMULATE(TABLE events, DESCRIPTOR(ts), step 15m, size 1h) — F:232-239
     "q_cumulate_agg" -> { (s, dir) =>
-      Windows.cumulate(t(s, dir, "events"), "ts", stepSec = 900, sizeSec = 3600)
-        .groupBy(col("window_start"), col("window_end"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), dsum("value").as("sum_value"))
+      Windows.cumulativeAgg(t(s, dir, "events"), "ts", stepSec = 900, sizeSec = 3600,
+          keys = Seq("event_type"),
+          aggs = Seq(Windows.CumAgg.count("cnt"), Windows.CumAgg.dsum("value", "sum_value")))
+        .select("window_start", "window_end", "event_type", "cnt", "sum_value")
         .orderBy(col("window_start"), col("window_end"), col("event_type"))
     },
   )

@@ -120,4 +120,36 @@ class ScaleSpec extends SparkTestBase {
     assert(m.cols.find(_.name == "event_time").get.metadataFrom.contains("timestamp"))
     assert(m.cols.find(_.name == "partition_id").get.metadataFrom.contains("partition"))
   }
+
+  test("two-phase cumulativeAgg == cumulate-then-aggregate, and explodes post-aggregation cardinality") {
+    import graft.operators.Windows
+    val events = Tables.load(spark, sfDir, "events")
+    val twoPhase = Windows.cumulativeAgg(events, "ts", stepSec = 900, sizeSec = 3600,
+        keys = Seq("event_type"),
+        aggs = Seq(Windows.CumAgg.count("cnt"), Windows.CumAgg.dsum("value", "sum_value"),
+          Windows.CumAgg.min("value", "min_v"), Windows.CumAgg.max("value", "max_v")))
+      .select("window_start", "window_end", "event_type", "cnt", "sum_value", "min_v", "max_v")
+    val rowExpansion = Windows.cumulate(events, "ts", stepSec = 900, sizeSec = 3600)
+      .groupBy(col("window_start"), col("window_end"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("cast(sum(cast(value as decimal(18,4))) as double)").as("sum_value"),
+        min("value").as("min_v"), max("value").as("max_v"))
+      .select("window_start", "window_end", "event_type", "cnt", "sum_value", "min_v", "max_v")
+    assert(twoPhase.exceptAll(rowExpansion).isEmpty && rowExpansion.exceptAll(twoPhase).isEmpty)
+    // scale shape: the explode (Generate) must sit ABOVE an Aggregate — row
+    // expansion runs on grouped partials, not on the raw input
+    val plan = twoPhase.queryExecution.optimizedPlan
+    var generateSeen = false
+    var aggBelowGenerate = false
+    plan.foreach { n =>
+      val name = n.getClass.getSimpleName
+      if (name == "Generate")
+        aggBelowGenerate = n.collectFirst {
+          case a if a.getClass.getSimpleName == "Aggregate" => a
+        }.isDefined
+      if (name == "Generate") generateSeen = true
+    }
+    assert(generateSeen, plan.toString)
+    assert(aggBelowGenerate, s"explode must run on post-agg cardinality:\n$plan")
+  }
 }
