@@ -44,6 +44,9 @@ object Tables {
     val key = System.identityHashCode(spark)
     if (!registered.get(key).contains(sfDir)) {
       names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      // driver-built sessions reach the engine only through here: make sure
+      // they get the optimizer extension too (idempotent)
+      graft.plans.CumulateTwoPhase.install(spark)
       registered.put(key, sfDir)
     }
   }

@@ -33,6 +33,7 @@ object GraftSession {
       .getOrCreate()
     graft.functions.FlinkFunctions.registerAll(spark)
     graft.functions.Aggregators.registerAll(spark)
+    graft.plans.CumulateTwoPhase.install(spark)
     spark
   }
 }

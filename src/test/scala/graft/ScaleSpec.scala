@@ -152,4 +152,36 @@ class ScaleSpec extends SparkTestBase {
     assert(generateSeen, plan.toString)
     assert(aggBelowGenerate, s"explode must run on post-agg cardinality:\n$plan")
   }
+
+  test("CumulateTwoPhase rule: SQL-path CUMULATE aggregation rewrites to two-phase, results unchanged") {
+    import graft.plans.CumulateTwoPhase
+    val q = """SELECT window_start, window_end, event_type, COUNT(*) AS cnt
+              |FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTES, INTERVAL '1' HOUR))
+              |GROUP BY window_start, window_end, event_type""".stripMargin
+    Tables.registerAll(spark, sfDir)
+    graft.functions.FlinkFunctions.registerAll(spark)
+    val prev = spark.experimental.extraOptimizations
+    try {
+      CumulateTwoPhase.install(spark)
+      val on = graft.engine.FlinkDialect.sql(spark, q)
+      assert(on.queryExecution.optimizedPlan.treeString.contains("__cum_p0"),
+        "rule did not fire on the dialect CUMULATE shape")
+      val withRule = on.orderBy("window_start", "window_end", "event_type").collect().toSeq
+      spark.experimental.extraOptimizations = Nil
+      val off = graft.engine.FlinkDialect.sql(spark, q)
+      assert(!off.queryExecution.optimizedPlan.treeString.contains("__cum_p0"))
+      val noRule = off.orderBy("window_start", "window_end", "event_type").collect().toSeq
+      assert(withRule == noRule)
+      assert(withRule.nonEmpty)
+      // the rule must NOT fire on a data-dependent sequence bound (stop is a
+      // column): pre-grouping by unbounded keys would be unsafe to assume
+      CumulateTwoPhase.install(spark)
+      val dyn = spark.sql(
+        """SELECT v, count(*) AS c FROM (
+          |  SELECT explode(sequence(1, cast(user_id % 3 + 1 as int))) AS v FROM events
+          |) GROUP BY v""".stripMargin)
+      assert(!dyn.queryExecution.optimizedPlan.treeString.contains("__cum_p0"))
+      assert(dyn.count() == 3)
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
