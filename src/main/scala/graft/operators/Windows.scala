@@ -97,6 +97,40 @@ object Windows {
         p => org.apache.spark.sql.functions.max(col(p)), alias)
   }
 
+  /** HOP + decomposable GROUP BY (window_start, window_end, keys...) via
+    * pane-based two-phase aggregation (the "pairs/panes" scheme: Li et al.,
+    * "No Pane, No Gain", SIGMOD Record 34(1), 2005). Spark's native sliding
+    * `window()` lowers to an Expand that replicates every input row into
+    * size/slide overlapping windows before aggregating. Here each row is
+    * assigned ONE tumbling pane of width `slide`, partials aggregate per
+    * (pane, keys) — map-side combine on unreplicated input — and the
+    * size/slide expansion replicates only the grouped pane partials, which
+    * every hop window covering the pane then merges. O(groups × size/slide)
+    * expansion instead of O(rows × size/slide); bit-identical to the native
+    * path for any decomposable [[CumAgg]] (spec-pinned).
+    *
+    * sizeSec % slideSec must be 0 (Flink HOP requires the same to align
+    * windows; panes require it too). */
+  def hopAggregate(df: DataFrame, tsCol: String, slideSec: Long, sizeSec: Long,
+      keys: Seq[String], aggs: Seq[CumAgg]): DataFrame = {
+    require(sizeSec % slideSec == 0, s"HOP size ($sizeSec s) must be a multiple of slide ($slideSec s)")
+    require(aggs.nonEmpty, "hopAggregate needs at least one aggregate")
+    val nPanes = sizeSec / slideSec
+    val partialCols = aggs.zipWithIndex.map { case (a, i) => a.partial.as(s"__p$i") }
+    val mergeCols = aggs.zipWithIndex.map { case (a, i) => a.merge(s"__p$i").as(a.alias) }
+    val keyCols = keys.map(col)
+    df.withColumn("__pane_start", window(col(tsCol), s"$slideSec seconds").getField("start"))
+      .groupBy(col("__pane_start") +: keyCols: _*)
+      .agg(partialCols.head, partialCols.tail: _*)
+      // pane at p feeds hop windows starting p, p-slide, ..., p-(n-1)*slide
+      .withColumn("__k", explode(sequence(lit(0L), lit(nPanes - 1), lit(1L))))
+      .withColumn("window_start",
+        expr(s"__pane_start - make_dt_interval(0, 0, 0, __k * $slideSec)"))
+      .withColumn("window_end", expr(s"window_start + make_dt_interval(0, 0, 0, ${sizeSec}L)"))
+      .groupBy(col("window_start") +: col("window_end") +: keyCols: _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+  }
+
   /** CUMULATE + decomposable GROUP BY (window_start, window_end, keys...) in
     * two phases: aggregate per (aligned start, first-open-window end, keys)
     * FIRST, then explode each tiny partial row into the windows it feeds and

@@ -22,9 +22,10 @@ object WindowTVFs {
   val queries: Map[String, Q] = Map(
     // HOP(TABLE events, DESCRIPTOR(ts), slide 5m, size 15m) — F:211-218
     "q_hop_agg" -> { (s, dir) =>
-      Windows.hop(t(s, dir, "events"), "ts", "5 minutes", "15 minutes")
-        .groupBy(col("window_start"), col("window_end"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), dsum("value").as("sum_value"))
+      Windows.hopAggregate(t(s, dir, "events"), "ts", slideSec = 300, sizeSec = 900,
+          keys = Seq("event_type"),
+          aggs = Seq(Windows.CumAgg.count("cnt"), Windows.CumAgg.dsum("value", "sum_value")))
+        .select("window_start", "window_end", "event_type", "cnt", "sum_value")
         .orderBy(col("window_start"), col("event_type"))
     },
 

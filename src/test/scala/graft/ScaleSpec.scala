@@ -153,6 +153,24 @@ class ScaleSpec extends SparkTestBase {
     assert(aggBelowGenerate, s"explode must run on post-agg cardinality:\n$plan")
   }
 
+  test("pane-based hopAggregate == native sliding-window aggregate") {
+    import graft.operators.Windows
+    val events = Tables.load(spark, sfDir, "events")
+    val panes = Windows.hopAggregate(events, "ts", slideSec = 300, sizeSec = 900,
+        keys = Seq("event_type"),
+        aggs = Seq(Windows.CumAgg.count("cnt"), Windows.CumAgg.dsum("value", "sum_value"),
+          Windows.CumAgg.min("value", "mn"), Windows.CumAgg.max("value", "mx")))
+      .select("window_start", "window_end", "event_type", "cnt", "sum_value", "mn", "mx")
+    val native = Windows.hop(events, "ts", "5 minutes", "15 minutes")
+      .groupBy(col("window_start"), col("window_end"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("cast(sum(cast(value as decimal(18,4))) as double)").as("sum_value"),
+        min("value").as("mn"), max("value").as("mx"))
+      .select("window_start", "window_end", "event_type", "cnt", "sum_value", "mn", "mx")
+    assert(panes.exceptAll(native).isEmpty && native.exceptAll(panes).isEmpty)
+    assert(panes.count() > 0)
+  }
+
   test("CumulateTwoPhase rule: SQL-path CUMULATE aggregation rewrites to two-phase, results unchanged") {
     import graft.plans.CumulateTwoPhase
     val q = """SELECT window_start, window_end, event_type, COUNT(*) AS cnt
