@@ -156,9 +156,22 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       kmeansIters: Int = 3, trainLimit: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val centroids = kmeansCentroids(vectors, idCol, vecCol, nCentroids, kmeansIters, trainLimit)
     val assigned = ivfAssign(vectors, idCol, vecCol, centroids)
+    probeAssigned(centroids, assigned, queries, queryIdCol, queryVecCol, k, nProbe)
+  }
+
+  /** Probe an assigned IVF corpus: nProbe nearest buckets per query, exact
+    * rerank inside probed buckets only. Shared between [[ivfTopK]] and the
+    * persisted-index path ([[IvfIndex.probe]]) so both return identical
+    * rows for the same centroids/assignment. When `assigned` is a parquet
+    * read partitioned by centroid_id, the broadcast join on the partition
+    * column engages dynamic partition pruning — unprobed buckets are never
+    * scanned. */
+  private[pipeline] def probeAssigned(centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).cast("array<double>").as("q"))
     // probe set per query (tiny: queries × centroids, both broadcastable)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{CorpusFilters, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusFilters, Dedup, IvfIndex, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-checkable queries: dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup),
@@ -186,6 +186,25 @@ object PipelineQueries {
           (col("ivf_avg") >= 0.40).as("ivf_avg_ok"),
           (col("lsh_avg") >= 0.30).as("lsh_avg_ok"))
         .orderBy(col("query_id"))
+    },
+
+    // persisted IVF index parity: build once, probe in-memory vs probe the
+    // saved (partitioned-by-centroid) copy — identical rows expected. The
+    // constant-row oracle turns any divergence (or an empty probe result)
+    // into a hash mismatch, the stream-parity gate convention.
+    "q_sim_index_parity" -> { (s, dir) =>
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val (centroids, assigned) = IvfIndex.build(e, "vec_id", "embedding")
+      val mem = IvfIndex.probe(centroids, assigned, q, "vec_id", "embedding", k = 10)
+      val who = System.getProperty("user.name", "anon")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${who}_${ProcessHandle.current().pid()}"
+      IvfIndex.save(idxDir, centroids, assigned)
+      val (c2, a2) = IvfIndex.load(s, idxDir)
+      val disk = IvfIndex.probe(c2, a2, q, "vec_id", "embedding", k = 10)
+      val diff = mem.exceptAll(disk).count() + disk.exceptAll(mem).count()
+      Seq(("ivf_index", diff, mem.count() > 0)).toDF("op", "diff_rows", "nonempty")
     },
 
     // token counting + quality features + composite score
@@ -533,6 +552,9 @@ object PipelineQueries {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(c, 6) AS cos FROM p WHERE ROUND(c, 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_index_parity" ->
+      "SELECT 'ivf_index' AS op, CAST(0 AS BIGINT) AS diff_rows, true AS nonempty",
 
     "q_sim_recall" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),

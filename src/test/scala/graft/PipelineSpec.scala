@@ -224,6 +224,31 @@ class PipelineSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("persisted IVF index: save/load probe == in-memory probe, scan is partition-pruned") {
+    import graft.pipeline.IvfIndex
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val (centroids, assigned) = IvfIndex.build(e, "vec_id", "embedding", nCentroids = 8)
+    val mem = IvfIndex.probe(centroids, assigned, q, "vec_id", "embedding", k = 10, nProbe = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.save(dir, centroids, assigned)
+    val (c2, a2) = IvfIndex.load(spark, dir)
+    val disk = IvfIndex.probe(c2, a2, q, "vec_id", "embedding", k = 10, nProbe = 2)
+    assert(mem.exceptAll(disk).isEmpty && disk.exceptAll(mem).isEmpty)
+    assert(mem.count() > 0)
+    // the index directory really is one partition per bucket
+    val parts = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    assert(parts.length > 1, parts.mkString(","))
+    // and the probe plan prunes: with nProbe=2 of 8 buckets, the scan of the
+    // persisted assignment must carry a partition filter on centroid_id
+    // (dynamic pruning from the broadcast probe set)
+    disk.collect()
+    val physical = disk.queryExecution.executedPlan.toString
+    assert(physical.contains("dynamicpruning") || physical.contains("PartitionFilters: [isnotnull(centroid_id"),
+      s"no partition pruning on the persisted IVF scan:\n${physical.take(2000)}")
+  }
+
   test("k-means sample coverage: thin training samples warn, healthy ones don't") {
     // the decision function is pinned: below CoverageWarnRatio of the
     // population the warning names both counts and the knob to raise
