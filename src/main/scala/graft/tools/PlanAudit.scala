@@ -39,6 +39,10 @@ object PlanAudit {
     "q_dedup_incremental_bucketed", // r7: bucketed digest scan, one Exchange
     "q_sim_recall",           // r7: brute NLJ + IVF + LSH + semi-join recall
     "q_join_right_outer",     // r7: shuffled right-outer + agg, reused exchange
+    "q_cumulate_agg",         // r9: two-phase cumulate — Generate above Aggregate
+    "q_flink_cumulate",       // r9: same via the CumulateTwoPhase optimizer rule
+    "q_hop_agg",              // r9: pane-based hop — explode on pane partials
+    "q_sim_index_parity",     // r9: persisted IVF probe (DPP on centroid_id)
   )
 
   def main(args: Array[String]): Unit = {
