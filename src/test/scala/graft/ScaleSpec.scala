@@ -202,4 +202,34 @@ class ScaleSpec extends SparkTestBase {
       assert(dyn.count() == 3)
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("CumulateTwoPhase rule: non-decomposable shapes keep the original plan, decomposable ones stay exact") {
+    import graft.plans.CumulateTwoPhase
+    val prev = spark.experimental.extraOptimizations
+    try {
+      CumulateTwoPhase.install(spark)
+      Tables.registerAll(spark, sfDir)
+      def fired(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.treeString.contains("__cum_p0")
+      val base = "(SELECT user_id, value, explode(sequence((user_id % 4 + 1) * 100, 400, 100)) AS es FROM events)"
+      // DISTINCT aggregate: must not decompose (sum of per-bucket distinct != distinct)
+      assert(!fired(spark.sql(s"SELECT es, count(DISTINCT user_id) c FROM $base GROUP BY es")))
+      // aggregate over the exploded value itself: must not fire
+      assert(!fired(spark.sql(s"SELECT user_id, sum(es) s FROM $base GROUP BY user_id")))
+      // avg is not in the decomposable set: must not fire
+      assert(!fired(spark.sql(s"SELECT es, avg(value) a FROM $base GROUP BY es")))
+      // explode_outer: must not fire
+      assert(!fired(spark.sql(
+        "SELECT es, count(*) c FROM (SELECT explode_outer(sequence(100, 400, 100)) AS es FROM events) GROUP BY es")))
+      // global aggregation (no keys) over the exploded value as the ONLY key
+      // source: fires, and matches the rule-off result
+      val q = s"SELECT es, count(*) cnt, min(value) mn FROM $base GROUP BY es"
+      val on = spark.sql(q)
+      assert(fired(on), on.queryExecution.optimizedPlan.treeString.take(1500))
+      val onRows = on.orderBy("es").collect().toSeq
+      spark.experimental.extraOptimizations = Nil
+      val offRows = spark.sql(q).orderBy("es").collect().toSeq
+      assert(onRows == offRows && onRows.nonEmpty)
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
