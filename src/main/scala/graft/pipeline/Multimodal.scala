@@ -184,6 +184,104 @@ object Multimodal {
         length(col("frame_bytes")).cast("bigint").as("frame_len"),
         md5(col("frame_bytes")).as("frame_digest"))
 
+  // ---- audio (REAL codec: javax.sound.sampled, JDK java.desktop) ---------
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("rms", DoubleType)))
+
+  /** Audio-fixture manifest arithmetic: (sampleRate, channels, frames,
+    * constant PCM16 sample value) as a pure function of the id, so an
+    * external oracle recomputes what decode MUST return. Constant-valued
+    * samples make RMS exactly that value — integer-exact across engines. */
+  def audioFixtureSpec(id: Long): (Int, Int, Int, Int) = {
+    val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 22050 }
+    val channels = (id % 2).toInt + 1
+    val frames = 200 + (id % 800).toInt
+    val value = (id % 20000).toInt
+    (rate, channels, frames, value)
+  }
+
+  /** Render the fixture WAV for an id: REAL RIFF/WAVE bytes via
+    * `AudioSystem.write` — PCM16 little-endian, every sample the manifest
+    * value. */
+  def renderAudioFixture(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val (rate, channels, frames, value) = audioFixtureSpec(id)
+    val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames * channels) {
+      pcm(2 * i) = (value & 0xff).toByte
+      pcm(2 * i + 1) = ((value >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode WAV payload bytes: container metadata from the RIFF header plus
+    * an exact RMS over the PCM16 samples. None for undecodable payloads. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    import javax.sound.sampled._
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var sumSq = 0.0
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toDouble
+          sumSq += s * s
+          i += 1
+        }
+        val channels = fmt.getChannels
+        val frames = n.toLong / channels
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        Some((fmt.getSampleRate.toInt, channels, frames, rms))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Attach REAL WAV payloads (rendered per row from [[audioFixtureSpec]]). */
+  def withAudioPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("doc_id")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), renderAudioFixture(r.getLong(0))))
+    }(enc)
+  }
+
+  /** Decode audio payloads to typed metadata, partition-local like
+    * [[decodeImages]]. Undecodable payloads yield NULL metadata, never a
+    * failed scan. */
+  def decodeAudioBatch(df: DataFrame, idCol: String): DataFrame = {
+    val withBin = df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
+    val enc = org.apache.spark.sql.Encoders.row(audioSchema)
+    withBin.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        decodeAudio(bytes) match {
+          case Some((rate, ch, frames, rms)) =>
+            Row(id, bytes.length.toLong, rate, ch, frames, rms)
+          case None => Row(id, bytes.length.toLong, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** 64-bit perceptual hash of an opaque binary payload — the dHash analog
     * for byte streams (see [[graft.functions.HashKernels.phash]]): adjacent
     * length-proportional segment sums vote the bits, so payloads differing

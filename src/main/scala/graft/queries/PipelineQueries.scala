@@ -387,6 +387,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // multimodal: REAL WAV codec (javax.sound.sampled) — decoded metadata
+    // and exact RMS oracle-recomputable from the fixture-manifest arithmetic
+    "q_multimodal_audio" -> { (s, dir) =>
+      val withWav = Multimodal.withAudioPayload(
+        t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id")
+      Multimodal.decodeAudioBatch(withWav, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), round(col("rms"), 6).as("rms"))
+        .orderBy(col("doc_id"))
+    },
+
     // multimodal: frame sampling explode with per-frame digests
     "q_multimodal_frames" -> { (s, dir) =>
       val withBin = Multimodal.withBinaryPayload(
@@ -881,6 +892,14 @@ object PipelineQueries {
         |       CASE WHEN doc_id % 3 = 1 THEN NULL
         |            ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_px
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END AS INT) AS sample_rate,
+        |       CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |       CAST(200 + doc_id % 800 AS BIGINT) AS n_frames,
+        |       ROUND(CAST(doc_id % 20000 AS DOUBLE), 6) AS rms
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH f AS (

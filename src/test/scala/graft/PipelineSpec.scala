@@ -826,6 +826,37 @@ class PipelineSpec extends SparkTestBase {
     assert(decoded.map(_.getString(4)).toSet == Set("png", "jpeg", "bmp"))
   }
 
+  test("audio decode: real WAV bytes round-trip the fixture manifest; corrupt payloads are NULL-safe") {
+    import graft.pipeline.Multimodal
+    // the renderer emits a genuine RIFF/WAVE container
+    val wav = Multimodal.renderAudioFixture(7L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // mono + stereo, all three rates, exact constant-sample RMS
+    for (id <- 0L to 5L) {
+      val (rate, ch, frames, value) = Multimodal.audioFixtureSpec(id)
+      val Some((r, c, f, rms)) = Multimodal.decodeAudio(Multimodal.renderAudioFixture(id))
+      assert((r, c, f) == (rate, ch, frames.toLong), s"id=$id decoded ($r,$c,$f)")
+      assert(rms == value.toDouble, s"id=$id rms=$rms expected $value")
+    }
+    // corrupt/truncated/foreign payloads: None, never a throw
+    assert(Multimodal.decodeAudio("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(wav.take(16)).isEmpty)
+    assert(Multimodal.decodeAudio(Multimodal.renderFixture(3L)).isEmpty, "a png is not audio")
+    // batch path on the corpus: manifest round-trips, no nulls for valid rows
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 100)
+    val decoded = Multimodal.decodeAudioBatch(
+      Multimodal.withAudioPayload(docs, "doc_id"), "doc_id").collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      val (rate, ch, frames, value) = Multimodal.audioFixtureSpec(r.getLong(0))
+      assert(r.getInt(2) == rate && r.getInt(3) == ch && r.getLong(4) == frames.toLong, r.toString)
+      assert(r.getDouble(5) == value.toDouble, r.toString)
+    }
+    assert(decoded.map(_.getInt(2)).toSet == Set(8000, 16000, 22050))
+    assert(decoded.map(_.getInt(3)).toSet == Set(1, 2))
+  }
+
   test("phash near-dup pairs: identical payloads pair at hamming 0; blocking finds corpus near-dups") {
     val docs = Seq(
       (1L, "a document body that is long enough to segment meaningfully ok"),
