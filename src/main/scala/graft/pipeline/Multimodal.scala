@@ -16,6 +16,14 @@ import org.apache.spark.sql.types._
   * to pixels for an exact mean-luminance stat; lossy jpeg stops at the SOF
   * header (dimensions only, no full decode in the scan path).
   *
+  * The audio codec is REAL too: `javax.sound.sampled.AudioSystem` (same JDK
+  * module — RIFF/WAVE PCM) decodes container metadata and samples for an
+  * exact RMS. Video is the one modality the JDK genuinely ships no codec
+  * for (no MP4/H.264 anywhere in the standard library), so video payloads
+  * stay opaque byte streams by necessity: frame sampling explodes fixed
+  * chunks with digests — the real Spark-side shape (schema, partitioning,
+  * bounded fanout) with the codec call the only seam a library would fill.
+  *
   * Scale: decode is partition-local (no shuffle); header-only metadata for
   * lossy formats keeps the per-row cost O(header), not O(pixels); frame
   * sampling is a projection-explode with bounded fanout (numFrames), so
