@@ -227,6 +227,36 @@ object ScaleProbe {
       graft.operators.AsOfJoin.leftAsOf(left, right, "user_id", "lts", "rts", Seq("payload"))
         .count()
     }
+
+    // round-9: replication-below-aggregation A/B at volume — CUMULATE
+    // (explode factor 4) and HOP (expand factor 3), row-expansion vs
+    // two-phase on identical inputs. The shuffle columns tell the story:
+    // row expansion shuffles the replicated input, two-phase shuffles
+    // post-aggregation groups.
+    import graft.operators.Windows
+    val tsEvents = events
+      .withColumn("ts", timestamp_seconds(col("event_id") % 864000L).cast("timestamp_ntz"))
+      .withColumn("event_type", concat(lit("t"), pmod(col("event_id"), lit(5))))
+    tsEvents.cache().count()
+    val cumAggs = Seq(Windows.CumAgg.count("cnt"), Windows.CumAgg.dsum("value", "sv"))
+    time(s"cumulate row-expansion ($n)") {
+      Windows.cumulate(tsEvents, "ts", 900, 3600)
+        .groupBy(col("window_start"), col("window_end"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("cast(sum(cast(value as decimal(18,4))) as double)").as("sv")).count()
+    }
+    time(s"cumulate two-phase ($n)") {
+      Windows.cumulativeAgg(tsEvents, "ts", 900, 3600, Seq("event_type"), cumAggs).count()
+    }
+    time(s"hop native expand ($n)") {
+      Windows.hop(tsEvents, "ts", "5 minutes", "15 minutes")
+        .groupBy(col("window_start"), col("window_end"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("cast(sum(cast(value as decimal(18,4))) as double)").as("sv")).count()
+    }
+    time(s"hop panes ($n)") {
+      Windows.hopAggregate(tsEvents, "ts", 300, 900, Seq("event_type"), cumAggs).count()
+    }
     spark.stop()
   }
 }
