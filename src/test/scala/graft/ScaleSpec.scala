@@ -121,6 +121,19 @@ class ScaleSpec extends SparkTestBase {
     assert(m.cols.find(_.name == "partition_id").get.metadataFrom.contains("partition"))
   }
 
+  test("events loader normalizes ts to TIMESTAMP_NTZ with real wall-clock values under either generator encoding") {
+    // the round-8 bench crash: the generator switched events.ts from parquet
+    // TIMESTAMP(NANOS) (read as long) to native TIMESTAMP(us), and the
+    // unconditional epoch-nanos arithmetic broke analysis for every events
+    // query. The loader must detect the encoding and always surface NTZ.
+    val events = Tables.load(spark, sfDir, "events")
+    assert(events.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType,
+      events.schema("ts").dataType.toString)
+    val yr = events.selectExpr("min(year(ts)) AS y", "max(year(ts)) AS z").head()
+    assert(yr.getInt(0) >= 2000 && yr.getInt(1) <= 2100,
+      s"ts values look like raw epoch numbers, not wall-clock: $yr")
+  }
+
   test("two-phase cumulativeAgg == cumulate-then-aggregate, and explodes post-aggregation cardinality") {
     import graft.operators.Windows
     val events = Tables.load(spark, sfDir, "events")
