@@ -166,6 +166,45 @@ class ScaleSpec extends SparkTestBase {
     assert(aggBelowGenerate, s"explode must run on post-agg cardinality:\n$plan")
   }
 
+  test("two-phase windows: degenerate parameters (step==size, no keys, multi-key) stay exact") {
+    import graft.operators.Windows
+    val events = Tables.load(spark, sfDir, "events")
+    val aggs = Seq(Windows.CumAgg.count("cnt"), Windows.CumAgg.dsum("value", "sv"))
+    // step == size: CUMULATE degenerates to TUMBLE
+    val cumTumble = Windows.cumulativeAgg(events, "ts", 3600, 3600, Seq("event_type"), aggs)
+      .select("window_start", "window_end", "event_type", "cnt", "sv")
+    val tumble = Windows.tumble(events, "ts", "3600 seconds")
+      .groupBy(col("window_start"), col("window_end"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("cast(sum(cast(value as decimal(18,4))) as double)").as("sv"))
+      .select("window_start", "window_end", "event_type", "cnt", "sv")
+    assert(cumTumble.exceptAll(tumble).isEmpty && tumble.exceptAll(cumTumble).isEmpty)
+    // slide == size: HOP degenerates to TUMBLE
+    val hopTumble = Windows.hopAggregate(events, "ts", 3600, 3600, Seq("event_type"), aggs)
+      .select("window_start", "window_end", "event_type", "cnt", "sv")
+    assert(hopTumble.exceptAll(tumble).isEmpty && tumble.exceptAll(hopTumble).isEmpty)
+    // no grouping keys: global per-window aggregation
+    val noKeys = Windows.cumulativeAgg(events, "ts", 900, 3600, Nil, aggs)
+    val noKeysRef = Windows.cumulate(events, "ts", 900, 3600)
+      .groupBy(col("window_start"), col("window_end"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("cast(sum(cast(value as decimal(18,4))) as double)").as("sv"))
+    assert(noKeys.select("window_start", "window_end", "cnt", "sv")
+      .exceptAll(noKeysRef.select("window_start", "window_end", "cnt", "sv")).isEmpty)
+    // multi-key grouping
+    val mk = Windows.hopAggregate(events, "ts", 300, 900, Seq("event_type", "user_id"), aggs)
+    val mkRef = Windows.hop(events, "ts", "5 minutes", "15 minutes")
+      .groupBy(col("window_start"), col("window_end"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("cast(sum(cast(value as decimal(18,4))) as double)").as("sv"))
+    val sel = Seq("window_start", "window_end", "event_type", "user_id", "cnt", "sv")
+    assert(mk.select(sel.head, sel.tail: _*).exceptAll(mkRef.select(sel.head, sel.tail: _*)).isEmpty)
+    // invalid parameters fail fast
+    intercept[IllegalArgumentException](Windows.cumulativeAgg(events, "ts", 700, 3600, Nil, aggs))
+    intercept[IllegalArgumentException](Windows.hopAggregate(events, "ts", 400, 900, Nil, aggs))
+    intercept[IllegalArgumentException](Windows.cumulativeAgg(events, "ts", 900, 3600, Nil, Nil))
+  }
+
   test("pane-based hopAggregate == native sliding-window aggregate") {
     import graft.operators.Windows
     val events = Tables.load(spark, sfDir, "events")
