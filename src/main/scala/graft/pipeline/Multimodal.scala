@@ -207,10 +207,14 @@ object Multimodal {
     * external oracle recomputes what decode MUST return. Constant-valued
     * samples make RMS exactly that value — integer-exact across engines. */
   def audioFixtureSpec(id: Long): (Int, Int, Int, Int) = {
-    val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 22050 }
-    val channels = (id % 2).toInt + 1
-    val frames = 200 + (id % 800).toInt
-    val value = (id % 20000).toInt
+    // floorMod: negative ids must still yield valid (channels ≥ 1, frames > 0)
+    // parameters — a rendering API over an arbitrary id column must never
+    // fail the scan
+    val rate = java.lang.Math.floorMod(id, 3L) match {
+      case 0L => 8000; case 1L => 16000; case _ => 22050 }
+    val channels = java.lang.Math.floorMod(id, 2L).toInt + 1
+    val frames = 200 + java.lang.Math.floorMod(id, 800L).toInt
+    val value = java.lang.Math.floorMod(id, 20000L).toInt
     (rate, channels, frames, value)
   }
 
@@ -243,7 +247,12 @@ object Multimodal {
       val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
+        // signed little-endian PCM16 only: an unsigned 16-bit stream would
+        // pass a size/endian check but misdecode through the signed loop —
+        // reject what we don't actually understand
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
         val pcm = ais.readAllBytes()
         val n = pcm.length / 2
         var sumSq = 0.0

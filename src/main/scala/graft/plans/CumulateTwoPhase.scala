@@ -96,10 +96,26 @@ object CumulateTwoPhase extends Rule[LogicalPlan] {
         !ae.references.exists(a => taintedIds.contains(a.exprId)) &&
         inline(ae.aggregateFunction).references.forall(a => gchildIds.contains(a.exprId)) &&
         (ae.aggregateFunction match {
-          case _: Count | _: Sum | _: Min | _: Max => true
+          case _: Count => true
+          case s: Sum =>
+            // partial-then-merge must be LOSSLESS: floating-point sums change
+            // accumulation structure (ULP drift vs the unrewritten plan), and
+            // TRY-mode sums turn a per-bucket overflow into a NULL partial
+            // the merge would silently skip where the original returns NULL
+            s.evalContext.evalMode != EvalMode.TRY &&
+              (s.dataType match {
+                case _: org.apache.spark.sql.types.DecimalType => true
+                case org.apache.spark.sql.types.LongType => true
+                case _ => false
+              })
+          case _: Min | _: Max => true
           case _ => false
         })
     }
+    // the rewrite re-evaluates project/grouping expressions against grouped
+    // partials instead of per input row — only sound for deterministic plans
+    val deterministicOk = agg.aggregateExpressions.forall(_.deterministic) &&
+      agg.groupingExpressions.forall(_.deterministic) && projList.forall(_.deterministic)
     // tainted grouping keys must be recomputable above from preserved inputs
     val taintedNes = taintedKeys.map(k => projList.find(_.exprId == k.exprId).get)
     val taintedInputs = taintedNes.flatMap(_.references)
@@ -109,7 +125,7 @@ object CumulateTwoPhase extends Rule[LogicalPlan] {
         (projList.exists(_.exprId == k.exprId) &&
           inline(k).references.forall(a => gchildIds.contains(a.exprId)))
     }
-    if (!decomposable || !untaintedOk ||
+    if (!decomposable || !deterministicOk || !untaintedOk ||
         !taintedInputs.forall(a => gchildIds.contains(a.exprId))) return None
 
     // ---- phase 1: pre-aggregate below the explode -------------------------

@@ -196,15 +196,29 @@ object PipelineQueries {
       import s.implicits._
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
-      val (centroids, assigned) = IvfIndex.build(e, "vec_id", "embedding")
-      val mem = IvfIndex.probe(centroids, assigned, q, "vec_id", "embedding", k = 10)
+      val (centroids, assigned0) = IvfIndex.build(e, "vec_id", "embedding")
+      // one assignment pass feeds both the save and the in-memory probe
+      val assigned = assigned0.cache()
+      // fixed (user-scoped) path + overwrite + delete: no per-pid directory
+      // accumulation across bench/verify runs
       val who = System.getProperty("user.name", "anon")
-      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${who}_${ProcessHandle.current().pid()}"
-      IvfIndex.save(idxDir, centroids, assigned)
-      val (c2, a2) = IvfIndex.load(s, idxDir)
-      val disk = IvfIndex.probe(c2, a2, q, "vec_id", "embedding", k = 10)
-      val diff = mem.exceptAll(disk).count() + disk.exceptAll(mem).count()
-      Seq(("ivf_index", diff, mem.count() > 0)).toDF("op", "diff_rows", "nonempty")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$who"
+      try {
+        IvfIndex.save(idxDir, centroids, assigned)
+        val (c2, a2) = IvfIndex.load(s, idxDir)
+        val mem = IvfIndex.probe(centroids, assigned, q, "vec_id", "embedding", k = 10).cache()
+        val disk = IvfIndex.probe(c2, a2, q, "vec_id", "embedding", k = 10).cache()
+        val diff = mem.exceptAll(disk).count() + disk.exceptAll(mem).count()
+        val n = mem.count()
+        mem.unpersist()
+        disk.unpersist()
+        // diff/n are driver scalars: the returned frame is a LocalRelation
+        // with no dependency on the index directory deleted below
+        Seq(("ivf_index", diff, n > 0)).toDF("op", "diff_rows", "nonempty")
+      } finally {
+        assigned.unpersist()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      }
     },
 
     // token counting + quality features + composite score

@@ -230,7 +230,8 @@ class PipelineSpec extends SparkTestBase {
     val q = e.filter(col("vec_id") < 5)
     val (centroids, assigned) = IvfIndex.build(e, "vec_id", "embedding", nCentroids = 8)
     val mem = IvfIndex.probe(centroids, assigned, q, "vec_id", "embedding", k = 10, nProbe = 2)
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-ivf")
+    val dir = dirPath.toString
     IvfIndex.save(dir, centroids, assigned)
     val (c2, a2) = IvfIndex.load(spark, dir)
     val disk = IvfIndex.probe(c2, a2, q, "vec_id", "embedding", k = 10, nProbe = 2)
@@ -247,6 +248,7 @@ class PipelineSpec extends SparkTestBase {
     val physical = disk.queryExecution.executedPlan.toString
     assert(physical.contains("dynamicpruning") || physical.contains("PartitionFilters: [isnotnull(centroid_id"),
       s"no partition pruning on the persisted IVF scan:\n${physical.take(2000)}")
+    org.apache.commons.io.FileUtils.deleteQuietly(dirPath.toFile)
   }
 
   test("k-means sample coverage: thin training samples warn, healthy ones don't") {
@@ -843,6 +845,13 @@ class PipelineSpec extends SparkTestBase {
     assert(Multimodal.decodeAudio("not audio at all".getBytes).isEmpty)
     assert(Multimodal.decodeAudio(wav.take(16)).isEmpty)
     assert(Multimodal.decodeAudio(Multimodal.renderFixture(3L)).isEmpty, "a png is not audio")
+    // negative ids must render valid audio (floorMod manifest), not crash the scan
+    for (id <- Seq(-1L, -700L, -20001L)) {
+      val (nr, nc, nf, nv) = Multimodal.audioFixtureSpec(id)
+      assert(nc >= 1 && nf > 0 && nv >= 0, s"id=$id spec=($nr,$nc,$nf,$nv)")
+      val Some((r2, c2, f2, rms2)) = Multimodal.decodeAudio(Multimodal.renderAudioFixture(id))
+      assert((r2, c2, f2, rms2) == (nr, nc, nf.toLong, nv.toDouble), s"id=$id")
+    }
     // batch path on the corpus: manifest round-trips, no nulls for valid rows
     val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 100)
     val decoded = Multimodal.decodeAudioBatch(

@@ -270,6 +270,20 @@ class ScaleSpec extends SparkTestBase {
       assert(!fired(spark.sql(s"SELECT user_id, sum(es) s FROM $base GROUP BY user_id")))
       // avg is not in the decomposable set: must not fire
       assert(!fired(spark.sql(s"SELECT es, avg(value) a FROM $base GROUP BY es")))
+      // floating-point SUM: partial-then-merge changes accumulation structure
+      // vs the unrewritten plan — must not fire
+      assert(!fired(spark.sql(s"SELECT es, sum(value) s FROM $base GROUP BY es")))
+      // try_sum: a per-bucket overflow becomes a NULL partial the merge would
+      // silently skip — must not fire
+      assert(!fired(spark.sql(s"SELECT es, try_sum(user_id) s FROM $base GROUP BY es")))
+      // non-deterministic projection feeding a grouping key: per-row vs
+      // per-partial evaluation differ — must not fire
+      assert(!fired(spark.sql(
+        s"SELECT k, count(*) c FROM (SELECT floor(rand(7) * es) AS k FROM $base) GROUP BY k")))
+      // integral and decimal sums remain eligible
+      assert(fired(spark.sql(s"SELECT es, sum(user_id) s FROM $base GROUP BY es")))
+      assert(fired(spark.sql(
+        s"SELECT es, sum(cast(value as decimal(18,4))) s FROM $base GROUP BY es")))
       // explode_outer: must not fire
       assert(!fired(spark.sql(
         "SELECT es, count(*) c FROM (SELECT explode_outer(sequence(100, 400, 100)) AS es FROM events) GROUP BY es")))
