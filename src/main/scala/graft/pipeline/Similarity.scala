@@ -138,16 +138,35 @@ object Similarity {
         org.apache.spark.sql.Row(i, v.toSeq) }.toSeq.asJava, schema)
   }
 
-  /** IVF index: assign every vector to its nearest centroid (one linear pass
-    * against the broadcast centroid set — the scale-critical step). */
-  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
-    vectors.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("centroid_id"),
-        cosine(col("v"), col("cvec")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
-        first(col("v")).as("v"))
+  /** IVF index: assign every vector to its nearest centroid — a PURE
+    * PROJECTION, zero shuffles. The centroid set is tiny (C rows) and
+    * collected once; per row the argmax is a struct-`greatest` over C
+    * codegen'd dot products. (The previous shape — crossJoin(broadcast) +
+    * groupBy(vec_id) — shuffled the ENTIRE corpus to re-associate rows with
+    * their best centroid; at production scale that one Exchange dominates
+    * the whole build.) Ranking by dot/|c| is argmax-equivalent to cosine:
+    * the per-row |v| factor is constant across candidates. Tie-break
+    * matches the old max_by(struct(csim, -centroid_id)): highest
+    * similarity, then lowest centroid id. */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("centroid_id"), col("cvec").cast("array<double>"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, "ivfAssign needs at least one centroid")
+    val v = col(vecCol).cast("array<double>")
+    val candidates = cents.map { case (cid, cvec) =>
+      val cnorm = math.sqrt(cvec.map(x => x * x).sum)
+      val score =
+        if (cnorm == 0.0) lit(Double.NegativeInfinity)
+        else dot(v, typedLit(cvec.toSeq)) / lit(cnorm)
+      struct(score.as("s"), lit(-cid).as("negid"), lit(cid).as("cid"))
+    }
+    val best =
+      if (candidates.length == 1) candidates.head
+      else greatest(candidates.toIndexedSeq: _*)
+    vectors.select(col(idCol).as("vec_id"), v.as("v"),
+      best.getField("cid").as("centroid_id"))
+  }
 
   /** ANN top-k: probe the `nProbe` centroids nearest to each query, exact
     * rerank within those buckets only. */

@@ -224,6 +224,29 @@ class PipelineSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("ivfAssign is a shuffle-free projection and matches the join-shape assignment") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val centroids = Similarity.kmeansCentroids(e, "vec_id", "embedding", nCentroids = 8)
+    val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+    // zero Exchanges: nearest-centroid is computed in the scan projection
+    val plan = assigned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n${plan.take(1500)}")
+    // same result as the reference crossJoin + groupBy(vec_id) shape
+    val joined = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        (Similarity.dot(col("v"), col("cvec")) /
+          (sqrt(Similarity.dot(col("v"), col("v"))) *
+           sqrt(Similarity.dot(col("cvec"), col("cvec"))))).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"))
+    val a = assigned.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = joined.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, s"${a.toSet.diff(b.toSet).take(5)} vs ${b.toSet.diff(a.toSet).take(5)}")
+  }
+
   test("persisted IVF index: save/load probe == in-memory probe, scan is partition-pruned") {
     import graft.pipeline.IvfIndex
     val e = Tables.load(spark, sfDir, "embeddings")
