@@ -228,6 +228,18 @@ object ScaleProbe {
         .count()
     }
 
+    // round-9: IVF assignment at volume — the projection shape must show
+    // ~zero shuffle regardless of corpus size (synthetic 64-dim embeddings)
+    time(s"ivf assign ($n vecs)") {
+      val vecs = spark.range(n).toDF("vec_id")
+        .withColumn("embedding", array((0 until 64).map(d =>
+          (pmod(xxhash64(col("vec_id"), lit(d)), lit(1000)) / 500.0 - 1.0)): _*))
+      val centroids = graft.pipeline.Similarity.kmeansCentroids(
+        vecs, "vec_id", "embedding", nCentroids = 16)
+      graft.pipeline.Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids)
+        .select(col("centroid_id")).groupBy("centroid_id").count().count()
+    }
+
     // round-9: replication-below-aggregation A/B at volume — CUMULATE
     // (explode factor 4) and HOP (expand factor 3), row-expansion vs
     // two-phase on identical inputs. The shuffle columns tell the story:
