@@ -123,6 +123,43 @@ object VecKernels {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** argmax over C candidate centroids of dot(v, cents(c)) / norms(c) —
+    * ONE expression whatever C is, so the IVF assignment stays a constant-
+    * size codegen'd projection at C=1024 where C inlined dot-product
+    * candidates under a `greatest` would blow up janino (and its compile
+    * time grows with C). Score parity with the previous struct-`greatest`
+    * shape is exact: the same sequential fold as [[dotD]], then one
+    * division (NOT pre-normalized centroids — dot(v, c/n) can differ from
+    * dot(v, c)/n in ULPs and flip near-ties). Selection semantics replicate
+    * Spark's struct ordering with the (score, -centroid_id) tie-break:
+    * `Double.compare` treats NaN as greater than everything and equal to
+    * itself, and candidates arrive sorted by ascending centroid id with
+    * strictly-greater-wins, so ties (including all-NaN vectors) keep the
+    * LOWEST centroid id. A zero-norm centroid scores -Infinity (never
+    * chosen unless every centroid is degenerate — then lowest id). */
+  def argmaxDotD(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Array[Double]], norms: Array[Double], ids: Array[Int]): Int = {
+    var bestIdx = 0
+    var bestScore = 0.0
+    var c = 0
+    while (c < cents.length) {
+      var s = Double.NegativeInfinity
+      if (norms(c) != 0.0) {
+        val ct = cents(c)
+        val n = math.min(v.numElements(), ct.length)
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += v.getDouble(j) * ct(j); j += 1 }
+        s = acc / norms(c)
+      }
+      if (c == 0 || java.lang.Double.compare(s, bestScore) > 0) {
+        bestScore = s; bestIdx = c
+      }
+      c += 1
+    }
+    ids(bestIdx)
+  }
 }
 
 case class VecDot(left: Expression, right: Expression)
@@ -142,6 +179,30 @@ case class VecDot(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.$kernel($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `vec_argmax_dot(v)` over ARRAY<DOUBLE> against a driver-side centroid
+  * matrix — see [[VecKernels.argmaxDotD]]. The matrix/norms/ids ride along
+  * as expression parameters (embedded via `addReferenceObj`, like Spark's
+  * own literal arrays), NOT as child expressions: C never widens the
+  * generated code. */
+case class VecArgmaxDot(child: Expression, cents: Array[Array[Double]],
+    norms: Array[Double], ids: Array[Int]) extends UnaryExpression {
+  require(cents.length == norms.length && cents.length == ids.length && cents.nonEmpty,
+    "vec_argmax_dot needs aligned, non-empty centroid arrays")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_argmax_dot"
+  override def nullSafeEval(v: Any): Any =
+    VecKernels.argmaxDotD(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, norms, ids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VecKernels.argmaxDotD($v, $centsRef, $normsRef, $idsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -190,4 +251,7 @@ object HashExprs {
     Shims.column(MinHashSig(Shims.expression(c), Literal(k), Literal(n)))
   def vec_dot(a: Column, b: Column): Column =
     Shims.column(VecDot(Shims.expression(a), Shims.expression(b)))
+  def vec_argmax_dot(v: Column, cents: Array[Array[Double]],
+      norms: Array[Double], ids: Array[Int]): Column =
+    Shims.column(VecArgmaxDot(Shims.expression(v), cents, norms, ids))
 }

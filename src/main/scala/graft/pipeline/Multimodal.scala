@@ -290,7 +290,11 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        decodeAudio(bytes) match {
+        // NULL payload first: decodeAudio(null) is caught inside, but the
+        // None branch below still reads bytes.length — the contract is
+        // "undecodable yields NULL metadata, never a failed scan"
+        if (bytes == null) Row(id, 0L, null, null, null, null)
+        else decodeAudio(bytes) match {
           case Some((rate, ch, frames, rms)) =>
             Row(id, bytes.length.toLong, rate, ch, frames, rms)
           case None => Row(id, bytes.length.toLong, null, null, null, null)

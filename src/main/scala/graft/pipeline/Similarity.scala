@@ -140,19 +140,49 @@ object Similarity {
 
   /** IVF index: assign every vector to its nearest centroid — a PURE
     * PROJECTION, zero shuffles. The centroid set is tiny (C rows) and
-    * collected once; per row the argmax is a struct-`greatest` over C
-    * codegen'd dot products. (The previous shape — crossJoin(broadcast) +
-    * groupBy(vec_id) — shuffled the ENTIRE corpus to re-associate rows with
-    * their best centroid; at production scale that one Exchange dominates
-    * the whole build.) Ranking by dot/|c| is argmax-equivalent to cosine:
-    * the per-row |v| factor is constant across candidates. Tie-break
-    * matches the old max_by(struct(csim, -centroid_id)): highest
-    * similarity, then lowest centroid id. */
+    * collected once; per row the argmax runs in ONE codegen'd kernel
+    * expression over the driver-side centroid matrix
+    * ([[graft.functions.VecKernels.argmaxDotD]]) — constant generated-code
+    * size whatever C is, so C=1024 neither blows up janino nor re-compiles
+    * per centroid (the previous C-way struct-`greatest` over inlined dot
+    * products grew the generated method with C; the shape before that —
+    * crossJoin(broadcast) + groupBy(vec_id) — shuffled the ENTIRE corpus).
+    * Ranking by dot/|c| is argmax-equivalent to cosine: the per-row |v|
+    * factor is constant across candidates. Scores are bit-identical to the
+    * struct-`greatest` shape (same sequential fold + one division), and
+    * selection pins the same semantics (spec: "ivfAssign kernel parity"):
+    * highest score, ties → lowest centroid id; NaN (a NaN vector component
+    * poisons every dot) sorts greatest exactly like Spark's struct
+    * ordering, so all-NaN picks the lowest centroid id; a zero-norm
+    * centroid scores -Infinity and never wins (the old cosine path scored
+    * it NaN = always-wins — the -Infinity behavior is the deliberate,
+    * documented divergence). */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    val cents: Array[(Int, Array[Double])] = centroids
+    val cents = collectCentroids(centroids)
+    val v = col(vecCol).cast("array<double>")
+    val norms = cents.map { case (_, cvec) => math.sqrt(cvec.map(x => x * x).sum) }
+    vectors.select(col(idCol).as("vec_id"), v.as("v"),
+      graft.functions.HashExprs.vec_argmax_dot(
+        v, cents.map(_._2), norms, cents.map(_._1)).as("centroid_id"))
+  }
+
+  /** Centroid matrix sorted by ascending id (the kernel's first-wins scan
+    * makes that ordering the lowest-id tie-break). */
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Array[Double])] = {
+    val cents = centroids
       .select(col("centroid_id"), col("cvec").cast("array<double>"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
     require(cents.nonEmpty, "ivfAssign needs at least one centroid")
+    cents
+  }
+
+  /** The round-9 assignment shape (C candidate structs under `greatest`),
+    * kept package-private as the parity/AB baseline for the kernel above —
+    * not a production path: generated code grows with C. */
+  private[graft] def ivfAssignGreatest(
+      vectors: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
     val v = col(vecCol).cast("array<double>")
     val candidates = cents.map { case (cid, cvec) =>
       val cnorm = math.sqrt(cvec.map(x => x * x).sum)

@@ -52,13 +52,24 @@ object CumulateTwoPhase extends Rule[LogicalPlan] {
       rewrite(agg, gen.output, gen).getOrElse(agg)
   }
 
+  /** The plan under the Generate with any Project chain peeled off — the
+    * anti-loop guard must see through Projects the optimizer (e.g.
+    * ColumnPruning) may have slid between our Generate and the phase-1
+    * Aggregate, or the rule re-fires on its own output. */
+  @scala.annotation.tailrec
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(_, child) => stripProjects(child)
+    case other => other
+  }
+
   private def eligible(agg: Aggregate, gen: Generate): Boolean = gen match {
     case Generate(Explode(seq: Sequence), _, false, _, Seq(_), child) =>
-      // anti-loop guard: a Generate already sitting on an Aggregate is our
-      // own handiwork (or a user plan this rewrite cannot improve).
+      // anti-loop guard: a Generate already sitting on an Aggregate (even
+      // through interposed Projects) is our own handiwork (or a user plan
+      // this rewrite cannot improve).
       // Streaming plans are excluded outright: stacking a second stateful
       // aggregate changes output-mode legality and state semantics there.
-      !child.isInstanceOf[Aggregate] && !child.isStreaming &&
+      !stripProjects(child).isInstanceOf[Aggregate] && !child.isStreaming &&
         seq.stepOpt.forall(_.foldable) && seq.stop.foldable &&
         seq.start.deterministic && seq.start.references.subsetOf(child.outputSet) &&
         agg.groupingExpressions.forall(_.isInstanceOf[Attribute])

@@ -229,15 +229,21 @@ object ScaleProbe {
     }
 
     // round-9: IVF assignment at volume — the projection shape must show
-    // ~zero shuffle regardless of corpus size (synthetic 64-dim embeddings)
-    time(s"ivf assign ($n vecs)") {
-      val vecs = spark.range(n).toDF("vec_id")
-        .withColumn("embedding", array((0 until 64).map(d =>
-          (pmod(xxhash64(col("vec_id"), lit(d)), lit(1000)) / 500.0 - 1.0)): _*))
+    // ~zero shuffle regardless of corpus size (synthetic 64-dim embeddings).
+    // round-10: sweep C — at 100 TB, C is O(√N) (thousands), and the argmax
+    // kernel must stay ONE constant-size codegen expression with per-row
+    // cost linear in C (the struct-greatest shape it replaced grew the
+    // generated method — and its janino compile time — with C).
+    val vecs = spark.range(n).toDF("vec_id")
+      .withColumn("embedding", array((0 until 64).map(d =>
+        (pmod(xxhash64(col("vec_id"), lit(d)), lit(1000)) / 500.0 - 1.0)): _*))
+    for (c <- Seq(16, 256, 1024)) {
       val centroids = graft.pipeline.Similarity.kmeansCentroids(
-        vecs, "vec_id", "embedding", nCentroids = 16)
-      graft.pipeline.Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids)
-        .select(col("centroid_id")).groupBy("centroid_id").count().count()
+        vecs, "vec_id", "embedding", nCentroids = c)
+      time(s"ivf assign C=$c ($n vecs)") {
+        graft.pipeline.Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids)
+          .select(col("centroid_id")).groupBy("centroid_id").count().count()
+      }
     }
 
     // round-9: replication-below-aggregation A/B at volume — CUMULATE

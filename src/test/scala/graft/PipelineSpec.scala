@@ -247,6 +247,42 @@ class PipelineSpec extends SparkTestBase {
     assert(a == b, s"${a.toSet.diff(b.toSet).take(5)} vs ${b.toSet.diff(a.toSet).take(5)}")
   }
 
+  test("ivfAssign kernel parity: NaN/Infinity vectors, ties, zero-norm centroids") {
+    // hand-built centroids: unit-x (id 0), unit-y (id 3), zero-norm (id 7)
+    val cents = Seq((0, Seq(1.0, 0.0)), (3, Seq(0.0, 1.0)), (7, Seq(0.0, 0.0)))
+      .toDF("centroid_id", "cvec")
+    val vecs = Seq(
+      (1L, Seq(2.0f, 0.1f)),                   // plain → centroid 0
+      (2L, Seq(0.1f, 5.0f)),                   // plain → centroid 3
+      (3L, Seq(Float.NaN, 1.0f)),              // NaN poisons every dot
+      (4L, Seq(Float.PositiveInfinity, 1.0f)), // Inf·0 = NaN on centroid 3
+      (5L, Seq(Float.NegativeInfinity, 1.0f)),
+      (6L, Seq(0.0f, 0.0f))                    // exact tie across live centroids
+    ).toDF("vec_id", "embedding")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+      f(vecs, "vec_id", "embedding", cents).select("vec_id", "centroid_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernel = run(Similarity.ivfAssign)
+    val structGreatest = run(Similarity.ivfAssignGreatest)
+    // the kernel replicates struct-greatest selection exactly: Double.compare
+    // puts NaN greatest (like Spark's ordering), first-wins over ascending
+    // ids keeps the lowest centroid id on ties
+    assert(kernel == structGreatest, s"$kernel vs $structGreatest")
+    assert(kernel(1L) == 0 && kernel(2L) == 3)
+    assert(kernel(3L) == 0, "all-NaN scores tie → lowest centroid id")
+    assert(kernel(6L) == 0, "exact score tie → lowest centroid id")
+    // zero-norm centroid scores -Infinity, never wins over a live one (the
+    // old cosine join shape scored it NaN = always-wins; the -Infinity
+    // divergence is deliberate and pinned here)
+    assert(!kernel.values.exists(_ == 7), s"zero-norm centroid chosen: $kernel")
+    // ...unless every centroid is degenerate — then lowest id, no crash
+    val onlyDead = Seq((5, Seq(0.0, 0.0)), (9, Seq(0.0, 0.0))).toDF("centroid_id", "cvec")
+    val dead = Similarity.ivfAssign(vecs, "vec_id", "embedding", onlyDead)
+      .select("centroid_id").distinct().collect().map(_.getInt(0)).toSeq
+    assert(dead == Seq(5), dead.toString)
+  }
+
   test("persisted IVF index: save/load probe == in-memory probe, scan is partition-pruned") {
     import graft.pipeline.IvfIndex
     val e = Tables.load(spark, sfDir, "embeddings")
