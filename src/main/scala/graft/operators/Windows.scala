@@ -141,7 +141,17 @@ object Windows {
     * once the corpus covers the key space), so the expansion cost is
     * O(groups), not O(rows): the shape that survives a 1000× scale-up.
     * Results are bit-identical to cumulate-then-aggregate for any
-    * decomposable [[CumAgg]] (spec-pinned). */
+    * decomposable [[CumAgg]] (spec-pinned).
+    *
+    * BATCH-ONLY shape: streaming keeps [[cumulate]]'s row expansion (and
+    * [[graft.plans.CumulateTwoPhase]] excludes streaming plans) because the
+    * two-phase chain is two stateful aggregations whose second grouping key
+    * is a derived column pair, not a fixed-size `window()` over the
+    * watermarked column — the only chained-stateful-agg shape the streaming
+    * planner admits; CUMULATE's growing windows cannot be expressed as one.
+    * The expansion path keeps ONE stateful aggregation (watermark-legal in
+    * every output mode) and matches Flink's own per-step cumulate state.
+    * StreamingSpec "streaming CUMULATE parity" pins stream == batch. */
   def cumulativeAgg(df: DataFrame, tsCol: String, stepSec: Long, sizeSec: Long,
       keys: Seq[String], aggs: Seq[CumAgg]): DataFrame = {
     require(sizeSec % stepSec == 0, s"CUMULATE size ($sizeSec s) must be a multiple of step ($stepSec s)")

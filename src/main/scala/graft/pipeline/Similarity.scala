@@ -68,13 +68,17 @@ object Similarity {
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
   /** Thin-sample warning text, None when coverage is healthy. Pure — the
-    * threshold decision is spec-pinned here, logging is a side channel. */
-  private[graft] def coverageWarning(sampleN: Long, popN: Long): Option[String] =
-    if (popN > 0 && sampleN.toDouble / popN < CoverageWarnRatio)
-      Some(f"IVF k-means trained on $sampleN of $popN vectors " +
-        f"(${100.0 * sampleN / popN}%.2f%%) — centroid quality is " +
+    * threshold decision is spec-pinned here, logging is a side channel.
+    * `popIsFloor` marks popN as a lower bound (the caller probed a capped
+    * count rather than scanning the full table). */
+  private[graft] def coverageWarning(sampleN: Long, popN: Long,
+      popIsFloor: Boolean = false): Option[String] =
+    if (popN > 0 && sampleN.toDouble / popN < CoverageWarnRatio) {
+      val bound = if (popIsFloor) ">=" else ""
+      Some(f"IVF k-means trained on $sampleN of $bound$popN vectors " +
+        f"($bound${100.0 * sampleN / popN}%.2f%%) — centroid quality is " +
         "sample-limited; raise trainLimit if recall matters at this scale")
-    else None
+    } else None
 
   def kmeansCentroids(
       vectors: DataFrame, idCol: String, vecCol: String,
@@ -93,12 +97,18 @@ object Similarity {
       .limit(limit)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
-    // a full sample means the table is larger than the cap — measure how
-    // much larger (one count job, training-time only) and surface thin
+    // a full sample means the table is larger than the cap — probe whether
+    // it exceeds sample/ratio with a BOUNDED count (limit short-circuits the
+    // scan at threshold+1 rows; a full count() here was an extra whole-table
+    // job per ad-hoc ivfTopK call at production scale) and surface thin
     // coverage instead of silently capping quality at 100x scale
     val warning =
       if (sample.length < limit) None
-      else coverageWarning(sample.length.toLong, vectors.count())
+      else {
+        val threshold = math.ceil(sample.length / CoverageWarnRatio).toLong
+        val seen = vectors.limit(math.min(threshold + 1, Int.MaxValue.toLong).toInt).count()
+        coverageWarning(sample.length.toLong, seen, popIsFloor = seen > threshold)
+      }
     lastCoverageWarning.set(warning)
     warning.foreach(w =>
       org.slf4j.LoggerFactory.getLogger(getClass).warn(w))

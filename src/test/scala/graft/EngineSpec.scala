@@ -977,4 +977,33 @@ class EngineSpec extends SparkTestBase {
       assert(TableEnv.lookup("t_conn").isEmpty, s"'$conn' binding registered despite failure")
     }
   }
+
+  test("testdata drift guard: a drifted fixture parquet fails at load naming the column") {
+    // the round-8 lesson, generalized: generator schema drift must cost one
+    // readable load-time error, not 48 silently-zeroed gates
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    try {
+      // type drift: lang string → int
+      Tables.load(spark, sfDir, "documents").withColumn("lang", lit(7))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val e1 = intercept[IllegalStateException](Tables.load(spark, dir, "documents"))
+      assert(e1.getMessage.contains("'documents'") && e1.getMessage.contains("'lang'")
+        && e1.getMessage.contains("expected string"), e1.getMessage)
+      // missing column drift
+      Tables.load(spark, sfDir, "documents").drop("n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val e2 = intercept[IllegalStateException](Tables.load(spark, dir, "documents"))
+      assert(e2.getMessage.contains("missing column 'n_chars'"), e2.getMessage)
+      // the watched column itself: a ts encoding outside the accepted set
+      // (timestamp/timestamp_ntz/nanos-as-long bigint) must name 'ts'
+      Tables.load(spark, sfDir, "events").withColumn("ts", col("ts").cast("string"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val e3 = intercept[IllegalStateException](Tables.load(spark, dir, "events"))
+      assert(e3.getMessage.contains("'ts'") && e3.getMessage.contains("string"), e3.getMessage)
+      // additive drift is benign: an extra column loads fine
+      Tables.load(spark, sfDir, "documents").withColumn("extra", lit(1))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(Tables.load(spark, dir, "documents").count() > 0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -493,6 +493,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CUMULATE parity: expansion-path stream == two-phase batch") {
+    // WHY the streaming path keeps the row-expansion shape (and the
+    // CumulateTwoPhase rule excludes streaming plans): the two-phase scheme
+    // chains TWO aggregations, and the second one groups by derived
+    // window_start/window_end columns — not a fixed-size time window over
+    // the watermarked column, which is the only chained-stateful-agg shape
+    // Spark's streaming planner admits (append-mode window-on-window), and
+    // CUMULATE's growing windows cannot be expressed as one. The expansion
+    // path keeps a SINGLE stateful aggregation — watermark-legal in every
+    // output mode — at size/step input expansion, exactly the per-step
+    // state Flink's own cumulate operator materializes. This spec pins the
+    // two paths to identical results on the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Windows
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val cum = Windows.cumulate(mem.toDF().toDF("ts", "k", "v"), "ts", 600, 1800)
+      .groupBy($"window_start", $"window_end", $"k")
+      .agg(count(lit(1)).as("cnt"),
+        expr("cast(sum(cast(v as decimal(18,4))) as double)").as("sv"))
+    val q = cum.writeStream.format("memory").queryName("cum_parity")
+      .outputMode("complete").start()
+    try {
+      val data = Seq(
+        (ts("2024-01-01 00:05:00"), "a", 1.0), (ts("2024-01-01 00:12:00"), "a", 2.0),
+        (ts("2024-01-01 00:27:00"), "b", 4.0), (ts("2024-01-01 00:29:59"), "a", 8.0),
+        (ts("2024-01-01 00:31:00"), "b", 16.0)) // second aligned 30-min window
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[Timestamp]("window_end").toString,
+          r.getAs[String]("k"), r.getAs[Long]("cnt"), r.getAs[Double]("sv"))
+      val streamed = spark.table("cum_parity").collect().map(key).toSet
+      val batch = Windows.cumulativeAgg(data.toDF("ts", "k", "v"), "ts", 600, 1800,
+          Seq("k"), Seq(Windows.CumAgg.count("cnt"), Windows.CumAgg.dsum("v", "sv")))
+        .collect().map(key).toSet
+      assert(streamed == batch, s"stream:\n${streamed.mkString("\n")}\nbatch:\n${batch.mkString("\n")}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: time-bounded equi-join with watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val sm = MemoryStream[(Long, Timestamp)]
