@@ -91,7 +91,11 @@ object Similarity {
     // Ordering by xxhash64(id) keeps the sample deterministic but spreads it
     // uniformly over the table — first-N-by-id would bias the centroids
     // toward whatever content correlates with low ids (ingest time, source).
-    val limit = math.max(trainLimit, nCentroids)
+    // The floor also scales with C: at production centroid counts (O(√N),
+    // thousands) a fixed cap would leave single-digit samples per centroid —
+    // 8×C keeps Lloyd's meaningful while the sample stays driver-bounded
+    // (8×C×dim doubles; ~4 MB at C=1024, dim=64).
+    val limit = math.max(trainLimit, nCentroids * 8)
     val sample: Array[Array[Double]] = vectors
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(limit)

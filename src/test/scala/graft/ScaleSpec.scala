@@ -298,4 +298,33 @@ class ScaleSpec extends SparkTestBase {
       assert(onRows == offRows && onRows.nonEmpty)
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("CumulateTwoPhase rule: anti-loop guard holds through interposed Projects") {
+    import graft.plans.CumulateTwoPhase
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LogicalPlan, Project}
+    val prev = spark.experimental.extraOptimizations
+    try {
+      CumulateTwoPhase.install(spark)
+      Tables.registerAll(spark, sfDir)
+      def nAggs(p: LogicalPlan) = p.collect { case a: Aggregate => a }.size
+      val base = "(SELECT user_id, value, explode(sequence((user_id % 4 + 1) * 100, 400, 100)) AS es FROM events)"
+      val optimized = spark.sql(s"SELECT es, sum(user_id) s FROM $base GROUP BY es")
+        .queryExecution.optimizedPlan
+      assert(optimized.treeString.contains("__cum_p0") && nAggs(optimized) == 2,
+        optimized.treeString.take(1200))
+      // re-applying the rule to its own output must be a no-op
+      assert(nAggs(CumulateTwoPhase(optimized)) == 2)
+      // ...including when the optimizer (e.g. ColumnPruning) has slid a
+      // Project between our Generate and the phase-1 Aggregate — the exact
+      // re-fire scenario: a third Aggregate layer would mean the guard
+      // looked only at the Generate's direct child
+      val wedged = optimized.transformUp {
+        case g @ Generate(_, _, _, _, _, child: Aggregate) =>
+          g.withNewChildren(Seq(Project(child.output, child)))
+      }
+      assert(nAggs(wedged) == 2)
+      assert(nAggs(CumulateTwoPhase(wedged)) == 2,
+        CumulateTwoPhase(wedged).treeString.take(1200))
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
