@@ -232,6 +232,12 @@ class PipelineSpec extends SparkTestBase {
     val plan = assigned.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n${plan.take(1500)}")
+    // ...and the argmax kernel runs INSIDE whole-stage codegen (one static
+    // call in the generated projection, not an interpreted fallback)
+    val generated = org.apache.spark.sql.execution.debug.codegenString(
+      assigned.queryExecution.executedPlan)
+    assert(generated.contains("argmaxDotD"),
+      s"kernel not in generated code:\n${generated.take(800)}")
     // same result as the reference crossJoin + groupBy(vec_id) shape
     val joined = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .crossJoin(broadcast(centroids))
