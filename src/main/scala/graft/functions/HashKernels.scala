@@ -160,6 +160,33 @@ object VecKernels {
     }
     ids(bestIdx)
   }
+
+  /** [[argmaxDotD]] over ARRAY<FLOAT> input — each element widened to
+    * double before the multiply, so scores are bit-identical to casting
+    * the array to ARRAY<DOUBLE> first (same arithmetic, no materialized
+    * copy of the vector). */
+  def argmaxDotF(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Array[Double]], norms: Array[Double], ids: Array[Int]): Int = {
+    var bestIdx = 0
+    var bestScore = 0.0
+    var c = 0
+    while (c < cents.length) {
+      var s = Double.NegativeInfinity
+      if (norms(c) != 0.0) {
+        val ct = cents(c)
+        val n = math.min(v.numElements(), ct.length)
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += v.getFloat(j).toDouble * ct(j); j += 1 }
+        s = acc / norms(c)
+      }
+      if (c == 0 || java.lang.Double.compare(s, bestScore) > 0) {
+        bestScore = s; bestIdx = c
+      }
+      c += 1
+    }
+    ids(bestIdx)
+  }
 }
 
 case class VecDot(left: Expression, right: Expression)
@@ -192,15 +219,31 @@ case class VecArgmaxDot(child: Expression, cents: Array[Array[Double]],
     "vec_argmax_dot needs aligned, non-empty centroid arrays")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "vec_argmax_dot"
-  override def nullSafeEval(v: Any): Any =
-    VecKernels.argmaxDotD(
-      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, norms, ids)
+  // per-element-type kernel like VecDot — a float array read through
+  // getDouble would silently mis-decode
+  private def kernel: String = child.dataType match {
+    case ArrayType(FloatType, _) => "argmaxDotF"
+    case _ => "argmaxDotD"
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_argmax_dot needs ARRAY<FLOAT|DOUBLE> input, got ${other.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (kernel == "argmaxDotF") VecKernels.argmaxDotF(a, cents, norms, ids)
+    else VecKernels.argmaxDotD(a, cents, norms, ids)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
     val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
     val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
     defineCodeGen(ctx, ev, v =>
-      s"graft.functions.VecKernels.argmaxDotD($v, $centsRef, $normsRef, $idsRef)")
+      s"graft.functions.VecKernels.$kernel($v, $centsRef, $normsRef, $idsRef)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -287,6 +287,23 @@ class PipelineSpec extends SparkTestBase {
     val dead = Similarity.ivfAssign(vecs, "vec_id", "embedding", onlyDead)
       .select("centroid_id").distinct().collect().map(_.getInt(0)).toSeq
     assert(dead == Seq(5), dead.toString)
+    // the kernel reads ARRAY<FLOAT> directly (per-element widen — bit-equal
+    // to casting the array first, without materializing the copy)
+    val mat = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val norms = Array(1.0, 1.0)
+    val ids = Array(0, 3)
+    val viaFloat = vecs.select($"vec_id",
+        graft.functions.HashExprs.vec_argmax_dot($"embedding", mat, norms, ids).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaDouble = vecs.select($"vec_id", graft.functions.HashExprs.vec_argmax_dot(
+        $"embedding".cast("array<double>"), mat, norms, ids).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaFloat == viaDouble, s"$viaFloat vs $viaDouble")
+    // non-numeric input fails analysis, not silently mis-decodes
+    intercept[org.apache.spark.sql.AnalysisException] {
+      vecs.select(graft.functions.HashExprs.vec_argmax_dot(
+        lit("nope"), mat, norms, ids)).collect()
+    }
   }
 
   test("persisted IVF index: save/load probe == in-memory probe, scan is partition-pruned") {
