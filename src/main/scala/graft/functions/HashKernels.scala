@@ -245,6 +245,23 @@ case class VecArgmaxDot(child: Expression, cents: Array[Array[Double]],
     defineCodeGen(ctx, ev, v =>
       s"graft.functions.VecKernels.$kernel($v, $centsRef, $normsRef, $idsRef)")
   }
+  // value equality over the array params (case-class equals would compare
+  // array references) so semanticEquals / subexpression elimination / plan
+  // reuse see two instances with equal matrices as the same expression
+  override def equals(o: Any): Boolean = o match {
+    case that: VecArgmaxDot =>
+      child == that.child &&
+        java.util.Arrays.deepEquals(
+          cents.asInstanceOf[Array[AnyRef]], that.cents.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(norms, that.norms) &&
+        java.util.Arrays.equals(ids, that.ids)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.hashCode(norms)),
+      Integer.valueOf(java.util.Arrays.hashCode(ids)))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

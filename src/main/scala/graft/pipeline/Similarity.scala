@@ -74,9 +74,12 @@ object Similarity {
   private[graft] def coverageWarning(sampleN: Long, popN: Long,
       popIsFloor: Boolean = false): Option[String] =
     if (popN > 0 && sampleN.toDouble / popN < CoverageWarnRatio) {
-      val bound = if (popIsFloor) ">=" else ""
-      Some(f"IVF k-means trained on $sampleN of $bound$popN vectors " +
-        f"($bound${100.0 * sampleN / popN}%.2f%%) — centroid quality is " +
+      // a floor population makes the count a LOWER bound but the derived
+      // percentage an UPPER bound — the two prefixes point opposite ways
+      val popB = if (popIsFloor) ">=" else ""
+      val pctB = if (popIsFloor) "<=" else ""
+      Some(f"IVF k-means trained on $sampleN of $popB$popN vectors " +
+        f"($pctB${100.0 * sampleN / popN}%.2f%%) — centroid quality is " +
         "sample-limited; raise trainLimit if recall matters at this scale")
     } else None
 

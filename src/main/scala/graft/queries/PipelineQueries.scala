@@ -30,20 +30,36 @@ object PipelineQueries {
     * recurring cost), not re-train/re-assign/re-write per execution. The
     * directory is unique per build (no fixed path two concurrent
     * processes could race on) and reaped by a shutdown hook. */
-  private val ivfIndexFixture = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, DataFrame, String)]()
+  private val ivfIndexFixture = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, (DataFrame, DataFrame, String)]]()
 
   private def indexFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, String) =
-    ivfIndexFixture.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
-      val e = t(s, dir, "embeddings")
-      val (centroids, assigned0) = IvfIndex.build(e, "vec_id", "embedding")
-      val assigned = assigned0.cache()
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
-      IvfIndex.save(idxDir, centroids, assigned)
-      sys.addShutdownHook(
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir)))
-      (centroids, assigned, idxDir)
-    })
+    // weak-keyed on the session OBJECT: identity hashing by address could
+    // serve a stopped session's cached DataFrames to a colliding new
+    // session, and a strong key would pin dead sessions' plans for the JVM
+    // lifetime. The lock serializes concurrent first builds (same contract
+    // as computeIfAbsent).
+    ivfIndexFixture.synchronized {
+      val perSession = {
+        val m = ivfIndexFixture.get(s)
+        if (m != null) m
+        else {
+          val m2 = scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame, String)]
+          ivfIndexFixture.put(s, m2)
+          m2
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        val e = t(s, dir, "embeddings")
+        val (centroids, assigned0) = IvfIndex.build(e, "vec_id", "embedding")
+        val assigned = assigned0.cache()
+        val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
+        IvfIndex.save(idxDir, centroids, assigned)
+        sys.addShutdownHook(
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir)))
+        (centroids, assigned, idxDir)
+      })
+    }
 
   /** The blocked candidate set shared by the exact-Jaccard dedup queries:
     * bounded ids, per-doc distinct char trigrams via substring enumeration

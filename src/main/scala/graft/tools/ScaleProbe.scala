@@ -238,11 +238,17 @@ object ScaleProbe {
       .withColumn("embedding", array((0 until 64).map(d =>
         (pmod(xxhash64(col("vec_id"), lit(d)), lit(1000)) / 500.0 - 1.0)): _*))
     for (c <- Seq(16, 256, 1024)) {
-      val centroids = graft.pipeline.Similarity.kmeansCentroids(
-        vecs, "vec_id", "embedding", nCentroids = c)
-      time(s"ivf assign C=$c ($n vecs)") {
-        graft.pipeline.Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids)
-          .select(col("centroid_id")).groupBy("centroid_id").count().count()
+      val name = s"ivf assign C=$c ($n vecs)"
+      // training runs outside time() (build cost is not the probed
+      // assignment cost) but must still honor PROBE_ONLY — at C=1024 the
+      // sample job + driver Lloyd's are tens of seconds
+      if (only.forall(name.contains)) {
+        val centroids = graft.pipeline.Similarity.kmeansCentroids(
+          vecs, "vec_id", "embedding", nCentroids = c)
+        time(name) {
+          graft.pipeline.Similarity.ivfAssign(vecs, "vec_id", "embedding", centroids)
+            .select(col("centroid_id")).groupBy("centroid_id").count().count()
+        }
       }
     }
 
