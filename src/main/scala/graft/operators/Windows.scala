@@ -151,7 +151,8 @@ object Windows {
     * planner admits; CUMULATE's growing windows cannot be expressed as one.
     * The expansion path keeps ONE stateful aggregation (watermark-legal in
     * every output mode) and matches Flink's own per-step cumulate state.
-    * StreamingSpec "streaming CUMULATE parity" pins stream == batch. */
+    * StreamingSpec "streaming CUMULATE parity" pins stream == batch; for
+    * bounded state on a watermarked stream use [[cumulateStreamingAgg]]. */
   def cumulativeAgg(df: DataFrame, tsCol: String, stepSec: Long, sizeSec: Long,
       keys: Seq[String], aggs: Seq[CumAgg]): DataFrame = {
     require(sizeSec % stepSec == 0, s"CUMULATE size ($sizeSec s) must be a multiple of step ($stepSec s)")
@@ -169,5 +170,43 @@ object Windows {
       .withColumn("window_end", expr("window_start + make_dt_interval(0, 0, 0, __end_sec)"))
       .groupBy(col("window_start") +: col("window_end") +: keyCols: _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
+  }
+
+  /** CUMULATE aggregation for a WATERMARKED STREAM with BOUNDED state: the
+    * single stateful aggregation groups by the event-time `window(ts, size)`
+    * STRUCT (which carries the watermark metadata, so Spark evicts a
+    * size-window's state — all its cumulative steps — once the watermark
+    * passes window_start + size) plus the derived step end. Without this,
+    * grouping by the projected window_start/window_end columns (the batch
+    * [[cumulate]] shape) loses the event-time tag and streaming state grows
+    * forever. Output: (window_start, window_end, keys..., aggExprs...).
+    *
+    * Mode semantics vs Flink: update mode re-emits a step's row on every
+    * refining batch (Flink's retract stream); append mode emits all of a
+    * size-window's steps only when that window closes (Spark's eviction
+    * horizon is the struct end — per-step early firing is not expressible).
+    * State per key: size/step open steps per aligned window — same bound as
+    * Flink's cumulate operator state. Spec: "streaming CUMULATE bounded
+    * state" (row-for-row vs the batch expansion + eviction asserted via
+    * StateOperatorProgress). `aggExprs` are plain aliased aggregates (one
+    * stateful phase — no partial/merge split needed). */
+  def cumulateStreamingAgg(df: DataFrame, tsCol: String, stepSec: Long, sizeSec: Long,
+      keys: Seq[String], aggExprs: Seq[Column]): DataFrame = {
+    require(sizeSec % stepSec == 0, s"CUMULATE size ($sizeSec s) must be a multiple of step ($stepSec s)")
+    require(aggExprs.nonEmpty, "cumulateStreamingAgg needs at least one aggregate")
+    val grouped = df.withColumn("__w", window(col(tsCol), s"$sizeSec seconds"))
+      .withColumn("__off_sec",
+        expr(s"(unix_micros(cast(`$tsCol` as timestamp)) - unix_micros(cast(__w.start as timestamp))) div 1000000"))
+      .withColumn("__end_sec",
+        explode(sequence(
+          (expr(s"__off_sec div $stepSec") + lit(1L)) * lit(stepSec),
+          lit(sizeSec), lit(stepSec))))
+      .groupBy(col("__w") +: col("__end_sec") +: keys.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .withColumn("window_start", col("__w.start"))
+      .withColumn("window_end", expr("window_start + make_dt_interval(0, 0, 0, __end_sec)"))
+      .drop("__w", "__end_sec")
+    val front = Seq("window_start", "window_end") ++ keys
+    grouped.select((front ++ grouped.columns.filterNot(front.contains)).map(col): _*)
   }
 }

@@ -534,6 +534,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CUMULATE bounded state: window-struct grouping evicts closed size-windows") {
+    // the complete-mode expansion path holds every window ever seen; this
+    // shape groups by the event-time window STRUCT so Spark evicts a
+    // size-window's steps once the watermark passes its end — the bounded-
+    // state production form (size/step open steps per key, like Flink)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Windows
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val src = mem.toDF().toDF("ts", "k", "v").withWatermark("ts", "0 seconds")
+    val out = Windows.cumulateStreamingAgg(src, "ts", 600, 1800, Seq("k"),
+      Seq(count(lit(1)).as("cnt"),
+        expr("cast(sum(cast(v as decimal(18,4))) as double)").as("sv")))
+    val q = out.writeStream.format("memory").queryName("cum_bounded")
+      .outputMode("update").start()
+    try {
+      val w0 = Seq((ts("2024-01-01 00:05:00"), "a", 1.0), (ts("2024-01-01 00:12:00"), "a", 2.0))
+      mem.addData(w0: _*)
+      q.processAllAvailable()
+      // next aligned size-window; first batch also advances the watermark
+      // past w0's end so the following batch evicts w0's state
+      mem.addData((ts("2024-01-01 02:00:00"), "b", 5.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 02:10:00"), "b", 6.0))
+      q.processAllAvailable()
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      // only the OPEN 02:00 window's 3 step-groups may remain; 6 would mean
+      // the struct lost its event-time tag and w0 was never evicted
+      assert(stateRows == 3, s"expected 3 live state rows (open window only), got $stateRows")
+      // refinement correctness: the max update per (window, key) — counts
+      // and positive sums grow monotonically — equals the batch expansion
+      val finalRows = spark.table("cum_bounded")
+        .groupBy("window_start", "window_end", "k")
+        .agg(max("cnt").as("cnt"), max("sv").as("sv"))
+      val all = w0 ++ Seq((ts("2024-01-01 02:00:00"), "b", 5.0), (ts("2024-01-01 02:10:00"), "b", 6.0))
+      val batch = Windows.cumulate(all.toDF("ts", "k", "v"), "ts", 600, 1800)
+        .groupBy($"window_start", $"window_end", $"k")
+        .agg(count(lit(1)).as("cnt"),
+          expr("cast(sum(cast(v as decimal(18,4))) as double)").as("sv"))
+      assert(finalRows.exceptAll(batch).isEmpty && batch.exceptAll(finalRows).isEmpty,
+        s"stream refinements:\n${finalRows.orderBy("window_end", "k").collect().mkString("\n")}\n" +
+          s"batch:\n${batch.orderBy("window_end", "k").collect().mkString("\n")}")
+      assert(finalRows.count() > 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: time-bounded equi-join with watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val sm = MemoryStream[(Long, Timestamp)]
