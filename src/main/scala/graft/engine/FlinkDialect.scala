@@ -169,17 +169,39 @@ object FlinkDialect {
       else
         s = s.replaceAll("""(?i)window\([^)]*\)\s+AS\s+__w,\s*""", "")
     }
+    // CUMULATE projects the aligned size-window STRUCT as __w too: grouping
+    // by (__w, window_start, window_end, keys) has identical batch
+    // granularity (__w ↔ window_start), and on a STREAMING table the struct
+    // carries the watermark tag, so the aggregation is recognized as an
+    // event-time window agg — state for a size-window (all its cumulative
+    // steps) is evicted once the watermark passes its end, instead of
+    // growing forever on the derived columns (the bounded-state shape
+    // pinned by Windows.cumulateStreamingAgg's spec).
+    var cumulates = 0
     s = CumulateTvf.replaceAllIn(s, m => Regex.quoteReplacement {
       val (t, ts, sv, su, zv, zu) =
         (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
       val step = durSeconds(sv, su); val size = durSeconds(zv, zu)
+      cumulates += 1
       s"""(SELECT *, window_start + make_dt_interval(0, 0, 0, __end_sec) AS window_end FROM (
-         |  SELECT *, window(`$ts`, '$size seconds').start AS window_start,
+         |  SELECT *, window(`$ts`, '$size seconds') AS __w,
+         |    window(`$ts`, '$size seconds').start AS window_start,
          |    explode(sequence(
          |      ((unix_micros(cast(`$ts` as timestamp_ltz)) - unix_micros(cast(window(`$ts`, '$size seconds').start as timestamp_ltz))) div 1000000 div $step + 1) * $step,
          |      ${size}L, ${step}L)) AS __end_sec
          |  FROM $t))""".stripMargin
     })
+    if (cumulates > 0) {
+      // same unambiguity rules as TUMBLE/HOP above: one CUMULATE, no other
+      // TVF family, exactly one GROUP BY naming both window_start/end
+      val gbRe = ("""(?i)(GROUP\s+BY\s+)(?=[^()]*\bwindow_start\b)""" +
+        """(?=[^()]*\bwindow_end\b)""").r
+      val otherTvf = tumbleHops > 0 || SessionTvf.findFirstIn(s).isDefined
+      if (cumulates == 1 && !otherTvf && gbRe.findAllIn(s).size == 1)
+        s = gbRe.replaceAllIn(s, "$1`__w`, ")
+      else
+        s = s.replaceAll("""(?i)window\([^)]*\)\s+AS\s+__w,\s*""", "")
+    }
     // SESSION TVF: needs the GROUP BY rewritten onto session_window(); handle
     // the canonical "GROUP BY window_start, window_end[, ...]" shape.
     // SESSION TVF canonical shape:

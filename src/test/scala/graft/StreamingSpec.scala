@@ -580,6 +580,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("SQL CUMULATE on a stream: dialect injects the window struct for bounded state") {
+    // the Flink-SQL path must get the same bounded-state shape as
+    // cumulateStreamingAgg: the dialect projects the aligned size-window
+    // struct as __w and adds it to the GROUP BY (batch granularity is
+    // unchanged — __w ↔ window_start), so the streaming aggregation carries
+    // the watermark tag and closed windows are evicted
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.toDF().toDF("ts", "k", "v").withWatermark("ts", "0 seconds")
+      .createOrReplaceTempView("cum_sql_src")
+    val sql = """SELECT window_start, window_end, k, COUNT(*) AS cnt
+                |FROM TABLE(CUMULATE(TABLE cum_sql_src, DESCRIPTOR(ts), INTERVAL '10' MINUTES, INTERVAL '30' MINUTES))
+                |GROUP BY window_start, window_end, k""".stripMargin
+    val rewritten = graft.engine.FlinkDialect.rewrite(sql)
+    assert(rewritten.contains("`__w`, "), s"window struct not injected:\n$rewritten")
+    val df = spark.sql(rewritten)
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("cum_sql_out")
+      .outputMode("update").start()
+    try {
+      mem.addData((ts("2024-01-01 00:05:00"), "a", 1.0), (ts("2024-01-01 00:12:00"), "a", 2.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 02:00:00"), "b", 5.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 02:10:00"), "b", 6.0))
+      q.processAllAvailable()
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      assert(stateRows == 3,
+        s"closed size-window not evicted through the SQL path: $stateRows state rows")
+      // refinements match the batch operator on the same rows
+      val finalRows = spark.table("cum_sql_out")
+        .groupBy("window_start", "window_end", "k").agg(max("cnt").as("cnt"))
+      val batch = graft.operators.Windows.cumulate(
+          Seq((ts("2024-01-01 00:05:00"), "a", 1.0), (ts("2024-01-01 00:12:00"), "a", 2.0),
+            (ts("2024-01-01 02:00:00"), "b", 5.0), (ts("2024-01-01 02:10:00"), "b", 6.0))
+            .toDF("ts", "k", "v"), "ts", 600, 1800)
+        .groupBy($"window_start", $"window_end", $"k").agg(count(lit(1)).as("cnt"))
+      assert(finalRows.exceptAll(batch).isEmpty && batch.exceptAll(finalRows).isEmpty)
+      assert(finalRows.count() > 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: time-bounded equi-join with watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val sm = MemoryStream[(Long, Timestamp)]
