@@ -159,8 +159,13 @@ object FlinkDialect {
       // SELECT-*-passthrough TVF must not grow an extra column, and a
       // statement mixing TVF families must not have a foreign __w pushed
       // into the wrong aggregation.
-      val gbRe = ("""(?i)(GROUP\s+BY\s+)(?=[^()]*\bwindow_start\b)""" +
-        """(?=[^()]*\bwindow_end\b)""").r
+      // lookahead bounded at clause keywords (ORDER/HAVING/LIMIT/WINDOW) so
+      // window_start appearing only AFTER the GROUP BY clause (e.g. in
+      // ORDER BY) cannot trigger __w injection into a grouping that does
+      // not actually list the window columns
+      val gbRe = ("""(?i)(GROUP\s+BY\s+)""" +
+        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()])*\bwindow_start\b)""" +
+        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()])*\bwindow_end\b)""").r
       val otherTvf = CumulateTvf.findFirstIn(s).isDefined ||
         SessionTvf.findFirstIn(s).isDefined
       val gbMatches = gbRe.findAllIn(s).size
@@ -194,8 +199,9 @@ object FlinkDialect {
     if (cumulates > 0) {
       // same unambiguity rules as TUMBLE/HOP above: one CUMULATE, no other
       // TVF family, exactly one GROUP BY naming both window_start/end
-      val gbRe = ("""(?i)(GROUP\s+BY\s+)(?=[^()]*\bwindow_start\b)""" +
-        """(?=[^()]*\bwindow_end\b)""").r
+      val gbRe = ("""(?i)(GROUP\s+BY\s+)""" +
+        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()])*\bwindow_start\b)""" +
+        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()])*\bwindow_end\b)""").r
       val otherTvf = tumbleHops > 0 || SessionTvf.findFirstIn(s).isDefined
       if (cumulates == 1 && !otherTvf && gbRe.findAllIn(s).size == 1)
         s = gbRe.replaceAllIn(s, "$1`__w`, ")

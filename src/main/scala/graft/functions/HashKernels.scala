@@ -137,7 +137,15 @@ object VecKernels {
     * itself, and candidates arrive sorted by ascending centroid id with
     * strictly-greater-wins, so ties (including all-NaN vectors) keep the
     * LOWEST centroid id. A zero-norm centroid scores -Infinity (never
-    * chosen unless every centroid is degenerate — then lowest id). */
+    * chosen unless every centroid is degenerate — then lowest id).
+    * A vector/centroid dimension mismatch is a data bug that would quietly
+    * corrupt bucket quality if assigned on a truncated dot product, so it
+    * fails fast with the offending dimensions. */
+  private def checkDim(vDim: Int, cDim: Int): Unit =
+    if (vDim != cDim) throw new IllegalArgumentException(
+      s"IVF assignment dimension mismatch: vector has $vDim elements but " +
+        s"centroids have $cDim — refusing to assign on a truncated dot product")
+
   def argmaxDotD(v: org.apache.spark.sql.catalyst.util.ArrayData,
       cents: Array[Array[Double]], norms: Array[Double], ids: Array[Int]): Int = {
     var bestIdx = 0
@@ -147,7 +155,8 @@ object VecKernels {
       var s = Double.NegativeInfinity
       if (norms(c) != 0.0) {
         val ct = cents(c)
-        val n = math.min(v.numElements(), ct.length)
+        checkDim(v.numElements(), ct.length)
+        val n = ct.length
         var acc = 0.0
         var j = 0
         while (j < n) { acc += v.getDouble(j) * ct(j); j += 1 }
@@ -174,7 +183,8 @@ object VecKernels {
       var s = Double.NegativeInfinity
       if (norms(c) != 0.0) {
         val ct = cents(c)
-        val n = math.min(v.numElements(), ct.length)
+        checkDim(v.numElements(), ct.length)
+        val n = ct.length
         var acc = 0.0
         var j = 0
         while (j < n) { acc += v.getFloat(j).toDouble * ct(j); j += 1 }

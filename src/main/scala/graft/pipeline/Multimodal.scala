@@ -292,8 +292,10 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](1)
         // NULL payload first: decodeAudio(null) is caught inside, but the
         // None branch below still reads bytes.length — the contract is
-        // "undecodable yields NULL metadata, never a failed scan"
-        if (bytes == null) Row(id, 0L, null, null, null, null)
+        // "undecodable yields NULL metadata, never a failed scan". A
+        // missing payload keeps a NULL byte length too, so downstream can
+        // tell missing from a genuine zero-length blob (which keeps 0L).
+        if (bytes == null) Row(id, null, null, null, null, null)
         else decodeAudio(bytes) match {
           case Some((rate, ch, frames, rms)) =>
             Row(id, bytes.length.toLong, rate, ch, frames, rms)

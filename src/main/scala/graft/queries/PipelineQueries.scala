@@ -31,34 +31,57 @@ object PipelineQueries {
     * directory is unique per build (no fixed path two concurrent
     * processes could race on) and reaped by a shutdown hook. */
   private val ivfIndexFixture = new java.util.WeakHashMap[
-    SparkSession, scala.collection.mutable.Map[String, (DataFrame, DataFrame, String)]]()
+    SparkSession,
+    scala.collection.mutable.Map[String, (String, java.lang.ref.SoftReference[(DataFrame, DataFrame)])]]()
 
   private def indexFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, String) =
     // weak-keyed on the session OBJECT: identity hashing by address could
     // serve a stopped session's cached DataFrames to a colliding new
     // session, and a strong key would pin dead sessions' plans for the JVM
-    // lifetime. The lock serializes concurrent first builds (same contract
-    // as computeIfAbsent).
+    // lifetime. The value must NOT hold a strong path back to the key, or
+    // the weak key never reclaims: the idxDir String is held strongly (no
+    // session reference) while the DataFrames — whose plans reference the
+    // session — sit behind a SoftReference. On a cleared reference the
+    // index is rebuilt deterministically into the SAME saved directory
+    // (build is seeded), so the parity gate keeps comparing a fresh
+    // in-memory build against the original on-disk copy. The lock
+    // serializes concurrent first builds (same contract as computeIfAbsent).
     ivfIndexFixture.synchronized {
       val perSession = {
         val m = ivfIndexFixture.get(s)
         if (m != null) m
         else {
-          val m2 = scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame, String)]
+          val m2 = scala.collection.mutable.Map
+            .empty[String, (String, java.lang.ref.SoftReference[(DataFrame, DataFrame)])]
           ivfIndexFixture.put(s, m2)
           m2
         }
       }
-      perSession.getOrElseUpdate(dir, {
+      def build(): (DataFrame, DataFrame) = {
         val e = t(s, dir, "embeddings")
         val (centroids, assigned0) = IvfIndex.build(e, "vec_id", "embedding")
-        val assigned = assigned0.cache()
-        val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
-        IvfIndex.save(idxDir, centroids, assigned)
-        sys.addShutdownHook(
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir)))
-        (centroids, assigned, idxDir)
-      })
+        (centroids, assigned0.cache())
+      }
+      perSession.get(dir) match {
+        case Some((idxDir, ref)) =>
+          val cached = ref.get()
+          if (cached != null) (cached._1, cached._2, idxDir)
+          else {
+            val (centroids, assigned) = build()
+            perSession.update(dir,
+              (idxDir, new java.lang.ref.SoftReference((centroids, assigned))))
+            (centroids, assigned, idxDir)
+          }
+        case None =>
+          val (centroids, assigned) = build()
+          val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
+          IvfIndex.save(idxDir, centroids, assigned)
+          sys.addShutdownHook(
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir)))
+          perSession.update(dir,
+            (idxDir, new java.lang.ref.SoftReference((centroids, assigned))))
+          (centroids, assigned, idxDir)
+      }
     }
 
   /** The blocked candidate set shared by the exact-Jaccard dedup queries:

@@ -946,6 +946,22 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(decoded.map(_.getInt(2)).toSet == Set(8000, 16000, 22050))
     assert(decoded.map(_.getInt(3)).toSet == Set(1, 2))
+    // missing vs empty payload stay distinguishable in the batch path:
+    // NULL payload → NULL n_bytes; a real zero-length blob → n_bytes = 0
+    val edge = Multimodal.decodeAudioBatch(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(900L, null),
+          org.apache.spark.sql.Row(901L, Array.emptyByteArray))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType)))),
+      "doc_id").collect().map(r => r.getLong(0) -> r).toMap
+    assert(edge(900L).isNullAt(1), "missing payload must yield NULL n_bytes")
+    assert(edge(901L).getLong(1) == 0L, "empty payload must yield n_bytes = 0")
+    assert(edge.values.forall(_.isNullAt(2)), "neither decodes")
   }
 
   test("phash near-dup pairs: identical payloads pair at hamming 0; blocking finds corpus near-dups") {
