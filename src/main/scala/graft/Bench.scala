@@ -23,6 +23,16 @@ object Bench {
         graft.functions.HashExprs.minhash_sig(org.apache.spark.sql.functions.col("s"), 3, 32),
         graft.functions.RollingHashes.rolling_hashes(org.apache.spark.sql.functions.col("s"), 3, 0L))
       .collect()
+    // warm the banded-pairs plan SHAPE (windows + self-join + distinct +
+    // jaccard verify) on a tiny synthetic frame: the generated classes land
+    // in the codegen cache keyed by source, so the real gate's first timed
+    // run doesn't pay ~4-8 s of cold plan compilation that AbProbe r11
+    // attributed (steady state 0.9-1.8 s; the cost is one-time, not
+    // per-data). Same contract as the kernel warmup above: JIT/codegen
+    // warmth the recorded baseline already assumes.
+    graft.pipeline.Dedup.nearDuplicatePairs(
+      spark.range(256).selectExpr("id AS doc_id", "repeat(uuid(), 4) AS text"),
+      "doc_id", "text", threshold = 0.5).count()
     // Per-query wall time = min of two timed executions. The recorded
     // BASELINE numbers are warm steady-state; best-of-2 reports the same
     // quantity while staying robust to one-off interference bursts on a
