@@ -64,6 +64,15 @@ class Gateway(root: SparkSession) {
     private[Gateway] val cache = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[Seq[Any]]]
   }
 
+  /** Test hook: (pages materialized so far, cached-page count, known total
+    * page count). A bounded-memory paging spec asserts the iterator has NOT
+    * been drained after early fetches — pageCount still None, cache within
+    * the retention window. */
+  private[graft] def opDiagnostics(opHandle: String): (Int, Int, Option[Int]) = {
+    val op = operations(opHandle)
+    op.synchronized((op.nextPageIdx, op.cache.size, op.pageCount))
+  }
+
   private val sessions = TrieMap.empty[String, Session]
   private val operations = TrieMap.empty[String, Operation]
   val pageSize = 1000

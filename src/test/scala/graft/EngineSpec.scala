@@ -383,6 +383,44 @@ class EngineSpec extends SparkTestBase {
     intercept[IllegalStateException](gw.session(h))
   }
 
+  test("gateway: large batch SELECT is served page-by-page with bounded driver memory") {
+    val gw = new Gateway(spark)
+    val h = gw.openSession("paging")
+    // 250 pages worth of rows: a full collect() would materialize 250k rows
+    // on the driver; lazy paging must hold only the retention window
+    gw.executeStatement(h,
+      "CREATE TABLE big_src (id BIGINT, v DOUBLE) WITH ('connector'='datagen','number-of-rows'='250000')")
+    val op = gw.executeStatement(h, "SELECT id, v FROM big_src")
+    val page0 = gw.fetchResults(op, 0)
+    assert(page0.rows.size == gw.pageSize && !page0.eos && page0.nextToken.contains(1))
+    // bounded: after one page the iterator is nowhere near drained — total
+    // page count unknown, exactly one page materialized and cached
+    val (mat0, cached0, total0) = gw.opDiagnostics(op)
+    assert(mat0 == 1 && cached0 == 1 && total0.isEmpty,
+      s"first fetch must not drain the result: materialized=$mat0 cached=$cached0 total=$total0")
+    // walk forward a dozen pages: materialization tracks the client's token,
+    // the cached window stays within the retention bound
+    var tok = 1
+    while (tok <= 12) { assert(gw.fetchResults(op, tok).rows.size == gw.pageSize); tok += 1 }
+    val (mat1, cached1, total1) = gw.opDiagnostics(op)
+    assert(mat1 == 13 && cached1 <= 8 && total1.isEmpty,
+      s"paging must stay lazy and windowed: materialized=$mat1 cached=$cached1 total=$total1")
+    // idempotent re-fetch inside the retention window: same rows, no restart
+    val again = gw.fetchResults(op, 12)
+    assert(again.rows.size == gw.pageSize)
+    assert(gw.opDiagnostics(op)._1 == 13, "re-fetch of a cached page must not advance the iterator")
+    // a token older than the window restarts the iterator and still returns
+    // the right page (documented rare-client slow path)
+    val old = gw.fetchResults(op, 0)
+    assert(old.rows.size == gw.pageSize)
+    // drain to EOS: the final page count lands and is consistent
+    var page = gw.fetchResults(op, 1)
+    tok = 2
+    while (!page.eos) { page = gw.fetchResults(op, tok); tok += 1 }
+    assert(gw.opDiagnostics(op)._3.contains(250))
+    gw.closeSession(h)
+  }
+
   test("views over bindings: CREATE/SHOW CREATE/DESCRIBE/DROP VIEW; ALTER TABLE SET/RENAME") {
     TableEnv.clear()
     val gw = new Gateway(spark)
