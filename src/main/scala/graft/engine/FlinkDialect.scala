@@ -128,6 +128,35 @@ object FlinkDialect {
   def rewrite(stmt0: String): String = {
     var s = stmt0
 
+    // ---- mask string literals and backticked identifiers FIRST: no rule
+    // below may ever touch the INSIDE of a quoted constant or identifier
+    // ('code 0xFF', a literal that happens to spell a TVF call, `group by`).
+    // EXEMPTION: literals whose content is purely numeric/duration-shaped
+    // ([0-9:. -]) stay visible — the window-TVF rules parse INTERVAL 'n'
+    // out of them, and no rewrite rule can match inside that alphabet.
+    // (r11: the DialectFuzzSpec corpus caught the pre-mask SIMILAR TO and
+    // TVF rules rewriting inside adversarial literals.)
+    val literals = ArrayBuffer.empty[String]
+    val simpleLit = """^'[0-9:. \-]*'$""".r
+    s = """'(?:[^']|'')*'""".r.replaceAllIn(s, m =>
+      if (simpleLit.findFirstIn(m.matched).isDefined) Regex.quoteReplacement(m.matched)
+      else {
+        literals += m.matched
+        s"__GRAFT_LIT_${literals.size - 1}__"
+      })
+    val bticks = ArrayBuffer.empty[String]
+    s = """`[^`]+`""".r.replaceAllIn(s, m => {
+      bticks += m.matched
+      s"__GRAFT_BT_${bticks.size - 1}__"
+    })
+    // resolve a captured identifier token for re-emission inside backticks:
+    // a masked `quoted ident` placeholder must contribute its NAME, not a
+    // nested-backtick mess
+    def idText(tok: String): String =
+      "__GRAFT_BT_(\\d+)__".r.findFirstMatchIn(tok)
+        .map(m => bticks(m.group(1).toInt).stripPrefix("`").stripSuffix("`"))
+        .getOrElse(tok)
+
     // window TVFs → inline subqueries projecting window_start/window_end,
     // plus (conditionally, see below) the window struct itself as __w:
     // grouping must include the TimeWindow attribute — not just the
@@ -136,15 +165,17 @@ object FlinkDialect {
     // (start/end functionally determine __w).
     var tumbleHops = 0
     s = TumbleTvf.replaceAllIn(s, m => Regex.quoteReplacement {
-      val (t, ts, v, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val (t, ts0, v, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val ts = idText(ts0)
       tumbleHops += 1
       s"(SELECT *, window(`$ts`, '${dur(v, u)}') AS __w, " +
         s"window(`$ts`, '${dur(v, u)}').start AS window_start, " +
         s"window(`$ts`, '${dur(v, u)}').end AS window_end FROM $t)"
     })
     s = HopTvf.replaceAllIn(s, m => Regex.quoteReplacement {
-      val (t, ts, sv, su, zv, zu) =
+      val (t, ts0, sv, su, zv, zu) =
         (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
+      val ts = idText(ts0)
       // HOP(table, descriptor, slide, size)
       tumbleHops += 1
       s"(SELECT *, window(`$ts`, '${dur(zv, zu)}', '${dur(sv, su)}') AS __w, " +
@@ -184,8 +215,9 @@ object FlinkDialect {
     // pinned by Windows.cumulateStreamingAgg's spec).
     var cumulates = 0
     s = CumulateTvf.replaceAllIn(s, m => Regex.quoteReplacement {
-      val (t, ts, sv, su, zv, zu) =
+      val (t, ts0, sv, su, zv, zu) =
         (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))
+      val ts = idText(ts0)
       val step = durSeconds(sv, su); val size = durSeconds(zv, zu)
       cumulates += 1
       s"""(SELECT *, window_start + make_dt_interval(0, 0, 0, __end_sec) AS window_end FROM (
@@ -216,7 +248,8 @@ object FlinkDialect {
     // (Spark names the grouping struct `session_window`); later references
     // (ORDER BY window_start) then resolve against the SELECT aliases.
     SessionTvf.findFirstMatchIn(s).foreach { m =>
-      val (t, ts, v, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val (t, ts0, v, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val ts = idText(ts0)
       val gap = dur(v, u)
       s = SessionTvf.replaceAllIn(s, Regex.quoteReplacement(t))
       s = s.replaceAll("(?i)GROUP\\s+BY\\s+window_start\\s*,\\s*window_end",
@@ -229,36 +262,29 @@ object FlinkDialect {
         "session_window.start AS window_start, session_window.end AS window_end")
     }
 
-    // SIMILAR TO pattern → anchored regexp_like ('%'→'.*', '_'→'.')
-    // (must run before literal masking: it consumes its pattern literal).
+    // SIMILAR TO pattern → anchored regexp_like ('%'→'.*', '_'→'.').
+    // The pattern literal arrives either unmasked (simple numeric-ish
+    // content) or as a masked placeholder; either way the translated regex
+    // is emitted as a NEW masked literal so no later rule can touch it.
     // Regex metacharacters that are LITERALS in SQL SIMILAR TO (. ^ $ \)
     // are escaped first — 'a.b' must match only "a.b", not "aXb"; the
     // escapes run before %/_ translation so the introduced '.'/'.*' survive.
-    s = """(?i)((?:[\w.`']|\((?:[^()']|'[^']*'|\([^()]*\))*\))+)\s+SIMILAR\s+TO\s+'([^']*)'""".r
+    s = """(?i)((?:[\w.`']|\((?:[^()']|'[^']*'|\([^()]*\))*\))+)\s+SIMILAR\s+TO\s+(?:'([^']*)'|__GRAFT_LIT_(\d+)__)""".r
       .replaceAllIn(s, m => {
+        val pat =
+          if (m.group(2) != null) m.group(2)
+          else literals(m.group(3).toInt)
+            .stripPrefix("'").stripSuffix("'").replace("''", "'")
         // DOUBLE backslash in the emitted SQL text: Spark's string-literal
         // unescaping consumes one layer ('\.' parses to '.'), the regex
         // engine needs the other
-        val rx = m.group(2).replace("\\", "\\\\\\\\").replace(".", "\\\\.")
+        val rx = pat.replace("\\", "\\\\\\\\").replace(".", "\\\\.")
           .replace("^", "\\\\^").replace("$", "\\\\$")
           .replace("%", ".*").replace("_", ".")
-        Regex.quoteReplacement(s"regexp_like(${m.group(1)}, '^$rx$$')")
+        literals += "'^" + rx.replace("'", "''") + "$'"
+        Regex.quoteReplacement(
+          s"regexp_like(${m.group(1)}, __GRAFT_LIT_${literals.size - 1}__)")
       })
-
-    // ---- mask string literals: none of the remaining rewrites may touch
-    // the INSIDE of a quoted constant ('code 0xFF', 'a[1]', 'SHUFFLE_MERGE')
-    val literals = ArrayBuffer.empty[String]
-    s = """'(?:[^']|'')*'""".r.replaceAllIn(s, m => {
-      literals += m.matched
-      s"__GRAFT_LIT_${literals.size - 1}__"
-    })
-    // ...and backtick-quoted identifiers: a column named `unknown` or
-    // `array` must never be mistaken for the keyword
-    val bticks = ArrayBuffer.empty[String]
-    s = """`[^`]+`""".r.replaceAllIn(s, m => {
-      bticks += m.matched
-      s"__GRAFT_BT_${bticks.size - 1}__"
-    })
 
     // PROCTIME() → current_timestamp()
     s = s.replaceAll("(?i)\\bPROCTIME\\s*\\(\\s*\\)", "current_timestamp()")

@@ -427,7 +427,7 @@ object TableEnv {
   // -------------------------------------------------------------- sources --
 
   /** Projection applying computed + watermark semantics to a raw source DF. */
-  private def finishSource(df0: DataFrame, b: Binding, stream: Boolean): DataFrame = {
+  private[graft] def finishSource(df0: DataFrame, b: Binding, stream: Boolean): DataFrame = {
     var df = df0
     b.cols.filter(_.computed.isDefined).foreach { c =>
       df = df.withColumn(c.name, expr(c.computed.get))

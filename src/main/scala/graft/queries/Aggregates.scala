@@ -91,14 +91,23 @@ object Aggregates {
         .orderBy(col("l_partkey"))
     },
 
-    // APPROX_COUNT_DISTINCT (HLL++) — estimates are engine-specific, so no
-    // DuckDB oracle; sanity-asserted against exact counts in AggregatesSpec.
+    // APPROX_COUNT_DISTINCT (HLL++) with an ORACLE-CHECKABLE contract
+    // (r11, the q_sim_recall convention): the raw estimate is
+    // engine-specific, so it enters the result only through a relative-
+    // error bound against the exact count computed in the same query. The
+    // default rsd is 0.05; measured relative error is ≤0.027 at
+    // sf0.001/0.01/0.1 (tools/ContractProbe), gated at ≤0.10 — any HLL
+    // regression past 2× rsd flips the boolean and the oracle hash
+    // mismatches.
     "q_agg_approx_distinct" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.10).as("approx_within_10pct"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -116,6 +125,14 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // constant-row contract: the HLL estimate enters only through the
+    // relative-error boolean (see the query comment) — the oracle
+    // recomputes the exact side and pins the boolean TRUE
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS approx_within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_agg_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows

@@ -9,9 +9,11 @@ import graft.pipeline.{CorpusFilters, Dedup, IvfIndex, Multimodal, Sampling, Sim
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding near-dup),
   * similarity search (brute-force + IVF), text analysis, multimodal plumbing.
   *
-  * MinHash/SimHash/IVF outputs depend on engine hash functions, so they have
-  * no DuckDB oracle (driver records rows-only); their semantics are asserted
-  * in PipelineSpec against brute-force ground truth instead.
+  * Hash-engine-dependent outputs (MinHash/SimHash/IVF/LSH) reach the driver
+  * only through oracle-checkable contracts — theorem booleans (exact-copy
+  * connectivity, simhash determinism), measured-floor aggregates (near-copy
+  * recall, ANN recall@10) — or, for the raw top-k gates, rows-only checks
+  * backed by PipelineSpec assertions against brute-force ground truth.
   */
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -165,21 +167,76 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // MinHash + LSH banding near-dup candidates, verified by shingle Jaccard
-    // (hash-seeded: rows-only for the driver, recall asserted in PipelineSpec)
+    // MinHash + LSH end-to-end with an ORACLE-CHECKABLE contract (r11,
+    // the q_sim_recall convention): the full-corpus signature→band→bucket→
+    // pair→cluster pipeline still runs at bench scale, but the hash-seeded
+    // output enters the result only through booleans that are either
+    // theorems or measured-floor aggregates:
+    //  * corpus = all documents ∪ planted EXACT copies (+1_000_000) and
+    //    planted NEAR copies (+2_000_000, text ++ " qq") of every
+    //    doc_id < 50 with length(text) >= 100;
+    //  * an exact copy has an IDENTICAL minhash signature, so it shares
+    //    every (band,bucket) with its original — a direct candidate pair
+    //    when the bucket is small, star edges through the bucket's min-id
+    //    representative when oversized — either way CONNECTED in the
+    //    candidate graph regardless of hash seeds. `exact_connected` is
+    //    therefore constant TRUE on a correct pipeline, and any regression
+    //    in signature/banding/pairing/clustering flips it;
+    //  * near-copy recall IS seed-dependent per pair (one mutated shingle
+    //    window), so it enters only as one aggregate floor boolean —
+    //    measured 1.00 at sf0.001/0.01/0.1 (tools/ContractProbe), gated
+    //    at ≥ 0.8.
     "q_dedup_minhash_lsh" -> { (s, dir) =>
-      Dedup.nearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") < 50 && length(col("text")) >= 100)
+      val corpus = docs
+        .union(base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .union(base.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" qq")).as("text")))
+      val clusters = CorpusFilters.duplicateGroups(
+        Dedup.lshCandidatePairs(corpus, "doc_id", "text"))
+      def clusterOf(off: Long, as: String) =
+        base.select(col("doc_id").as("orig_id"),
+            (col("doc_id") + off).as("doc_id"))
+          .join(clusters, Seq("doc_id"), "left_outer")
+          .select(col("orig_id"), col("cluster_id").as(as))
+      val per = clusterOf(0L, "c_orig")
+        .join(clusterOf(1000000L, "c_exact"), "orig_id")
+        .join(clusterOf(2000000L, "c_near"), "orig_id")
+        .select(col("orig_id"),
+          (col("c_orig").isNotNull && col("c_orig") === col("c_exact"))
+            .as("exact_connected"),
+          (col("c_orig").isNotNull && col("c_orig") === col("c_near"))
+            .as("near_connected"))
+      val floor = per.agg(
+        (avg(col("near_connected").cast("double")) >= 0.8).as("near_recall_ok"))
+      per.select(col("orig_id").as("doc_id"), col("exact_connected"))
+        .crossJoin(broadcast(floor))
+        .orderBy(col("doc_id"))
     },
 
-    // SimHash values + exact-simhash duplicate grouping
+    // SimHash with an ORACLE-CHECKABLE contract (r11): simhash is a pure
+    // function of normalized text, so (a) every exact-duplicate text group
+    // carries exactly ONE distinct simhash and (b) grouping by simhash can
+    // MERGE text groups (hamming-0 collisions) but never SPLIT one —
+    // distinct simhash count <= distinct digest count. Both are theorems
+    // on a correct kernel; the oracle recomputes the digest groups and
+    // pins the booleans TRUE. The simhash kernel + both groupings still
+    // execute over the full corpus.
     "q_dedup_simhash" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-        .groupBy(col("simhash"))
-        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
-        .orderBy(col("keeper_id"))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        md5(Dedup.normalize(col("text"))).as("digest"),
+        Dedup.simhash(col("text")).as("simhash"))
+      val groups = d.groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"),
+          (countDistinct(col("simhash")) === 1).as("one_simhash"))
+      val totals = d.agg(
+        (countDistinct(col("simhash")) <= countDistinct(col("digest")))
+          .as("no_split"))
+      groups.crossJoin(broadcast(totals))
+        .select(col("digest"), col("keeper_id"), col("group_size"),
+          col("one_simhash"), col("no_split"))
+        .orderBy(col("digest"))
     },
 
     // embedding cosine near-dup pairs (bounded block: label-blocked join)
@@ -601,6 +658,24 @@ object PipelineQueries {
         |SELECT n.doc_id, n.digest,
         |       EXISTS (SELECT 1 FROM hist WHERE hist.digest = n.digest) AS is_duplicate
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // constant-row contracts: the engine-side booleans are theorems
+    // (exact-copy connectivity; simhash functional determinism) or
+    // measured-floor aggregates — see the query comments. The oracle
+    // recomputes every hash-independent column and pins the booleans.
+    "q_dedup_minhash_lsh" ->
+      """SELECT doc_id, TRUE AS exact_connected, TRUE AS near_recall_ok
+        |FROM documents WHERE doc_id < 50 AND length(text) >= 100
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH g AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
+        |         MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+        |  FROM documents GROUP BY 1)
+        |SELECT digest, keeper_id, group_size,
+        |       TRUE AS one_simhash, TRUE AS no_split
+        |FROM g ORDER BY digest""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       """WITH d AS (

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Replicates a test-data directory N× into parallel key universes for the
+  * sf1.0 sweep (r11, VERDICT task 4): the driver only ships
+  * sf{0.001,0.01,0.1}, and the 2×-of-baseline bar is measured at sf0.1
+  * only — a 10× corpus is needed once to see whose cost curve bends.
+  *
+  *  - TPC-H-ish tables: every key column shifts by `replica * (max+1)` in
+  *    its own domain, so joins stay referentially intact (replica = a
+  *    parallel universe) and fact tables grow by exactly N×. region/nation
+  *    stay fixed (dimensions).
+  *  - documents: replica > 0 texts are deterministically word-shuffled
+  *    (sort by hash(word, replica)), so replicas are genuinely DISTINCT
+  *    documents — naive duplication would hand the LSH family an
+  *    unrealistic 10-clone cluster per doc and flag superlinear growth
+  *    that real sf1.0 data would not have.
+  *  - embeddings: replica > 0 vectors get deterministic per-element noise
+  *    (same reasoning for ANN candidate structure).
+  *  - events: event_id shifts; ts/user_id stay — larger SF = denser
+  *    activity in the same window, which is how the driver generator
+  *    scales too (sf0.1's events span the same dates as sf0.001's).
+  *
+  * Run: sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 target/sf1.0 10"
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, fStr) = args.take(3)
+    val factor = fStr.toInt
+    val s = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+
+    def tbl(n: String) = graft.Tables.load(s, src, n)
+    def step(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1
+    val oStep = step(tbl("orders"), "o_orderkey")
+    val cStep = step(tbl("customer"), "c_custkey")
+    val pStep = step(tbl("part"), "p_partkey")
+    val sStep = step(tbl("supplier"), "s_suppkey")
+    val eStep = step(tbl("events"), "event_id")
+    val dStep = step(tbl("documents"), "doc_id")
+    val vStep = step(tbl("embeddings"), "vec_id")
+
+    def replicate(name: String)(mk: (DataFrame, Int) => DataFrame): Unit = {
+      val base = tbl(name)
+      val out = (0 until factor).map(r => mk(base, r)).reduce(_ union _)
+      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name -> ${factor}x")
+    }
+
+    // dimensions: copy through unchanged
+    Seq("region", "nation").foreach { n =>
+      tbl(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
+    }
+    replicate("customer") { (d, r) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(r * cStep)) }
+    replicate("supplier") { (d, r) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(r * sStep)) }
+    replicate("part") { (d, r) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(r * pStep)) }
+    replicate("orders") { (d, r) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(r * oStep))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * cStep)) }
+    replicate("lineitem") { (d, r) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * oStep))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * pStep))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * sStep)) }
+    replicate("events") { (d, r) =>
+      d.withColumn("event_id", col("event_id") + lit(r * eStep))
+        .withColumn("ts", col("ts").cast("timestamp_ntz")) }
+    replicate("documents") { (d, r) =>
+      val text =
+        if (r == 0) col("text")
+        else expr(s"array_join(transform(array_sort(transform(split(text, ' '), " +
+          s"w -> struct(hash(w, $r) AS h, w AS w))), p -> p.w), ' ')")
+      d.withColumn("doc_id", col("doc_id") + lit(r * dStep))
+        .withColumn("text", text)
+        .withColumn("n_chars", length(col("text")).cast("long")) }
+    replicate("embeddings") { (d, r) =>
+      val emb =
+        if (r == 0) col("embedding")
+        else expr(s"transform(embedding, (x, i) -> " +
+          s"cast(x + (pmod(hash(vec_id, $r, i), 201) - 100) * cast(0.003 as float) as float))")
+      d.withColumn("vec_id", col("vec_id") + lit(r * vStep))
+        .withColumn("embedding", emb) }
+
+    println(s"[scaleup] wrote $dst at ${factor}x of $src")
+    s.stop()
+  }
+}

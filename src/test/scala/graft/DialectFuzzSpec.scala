@@ -1,0 +1,212 @@
+package graft
+
+import org.scalacheck.{Gen, rng}
+import graft.engine.FlinkDialect
+
+/** Grammar-shaped fuzz of the dialect layer (r11, VERDICT task 5): 10k+
+  * generated statements over the shapes a real user's "first weird query"
+  * hits — identifiers that embed keywords, string literals carrying SQL
+  * text / ';' / comment markers, hint placement, nested constructs, odd
+  * whitespace and case — asserting:
+  *   F1 split() returns exactly the joined statements, each payload intact;
+  *   F2 rewrite() is total (never throws) and leaves no internal
+  *      __GRAFT_* placeholder residue;
+  *   F3 string literals and backticked identifiers survive rewrite()
+  *      VERBATIM unless the construct's contract consumes them (window TVF
+  *      intervals, SIMILAR TO patterns);
+  *   F4 rewrite() output of well-formed generated statements reparses
+  *      under Spark's own parser.
+  * Seeded generators: a failure reproduces by seed printed in the assert.
+  */
+class DialectFuzzSpec extends SparkTestBase {
+
+  private def samples[A](gen: Gen[A], n: Int, seed: Long): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.from(0)
+      .map(i => gen.apply(params, rng.Seed(seed + i)))
+      .flatten.take(n).toSeq
+  }
+
+  // ---------------------------------------------------------- generators --
+
+  /** Identifiers deliberately embedding rewrite-rule keywords. */
+  private val ident: Gen[String] = Gen.oneOf(
+    "tumble_x", "hopper", "session_id", "cumulated", "rowdy", "row_cnt",
+    "elements", "collector", "unknown_flag", "proctime_ts", "similarity",
+    "window_start_x", "arrays", "mapped", "flattened", "x0xFF", "ts")
+
+  /** Backticked identifiers with content no rule may ever touch. */
+  private val btIdent: Gen[String] = Gen.oneOf(
+    "`select`", "`group by`", "`tumble`", "`a;b`", "`0xAB`", "`x[1]`",
+    "`window_start`", "`similar to`", "`collect`", "`proctime()`")
+
+  /** String-literal payloads that look exactly like rewritable constructs.
+    * None may be altered by rewrite() (single-quote-free so the literal
+    * embeds without escaping; the '' escape form is covered separately). */
+  private val litPayload: Gen[String] = Gen.oneOf(
+    "TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL 1 MINUTE)",
+    "GROUP BY window_start, window_end",
+    "x SIMILAR TO pattern", "ARRAY[1, 2]", "MAP[k, v]", "a[1][2]",
+    "0xFF and 0x10", "PROCTIME()", "ROW(a, b)", "COLLECT(x)",
+    "ELEMENT(arr)", "TIMESTAMP_LTZ(3)", "FOR SYSTEM_TIME AS OF now",
+    "SHUFFLE_MERGE NEST_LOOP", "JSON_OBJECT(KEY k VALUE v)",
+    "1 = ANY (SELECT v)", "UNKNOWN", "; -- not a split point",
+    "/*+ STATE_TTL(t AS 1h) */", "it -- looks like a comment",
+    "/* block */ END")
+
+  /** Full literals with doubled-quote escapes whose CONTENT is exactly a
+    * rewritable construct — the sharpest corruption bait for any rule that
+    * runs before literal masking. */
+  private val escLiteral: Gen[String] = Gen.oneOf(
+    "'it''s'",
+    "'TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL ''1'' MINUTE))'",
+    "'INTERVAL ''5'' MINUTE'",
+    "'x SIMILAR TO ''%a%'''",
+    "'TABLE(SESSION(TABLE e, DESCRIPTOR(ts), INTERVAL ''2'' HOUR))'")
+
+  private val literal: Gen[String] =
+    Gen.frequency(3 -> litPayload.map(p => s"'$p'"), 1 -> escLiteral)
+
+  /** Simple scalar expressions mixing the above. */
+  private val scalar: Gen[String] = Gen.oneOf(
+    ident, btIdent, literal, Gen.const("1.5"), Gen.const("42"),
+    ident.map(i => s"CASE WHEN $i > 0 THEN $i ELSE 0 END"),
+    Gen.zip(ident, literal).map { case (i, l) => s"concat($i, $l)" })
+
+  private val hint: Gen[String] = Gen.oneOf(
+    "", "/*+ BROADCAST(t) */ ", "/*+ SHUFFLE_MERGE(t) */ ",
+    "/*+ STATE_TTL('t' = '1h') */ ", "/*+ MINI_BATCH('enabled'='true') */ ")
+
+  private val unit: Gen[String] =
+    Gen.oneOf("SECOND", "MINUTE", "HOUR", "MINUTES", "second")
+
+  /** Real Flink constructs the rules MUST still rewrite. */
+  private val flinkConstruct: Gen[String] = Gen.oneOf(
+    Gen.zip(Gen.choose(1, 30), unit).map { case (v, u) =>
+      s"TABLE(TUMBLE(TABLE events, DESCRIPTOR(event_time), INTERVAL '$v' $u))" },
+    Gen.zip(Gen.choose(1, 10), Gen.choose(10, 40), unit).map { case (a, b, u) =>
+      s"table( hop(TABLE events, DESCRIPTOR(event_time), INTERVAL '$a' $u, INTERVAL '$b' $u) )" },
+    Gen.const("events FOR SYSTEM_TIME AS OF proc_ts"))
+
+  private val whereClause: Gen[String] = Gen.oneOf(
+    Gen.const(""),
+    ident.map(i => s" WHERE $i SIMILAR TO 'a%b_c.d'"),
+    ident.map(i => s" WHERE $i = ANY (SELECT v FROM u)"),
+    ident.map(i => s" WHERE $i > 0xFF"),
+    Gen.zip(ident, literal).map { case (i, l) => s" WHERE $i <> $l" })
+
+  /** A well-formed-by-construction SELECT whose skeleton Spark can parse
+    * after rewrite (tables/columns need not exist — F4 parses, not runs). */
+  private val selectStmt: Gen[String] = for {
+    h <- hint
+    cols <- Gen.nonEmptyListOf(scalar).map(_.take(4))
+    extra <- Gen.oneOf("", ", ARRAY[1, 2][1]", ", ROW(a, b) AS r",
+      ", COLLECT(v) AS m", ", CAST(NULL AS TIMESTAMP_LTZ) AS tl")
+    src <- Gen.frequency(8 -> Gen.const("t"), 2 -> flinkConstruct)
+    w <- whereClause
+  } yield s"SELECT $h${cols.mkString(", ")}$extra FROM $src$w"
+
+  private val otherStmt: Gen[String] = Gen.oneOf(
+    "SET 'table.exec.state.ttl' = '1 h'",
+    "SHOW TABLES", "DESCRIBE t", "EXPLAIN PLAN FOR SELECT a FROM t",
+    "CREATE VIEW v AS SELECT a, 'x;y' AS s FROM t",
+    "INSERT INTO snk SELECT a FROM t WHERE s <> ';'")
+
+  /** A real TVF aggregation with a DECOY literal/alias mentioning the
+    * window columns — bait for the GROUP-BY injection lookaheads. */
+  private val tvfWithDecoy: Gen[String] = for {
+    v <- Gen.choose(1, 30)
+    u <- unit
+    decoy <- Gen.oneOf("'GROUP BY window_start, window_end' AS note",
+      "'window_start' AS ws_lit", "window_start_x")
+    tail <- Gen.oneOf("", " ORDER BY window_start", " HAVING count(*) > 0")
+  } yield s"SELECT window_start, window_end, $decoy, count(*) AS n FROM " +
+    s"TABLE(TUMBLE(TABLE events, DESCRIPTOR(event_time), INTERVAL '$v' $u)) " +
+    s"GROUP BY window_start, window_end$tail"
+
+  private val statement: Gen[String] =
+    Gen.frequency(7 -> selectStmt, 2 -> otherStmt, 1 -> tvfWithDecoy)
+
+  // ----------------------------------------------------------- F1: split --
+
+  test("F1: split returns each generated statement with payloads intact") {
+    val seed = 0xd1a1ec7L
+    val scripts = samples(Gen.listOfN(4, statement), 500, seed)
+    scripts.zipWithIndex.foreach { case (stmts, i) =>
+      // tag each statement with a unique marker column so count mismatches
+      // are attributable; separators vary comment noise around the ';'
+      val tagged = stmts.zipWithIndex.map { case (s, j) =>
+        if (s.toUpperCase.startsWith("SELECT")) s"SELECT $j AS __tag_$j, " + s.drop(7)
+        else s
+      }
+      val script = tagged.mkString(";\n-- inter;statement comment\n") + ";"
+      val got = FlinkDialect.split(script)
+      assert(got.size == tagged.size, s"[case $i seed $seed] $script\n-> $got")
+      got.zip(tagged).foreach { case (g, t) =>
+        // literal payloads (incl. ';') must survive splitting verbatim
+        """'(?:[^']|'')*'""".r.findAllIn(t).foreach { lit =>
+          assert(g.contains(lit), s"[case $i] literal $lit lost from: $g")
+        }
+      }
+    }
+  }
+
+  // --------------------------------------------- F2/F3: rewrite invariants --
+
+  test("F2: rewrite is total and leaves no placeholder residue (10k stmts)") {
+    val seed = 0xf2f2f2L
+    samples(statement, 10000, seed).zipWithIndex.foreach { case (stmt, i) =>
+      val out = FlinkDialect.rewrite(stmt) // must not throw
+      assert(!out.contains("__GRAFT_LIT_") && !out.contains("__GRAFT_BT_") &&
+        !out.contains("__GRAFT_TS_LTZ__"),
+        s"[case $i seed $seed] placeholder residue:\n$stmt\n-> $out")
+    }
+  }
+
+  test("F3: string literals and backticked idents survive rewrite verbatim") {
+    val seed = 0xf3f3f3L
+    samples(selectStmt, 4000, seed).zipWithIndex.foreach { case (stmt, i) =>
+      val out = FlinkDialect.rewrite(stmt)
+      // every literal of the INPUT must appear verbatim in the OUTPUT,
+      // except those the construct's contract consumes: TVF interval
+      // literals (folded into window()'s duration string) and SIMILAR TO
+      // patterns (translated into a regexp)
+      val consumed = ("""(?is)INTERVAL\s+('[^']*')""".r.findAllMatchIn(stmt) ++
+        """(?is)SIMILAR\s+TO\s+('[^']*')""".r.findAllMatchIn(stmt))
+        .map(_.group(1)).toSet
+      // literals inside a runtime-tuning hint vanish with the whole hint —
+      // the dialect strips those hints by contract
+      val strippedHints =
+        ("""(?is)/\*\+\s*(?:OPTIONS|LOOKUP|STATE_TTL|MINI_BATCH|SPLIT_DISTINCT_AGG""" +
+          """|AGG_STRATEGY|ASYNC_LOOKUP|RETRY_STRATEGY)\s*\([^)]*\)\s*\*/""").r
+      val inStripped = strippedHints.findAllIn(stmt)
+        .flatMap(h => """'(?:[^']|'')*'""".r.findAllIn(h)).toSet
+      """'(?:[^']|'')*'""".r.findAllIn(stmt).toSeq
+        .filterNot(consumed.contains).filterNot(inStripped.contains)
+        .foreach { lit =>
+          assert(out.contains(lit),
+            s"[case $i seed $seed] literal $lit altered:\n$stmt\n-> $out")
+        }
+      """`[^`]+`""".r.findAllIn(stmt).foreach { bt =>
+        assert(out.contains(bt),
+          s"[case $i seed $seed] backtick ident $bt altered:\n$stmt\n-> $out")
+      }
+    }
+  }
+
+  // --------------------------------------------------------- F4: reparse --
+
+  test("F4: rewrite output of well-formed statements reparses under Spark") {
+    val seed = 0xf4f4f4L
+    val parser = spark.sessionState.sqlParser
+    samples(selectStmt, 2000, seed).zipWithIndex.foreach { case (stmt, i) =>
+      val out = FlinkDialect.rewrite(stmt)
+      try parser.parsePlan(out)
+      catch {
+        case e: Exception =>
+          fail(s"[case $i seed $seed] rewrite output does not parse:\n" +
+            s"$stmt\n-> $out\n${e.getMessage.linesIterator.take(4).mkString("\n")}")
+      }
+    }
+  }
+}
