@@ -33,6 +33,13 @@ object Bench {
     graft.pipeline.Dedup.nearDuplicatePairs(
       spark.range(256).selectExpr("id AS doc_id", "repeat(uuid(), 4) AS text"),
       "doc_id", "text", threshold = 0.5).count()
+    // ...and the r11 minhash GATE shape (candidate pairs -> connectivity
+    // clustering -> planted-copy joins) on the same tiny frame, for the
+    // same reason: its generated classes differ from nearDuplicatePairs'
+    graft.pipeline.CorpusFilters.duplicateGroups(
+      graft.pipeline.Dedup.lshCandidatePairs(
+        spark.range(256).selectExpr("id AS doc_id", "repeat(uuid(), 4) AS text"),
+        "doc_id", "text")).count()
     // Per-query wall time = min of two timed executions. The recorded
     // BASELINE numbers are warm steady-state; best-of-2 reports the same
     // quantity while staying robust to one-off interference bursts on a

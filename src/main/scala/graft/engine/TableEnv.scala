@@ -200,6 +200,9 @@ object TableEnv {
     else if (up.startsWith("ROW<")) "STRUCT<" + splitTop(t.substring(4, t.length - 1)).map { f =>
       val Array(n, ft) = f.trim.split("\\s+", 2); s"$n: ${mapType(ft)}"
     }.mkString(", ") + ">"
+    // an already-mapped struct (SHOW CREATE TABLE round-trip) passes
+    // through verbatim — the default branch would uppercase field names
+    else if (up.startsWith("STRUCT<")) t
     else if (up.startsWith("ARRAY<")) "ARRAY<" + mapType(t.substring(6, t.length - 1)) + ">"
     else if (up.startsWith("MULTISET<")) "MAP<" + mapType(t.substring(9, t.length - 1)) + ", INT>"
     else if (up.startsWith("MAP<")) {
@@ -231,8 +234,8 @@ object TableEnv {
   private val SourceWatermarkRe =
     """(?i)WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+SOURCE_WATERMARK\s*\(\s*\)""".r
   private val PkRe = """(?i)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
-  private val MetadataRe = """(?i)([\w`]+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?$""".r
-  private val ComputedRe = """(?i)([\w`]+)\s+AS\s+(.+)$""".r
+  private val MetadataRe = """(?i)(`[^`]+`|\w+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?$""".r
+  private val ComputedRe = """(?i)(`[^`]+`|\w+)\s+AS\s+(.+)$""".r
   private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
 
   def parseCreateTable(stmt: String): Binding = {
@@ -254,7 +257,11 @@ object TableEnv {
     val cols = ArrayBuffer.empty[ColumnDef]
     splitTop(body).foreach { item =>
       item match {
-        case w if w.toUpperCase.startsWith("WATERMARK") =>
+        // clause dispatch needs the full clause shape, not a name prefix:
+        // columns legitimately named watermark_ts / primary_color /
+        // constraint_id would otherwise match startsWith and be silently
+        // dropped (r11, DdlFuzzSpec)
+        case w if w.toUpperCase.matches("(?s)WATERMARK\\s+FOR\\b.*") =>
           WatermarkRe.findFirstMatchIn(w).foreach { wm =>
             watermark = Some((wm.group(1).replace("`", ""),
               s"${wm.group(2)} ${FlinkDialect.unitName(wm.group(3))}"))
@@ -267,8 +274,8 @@ object TableEnv {
         // constraint `CONSTRAINT pk PRIMARY KEY (id) NOT ENFORCED` — the
         // latter otherwise fell through to the plain-column branch as a
         // bogus column named CONSTRAINT with the PK silently dropped
-        case p if p.toUpperCase.startsWith("PRIMARY") ||
-            p.toUpperCase.startsWith("CONSTRAINT") =>
+        case p if p.toUpperCase.matches(
+            "(?s)(PRIMARY\\s+KEY|CONSTRAINT\\s+[\\w`]+\\s+PRIMARY\\s+KEY)\\b.*") =>
           PkRe.findFirstMatchIn(p).foreach(x =>
             pk = x.group(1).split(",").map(_.trim.replace("`", "")).toSeq)
         case MetadataRe(n, t, from, _) =>
@@ -279,9 +286,11 @@ object TableEnv {
           cols += ColumnDef(n.replace("`", ""), "",
             computed = Some(FlinkDialect.rewrite(e)))
         case other =>
-          val parts = other.trim.split("\\s+", 2)
-          if (parts.length == 2)
-            cols += ColumnDef(parts(0).replace("`", ""), mapType(parts(1)))
+          // name first: a backtick-quoted identifier may contain spaces,
+          // so a whitespace split would truncate it at the first blank
+          """(?s)^(`[^`]+`|\w+)\s+(.+)$""".r.findFirstMatchIn(other.trim)
+            .foreach(mm =>
+              cols += ColumnDef(mm.group(1).replace("`", ""), mapType(mm.group(2))))
       }
     }
     // scan only up to the WITH clause so an option value containing the

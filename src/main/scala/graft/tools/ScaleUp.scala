@@ -73,8 +73,15 @@ object ScaleUp {
         .withColumn("l_partkey", col("l_partkey") + lit(r * pStep))
         .withColumn("l_suppkey", col("l_suppkey") + lit(r * sStep)) }
     replicate("events") { (d, r) =>
+      // +r ms per replica: keeps the 10× density but breaks the exact
+      // duplicate timestamps plain replication would plant (real data has
+      // distinct event times; engines tie-break session boundaries on
+      // equal timestamps differently, which showed as ±6 rows in 95k at
+      // the first sweep)
       d.withColumn("event_id", col("event_id") + lit(r * eStep))
-        .withColumn("ts", col("ts").cast("timestamp_ntz")) }
+        .withColumn("ts", timestamp_micros(
+          unix_micros(col("ts").cast("timestamp")) + lit(r.toLong * 1000L))
+          .cast("timestamp_ntz")) }
     replicate("documents") { (d, r) =>
       val text =
         if (r == 0) col("text")
