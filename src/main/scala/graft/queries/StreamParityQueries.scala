@@ -253,6 +253,42 @@ object StreamParityQueries {
     (batch, streamed)
   }
 
+  // lookup join (r11): streaming fact enriched against a dimension
+  // snapshot through the REAL user path — Flink SQL with a LOOKUP hint and
+  // `FOR SYSTEM_TIME AS OF <proctime>` through FlinkDialect.rewrite, then
+  // executed as a stream-static equi-join over micro-batches — vs the
+  // batch join of the same rows. With a static dimension the lookup
+  // contract (probe the dimension at processing time) is exactly the
+  // snapshot join, so parity is exact, not approximate.
+  private def pairLookup(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val in = slice(s, dir)
+      .select(col("user_id"), col("event_id"), col("ets"), col("value"))
+    val rows = in.orderBy(col("ets")).collect().toSeq
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    dim.createOrReplaceTempView("parity_lookup_dim")
+    val mem = memStream(s, in.schema)
+    mem.toDF().withWatermark("ets", "0 seconds")
+      .createOrReplaceTempView("parity_lookup_fact")
+    val sql = graft.engine.FlinkDialect.rewrite(
+      """SELECT /*+ LOOKUP('table'='d', 'retry-predicate'='lookup_miss') */
+        |  f.user_id, f.event_id, f.ets, d.c_mktsegment
+        |FROM parity_lookup_fact AS f
+        |JOIN parity_lookup_dim FOR SYSTEM_TIME AS OF f.ets AS d
+        |  ON f.user_id = d.c_custkey""".stripMargin)
+    val out = s.sql(sql)
+    // pusher user_id = -1 has no dimension row, so the inner join drops it
+    // from the sink on its own; it still advances the watermark
+    val pushers = Seq(
+      Row(PusherKey, -1L,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(100000L)), 0.0))
+    val streamed = drain(s, out, "parity_lookup")(q => waves(mem, rows, pushers, q))
+      .filter(col("user_id") =!= PusherKey)
+    val batch = in.join(dim, in("user_id") === dim("c_custkey"))
+      .select(col("user_id"), col("event_id"), col("ets"), col("c_mktsegment"))
+    (batch, streamed)
+  }
+
   /** Tool hook (ParityDebug): the raw (batch, streamed) frames behind an op. */
   private[graft] def debugPair(op: String): (SparkSession, String) => (DataFrame, DataFrame) =
     op match {
@@ -260,6 +296,7 @@ object StreamParityQueries {
       case "asof" => pairAsof
       case "tumble" => pairTumble
       case "dedup" => pairDedup
+      case "lookup" => pairLookup
       case other => throw new IllegalArgumentException(s"unknown parity op '$other'")
     }
 
@@ -272,6 +309,8 @@ object StreamParityQueries {
       val (b, st) = pairTumble(s, dir); summary(s, "tumble", b, st) } },
     "q_stream_parity_dedup" -> { (s, dir) => withParityConf(s) {
       val (b, st) = pairDedup(s, dir); summary(s, "dedup", b, st) } },
+    "q_stream_parity_lookup" -> { (s, dir) => withParityConf(s) {
+      val (b, st) = pairLookup(s, dir); summary(s, "lookup", b, st) } },
   )
 
   val oracle: Map[String, String] = Map(
@@ -279,5 +318,6 @@ object StreamParityQueries {
     "q_stream_parity_asof" -> oracleRow("asof"),
     "q_stream_parity_tumble" -> oracleRow("tumble"),
     "q_stream_parity_dedup" -> oracleRow("dedup"),
+    "q_stream_parity_lookup" -> oracleRow("lookup"),
   )
 }
