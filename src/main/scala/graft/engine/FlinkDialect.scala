@@ -389,7 +389,11 @@ object FlinkDialect {
     // types, drifting by the session offset in any non-UTC deployment.
     s = s.replaceAll("(?i)\\bTIMESTAMP_LTZ\\b(\\s*\\(\\d\\))?", "__GRAFT_TS_LTZ__")
     s = s.replaceAll("(?i)\\bTIMESTAMP\\b(\\s*\\(\\d\\))?", "TIMESTAMP_NTZ")
-    s = s.replace("__GRAFT_TS_LTZ__", "TIMESTAMP")
+    // Spark's own TIMESTAMP_LTZ keyword (instant semantics), NOT bare
+    // TIMESTAMP: emitting TIMESTAMP made a second rewrite pass remap it to
+    // TIMESTAMP_NTZ — an instant silently became wall-clock whenever
+    // already-rewritten SQL re-entered the dialect (DialectFuzzSpec F5)
+    s = s.replace("__GRAFT_TS_LTZ__", "TIMESTAMP_LTZ")
 
     // EXPLAIN variants (F:535-539): Flink modifiers → Spark EXPLAIN forms
     s = s.replaceAll("(?i)\\bEXPLAIN\\s+PLAN\\s+FOR\\b", "EXPLAIN")

@@ -304,6 +304,50 @@ object Dedup {
   def simhash(textCol: Column): Column =
     graft.functions.HashExprs.simhash64(normalize(textCol))
 
+  /** SemDeDup-style semantic near-duplicate pairs over an embedding column
+    * (Abbas et al. 2023: cluster the embedding space, compare only within
+    * clusters — no pre-existing label/blocking column needed): k-means
+    * centroids (O(√N) of them, trained on a bounded deterministic sample —
+    * [[Similarity.kmeansCentroids]]) block the quadratic all-pairs search
+    * to within-cluster pairs, which is exactly the LSH-bucket shape, so
+    * the banded skew guard applies unchanged (an oversized cluster
+    * degrades to star edges against its min-id representative — linear,
+    * never a quadratic task). Candidates are then verified by exact
+    * cosine.
+    *
+    * 100 TB shape: one codegen argmax pass for assignment (zero shuffle —
+    * the kernel is constant-size per row), ONE shuffle on the cluster id
+    * for pair enumeration, and a candidate-bounded verify join.
+    * Returns (id_a, id_b, cos) with id_a < id_b and cos >= threshold. */
+  def semanticNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCentroids: Int = 16,
+      maxCluster: Int = 256): DataFrame = {
+    val cands = semanticCandidatePairs(df, idCol, vecCol, nCentroids, maxCluster)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands
+      .join(vecs.toDF("id_a", "v_a"), "id_a")
+      .join(vecs.toDF("id_b", "v_b"), "id_b")
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** The cluster-blocked candidate graph behind [[semanticNearDupPairs]],
+    * exposed for connectivity-contract gating (the minhash-LSH gate
+    * convention): identical vectors deterministically share an argmax
+    * centroid, so exact duplicates are ALWAYS connected here, independent
+    * of where k-means put the centroids. */
+  def semanticCandidatePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, maxCluster: Int = 256): DataFrame = {
+    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, nCentroids)
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, cents)
+      .select(col("vec_id").as("id"), lit(0).as("band"),
+        col("centroid_id").as("bucket"))
+    bandedPairs(assigned, maxCluster, carry = Seq.empty)
+  }
+
   /** Per-position k-gram enumeration shared by the span operators:
     * (doc_id, pos, gram) with 1-based `pos`. Kernel path: O(n) rolling-hash
     * gram identity over UTF-8 BYTES; substring path: literal k-char grams

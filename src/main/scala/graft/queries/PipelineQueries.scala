@@ -239,6 +239,49 @@ object PipelineQueries {
         .orderBy(col("digest"))
     },
 
+    // SemDeDup-style semantic dedup (r11): cluster-blocked cosine near-dup
+    // with NO pre-existing blocking column — k-means centroids from the
+    // embeddings themselves. Centroid placement is data/sample-dependent,
+    // so the gate uses the planted-copy connectivity contract (the
+    // q_dedup_minhash_lsh convention): an exact duplicate VECTOR
+    // deterministically shares its original's argmax centroid — same
+    // cluster, same candidate bucket, connected, independent of where
+    // k-means landed. Near copies (per-element noise ≤0.003) enter only
+    // through an aggregate recall floor (measured 1.00 at
+    // sf0.001/0.01/0.1, tools/ContractProbe; gated ≥0.8).
+    "q_dedup_semantic" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = e.filter(col("vec_id") < 50)
+      val corpus = e
+        .union(base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .union(base.select((col("vec_id") + 2000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> cast(x + " +
+            "(pmod(hash(vec_id, i), 7) - 3) * cast(0.001 as float) as float))")
+            .as("embedding")))
+      val clusters = CorpusFilters.duplicateGroups(
+        Dedup.semanticCandidatePairs(corpus, "vec_id", "embedding",
+          nCentroids = 16, maxCluster = 256))
+        .withColumnRenamed("doc_id", "vec_id")
+      def clusterOf(off: Long, as: String) =
+        base.select(col("vec_id").as("orig_id"),
+            (col("vec_id") + off).as("vec_id"))
+          .join(clusters, Seq("vec_id"), "left_outer")
+          .select(col("orig_id"), col("cluster_id").as(as))
+      val per = clusterOf(0L, "c_orig")
+        .join(clusterOf(1000000L, "c_exact"), "orig_id")
+        .join(clusterOf(2000000L, "c_near"), "orig_id")
+        .select(col("orig_id"),
+          (col("c_orig").isNotNull && col("c_orig") === col("c_exact"))
+            .as("exact_connected"),
+          (col("c_orig").isNotNull && col("c_orig") === col("c_near"))
+            .as("near_connected"))
+      val floor = per.agg(
+        (avg(col("near_connected").cast("double")) >= 0.8).as("near_recall_ok"))
+      per.select(col("orig_id").as("vec_id"), col("exact_connected"))
+        .crossJoin(broadcast(floor))
+        .orderBy(col("vec_id"))
+    },
+
     // embedding cosine near-dup pairs (bounded block: label-blocked join)
     "q_dedup_embedding" -> { (s, dir) =>
       val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
@@ -676,6 +719,10 @@ object PipelineQueries {
         |SELECT digest, keeper_id, group_size,
         |       TRUE AS one_simhash, TRUE AS no_split
         |FROM g ORDER BY digest""".stripMargin,
+
+    "q_dedup_semantic" ->
+      """SELECT vec_id, TRUE AS exact_connected, TRUE AS near_recall_ok
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       """WITH d AS (

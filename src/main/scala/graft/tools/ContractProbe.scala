@@ -44,7 +44,30 @@ object ContractProbe {
         .select(avg((col("c0").isNotNull && col("c0") === col("c2"))
           .cast("double")))
         .head().getDouble(0)
-      println(f"PROBE $sf hll_max_rel_err=$hll%.4f near_copy_recall=$rec%.3f")
+      // semantic-dedup near-copy connectivity recall (gate:
+      // q_dedup_semantic, floor 0.8)
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val ebase = e.filter(col("vec_id") < 50)
+      val ecorpus = e
+        .union(ebase.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .union(ebase.select((col("vec_id") + 2000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> cast(x + " +
+            "(pmod(hash(vec_id, i), 7) - 3) * cast(0.001 as float) as float))")
+            .as("embedding")))
+      val eclusters = CorpusFilters.duplicateGroups(
+        Dedup.semanticCandidatePairs(ecorpus, "vec_id", "embedding",
+          nCentroids = 16, maxCluster = 256))
+        .withColumnRenamed("doc_id", "vec_id")
+      def eClusterOf(off: Long, as: String) =
+        ebase.select(col("vec_id").as("orig_id"), (col("vec_id") + off).as("vec_id"))
+          .join(eclusters, Seq("vec_id"), "left_outer")
+          .select(col("orig_id"), col("cluster_id").as(as))
+      val erec = eClusterOf(0L, "c0").join(eClusterOf(2000000L, "c2"), "orig_id")
+        .select(avg((col("c0").isNotNull && col("c0") === col("c2"))
+          .cast("double")))
+        .head().getDouble(0)
+      println(f"PROBE $sf hll_max_rel_err=$hll%.4f near_copy_recall=$rec%.3f " +
+        f"semantic_near_recall=$erec%.3f")
     }
     s.stop()
   }

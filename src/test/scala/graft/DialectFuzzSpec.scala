@@ -194,6 +194,18 @@ class DialectFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("F5: rewrite is idempotent — a second pass changes nothing") {
+    // users (and the gateway's own EXPLAIN paths) can feed already-rewritten
+    // SQL back through the dialect; every rule's output must be a fixpoint
+    val seed = 0xf5f5f5L
+    samples(statement, 4000, seed).zipWithIndex.foreach { case (stmt, i) =>
+      val once = FlinkDialect.rewrite(stmt)
+      val twice = FlinkDialect.rewrite(once)
+      assert(twice == once,
+        s"[case $i seed $seed] rewrite not idempotent:\n$stmt\n-1->\n$once\n-2->\n$twice")
+    }
+  }
+
   // --------------------------------------------------------- F4: reparse --
 
   test("F4: rewrite output of well-formed statements reparses under Spark") {

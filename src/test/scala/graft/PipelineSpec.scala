@@ -50,6 +50,38 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "distant doc must not pair")
   }
 
+  test("semantic dedup finds planted embedding near-duplicates, skips distant vectors") {
+    // three tight planted groups + isolated distant vectors, no label column
+    def vec(seed: Int, eps: Double = 0.0): Seq[Float] =
+      (0 until 16).map(i => (math.sin(seed * 31 + i) + eps * ((i % 5) - 2)).toFloat)
+    val rows =
+      Seq((1L, vec(1)), (2L, vec(1, 0.002)), (3L, vec(1, -0.002)),   // group 1
+          (10L, vec(7)), (11L, vec(7, 0.003)),                       // group 2
+          (20L, vec(42)), (21L, vec(99)))                            // isolated
+    val df = rows.toDF("vec_id", "embedding")
+    // C ≈ √N: over-clustering a tiny corpus (e.g. C=4 for 7 vectors) can
+    // hand each planted variant its own centroid and split the group —
+    // the operator's contract is C = O(√N), same as the IVF index
+    val pairs = Dedup.semanticNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.99, nCentroids = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"group-1 planted pairs missing: $pairs")
+    assert(pairs.contains((10L, 11L)), s"group-2 planted pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 >= 20L || p._2 >= 20L),
+      s"isolated vectors must not pair: $pairs")
+    // the skew guard path: one-cluster corpus larger than maxCluster still
+    // yields connectivity (star edges), never a quadratic bucket
+    val big = (0L until 40L).map(i => (i, vec(5, 0.0001 * i))).toDF("vec_id", "embedding")
+    val cands = Dedup.semanticCandidatePairs(big, "vec_id", "embedding",
+      nCentroids = 1, maxCluster = 8)
+    val groups = graft.pipeline.CorpusFilters.duplicateGroups(cands)
+    assert(groups.select(countDistinct(col("cluster_id"))).head().getLong(0) == 1L,
+      "oversized cluster must stay one connected component via star edges")
+    val nPairs = cands.count()
+    assert(nPairs < 40L * 39 / 2, s"oversized cluster emitted all-pairs ($nPairs)")
+  }
+
   test("incremental dedup is exact even when the bloom prefilter false-positives") {
     // fpp = 0.5 over a tiny expected count forces bloom false positives, so
     // the exact-confirmation join must strip them; bloom has no false
