@@ -491,7 +491,9 @@ object FlinkDialect {
             i += 1
           }
           val close = i - 1
-          val sub = s.substring(open + 1, close).trim
+          // a truncated statement can END at "ANY (" — close lands before
+          // open; treat as no subquery instead of a negative substring
+          val sub = if (close > open) s.substring(open + 1, close).trim else ""
           // only rewrite genuine subqueries; anything else is left for Catalyst
           if (depth == 0 && sub.regionMatches(true, 0, "SELECT", 0, 6)) {
             // LHS: identifier chain, or a balanced (...) call with its name

@@ -198,7 +198,11 @@ object TableEnv {
     if (up.startsWith("TIMESTAMP_LTZ")) "TIMESTAMP"
     else if (up.startsWith("TIMESTAMP")) "TIMESTAMP_NTZ"
     else if (up.startsWith("ROW<")) "STRUCT<" + splitTop(t.substring(4, t.length - 1)).map { f =>
-      val Array(n, ft) = f.trim.split("\\s+", 2); s"$n: ${mapType(ft)}"
+      f.trim.split("\\s+", 2) match {
+        case Array(n, ft) => s"$n: ${mapType(ft)}"
+        case _ => throw new IllegalArgumentException(
+          s"malformed ROW field '$f' in type '$t0' — expected `name TYPE`")
+      }
     }.mkString(", ") + ">"
     // an already-mapped struct (SHOW CREATE TABLE round-trip) passes
     // through verbatim — the default branch would uppercase field names
@@ -206,8 +210,12 @@ object TableEnv {
     else if (up.startsWith("ARRAY<")) "ARRAY<" + mapType(t.substring(6, t.length - 1)) + ">"
     else if (up.startsWith("MULTISET<")) "MAP<" + mapType(t.substring(9, t.length - 1)) + ", INT>"
     else if (up.startsWith("MAP<")) {
-      val Seq(k, v) = splitTop(t.substring(4, t.length - 1))
-      s"MAP<${mapType(k)}, ${mapType(v)}>"
+      splitTop(t.substring(4, t.length - 1)) match {
+        case Seq(k, v) => s"MAP<${mapType(k)}, ${mapType(v)}>"
+        case parts => throw new IllegalArgumentException(
+          s"malformed MAP type '$t0' — expected MAP<key, value>, " +
+            s"got ${parts.size} type argument(s)")
+      }
     }
     // RAW('class', 'serializer-snapshot') — Flink's opaque serialized type.
     // Even in Flink, SQL can only carry a RAW value through (no operators

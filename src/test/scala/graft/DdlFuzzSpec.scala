@@ -91,6 +91,29 @@ class DdlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("D3: mutilated DDLs fail cleanly, never with an internal error") {
+    val seed = 0xdd3L
+    val mutG = for {
+      c <- ddlGen
+      mode <- Gen.choose(0, 3)
+      at <- Gen.choose(0, math.max(c.ddl.length - 1, 0))
+    } yield mode match {
+      case 0 => c.ddl.take(at)
+      case 1 => c.ddl.patch(at, "", 1)
+      case 2 => c.ddl.patch(at, "'", 0)
+      case _ => c.ddl.patch(at, ")", 0)
+    }
+    samples(mutG, 3000, seed).zipWithIndex.foreach { case (ddl, i) =>
+      try TableEnv.parseCreateTable(ddl)
+      catch {
+        case _: IllegalArgumentException => // named rejection: fine
+        case e: Throwable =>
+          fail(s"[case $i seed $seed] internal error ${e.getClass.getSimpleName} " +
+            s"on:\n$ddl\n${e.getMessage}")
+      }
+    }
+  }
+
   test("D2: parse ∘ showCreateTable ∘ parse is a fixpoint") {
     val seed = 0xdd2L
     samples(ddlGen, 2000, seed).zipWithIndex.foreach { case (c, i) =>

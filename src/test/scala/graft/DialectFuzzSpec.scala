@@ -206,6 +206,33 @@ class DialectFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("F6: mutilated statements fail cleanly, never with an internal error") {
+    // truncations, dropped characters, unbalanced quotes: split/rewrite
+    // must pass the text through or raise a named IllegalArgumentException
+    // — an NPE or StringIndexOutOfBounds is a parser bug, whatever the input
+    val seed = 0xf6f6f6L
+    val mutG = for {
+      stmt <- statement
+      mode <- Gen.choose(0, 3)
+      at <- Gen.choose(0, math.max(stmt.length - 1, 0))
+    } yield mode match {
+      case 0 => stmt.take(at)                          // truncate
+      case 1 => stmt.patch(at, "", 1)                  // drop one char
+      case 2 => stmt.patch(at, "'", 0)                 // unbalanced quote
+      case _ => stmt.patch(at, "((", 0)                // unbalanced parens
+    }
+    samples(mutG, 4000, seed).zipWithIndex.foreach { case (stmt, i) =>
+      try {
+        FlinkDialect.split(stmt).foreach(FlinkDialect.rewrite)
+      } catch {
+        case _: IllegalArgumentException => // named rejection: fine
+        case e: Throwable =>
+          fail(s"[case $i seed $seed] internal error ${e.getClass.getSimpleName} " +
+            s"on:\n$stmt\n${e.getMessage}")
+      }
+    }
+  }
+
   // --------------------------------------------------------- F4: reparse --
 
   test("F4: rewrite output of well-formed statements reparses under Spark") {
