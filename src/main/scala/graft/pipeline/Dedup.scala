@@ -310,10 +310,14 @@ object Dedup {
     * centroids (O(√N) of them, trained on a bounded deterministic sample —
     * [[Similarity.kmeansCentroids]]) block the quadratic all-pairs search
     * to within-cluster pairs, which is exactly the LSH-bucket shape, so
-    * the banded skew guard applies unchanged (an oversized cluster
+    * the banded skew guard applies unchanged: an oversized cluster
     * degrades to star edges against its min-id representative — linear,
-    * never a quadratic task). Candidates are then verified by exact
-    * cosine.
+    * never a quadratic task — and with the cosine verify on top that IS
+    * SemDeDup's cheap variant (compare each member to one cluster
+    * representative instead of all pairs), so the degradation trades
+    * pair completeness for the paper's own approximation, not for
+    * silence. Size `nCentroids` as O(√N) so typical clusters stay under
+    * `maxCluster` and get the full pairwise treatment.
     *
     * 100 TB shape: one codegen argmax pass for assignment (zero shuffle —
     * the kernel is constant-size per row), ONE shuffle on the cluster id
