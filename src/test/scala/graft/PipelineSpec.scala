@@ -256,6 +256,25 @@ class PipelineSpec extends SparkTestBase {
     assert(full == brute)
   }
 
+  test("semantic candidate pairs: constant shuffle count, no quadratic join") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cands = Dedup.semanticCandidatePairs(e, "vec_id", "embedding",
+      nCentroids = 8, maxCluster = 64)
+    cands.count()
+    val plan = cands.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the assignment itself is shuffle-free (pinned by the ivfAssign spec
+    // below); pair enumeration must stay at a CONSTANT number of hash
+    // Exchanges — (band,bucket) for the windows/self-join (+ reuse) and the
+    // final pair distinct — independent of data size, and must never fall
+    // into an unblocked quadratic join
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in the candidate plan:\n${plan.take(2000)}")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx <= 5, s"expected a constant few Exchanges, got $nEx:\n${plan.take(2500)}")
+  }
+
   test("ivfAssign is a shuffle-free projection and matches the join-shape assignment") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val centroids = Similarity.kmeansCentroids(e, "vec_id", "embedding", nCentroids = 8)
