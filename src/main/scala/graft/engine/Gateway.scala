@@ -449,6 +449,11 @@ class Gateway(root: SparkSession) {
     Statement(s"Modules in use: ${names.mkString(", ")}")
   }
 
+  /** TEMPORARY-view definition scope = this session's SparkSession
+    * identity (sessions are 1:1 with `root.newSession()` instances). */
+  private def viewScope(spark: SparkSession): String =
+    s"s${System.identityHashCode(spark)}"
+
   private def route(spark: SparkSession, stmt: String): OpResult = {
     val upper = stmt.toUpperCase
     stmt match {
@@ -637,7 +642,11 @@ class Gateway(root: SparkSession) {
         // Conflict semantics match Flink: plain CREATE on an existing view
         // fails, IF NOT EXISTS no-ops, only OR REPLACE redefines.
         val viewName = name.replace("`", "")
-        val exists = TableEnv.viewDef(viewName).isDefined ||
+        // TEMPORARY view definitions are scoped to this gateway session
+        // (its SparkSession identity): another session's same-named temp
+        // view must neither conflict here nor be visible to this one
+        val scope = viewScope(spark)
+        val exists = TableEnv.viewDef(viewName, scope).isDefined ||
           spark.catalog.tableExists(viewName)
         if (exists && orReplace == null) {
           if (ifNotExists != null) Statement(s"View $viewName already exists (no-op)")
@@ -646,18 +655,18 @@ class Gateway(root: SparkSession) {
         } else {
           spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$viewName` AS " +
             FlinkDialect.rewrite(select))
-          TableEnv.registerView(viewName, select.trim, temp != null)
+          TableEnv.registerView(viewName, select.trim, temp != null, scope)
           Statement(s"View $viewName created")
         }
       case ShowCreateViewRe(target) =>
-        TableEnv.viewDef(target.replace("`", "")) match {
+        TableEnv.viewDef(target.replace("`", ""), viewScope(spark)) match {
           case Some((sql, temp)) => Statement(
             s"CREATE ${if (temp) "TEMPORARY " else ""}VIEW `${target.replace("`", "")}` AS $sql")
           case None => Finished(spark.sql(s"SHOW CREATE TABLE $target"))
         }
       case DropViewRe(ifExists, target) =>
         val n = target.replace("`", "")
-        val hadDef = TableEnv.dropView(n)
+        val hadDef = TableEnv.dropView(n, viewScope(spark))
         if (spark.catalog.dropTempView(n) || hadDef) Statement(s"View $n dropped")
         else {
           // catalog-view fallthrough rebuilt WITHOUT the TEMPORARY keyword —

@@ -62,12 +62,26 @@ object TableEnv {
   // ------------------------------------------------- views + ALTER TABLE --
 
   /** view definitions (original Flink SQL text) for SHOW CREATE VIEW
-    * (reference F:77-90; the reference's tree UI lists views per database). */
-  private val viewDefs = TrieMap.empty[String, (String, Boolean)]
-  def registerView(name: String, sql: String, temporary: Boolean): Unit =
-    viewDefs.put(name.toLowerCase, (sql, temporary))
-  def viewDef(name: String): Option[(String, Boolean)] = viewDefs.get(name.toLowerCase)
-  def dropView(name: String): Boolean = viewDefs.remove(name.toLowerCase).isDefined
+    * (reference F:77-90; the reference's tree UI lists views per database).
+    *
+    * Non-TEMPORARY views are catalog objects shared by every session
+    * (Flink semantics) and key on scope "". TEMPORARY views are
+    * SESSION-scoped in Flink, so their definitions key on the caller's
+    * scope (the gateway passes its session identity): two sessions may
+    * hold same-named temporary views without conflicting, and one
+    * session's DROP cannot erase another's definition (r11,
+    * ConcurrencySpec caught the shared-registry interference). */
+  private val viewDefs = TrieMap.empty[(String, String), (String, Boolean)]
+  def registerView(name: String, sql: String, temporary: Boolean,
+      scope: String = ""): Unit =
+    viewDefs.put(((if (temporary) scope else ""), name.toLowerCase),
+      (sql, temporary))
+  def viewDef(name: String, scope: String = ""): Option[(String, Boolean)] =
+    viewDefs.get((scope, name.toLowerCase))
+      .orElse(viewDefs.get(("", name.toLowerCase)))
+  def dropView(name: String, scope: String = ""): Boolean =
+    viewDefs.remove((scope, name.toLowerCase)).isDefined ||
+      viewDefs.remove(("", name.toLowerCase)).isDefined
 
   /** ALTER TABLE t SET ('k'='v', ...) on a binding (F:96-98): merge options
     * and refresh the materialized view so later reads see the change. */

@@ -1,0 +1,117 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import scala.util.{Failure, Success, Try}
+import graft.engine.Gateway
+
+/** Concurrent-session isolation (r11): the reference client opens several
+  * gateway sessions at once (one per editor panel), so the engine's
+  * session model — `SparkSession.newSession()` per gateway session,
+  * shared binding registry, per-op synchronized paging — must hold under
+  * genuine thread overlap, not just sequential specs.
+  *
+  * Each worker thread gets its own session and, behind a start barrier:
+  * sets a session-scoped conf, creates a temp view NAMED THE SAME in every
+  * session but holding its own value, queries it back through the paged
+  * protocol, and re-reads its conf. Any cross-talk (another session's
+  * view content or conf value) or internal error fails the case. */
+class ConcurrencySpec extends SparkTestBase {
+
+  test("8 concurrent sessions: same-named temp views and confs stay isolated") {
+    val gw = new Gateway(spark)
+    val n = 8
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Try[Unit]]()
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          results.put(i, Try {
+            start.await()
+            val h = gw.openSession(s"concurrent_$i")
+            try {
+              (0 until 5).foreach { round =>
+                gw.executeStatement(h, s"SET 'graft.spec.worker' = 'w$i-r$round'")
+                // re-creating an existing temp view is a CONFLICT in Flink
+                // semantics (pinned in EngineSpec), so each round drops its
+                // predecessor — which also exercises concurrent DROP VIEW
+                gw.executeStatement(h, "DROP TEMPORARY VIEW IF EXISTS shared_name")
+                gw.executeStatement(h,
+                  s"CREATE TEMPORARY VIEW shared_name AS SELECT $i AS worker, $round AS round")
+                val page = gw.fetchResults(
+                  gw.executeStatement(h, "SELECT worker, round FROM shared_name"), 0)
+                assert(page.rows == Seq(Seq(i, round)),
+                  s"worker $i round $round saw ${page.rows}")
+                val conf = gw.fetchResults(
+                  gw.executeStatement(h, "SET"), 0)
+                val mine = conf.rows.collect {
+                  case Seq(k, v) if k.toString == "graft.spec.worker" => v.toString
+                }
+                assert(mine.forall(_ == s"w$i-r$round"),
+                  s"worker $i round $round conf leak: $mine")
+              }
+            } finally gw.closeSession(h)
+          })
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "workers did not finish")
+    (0 until n).foreach { i =>
+      results.get(i) match {
+        case Success(_) => ()
+        case Failure(e) => fail(s"worker $i failed: $e")
+        case null => fail(s"worker $i never ran")
+      }
+    }
+  }
+
+  test("concurrent DDL on the shared binding registry is safe and convergent") {
+    val gw = new Gateway(spark)
+    val n = 6
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Try[Unit]]()
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          results.put(i, Try {
+            start.await()
+            val h = gw.openSession(s"ddl_$i")
+            try {
+              // per-worker table names: the registry (shared, Flink catalog
+              // semantics) must absorb interleaved create/drop without
+              // corrupting other workers' bindings
+              (0 until 4).foreach { r =>
+                gw.executeStatement(h,
+                  s"CREATE TABLE conc_t_${i}_$r (id BIGINT) WITH " +
+                    "('connector'='datagen','number-of-rows'='3')")
+                val p = gw.fetchResults(
+                  gw.executeStatement(h, s"SELECT count(*) AS n FROM conc_t_${i}_$r"), 0)
+                assert(p.rows == Seq(Seq(3L)), s"worker $i/$r got ${p.rows}")
+                gw.executeStatement(h, s"DROP TABLE conc_t_${i}_$r")
+              }
+            } finally gw.closeSession(h)
+          })
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "workers did not finish")
+    (0 until n).foreach { i =>
+      results.get(i) match {
+        case Success(_) => ()
+        case Failure(e) => fail(s"worker $i failed: $e")
+        case null => fail(s"worker $i never ran")
+      }
+    }
+    // registry converged: every worker's tables are gone
+    val h = gw.openSession("ddl_check")
+    val p = gw.fetchResults(gw.executeStatement(h, "SHOW TABLES"), 0)
+    val leftover = p.rows.map(_.mkString).filter(_.contains("conc_t_"))
+    assert(leftover.isEmpty, s"leaked bindings: $leftover")
+    gw.closeSession(h)
+  }
+}
