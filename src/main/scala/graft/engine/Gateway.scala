@@ -109,6 +109,7 @@ class Gateway(root: SparkSession) {
     sessions.remove(handle).foreach { s =>
       s.alive = false
       sessionModules.remove(s.spark)
+      viewScopes.remove(s.spark)
     }
     metaCache.invalidatePrefix(s"$handle::")
   }
@@ -449,10 +450,13 @@ class Gateway(root: SparkSession) {
     Statement(s"Modules in use: ${names.mkString(", ")}")
   }
 
-  /** TEMPORARY-view definition scope = this session's SparkSession
-    * identity (sessions are 1:1 with `root.newSession()` instances). */
+  /** TEMPORARY-view definition scope: a UUID per session SparkSession
+    * OBJECT (reference equality, the [[sessionModules]] precedent —
+    * identityHashCode alone can collide and would silently fuse two
+    * sessions' temp-view namespaces). Entries drop in closeSession. */
+  private val viewScopes = TrieMap.empty[SparkSession, String]
   private def viewScope(spark: SparkSession): String =
-    s"s${System.identityHashCode(spark)}"
+    viewScopes.getOrElseUpdate(spark, UUID.randomUUID().toString)
 
   private def route(spark: SparkSession, stmt: String): OpResult = {
     val upper = stmt.toUpperCase
