@@ -733,7 +733,19 @@ object MatchRecognize {
     *
     * State is the versioned [[CepState]] envelope — a checkpoint written by
     * the pre-envelope tuple formats does not restore; restart such queries
-    * from a fresh checkpointLocation (the failure says so). */
+    * from a fresh checkpointLocation (the failure says so).
+    *
+    * Greedy pending-tail semantics (CepFuzzSpec, r11): a match attempt
+    * whose greedy quantifier could still extend — e.g. `B+` with the key's
+    * last seen row matching B — is HELD, not emitted: a future row (above
+    * the watermark by definition) may lengthen it, so emission would be
+    * speculative. The attempt resolves when a deciding row arrives (one
+    * that fails the quantifier's variable, or completes the tail). Flink
+    * rejects greedy-tail patterns on streams outright for this reason;
+    * here they run, with matches closed by data, never by time. On
+    * sentinel-terminated inputs (every key's data ends in rows matching no
+    * variable) stream output is bit-identical to the batch kernel — fuzzed
+    * across random patterns in CepFuzzSpec. */
   def matchRecognizeStream(
       df: DataFrame,
       partitionBy: Seq[String],

@@ -127,6 +127,81 @@ class CepFuzzSpec extends SparkTestBase {
     checkCases(0xcef0fL, 150, SkipPastLastRow, refMatches, "past-last")
   }
 
+  test("streaming NFA == batch NFA on random patterns through real micro-batches") {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val seed = 0xcebabeL
+    // C is a bounded band so the sentinel below matches NOTHING
+    val defines = Seq(
+      "A" -> (col("value") < 10), "B" -> (col("value") >= 10 && col("value") < 20),
+      "C" -> (col("value") >= 20 && col("value") < 30))
+    val measures = Seq(
+      Measure("mno", "match_number", "", ""),
+      Measure("n_a", "count", "A", "*"),
+      Measure("n_b", "count", "B", "*"),
+      Measure("n_c", "count", "C", "*"))
+    def valueOf(c: Char): Double = c match {
+      case 'A' => 5.0; case 'B' => 15.0; case 'C' => 25.0
+      case _ => 999.0 // 'Z' sentinel: satisfies NO define
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ets TIMESTAMP, value DOUBLE")
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val cases = samples(Gen.zip(patternG, Gen.listOfN(2, seqG)), 12, seed)
+    graft.queries.StreamParityQueries.withParityConf(spark) {
+      cases.zipWithIndex.foreach { case (((pat, _), seqs), ci) =>
+        val rows = seqs.zipWithIndex.flatMap { case (syms, k) =>
+          // +3600 s: a row at exactly the initial watermark (epoch 0) would
+          // be late-filtered on the stream side only (the parity-gate note).
+          // Each key's data ends with two UNMATCHABLE 'Z' rows: a pending
+          // greedy attempt can never extend through them, so every match's
+          // closure is decidable from the data itself on BOTH sides and
+          // exact parity is the correct assertion. (Without the sentinel a
+          // greedy quantifier can legitimately leave a match PENDING at the
+          // end of a key's data — a future row above the watermark could
+          // still extend it — and the stream correctly holds while batch,
+          // knowing the data ended, closes: not a divergence.)
+          (syms + "ZZ").zipWithIndex.map { case (c, i) =>
+            SRow(k.toLong, ts(3600L + i), valueOf(c))
+          }
+        }.sortBy(_.getTimestamp(1).getTime)
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[SRow](
+          org.apache.spark.sql.Encoders.row(schema), spark.sqlContext)
+        val out = MatchRecognize.matchRecognizeStream(
+          mem.toDF(), Seq("k"), "ets", defines, parsePattern(pat), measures,
+          watermarkDelay = Some("0 seconds"))
+        val sink = s"cep_fuzz_stream_$ci"
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val n = rows.length
+          Seq(rows.slice(0, n / 2), rows.drop(n / 2)).foreach { w =>
+            if (w.nonEmpty) { mem.addData(w: _*); q.processAllAvailable() }
+          }
+          // far-future pushers flush pending state (key -1 filtered below)
+          mem.addData(SRow(-1L, ts(100000L), 0.0)); q.processAllAvailable()
+          mem.addData(SRow(-1L, ts(200000L), 1.0)); q.processAllAvailable()
+        } finally q.stop()
+        def tuples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+          df.filter(col("k") >= 0)
+            .select(col("k"), col("mno"), col("n_a"), col("n_b"), col("n_c"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getLong(4))).toSet
+        val streamed = tuples(spark.table(sink))
+        val batch = tuples(MatchRecognize.matchRecognize(
+          spark.createDataFrame(
+            new java.util.ArrayList[SRow](scala.jdk.CollectionConverters
+              .SeqHasAsJava(rows).asJava), schema),
+          Seq("k"), "ets", defines, parsePattern(pat), measures))
+        assert(streamed == batch,
+          s"[stream case $ci seed $seed] PATTERN '$pat' over $seqs:\n" +
+            s"  stream: ${streamed.toSeq.sorted}\n  batch:  ${batch.toSeq.sorted}")
+      }
+    }
+  }
+
   test("NFA == JDK regex: SKIP TO NEXT ROW (overlapping), 100 patterns × 5 sequences") {
     checkCases(0xcefffL, 100, SkipToNextRow, refMatchesNextRow, "next-row")
   }
