@@ -205,4 +205,55 @@ class CepFuzzSpec extends SparkTestBase {
   test("NFA == JDK regex: SKIP TO NEXT ROW (overlapping), 100 patterns × 5 sequences") {
     checkCases(0xcefffL, 100, SkipToNextRow, refMatchesNextRow, "next-row")
   }
+
+  test("SQL front-end == direct API on 40 random patterns (the gateway's path)") {
+    // the hand-rolled MATCH_RECOGNIZE SQL parser (MrRegex + measure/define
+    // splitting) is what Gateway statements actually traverse; random
+    // patterns rendered as SQL must produce the same rows as the direct API
+    import spark.implicits._
+    val seed = 0x5c1f0dL
+    def valueOf(c: Char): Double = c match {
+      case 'A' => 5.0; case 'B' => 15.0; case _ => 25.0
+    }
+    val cases = samples(Gen.zip(patternG, Gen.listOfN(3, seqG)), 40, seed)
+    cases.zipWithIndex.foreach { case (((pat, _), seqs), ci) =>
+      val rows = seqs.zipWithIndex.flatMap { case (syms, k) =>
+        syms.zipWithIndex.map { case (c, i) =>
+          (k.toLong, java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(3600L + i)), valueOf(c))
+        }
+      }
+      val df = rows.toDF("k", "ets", "value")
+      df.createOrReplaceTempView("cep_sql_fuzz")
+      val viaSql = MatchRecognize.sql(spark,
+        s"""SELECT * FROM cep_sql_fuzz MATCH_RECOGNIZE (
+           |  PARTITION BY k ORDER BY ets
+           |  MEASURES MATCH_NUMBER() AS mno, COUNT(A.*) AS n_a,
+           |           COUNT(B.*) AS n_b, COUNT(C.*) AS n_c
+           |  ONE ROW PER MATCH
+           |  AFTER MATCH SKIP PAST LAST ROW
+           |  PATTERN ($pat)
+           |  DEFINE A AS A.value < 10,
+           |         B AS B.value >= 10 AND B.value < 20,
+           |         C AS C.value >= 20
+           |)""".stripMargin)
+      val defines = Seq(
+        "A" -> (col("value") < 10),
+        "B" -> (col("value") >= 10 && col("value") < 20),
+        "C" -> (col("value") >= 20))
+      val measures = Seq(
+        Measure("mno", "match_number", "", ""),
+        Measure("n_a", "count", "A", "*"),
+        Measure("n_b", "count", "B", "*"),
+        Measure("n_c", "count", "C", "*"))
+      def tuples(out: org.apache.spark.sql.DataFrame) =
+        out.select(col("k"), col("mno"), col("n_a"), col("n_b"), col("n_c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+      val viaApi = tuples(MatchRecognize.matchRecognize(
+        df, Seq("k"), "ets", defines, parsePattern(pat), measures))
+      assert(tuples(viaSql) == viaApi,
+        s"[sql case $ci seed $seed] PATTERN '$pat': SQL path diverges from API")
+    }
+  }
 }
