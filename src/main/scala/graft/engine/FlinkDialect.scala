@@ -136,24 +136,37 @@ object FlinkDialect {
     // out of them, and no rewrite rule can match inside that alphabet.
     // (r11: the DialectFuzzSpec corpus caught the pre-mask SIMILAR TO and
     // TVF rules rewriting inside adversarial literals.)
+    // Placeholder tag made unforgeable per call: if the raw text already
+    // contains a would-be placeholder (e.g. the string `__GRAFT_LIT_5__`
+    // typed literally outside any quote), extend the tag until no
+    // collision exists. Without this, a forged out-of-range index threw
+    // IndexOutOfBoundsException at restore (an internal error, breaking
+    // the total/named-rejections contract) and a colliding in-range one
+    // silently substituted an unrelated literal.
+    var tag = "GRAFT"
+    while (s.contains("__" + tag + "_LIT_") || s.contains("__" + tag + "_BT_") ||
+        s.contains("__" + tag + "_TS_LTZ__"))
+      tag += "X"
+    val litTag = "__" + tag + "_LIT_"
+    val btTag = "__" + tag + "_BT_"
     val literals = ArrayBuffer.empty[String]
     val simpleLit = """^'[0-9:. \-]*'$""".r
     s = """'(?:[^']|'')*'""".r.replaceAllIn(s, m =>
       if (simpleLit.findFirstIn(m.matched).isDefined) Regex.quoteReplacement(m.matched)
       else {
         literals += m.matched
-        s"__GRAFT_LIT_${literals.size - 1}__"
+        s"$litTag${literals.size - 1}__"
       })
     val bticks = ArrayBuffer.empty[String]
     s = """`[^`]+`""".r.replaceAllIn(s, m => {
       bticks += m.matched
-      s"__GRAFT_BT_${bticks.size - 1}__"
+      s"$btTag${bticks.size - 1}__"
     })
     // resolve a captured identifier token for re-emission inside backticks:
     // a masked `quoted ident` placeholder must contribute its NAME, not a
     // nested-backtick mess
     def idText(tok: String): String =
-      "__GRAFT_BT_(\\d+)__".r.findFirstMatchIn(tok)
+      (Regex.quote(btTag) + "(\\d+)__").r.findFirstMatchIn(tok)
         .map(m => bticks(m.group(1).toInt).stripPrefix("`").stripSuffix("`"))
         .getOrElse(tok)
 
@@ -269,7 +282,8 @@ object FlinkDialect {
     // Regex metacharacters that are LITERALS in SQL SIMILAR TO (. ^ $ \)
     // are escaped first — 'a.b' must match only "a.b", not "aXb"; the
     // escapes run before %/_ translation so the introduced '.'/'.*' survive.
-    s = """(?i)((?:[\w.`']|\((?:[^()']|'[^']*'|\([^()]*\))*\))+)\s+SIMILAR\s+TO\s+(?:'([^']*)'|__GRAFT_LIT_(\d+)__)""".r
+    s = ("""(?i)((?:[\w.`']|\((?:[^()']|'[^']*'|\([^()]*\))*\))+)\s+SIMILAR\s+TO\s+(?:'([^']*)'|""" +
+      Regex.quote(litTag) + """(\d+)__)""").r
       .replaceAllIn(s, m => {
         val pat =
           if (m.group(2) != null) m.group(2)
@@ -283,7 +297,7 @@ object FlinkDialect {
           .replace("%", ".*").replace("_", ".")
         literals += "'^" + rx.replace("'", "''") + "$'"
         Regex.quoteReplacement(
-          s"regexp_like(${m.group(1)}, __GRAFT_LIT_${literals.size - 1}__)")
+          s"regexp_like(${m.group(1)}, $litTag${literals.size - 1}__)")
       })
 
     // PROCTIME() → current_timestamp()
@@ -387,13 +401,13 @@ object FlinkDialect {
     // forms map to TIMESTAMP_NTZ. Mapping only the precisioned form (the
     // pre-r8 behavior) silently gave the same Flink type two different Spark
     // types, drifting by the session offset in any non-UTC deployment.
-    s = s.replaceAll("(?i)\\bTIMESTAMP_LTZ\\b(\\s*\\(\\d\\))?", "__GRAFT_TS_LTZ__")
+    s = s.replaceAll("(?i)\\bTIMESTAMP_LTZ\\b(\\s*\\(\\d\\))?", "__" + tag + "_TS_LTZ__")
     s = s.replaceAll("(?i)\\bTIMESTAMP\\b(\\s*\\(\\d\\))?", "TIMESTAMP_NTZ")
     // Spark's own TIMESTAMP_LTZ keyword (instant semantics), NOT bare
     // TIMESTAMP: emitting TIMESTAMP made a second rewrite pass remap it to
     // TIMESTAMP_NTZ — an instant silently became wall-clock whenever
     // already-rewritten SQL re-entered the dialect (DialectFuzzSpec F5)
-    s = s.replace("__GRAFT_TS_LTZ__", "TIMESTAMP_LTZ")
+    s = s.replace("__" + tag + "_TS_LTZ__", "TIMESTAMP_LTZ")
 
     // EXPLAIN variants (F:535-539): Flink modifiers → Spark EXPLAIN forms
     s = s.replaceAll("(?i)\\bEXPLAIN\\s+PLAN\\s+FOR\\b", "EXPLAIN")
@@ -416,10 +430,10 @@ object FlinkDialect {
 
     // ---- restore masked identifiers, then string literals
     bticks.zipWithIndex.reverse.foreach { case (bt, i) =>
-      s = s.replace(s"__GRAFT_BT_${i}__", bt)
+      s = s.replace(s"$btTag${i}__", bt)
     }
     literals.zipWithIndex.reverse.foreach { case (lit, i) =>
-      s = s.replace(s"__GRAFT_LIT_${i}__", lit)
+      s = s.replace(s"$litTag${i}__", lit)
     }
 
     s.trim

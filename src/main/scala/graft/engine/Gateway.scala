@@ -109,7 +109,10 @@ class Gateway(root: SparkSession) {
     sessions.remove(handle).foreach { s =>
       s.alive = false
       sessionModules.remove(s.spark)
-      viewScopes.remove(s.spark)
+      // purge this session's temp-view definitions with its scope — the
+      // UUID is unreachable after removal, so without this a long-lived
+      // gateway accumulates dead (uuid, name) entries forever
+      viewScopes.remove(s.spark).foreach(TableEnv.dropScope)
     }
     metaCache.invalidatePrefix(s"$handle::")
   }
@@ -135,7 +138,7 @@ class Gateway(root: SparkSession) {
   private val CreateViewRe =
     """(?is)CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.*)""".r
   private val ShowCreateViewRe = """(?is)SHOW\s+CREATE\s+VIEW\s+([\w.`]+)""".r
-  private val DropViewRe = """(?is)DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)""".r
+  private val DropViewRe = """(?is)DROP\s+(TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)""".r
   private val UpdateRe = """(?is)^UPDATE\s+([\w.`]+)\s+SET\s+(.*)$""".r
 
   /** Split "assignments [WHERE predicate]" at the top-level WHERE — never
@@ -457,6 +460,9 @@ class Gateway(root: SparkSession) {
   private val viewScopes = TrieMap.empty[SparkSession, String]
   private def viewScope(spark: SparkSession): String =
     viewScopes.getOrElseUpdate(spark, UUID.randomUUID().toString)
+  /** The temp-view scope id of an open session — introspection for the
+    * close-purges-definitions contract (ConcurrencySpec). */
+  def viewScopeOf(handle: String): String = viewScope(session(handle).spark)
 
   private def route(spark: SparkSession, stmt: String): OpResult = {
     val upper = stmt.toUpperCase
@@ -650,8 +656,15 @@ class Gateway(root: SparkSession) {
         // (its SparkSession identity): another session's same-named temp
         // view must neither conflict here nor be visible to this one
         val scope = viewScope(spark)
-        val exists = TableEnv.viewDef(viewName, scope).isDefined ||
-          spark.catalog.tableExists(viewName)
+        // TEMPORARY form: only a conflict in THIS session's scope blocks —
+        // a temporary view may shadow a same-named catalog view (Flink
+        // semantics; the "" fallback wrongly rejected the shadow pre-r12).
+        // Non-temporary form: conflicts with the shared catalog definition
+        // or any Spark-visible relation of that name.
+        val exists =
+          if (temp != null) TableEnv.viewDefExact(viewName, scope).isDefined
+          else TableEnv.viewDefExact(viewName, "").isDefined ||
+            spark.catalog.tableExists(viewName)
         if (exists && orReplace == null) {
           if (ifNotExists != null) Statement(s"View $viewName already exists (no-op)")
           else throw new IllegalArgumentException(
@@ -668,14 +681,35 @@ class Gateway(root: SparkSession) {
             s"CREATE ${if (temp) "TEMPORARY " else ""}VIEW `${target.replace("`", "")}` AS $sql")
           case None => Finished(spark.sql(s"SHOW CREATE TABLE $target"))
         }
-      case DropViewRe(ifExists, target) =>
+      case DropViewRe(temp, ifExists, target) =>
+        // Scope-exact semantics (Flink's): DROP TEMPORARY VIEW removes only
+        // THIS session's (scope, name) definition; plain DROP VIEW removes
+        // only the shared catalog ("", name) definition. The pre-r12
+        // fallback let any session's DROP TEMPORARY VIEW erase a shared
+        // catalog view visible to every other session.
         val n = target.replace("`", "")
-        val hadDef = TableEnv.dropView(n, viewScope(spark))
-        if (spark.catalog.dropTempView(n) || hadDef) Statement(s"View $n dropped")
-        else {
-          // catalog-view fallthrough rebuilt WITHOUT the TEMPORARY keyword —
-          // Spark's grammar has no DROP TEMPORARY VIEW, so re-running the
-          // raw Flink text would ParseException on the one-token difference
+        if (temp != null) {
+          if (TableEnv.dropView(n, viewScope(spark))) {
+            spark.catalog.dropTempView(n)
+            Statement(s"View $n dropped")
+          } else if (spark.catalog.dropTempView(n) || ifExists != null)
+            Statement(s"View $n dropped")
+          else throw new IllegalArgumentException(
+            s"Temporary view '$n' does not exist in this session")
+        } else if (TableEnv.viewDefExact(n, viewScope(spark)).isDefined)
+          // Flink refuses to DROP VIEW through a temporary view of the same
+          // name — the caller must say which object they mean
+          throw new IllegalArgumentException(
+            s"A temporary view '$n' exists in this session — " +
+              "use DROP TEMPORARY VIEW to remove it")
+        else if (TableEnv.dropView(n, "")) {
+          spark.catalog.dropTempView(n)
+          Statement(s"View $n dropped")
+        } else {
+          // not engine-registered: delegate to Spark, rebuilt WITHOUT the
+          // TEMPORARY keyword — Spark's grammar has no DROP TEMPORARY VIEW,
+          // so re-running the raw Flink text would ParseException on the
+          // one-token difference
           spark.sql(s"DROP VIEW ${if (ifExists != null) "IF EXISTS " else ""}`$n`")
           Statement(s"View $n dropped")
         }

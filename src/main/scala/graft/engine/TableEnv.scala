@@ -79,9 +79,26 @@ object TableEnv {
   def viewDef(name: String, scope: String = ""): Option[(String, Boolean)] =
     viewDefs.get((scope, name.toLowerCase))
       .orElse(viewDefs.get(("", name.toLowerCase)))
+  /** Exact-key lookup — no catalog fallback. The CREATE TEMPORARY VIEW
+    * exists-check uses this: a temporary view may SHADOW a same-named
+    * catalog view (Flink semantics), so only a conflict in the caller's
+    * own scope blocks creation. */
+  def viewDefExact(name: String, scope: String): Option[(String, Boolean)] =
+    viewDefs.get((scope, name.toLowerCase))
+  /** Removes EXACTLY (scope, name) — no fallback. DROP TEMPORARY VIEW
+    * passes the session scope and can only erase that session's
+    * definition; plain DROP VIEW passes "" and can only erase the shared
+    * catalog definition. (The r11 fallback let one session's DROP
+    * TEMPORARY VIEW delete a shared catalog view — the cross-session
+    * interference the scoping exists to prevent.) */
   def dropView(name: String, scope: String = ""): Boolean =
-    viewDefs.remove((scope, name.toLowerCase)).isDefined ||
-      viewDefs.remove(("", name.toLowerCase)).isDefined
+    viewDefs.remove((scope, name.toLowerCase)).isDefined
+  /** Purge every view definition registered under `scope` — called when a
+    * gateway session closes, else a long-lived gateway accumulates dead
+    * sessions' (uuid, name) keys forever. */
+  def dropScope(scope: String): Unit =
+    if (scope.nonEmpty)
+      viewDefs.keys.filter(_._1 == scope).foreach(viewDefs.remove)
 
   /** ALTER TABLE t SET ('k'='v', ...) on a binding (F:96-98): merge options
     * and refresh the materialized view so later reads see the change. */
@@ -209,7 +226,14 @@ object TableEnv {
   def mapType(t0: String): String = {
     val t = t0.trim
     val up = t.toUpperCase
-    if (up.startsWith("TIMESTAMP_LTZ")) "TIMESTAMP"
+    // TIMESTAMP_LTZ keeps its instant semantics under Spark's explicit
+    // TIMESTAMP_LTZ DDL type. Mapping it to plain TIMESTAMP (pre-r12) made
+    // the SHOW CREATE TABLE → CREATE TABLE round-trip non-idempotent: the
+    // re-parse hit the TIMESTAMP branch and remapped the instant to
+    // wall-clock TIMESTAMP_NTZ (the same drift FlinkDialect's F5 fix
+    // removed from query casts). DdlFuzzSpec's D2 generator includes
+    // TIMESTAMP_LTZ so the fixpoint contract covers it.
+    if (up.startsWith("TIMESTAMP_LTZ")) "TIMESTAMP_LTZ"
     else if (up.startsWith("TIMESTAMP")) "TIMESTAMP_NTZ"
     else if (up.startsWith("ROW<")) "STRUCT<" + splitTop(t.substring(4, t.length - 1)).map { f =>
       f.trim.split("\\s+", 2) match {
@@ -919,7 +943,7 @@ object TableEnv {
         case "DOUBLE" => (pmod(seed, lit(1000000)).cast("double") / 100.0)
         case "BOOLEAN" => pmod(seed, lit(2)) === 1
         case t if t.startsWith("DECIMAL") => (pmod(seed, lit(100000)).cast("double") / 100.0).cast(t)
-        case "TIMESTAMP" | "TIMESTAMP_NTZ" =>
+        case "TIMESTAMP" | "TIMESTAMP_NTZ" | "TIMESTAMP_LTZ" =>
           timestamp_micros((col("__seq") * 1000000L) + lit(1704067200000000L)).cast(
             if (c.sparkType == "TIMESTAMP_NTZ") "timestamp_ntz" else "timestamp")
         case _ => seed.cast("string")

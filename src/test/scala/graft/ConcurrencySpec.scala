@@ -67,6 +67,45 @@ class ConcurrencySpec extends SparkTestBase {
     }
   }
 
+  test("temp-view scoping: shadow, scope-exact drop, close purges definitions") {
+    val gw = new Gateway(spark)
+    val a = gw.openSession("scope_a")
+    val b = gw.openSession("scope_b")
+    def run(h: String, s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    // session A publishes a catalog view; session B may SHADOW it with a
+    // temporary view of the same name (Flink semantics — pre-r12 the
+    // exists-check's catalog fallback rejected the shadow)
+    assert(run(a, "CREATE VIEW scoped_v AS SELECT 1 AS x").columns != Seq("error"))
+    assert(run(b, "CREATE TEMPORARY VIEW scoped_v AS SELECT 2 AS x").columns != Seq("error"),
+      "temporary view must shadow a same-named catalog view")
+    assert(run(b, "SHOW CREATE VIEW scoped_v").rows.head.mkString.contains("TEMPORARY"))
+    // plain DROP VIEW through the shadow is ambiguous — named refusal
+    val refusal = run(b, "DROP VIEW scoped_v")
+    assert(refusal.columns == Seq("error") &&
+      refusal.rows.head.mkString.contains("DROP TEMPORARY VIEW"), refusal.rows)
+    // DROP TEMPORARY VIEW removes ONLY B's definition: the shared catalog
+    // view must survive (pre-r12 the "" fallback deleted it for everyone)
+    assert(run(b, "DROP TEMPORARY VIEW scoped_v").columns != Seq("error"))
+    assert(!run(a, "SHOW CREATE VIEW scoped_v").rows.head.mkString.contains("TEMPORARY"),
+      "B's DROP TEMPORARY VIEW erased the shared catalog view")
+    // with no session-scoped definition left, DROP TEMPORARY VIEW is a
+    // named error (and IF EXISTS a no-op)
+    val gone = run(b, "DROP TEMPORARY VIEW scoped_v")
+    assert(gone.columns == Seq("error") &&
+      gone.rows.head.mkString.contains("does not exist in this session"), gone.rows)
+    assert(run(b, "DROP TEMPORARY VIEW IF EXISTS scoped_v").columns != Seq("error"))
+    // closeSession purges the session's scoped definitions — without the
+    // purge a long-lived gateway leaks one entry per dead temp view
+    assert(run(b, "CREATE TEMPORARY VIEW purge_me AS SELECT 3 AS x").columns != Seq("error"))
+    val scopeB = gw.viewScopeOf(b)
+    assert(graft.engine.TableEnv.viewDefExact("purge_me", scopeB).isDefined)
+    gw.closeSession(b)
+    assert(graft.engine.TableEnv.viewDefExact("purge_me", scopeB).isEmpty,
+      "closed session's temp-view definitions must be purged")
+    assert(run(a, "DROP VIEW scoped_v").columns != Seq("error"))
+    gw.closeSession(a)
+  }
+
   test("concurrent DDL on the shared binding registry is safe and convergent") {
     val gw = new Gateway(spark)
     val n = 6

@@ -36,7 +36,7 @@ class DdlFuzzSpec extends AnyFunSuite {
 
   private val colType: Gen[String] = Gen.oneOf(
     "STRING", "INT", "BIGINT", "DOUBLE", "BOOLEAN", "VARBINARY",
-    "TIMESTAMP(3)", "DECIMAL(10, 2)", "ARRAY<INT>",
+    "TIMESTAMP(3)", "TIMESTAMP_LTZ(3)", "DECIMAL(10, 2)", "ARRAY<INT>",
     "MAP<STRING, INT>", "ROW<a INT, b STRING>")
 
   private val option: Gen[(String, String)] = Gen.oneOf(

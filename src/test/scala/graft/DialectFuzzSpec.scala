@@ -233,6 +233,42 @@ class DialectFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("F7: forged placeholder tokens in the input are inert plain text") {
+    // text that literally spells a masking placeholder (outside any quote
+    // or inside one) must neither crash the restore (out-of-range index was
+    // an IndexOutOfBoundsException pre-r12) nor get silently substituted
+    // with an unrelated masked literal (in-range collision) — the dialect
+    // escalates its placeholder tag until it cannot collide with the input
+    val forged = Seq(
+      // out-of-range forged index, no masked literals at all
+      "SELECT a FROM t WHERE b = __GRAFT_LIT_5__",
+      // in-range collision: one real masked literal ('x%'), plus a forged
+      // token that would alias it
+      "SELECT __GRAFT_LIT_0__ FROM t WHERE c LIKE 'x%y'",
+      // forged backtick placeholder and TS_LTZ marker
+      "SELECT __GRAFT_BT_3__, __GRAFT_TS_LTZ__ FROM t",
+      // forged token INSIDE a string literal must come back verbatim
+      "SELECT '__GRAFT_LIT_9__ payload' AS s FROM t",
+      // SIMILAR TO with a forged placeholder where a masked pattern could be
+      "SELECT a FROM t WHERE b SIMILAR TO __GRAFT_LIT_7__")
+    forged.zipWithIndex.foreach { case (stmt, i) =>
+      val out = FlinkDialect.rewrite(stmt) // must not throw
+      // every forged token present in the input survives to the output
+      // verbatim (it is plain text, not a placeholder of THIS call)
+      "__GRAFT_(?:LIT|BT)_\\d+__|__GRAFT_TS_LTZ__".r.findAllIn(stmt).toSet
+        .foreach { tok: String => assert(out.contains(tok),
+          s"[case $i] forged token $tok mangled:\n$stmt\n-> $out") }
+      // and a real literal in the same statement is never replaced by junk
+      if (stmt.contains("'x%y'"))
+        assert(out.contains("'x%y'"), s"[case $i] real literal lost: $out")
+    }
+    // idempotence holds with forged tokens too (tag escalation is stable)
+    forged.foreach { stmt =>
+      val once = FlinkDialect.rewrite(stmt)
+      assert(FlinkDialect.rewrite(once) == once, s"not idempotent on: $stmt")
+    }
+  }
+
   // --------------------------------------------------------- F4: reparse --
 
   test("F4: rewrite output of well-formed statements reparses under Spark") {
