@@ -20,6 +20,64 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Oracle contract for a hash/seed-dependent ANN top-k result (r12,
+    * closing the last two rows-only gates with the q_sim_recall recipe):
+    * the engine-chosen rows reach the driver ONLY through per-query
+    * booleans the oracle pins constant-TRUE —
+    *   - within_k: at most k results per query (duplicate rows would trip it);
+    *   - ranks_ok: ranks are exactly 1..n, no gap or duplicate;
+    *   - sims_sorted: scores non-increasing in rank order;
+    *   - sims_exact: every reported score equals the cosine recomputed on
+    *     an INDEPENDENT arithmetic path — the interpreted
+    *     aggregate/zip_with lambda fold (the same formulation the DuckDB
+    *     oracles use) against the codegen vec_dot kernel the operator ran,
+    *     so silent kernel drift breaks the gate;
+    *   - recall_floor_ok: recall@k vs exact brute force ≥ 0.05, under the
+    *     measured floor at every sweep SF (tools/RecallProbe: ivf min
+    *     0.10, lsh(nBits=4) min 0.10).
+    * A query with NO results keeps its row (left join from the query set)
+    * with recall_floor_ok=false — an empty probe fails loudly, the
+    * q_sim_index_parity convention. */
+  private def annTopKContract(e: DataFrame, ann: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queryIds = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"))
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = k)
+      .select(col("query_id"), col("vec_id"), lit(true).as("__in_brute"))
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+    val qvecs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("__q"))
+    def lamDot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, z) -> acc + z)")
+    val wOrd = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+    val flagged = ann
+      .join(vecs, Seq("vec_id"), "left_outer") // left: a phantom vec_id must
+      .join(broadcast(qvecs), Seq("query_id")) //   flag, not silently drop
+      .join(brute, Seq("query_id", "vec_id"), "left_outer")
+      .withColumn("__lam_sim",
+        round(lamDot("__v", "__q") /
+          (sqrt(lamDot("__v", "__v")) * sqrt(lamDot("__q", "__q"))), 6))
+      .withColumn("__contig", col("rnk") === row_number().over(wOrd))
+      .withColumn("__sorted",
+        coalesce(col("sim") <= lag(col("sim"), 1).over(wOrd), lit(true)))
+      .withColumn("__exact", coalesce(col("sim") === col("__lam_sim"), lit(false)))
+    val perQ = flagged.groupBy(col("query_id")).agg(
+      (count(lit(1)) <= k).as("within_k"),
+      expr("bool_and(__contig)").as("ranks_ok"),
+      expr("bool_and(__sorted)").as("sims_sorted"),
+      expr("bool_and(__exact)").as("sims_exact"),
+      ((sum(when(col("__in_brute"), 1).otherwise(0)) / k.toDouble) >= 0.05)
+        .as("recall_floor_ok"))
+    queryIds.join(perQ, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("within_k"), lit(true)).as("within_k"),
+        coalesce(col("ranks_ok"), lit(true)).as("ranks_ok"),
+        coalesce(col("sims_sorted"), lit(true)).as("sims_sorted"),
+        coalesce(col("sims_exact"), lit(true)).as("sims_exact"),
+        coalesce(col("recall_floor_ok"), lit(false)).as("recall_floor_ok"))
+      .orderBy(col("query_id"))
+  }
+
   /** One digest-table materialize per (JVM, sf dir): the bucketed history
     * table is a one-time production artifact, not part of the recurring
     * query being gated/benched. Per-JVM (not on-disk) memoization so a
@@ -302,13 +360,17 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
-    // IVF approximate top-k (bucketed scale path; recall vs brute force in spec)
+    // IVF approximate top-k (bucketed scale path). The raw rows are
+    // centroid-seed-dependent, so the gate emits the [[annTopKContract]]
+    // booleans instead (r12 — the q_sim_recall recipe): the full operator
+    // still executes, and any rank/score/recall regression flips a pinned
+    // boolean into an oracle hash mismatch.
     "q_sim_topk_ivf" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
-      Similarity.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
-          k = 10, nCentroids = 16, nProbe = 4)
-        .orderBy(col("query_id"), col("rnk"))
+      annTopKContract(e,
+        Similarity.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 4), k = 10)
     },
 
     // ANN recall@10 vs brute-force ground truth as a GATE-visible metric:
@@ -521,14 +583,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
-    // cosine-LSH ANN top-k (random-hyperplane buckets + hamming-1 probe;
-    // hash-seeded buckets: rows-only for the driver, recall in PipelineSpec)
+    // cosine-LSH ANN top-k (random-hyperplane buckets + hamming-1 probe).
+    // Bucket membership is hash-seeded, so like q_sim_topk_ivf the gate
+    // emits the [[annTopKContract]] booleans (r12) — full operator
+    // execution, oracle-pinned invariants.
     "q_sim_topk_lsh" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
-      Similarity.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
-          k = 10, nBits = 4)
-        .orderBy(col("query_id"), col("rnk"))
+      annTopKContract(e,
+        Similarity.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 10, nBits = 4), k = 10)
     },
 
     // int8 symmetric embedding quantization (storage path: 4x smaller)
@@ -752,6 +816,18 @@ object PipelineQueries {
 
     "q_sim_index_parity" ->
       "SELECT 'ivf_index' AS op, CAST(0 AS BIGINT) AS diff_rows, true AS nonempty",
+
+    // annTopKContract gates: one constant-TRUE row per query vector —
+    // thresholds sit under the measured per-SF floors (see the helper doc)
+    "q_sim_topk_ivf" ->
+      """SELECT vec_id AS query_id, TRUE AS within_k, TRUE AS ranks_ok,
+        |       TRUE AS sims_sorted, TRUE AS sims_exact, TRUE AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "q_sim_topk_lsh" ->
+      """SELECT vec_id AS query_id, TRUE AS within_k, TRUE AS ranks_ok,
+        |       TRUE AS sims_sorted, TRUE AS sims_exact, TRUE AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
     "q_sim_recall" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
