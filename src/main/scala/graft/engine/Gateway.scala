@@ -464,7 +464,31 @@ class Gateway(root: SparkSession) {
     * close-purges-definitions contract (ConcurrencySpec). */
   def viewScopeOf(handle: String): String = viewScope(session(handle).spark)
 
+  /** Catalog-table visibility across sessions (Flink semantics, r12 — the
+    * streaming soak caught a control session unable to read another
+    * session's sink table): CREATE TABLE registers in the SHARED registry
+    * but materializes a temp view only in the creating session. Any other
+    * session's first statement naming a registry binding materializes it
+    * there lazily. Cost: one word-bounded scan of the (small) registry per
+    * statement; catalog lookups only on a name hit. */
+  private def ensureBindingsVisible(spark: SparkSession, stmt: String): Unit =
+    TableEnv.bindings.foreach { case (name, b) =>
+      if (("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(name) + "(?![\\w`])").r
+          .findFirstIn(stmt).isDefined) {
+        val missing =
+          !(try spark.catalog.tableExists(name) catch { case _: Exception => true })
+        // filesystem bindings re-materialize on every reference: the temp
+        // view captures a point-in-time file index, so a view bound before
+        // (or during) a streaming INSERT would report that snapshot forever.
+        // Re-binding is metadata-only (footer read), data scans stay lazy.
+        if (missing || b.connector == "filesystem")
+          try TableEnv.materializeDF(spark, b).foreach(_.createOrReplaceTempView(b.name))
+          catch { case _: Exception => () }
+      }
+    }
+
   private def route(spark: SparkSession, stmt: String): OpResult = {
+    ensureBindingsVisible(spark, stmt)
     val upper = stmt.toUpperCase
     stmt match {
       case s if TableEnv.isCreateTableWith(s) && upper.contains("WITH") =>

@@ -106,6 +106,120 @@ class ConcurrencySpec extends SparkTestBase {
     gw.closeSession(a)
   }
 
+  test("8 sessions soak the streaming lifecycle: INSERT jobs, STOP JOB, close with live jobs") {
+    // The reference's session/job model (sessionManager.ts:257-288,
+    // jobsProvider.ts:63-77): many editor sessions each submit streaming
+    // INSERT jobs, stop some, and may disappear while their jobs run —
+    // jobs belong to the shared cluster, not the session. Soaks the Jobs
+    // registry, startStreamingInsert, STOP JOB routing, and closeSession
+    // under genuine overlap: 8 sessions' jobs checkpoint under one shared
+    // parent, even workers stop their own job, odd workers close their
+    // session FIRST and a control session must still see and stop the
+    // orphaned job afterwards.
+    val gw = new Gateway(spark)
+    val runDir = s"/tmp/graft-soak-${java.util.UUID.randomUUID()}"
+    val n = 8
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Try[String]]()
+    def jobsPage(h: String) = gw.fetchResults(gw.executeStatement(h, "SHOW JOBS"), 0)
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          results.put(i, Try {
+            start.await()
+            val h = gw.openSession(s"soak_$i")
+            gw.executeStatement(h,
+              s"CREATE TABLE soak_src_$i (id BIGINT, v DOUBLE) WITH " +
+                "('connector'='datagen','rows-per-second'='100')")
+            gw.executeStatement(h,
+              s"CREATE TABLE soak_sink_$i (id BIGINT, v DOUBLE) WITH " +
+                s"('connector'='filesystem','path'='$runDir/sink_$i'," +
+                s"'format'='parquet','checkpoint'='$runDir/ckpt_$i')")
+            val msg = gw.fetchResults(gw.executeStatement(h,
+              s"INSERT INTO soak_sink_$i SELECT id, v FROM soak_src_$i"), 0)
+              .rows.head.head.toString
+            val job = "Job (\\S+) started".r.findFirstMatchIn(msg)
+              .getOrElse(fail(s"worker $i: unexpected INSERT result '$msg'"))
+              .group(1)
+            // the job must be visible as RUNNING through ANY session's
+            // SHOW JOBS (shared registry), and must commit real data
+            val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+            def running() = jobsPage(h).rows.exists(r =>
+              r(1).toString == job && r(2).toString == "RUNNING")
+            // committed rows through the real (metadata-log-aware) read
+            // path — a part- file on disk can belong to an uncommitted
+            // in-flight batch that a stop aborts
+            def committed() =
+              (try gw.fetchResults(gw.executeStatement(h,
+                  s"SELECT count(*) AS n FROM soak_sink_$i"), 0)
+                .rows.head.head.toString.toLong
+               catch { case _: Exception => 0L }) > 0
+            while ((!running() || !committed()) && System.nanoTime() < deadline)
+              Thread.sleep(250)
+            assert(running(), s"worker $i: job $job never showed RUNNING")
+            assert(committed(), s"worker $i: job $job committed no rows")
+            if (i % 2 == 0) {
+              // stop through the gateway, then verify the terminal status
+              val stopMsg = gw.fetchResults(
+                gw.executeStatement(h, s"STOP JOB '$job'"), 0).rows.head.head.toString
+              assert(!stopMsg.toLowerCase.contains("error"), s"worker $i: $stopMsg")
+              assert(jobsPage(h).rows.exists(r =>
+                r(1).toString == job && r(2).toString == "CANCELED"),
+                s"worker $i: job $job not CANCELED after STOP JOB")
+              gw.closeSession(h)
+            } else {
+              // close the session with the job still live — the job must
+              // survive (cluster-owned) for the control session to adopt
+              gw.closeSession(h)
+            }
+            job
+          })
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "soak workers did not finish")
+    val jobs = (0 until n).map { i =>
+      results.get(i) match {
+        case Success(job) => i -> job
+        case Failure(e) => fail(s"worker $i failed: $e")
+        case null => fail(s"worker $i never ran")
+      }
+    }.toMap
+    // control session: the odd workers' jobs outlived their sessions —
+    // still RUNNING, still stoppable by name from a different session
+    val ctl = gw.openSession("soak_ctl")
+    jobs.filter(_._1 % 2 == 1).foreach { case (i, job) =>
+      assert(jobsPage(ctl).rows.exists(r =>
+        r(1).toString == job && r(2).toString == "RUNNING"),
+        s"orphaned job $job (worker $i) not RUNNING in the control session")
+      gw.executeStatement(ctl, s"STOP JOB '$job'")
+    }
+    // convergence: every soak job is terminal, none active
+    val finals = jobsPage(ctl).rows
+      .filter(r => jobs.values.toSet.contains(r(1).toString))
+    assert(finals.size == n, s"expected $n soak jobs in history, got ${finals.size}")
+    finals.foreach(r => assert(r(2).toString == "CANCELED",
+      s"job ${r(1)} ended ${r(2)}, expected CANCELED"))
+    // every sink holds committed rows readable as a batch table
+    (0 until n).foreach { i =>
+      val cnt = gw.fetchResults(gw.executeStatement(ctl,
+        s"SELECT count(*) AS n FROM soak_sink_$i"), 0).rows.head.head.toString.toLong
+      assert(cnt > 0, s"sink $i empty after its job was stopped")
+      gw.executeStatement(ctl, s"DROP TABLE soak_sink_$i")
+      gw.executeStatement(ctl, s"DROP TABLE soak_src_$i")
+    }
+    gw.closeSession(ctl)
+    // best-effort scratch cleanup
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(runDir))
+  }
+
   test("concurrent DDL on the shared binding registry is safe and convergent") {
     val gw = new Gateway(spark)
     val n = 6

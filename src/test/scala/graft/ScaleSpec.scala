@@ -104,8 +104,11 @@ class ScaleSpec extends SparkTestBase {
     assert(b.watermark.contains(("order_time", "5 seconds")))
     assert(b.primaryKey == Seq("order_id"))
     val types = b.cols.map(c => c.name -> c.sparkType).toMap
-    assert(types("order_time") == "TIMESTAMP_NTZ")   // wall-clock
-    assert(types("order_time_ltz") == "TIMESTAMP")   // instant
+    assert(types("order_time") == "TIMESTAMP_NTZ")      // wall-clock
+    // instant — Spark's explicit LTZ type, so the SHOW CREATE TABLE →
+    // CREATE TABLE round-trip is a fixpoint (r12; plain TIMESTAMP re-parsed
+    // to TIMESTAMP_NTZ, silently turning the instant into wall-clock)
+    assert(types("order_time_ltz") == "TIMESTAMP_LTZ")
     assert(types("price") == "DECIMAL(10, 2)")
     assert(b.cols.find(_.name == "ts").get.computed.contains("current_timestamp()"))
     // metadata-column corpus table (F:33-43)
