@@ -174,18 +174,30 @@ object ScaleProbe {
       println(s"[probe] cluster propagate rounds=$rounds clusters=$nClusters")
       nClusters
     }
-    val unionFound = time("cluster union-find (same edges)") {
-      // driverLimit raised so the driver path takes the same input
-      CorpusFilters.duplicateGroups(bigPairs, driverLimit = Long.MaxValue)
-        .select(col("cluster_id")).distinct().count()
+    // Parity pin: driver union-find on the same edges below ~8M edges; at
+    // the 20M+ probe (CLUSTER_ANALYTIC=1) collecting 2×20M edge rows to
+    // the driver is the thing the distributed branch exists to avoid, so
+    // the pin switches to the synthetic graph's ANALYTIC component count —
+    // stars of 4 pairwise-chained merge to exactly edgeDocs/8 components
+    // (requires 8 | edgeDocs; r8 confirmed 337,500 = 2.7M/8 against
+    // union-find). Wrong merges or early convergence still break it.
+    if (sys.env.contains("CLUSTER_ANALYTIC")) {
+      require(edgeDocs % 8 == 0, "analytic pin needs 8 | edgeDocs")
+      for (p <- propagated) require(p == edgeDocs / 8,
+        s"clustering analytic pin broken: propagate=$p expected=${edgeDocs / 8}")
+    } else {
+      val unionFound = time("cluster union-find (same edges)") {
+        // driverLimit raised so the driver path takes the same input
+        CorpusFilters.duplicateGroups(bigPairs, driverLimit = Long.MaxValue)
+          .select(col("cluster_id")).distinct().count()
+      }
+      // enforced — a probe that only prints two numbers records a broken
+      // branch (non-convergence in maxIters, a wrong merge) as "verified";
+      // member-level equality is pinned in PipelineSpec at spec scale
+      // (skipped only when PROBE_ONLY excluded one of the two blocks)
+      for (p <- propagated; u <- unionFound) require(p == u,
+        s"clustering parity broken at scale: propagate=$p unionFind=$u")
     }
-    // the parity PIN, enforced — a probe that only prints two numbers
-    // records a broken branch (non-convergence in maxIters, a wrong merge)
-    // as "verified"; member-level equality is pinned in PipelineSpec at
-    // spec scale, the probe asserts the cluster count at 2M+ edges
-    // (skipped only when PROBE_ONLY excluded one of the two blocks)
-    for (p <- propagated; u <- unionFound) require(p == u,
-      s"clustering parity broken at scale: propagate=$p unionFind=$u")
 
     time("phash near-dup pairs") {
       graft.pipeline.Multimodal.phashNearDupPairs(
