@@ -18,7 +18,8 @@ import graft.queries.StreamParityQueries.{drain, withParityConf}
   * rows planted as unambiguously late (their windows end far below the
   * already-advanced watermark), which the stream side must DROP.
   *
-  * Config space: window kind (TUMBLE / HOP / CUMULATE), size/slide/step,
+  * Config space: window kind (TUMBLE / HOP / CUMULATE / SESSION),
+  * size/slide/step/gap,
   * SECOND vs MINUTE interval units, watermark delay 0–20 s, 1–4 keys,
   * keyed vs global grouping, boundary-exact timestamps, and 0–4 late rows.
   * Late-drop determinism: real rows live ≥ 3600 s, late rows at ≤ 120 s,
@@ -97,7 +98,8 @@ class StreamFuzzSpec extends SparkTestBase {
     def runConfig(i: Int): Unit = {
         val rnd = new scala.util.Random(seed0 + i)
         // ---- window shape
-        val kind = rnd.nextInt(3)
+        val kind = rnd.nextInt(4)
+        val keyed = rnd.nextBoolean()
         val (tvf, label) = kind match {
           case 0 =>
             val size = 5 + rnd.nextInt(236)
@@ -108,14 +110,20 @@ class StreamFuzzSpec extends SparkTestBase {
             val size = slide + 1 + rnd.nextInt(math.min(slide * 3, 240 - slide))
             (s"HOP(TABLE %s, DESCRIPTOR(ets), ${interval(slide)}, ${interval(size)})",
               s"HOP($slide/$size s)")
-          case _ =>
+          case 2 =>
             val step = 2 + rnd.nextInt(29)
             val size = step * (2 + rnd.nextInt(4))
             (s"CUMULATE(TABLE %s, DESCRIPTOR(ets), ${interval(step)}, ${interval(size)})",
               s"CUMULATE($step/$size s)")
+          case _ =>
+            // SESSION merges state across waves — the only TVF whose window
+            // BOUNDS depend on other rows, so batch==stream pins the merge
+            val gap = 2 + rnd.nextInt(59)
+            val part = if (keyed) " PARTITION BY user_id" else ""
+            (s"SESSION(TABLE %s$part, DESCRIPTOR(ets), ${interval(gap)})",
+              s"SESSION($gap s)")
         }
         val delay = rnd.nextInt(21)
-        val keyed = rnd.nextBoolean()
         val groupCols = if (keyed) "window_start, window_end, user_id"
           else "window_start, window_end"
         def sql(view: String) =
