@@ -716,6 +716,14 @@ class Gateway(root: SparkSession) {
           if (TableEnv.dropView(n, viewScope(spark))) {
             spark.catalog.dropTempView(n)
             Statement(s"View $n dropped")
+          } else if (TableEnv.viewDefExact(n, "").isDefined) {
+            // the only local relation is this session's MATERIALIZATION of
+            // a catalog view — dropping it would silently break later
+            // SELECTs while SHOW CREATE VIEW still advertises the view
+            if (ifExists != null) Statement(s"View $n does not exist (no-op)")
+            else throw new IllegalArgumentException(
+              s"Temporary view '$n' does not exist in this session — " +
+                s"'$n' is a catalog view; use DROP VIEW")
           } else if (spark.catalog.dropTempView(n) || ifExists != null)
             Statement(s"View $n dropped")
           else throw new IllegalArgumentException(

@@ -94,6 +94,14 @@ class ConcurrencySpec extends SparkTestBase {
     assert(gone.columns == Seq("error") &&
       gone.rows.head.mkString.contains("does not exist in this session"), gone.rows)
     assert(run(b, "DROP TEMPORARY VIEW IF EXISTS scoped_v").columns != Seq("error"))
+    // DROP TEMPORARY VIEW must not destroy a session's materialization of
+    // a CATALOG view (the only local relation of that name) — A created
+    // the catalog view, so in A the statement is a named refusal
+    val cat = run(a, "DROP TEMPORARY VIEW scoped_v")
+    assert(cat.columns == Seq("error") &&
+      cat.rows.head.mkString.contains("catalog view"), cat.rows)
+    assert(run(a, "SELECT x FROM scoped_v").rows == Seq(Seq(1)),
+      "catalog view materialization must survive the refused drop")
     // closeSession purges the session's scoped definitions — without the
     // purge a long-lived gateway leaks one entry per dead temp view
     assert(run(b, "CREATE TEMPORARY VIEW purge_me AS SELECT 3 AS x").columns != Seq("error"))
