@@ -143,9 +143,15 @@ object FlinkDialect {
     // IndexOutOfBoundsException at restore (an internal error, breaking
     // the total/named-rejections contract) and a colliding in-range one
     // silently substituted an unrelated literal.
+    // CASE-INSENSITIVE collision scan: the SIMILAR TO rule matches its
+    // placeholder under a pattern-wide (?i), so a lowercase forged
+    // `__graft_lit_0__` would reach literals(i) if only the exact case
+    // escalated the tag
     var tag = "GRAFT"
-    while (s.contains("__" + tag + "_LIT_") || s.contains("__" + tag + "_BT_") ||
-        s.contains("__" + tag + "_TS_LTZ__"))
+    val sLower = s.toLowerCase
+    while (sLower.contains(("__" + tag + "_LIT_").toLowerCase) ||
+        sLower.contains(("__" + tag + "_BT_").toLowerCase) ||
+        sLower.contains(("__" + tag + "_TS_LTZ__").toLowerCase))
       tag += "X"
     val litTag = "__" + tag + "_LIT_"
     val btTag = "__" + tag + "_BT_"

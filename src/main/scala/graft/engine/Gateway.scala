@@ -471,21 +471,60 @@ class Gateway(root: SparkSession) {
     * session's first statement naming a registry binding materializes it
     * there lazily. Cost: one word-bounded scan of the (small) registry per
     * statement; catalog lookups only on a name hit. */
-  private def ensureBindingsVisible(spark: SparkSession, stmt: String): Unit =
+  private def ensureBindingsVisible(spark: SparkSession, stmt: String): Unit = {
+    def named(name: String): Boolean =
+      ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(name) + "(?![\\w`])").r
+        .findFirstIn(stmt).isDefined
+    def exists(name: String): Boolean =
+      try spark.catalog.tableExists(name) catch { case _: Exception => true }
+    // a session-scoped TEMPORARY view shadows the shared object of the
+    // same name — never clobber its materialization with the binding's
+    def shadowed(name: String): Boolean =
+      TableEnv.viewDefExact(name, viewScope(spark)).isDefined
     TableEnv.bindings.foreach { case (name, b) =>
-      if (("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(name) + "(?![\\w`])").r
-          .findFirstIn(stmt).isDefined) {
-        val missing =
-          !(try spark.catalog.tableExists(name) catch { case _: Exception => true })
+      if (named(name) && !shadowed(name)) {
         // filesystem bindings re-materialize on every reference: the temp
         // view captures a point-in-time file index, so a view bound before
         // (or during) a streaming INSERT would report that snapshot forever.
         // Re-binding is metadata-only (footer read), data scans stay lazy.
-        if (missing || b.connector == "filesystem")
+        if (!exists(name) || b.connector == "filesystem")
           try TableEnv.materializeDF(spark, b).foreach(_.createOrReplaceTempView(b.name))
           catch { case _: Exception => () }
       }
     }
+    // shared catalog VIEWS get the same lazy visibility (Flink: catalog
+    // views are cluster objects, not session objects), and REFRESH on every
+    // reference — a CREATE OR REPLACE VIEW in one session must be seen by
+    // sessions that materialized the old body (temp views inline the
+    // analyzed plan at creation, so staleness is invisible otherwise).
+    // A view's SQL may reference other catalog views: the needed set closes
+    // transitively and materializes dependencies-first (a dependent view
+    // re-created before its refreshed dependency would inline the STALE
+    // dependency plan).
+    val defs = TableEnv.catalogViews
+    def namedIn(text: String): Set[String] = defs.keySet.filter(n =>
+      ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(n) + "(?![\\w`])").r
+        .findFirstIn(text).isDefined)
+    var need = namedIn(stmt)
+    var grown = true
+    while (grown) {
+      val more = need ++ need.flatMap(n => namedIn(defs(n)))
+      grown = more.size > need.size
+      need = more
+    }
+    var remaining = need.filter(n => !shadowed(n))
+    while (remaining.nonEmpty) {
+      val ready = remaining.filter(n => (namedIn(defs(n)) - n)
+        .intersect(remaining).isEmpty)
+      val batch = if (ready.nonEmpty) ready else remaining // cycle: any order
+      batch.toSeq.sorted.foreach { name =>
+        try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS " +
+          FlinkDialect.rewrite(defs(name)))
+        catch { case _: Exception => () }
+      }
+      remaining = remaining -- batch
+    }
+  }
 
   private def route(spark: SparkSession, stmt: String): OpResult = {
     ensureBindingsVisible(spark, stmt)
@@ -694,8 +733,16 @@ class Gateway(root: SparkSession) {
           else throw new IllegalArgumentException(
             s"View '$viewName' already exists — use CREATE OR REPLACE VIEW to redefine it")
         } else {
-          spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$viewName` AS " +
-            FlinkDialect.rewrite(select))
+          // a non-temporary CREATE OR REPLACE while THIS session holds a
+          // same-named temporary shadow must update only the catalog
+          // definition — the shadow's materialization keeps winning locally
+          // (it would otherwise show the catalog body under a TEMPORARY
+          // SHOW CREATE VIEW, the inconsistency shadowing exists to avoid)
+          val throughShadow =
+            temp == null && TableEnv.viewDefExact(viewName, scope).isDefined
+          if (!throughShadow)
+            spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$viewName` AS " +
+              FlinkDialect.rewrite(select))
           TableEnv.registerView(viewName, select.trim, temp != null, scope)
           Statement(s"View $viewName created")
         }
@@ -715,6 +762,14 @@ class Gateway(root: SparkSession) {
         if (temp != null) {
           if (TableEnv.dropView(n, viewScope(spark))) {
             spark.catalog.dropTempView(n)
+            // un-shadow: if the dropped temp view shadowed a catalog view,
+            // restore the catalog view's materialization so SELECT agrees
+            // with what SHOW CREATE VIEW now advertises
+            TableEnv.viewDefExact(n, "").foreach { case (sql, _) =>
+              try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$n` AS " +
+                FlinkDialect.rewrite(sql))
+              catch { case _: Exception => () }
+            }
             Statement(s"View $n dropped")
           } else if (TableEnv.viewDefExact(n, "").isDefined) {
             // the only local relation is this session's MATERIALIZATION of

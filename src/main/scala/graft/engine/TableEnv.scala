@@ -99,6 +99,11 @@ object TableEnv {
   def dropScope(scope: String): Unit =
     if (scope.nonEmpty)
       viewDefs.keys.filter(_._1 == scope).foreach(viewDefs.remove)
+  /** Shared (catalog) view definitions: name → SQL text. Gateway sessions
+    * other than the creator materialize these lazily on first reference
+    * (the binding-visibility mechanism, r12). */
+  def catalogViews: Map[String, String] =
+    viewDefs.iterator.collect { case (("", n), (sql, _)) => n -> sql }.toMap
 
   /** ALTER TABLE t SET ('k'='v', ...) on a binding (F:96-98): merge options
     * and refresh the materialized view so later reads see the change. */

@@ -51,8 +51,11 @@ object PipelineQueries {
       s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0d, (acc, z) -> acc + z)")
     val wOrd = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
     val flagged = ann
-      .join(vecs, Seq("vec_id"), "left_outer") // left: a phantom vec_id must
-      .join(broadcast(qvecs), Seq("query_id")) //   flag, not silently drop
+      // left joins BOTH ways: a phantom vec_id OR query_id in the operator
+      // output must flag (null vector → sims_exact false / an extra
+      // query_id row → oracle row-count mismatch), never silently drop
+      .join(vecs, Seq("vec_id"), "left_outer")
+      .join(broadcast(qvecs), Seq("query_id"), "left_outer")
       .join(brute, Seq("query_id", "vec_id"), "left_outer")
       .withColumn("__lam_sim",
         round(lamDot("__v", "__q") /

@@ -102,6 +102,41 @@ class ConcurrencySpec extends SparkTestBase {
       cat.rows.head.mkString.contains("catalog view"), cat.rows)
     assert(run(a, "SELECT x FROM scoped_v").rows == Seq(Seq(1)),
       "catalog view materialization must survive the refused drop")
+    // catalog views are CLUSTER objects: readable from any session via
+    // lazy materialization (r12 review finding — previously only the
+    // creating session could SELECT them), and B's un-shadowing drop above
+    // restored the catalog body locally
+    assert(run(b, "SELECT x FROM scoped_v").rows == Seq(Seq(1)),
+      "un-shadow must restore the catalog view's materialization")
+    val c = gw.openSession("scope_c")
+    assert(run(c, "SELECT x FROM scoped_v").rows == Seq(Seq(1)),
+      "catalog view unreadable from a session that never created it")
+    // a redefinition propagates to every session on next reference
+    assert(run(c, "CREATE OR REPLACE VIEW scoped_v AS SELECT 5 AS x").columns != Seq("error"))
+    assert(run(a, "SELECT x FROM scoped_v").rows == Seq(Seq(5)),
+      "catalog view redefinition must propagate to other sessions")
+    // OR REPLACE issued THROUGH a local shadow updates only the catalog
+    // definition; the shadow keeps winning locally until dropped
+    assert(run(b, "CREATE TEMPORARY VIEW scoped_v AS SELECT 7 AS x").columns != Seq("error"))
+    assert(run(b, "CREATE OR REPLACE VIEW scoped_v AS SELECT 6 AS x").columns != Seq("error"))
+    assert(run(b, "SELECT x FROM scoped_v").rows == Seq(Seq(7)),
+      "shadow must win locally over the catalog redefinition it issued")
+    assert(run(b, "SHOW CREATE VIEW scoped_v").rows.head.mkString.contains("TEMPORARY"))
+    assert(run(a, "SELECT x FROM scoped_v").rows == Seq(Seq(6)),
+      "catalog body must update for other sessions")
+    assert(run(b, "DROP TEMPORARY VIEW scoped_v").columns != Seq("error"))
+    assert(run(b, "SELECT x FROM scoped_v").rows == Seq(Seq(6)),
+      "un-shadow must surface the LATEST catalog body")
+    // a temporary view may shadow a BINDING name too — the per-reference
+    // binding refresh must not clobber it
+    assert(run(a, "CREATE TABLE shadow_t (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='3')").columns != Seq("error"))
+    assert(run(c, "CREATE TEMPORARY VIEW shadow_t AS SELECT 42 AS id").columns != Seq("error"))
+    assert(run(c, "SELECT id FROM shadow_t").rows == Seq(Seq(42)),
+      "binding refresh clobbered a session's temporary shadow")
+    assert(run(a, "SELECT count(*) AS n FROM shadow_t").rows == Seq(Seq(3L)))
+    run(a, "DROP TABLE shadow_t")
+    gw.closeSession(c)
     // closeSession purges the session's scoped definitions — without the
     // purge a long-lived gateway leaks one entry per dead temp view
     assert(run(b, "CREATE TEMPORARY VIEW purge_me AS SELECT 3 AS x").columns != Seq("error"))
@@ -220,12 +255,7 @@ class ConcurrencySpec extends SparkTestBase {
       gw.executeStatement(ctl, s"DROP TABLE soak_src_$i")
     }
     gw.closeSession(ctl)
-    // best-effort scratch cleanup
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(runDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(runDir))
   }
 
   test("concurrent DDL on the shared binding registry is safe and convergent") {

@@ -250,12 +250,18 @@ class DialectFuzzSpec extends SparkTestBase {
       // forged token INSIDE a string literal must come back verbatim
       "SELECT '__GRAFT_LIT_9__ payload' AS s FROM t",
       // SIMILAR TO with a forged placeholder where a masked pattern could be
-      "SELECT a FROM t WHERE b SIMILAR TO __GRAFT_LIT_7__")
+      "SELECT a FROM t WHERE b SIMILAR TO __GRAFT_LIT_7__",
+      // LOWERCASE forgeries: the SIMILAR TO rule matches placeholders under
+      // a pattern-wide (?i), so the anti-forgery escalation must be
+      // case-insensitive too (r12 review finding)
+      "SELECT a FROM t WHERE b SIMILAR TO __graft_lit_0__",
+      "SELECT a FROM t WHERE c = 'x' AND b SIMILAR TO __graft_lit_0__",
+      "SELECT __graft_bt_1__, __Graft_Ts_Ltz__ FROM t")
     forged.zipWithIndex.foreach { case (stmt, i) =>
       val out = FlinkDialect.rewrite(stmt) // must not throw
       // every forged token present in the input survives to the output
       // verbatim (it is plain text, not a placeholder of THIS call)
-      "__GRAFT_(?:LIT|BT)_\\d+__|__GRAFT_TS_LTZ__".r.findAllIn(stmt).toSet
+      "(?i)(?:__GRAFT_(?:LIT|BT)_\\d+__|__GRAFT_TS_LTZ__)".r.findAllIn(stmt).toSet
         .foreach { tok: String => assert(out.contains(tok),
           s"[case $i] forged token $tok mangled:\n$stmt\n-> $out") }
       // and a real literal in the same statement is never replaced by junk

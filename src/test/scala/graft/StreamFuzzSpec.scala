@@ -91,8 +91,9 @@ class StreamFuzzSpec extends SparkTestBase {
     val seed0 = 0x57f0f221L
     // Per-config wall time is dominated by micro-batch scheduling latency
     // (4-5 processAllAvailable round-trips + query start), not compute, so
-    // configs run CONCURRENTLY on independent streams — 6 workers take the
-    // 500-config sweep from ~8 min sequential to well under 2.
+    // configs run CONCURRENTLY on independent streams — 12 workers plus
+    // single-partition state take the 500-config sweep from ~8 min
+    // sequential to ~1.5 min (measured: 6 workers 2m23s, 12 workers 1m36s).
     val workers = 12
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     def runConfig(i: Int): Unit = {
