@@ -109,10 +109,14 @@ class Gateway(root: SparkSession) {
     sessions.remove(handle).foreach { s =>
       s.alive = false
       sessionModules.remove(s.spark)
-      // purge this session's temp-view definitions with its scope — the
-      // UUID is unreachable after removal, so without this a long-lived
-      // gateway accumulates dead (uuid, name) entries forever
-      viewScopes.remove(s.spark).foreach(TableEnv.dropScope)
+      // purge this session's temp-view definitions and materialization
+      // cache with its scope — the UUID is unreachable after removal, so
+      // without this a long-lived gateway accumulates dead entries forever
+      viewScopes.remove(s.spark).foreach { scope =>
+        TableEnv.dropScope(scope)
+        materializedViews.keys.filter(_._1 == scope)
+          .foreach(materializedViews.remove)
+      }
     }
     metaCache.invalidatePrefix(s"$handle::")
   }
@@ -493,15 +497,18 @@ class Gateway(root: SparkSession) {
       }
     }
     // shared catalog VIEWS get the same lazy visibility (Flink: catalog
-    // views are cluster objects, not session objects), and REFRESH on every
-    // reference — a CREATE OR REPLACE VIEW in one session must be seen by
+    // views are cluster objects, not session objects), and refresh when
+    // REDEFINED — a CREATE OR REPLACE VIEW in one session must be seen by
     // sessions that materialized the old body (temp views inline the
     // analyzed plan at creation, so staleness is invisible otherwise).
     // A view's SQL may reference other catalog views: the needed set closes
-    // transitively and materializes dependencies-first (a dependent view
-    // re-created before its refreshed dependency would inline the STALE
-    // dependency plan).
+    // transitively, staleness propagates dependents-ward (a dependent's
+    // materialization inlines its dependencies' plans), and re-creation
+    // runs dependencies-first. The per-scope materializedViews cache skips
+    // the eager re-analysis when a definition (and all its dependencies)
+    // is unchanged — the common case for every later statement.
     val defs = TableEnv.catalogViews
+    val scope = viewScope(spark)
     def namedIn(text: String): Set[String] = defs.keySet.filter(n =>
       ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(n) + "(?![\\w`])").r
         .findFirstIn(text).isDefined)
@@ -512,19 +519,35 @@ class Gateway(root: SparkSession) {
       grown = more.size > need.size
       need = more
     }
-    var remaining = need.filter(n => !shadowed(n))
+    val candidates = need.filter(n => !shadowed(n))
+    var stale = candidates.filter(n =>
+      !materializedViews.get((scope, n)).contains(defs(n)) || !exists(n))
+    grown = true
+    while (grown) {
+      val more = stale ++ candidates.filter(n =>
+        (namedIn(defs(n)) - n).intersect(stale).nonEmpty)
+      grown = more.size > stale.size
+      stale = more
+    }
+    var remaining = stale
     while (remaining.nonEmpty) {
       val ready = remaining.filter(n => (namedIn(defs(n)) - n)
         .intersect(remaining).isEmpty)
       val batch = if (ready.nonEmpty) ready else remaining // cycle: any order
       batch.toSeq.sorted.foreach { name =>
-        try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS " +
-          FlinkDialect.rewrite(defs(name)))
-        catch { case _: Exception => () }
+        try {
+          spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS " +
+            FlinkDialect.rewrite(defs(name)))
+          materializedViews.put((scope, name), defs(name))
+        } catch { case _: Exception => () }
       }
       remaining = remaining -- batch
     }
   }
+
+  /** (session scope, view name) → the definition text last materialized
+    * there. Purged with the scope on closeSession. */
+  private val materializedViews = TrieMap.empty[(String, String), String]
 
   private def route(spark: SparkSession, stmt: String): OpResult = {
     ensureBindingsVisible(spark, stmt)
@@ -790,6 +813,17 @@ class Gateway(root: SparkSession) {
             s"A temporary view '$n' exists in this session — " +
               "use DROP TEMPORARY VIEW to remove it")
         else if (TableEnv.dropView(n, "")) {
+          // drop the materialization in EVERY open session (the view was a
+          // cluster object), sparing sessions whose own temporary shadow
+          // owns the name; forget the materialization-cache entries so a
+          // later re-CREATE re-materializes everywhere
+          sessions.values.foreach { sess =>
+            if (!TableEnv.viewDefExact(n, viewScope(sess.spark)).isDefined)
+              try sess.spark.catalog.dropTempView(n)
+              catch { case _: Exception => () }
+          }
+          materializedViews.keys.filter(_._2 == n.toLowerCase)
+            .foreach(materializedViews.remove)
           spark.catalog.dropTempView(n)
           Statement(s"View $n dropped")
         } else {

@@ -136,6 +136,11 @@ class ConcurrencySpec extends SparkTestBase {
       "binding refresh clobbered a session's temporary shadow")
     assert(run(a, "SELECT count(*) AS n FROM shadow_t").rows == Seq(Seq(3L)))
     run(a, "DROP TABLE shadow_t")
+    // plain DROP VIEW removes the materialization in EVERY session — a
+    // dropped cluster object must not stay readable as a ghost elsewhere
+    assert(run(a, "DROP VIEW scoped_v").columns != Seq("error"))
+    assert(run(b, "SELECT x FROM scoped_v").columns == Seq("error"),
+      "dropped catalog view still readable in another session")
     gw.closeSession(c)
     // closeSession purges the session's scoped definitions — without the
     // purge a long-lived gateway leaks one entry per dead temp view
@@ -145,7 +150,6 @@ class ConcurrencySpec extends SparkTestBase {
     gw.closeSession(b)
     assert(graft.engine.TableEnv.viewDefExact("purge_me", scopeB).isEmpty,
       "closed session's temp-view definitions must be purged")
-    assert(run(a, "DROP VIEW scoped_v").columns != Seq("error"))
     gw.closeSession(a)
   }
 
