@@ -143,6 +143,7 @@ class Gateway(root: SparkSession) {
     """(?is)CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.*)""".r
   private val ShowCreateViewRe = """(?is)SHOW\s+CREATE\s+VIEW\s+([\w.`]+)""".r
   private val DropViewRe = """(?is)DROP\s+(TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)""".r
+  private val DropTableRe = """(?is)DROP\s+(TEMPORARY\s+)?TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
   private val UpdateRe = """(?is)^UPDATE\s+([\w.`]+)\s+SET\s+(.*)$""".r
 
   /** Split "assignments [WHERE predicate]" at the top-level WHERE — never
@@ -775,6 +776,36 @@ class Gateway(root: SparkSession) {
             s"CREATE ${if (temp) "TEMPORARY " else ""}VIEW `${target.replace("`", "")}` AS $sql")
           case None => Finished(spark.sql(s"SHOW CREATE TABLE $target"))
         }
+      case DropTableRe(temp, ifExists, target) if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        // DROP TABLE on a connector binding must remove the REGISTRY entry
+        // and every session's materialization — pre-r12, Spark's DROP TABLE
+        // only removed the current session's temp view, leaving the binding
+        // answering SHOW CREATE TABLE/DESCRIBE forever; with r12's lazy
+        // cross-session visibility it would even resurrect on reference.
+        // Keyword and binding temporariness must agree (Flink's
+        // CatalogManager refuses the cross-drop in both directions).
+        val n = target.replace("`", "").toLowerCase
+        val b = TableEnv.lookup(n).get
+        if ((temp != null) && !b.temporary) {
+          if (ifExists != null) Statement(s"Table $n does not exist (no-op)")
+          else throw new IllegalArgumentException(
+            s"Table '$n' is not temporary — use DROP TABLE")
+        } else if ((temp == null) && b.temporary)
+          throw new IllegalArgumentException(
+            s"A temporary table '$n' exists — use DROP TEMPORARY TABLE to remove it")
+        else {
+        TableEnv.drop(n)
+        if (b.distribution.isDefined)
+          try spark.sql(s"DROP TABLE IF EXISTS ${TableEnv.bucketTableName(b)}")
+          catch { case _: Exception => () }
+        sessions.values.foreach { sess =>
+          if (!TableEnv.viewDefExact(n, viewScope(sess.spark)).isDefined)
+            try sess.spark.catalog.dropTempView(n)
+            catch { case _: Exception => () }
+        }
+        spark.catalog.dropTempView(n)
+        Statement(s"Table $n dropped")
+        }
       case DropViewRe(temp, ifExists, target) =>
         // Scope-exact semantics (Flink's): DROP TEMPORARY VIEW removes only
         // THIS session's (scope, name) definition; plain DROP VIEW removes
@@ -839,7 +870,22 @@ class Gateway(root: SparkSession) {
         val b = TableEnv.alterOptions(spark, target.replace("`", ""), opts)
         Statement(s"Table ${b.name} options updated (${opts.keys.mkString(", ")})")
       case AlterRenameRe(from, to) if TableEnv.lookup(from.replace("`", "")).isDefined =>
-        val b = TableEnv.rename(spark, from.replace("`", ""), to.replace("`", ""))
+        val fromN = from.replace("`", "").toLowerCase
+        val toN = to.replace("`", "").toLowerCase
+        // Flink refuses to rename onto an existing object
+        if (TableEnv.lookup(toN).isDefined || TableEnv.viewDefExact(toN, "").isDefined)
+          throw new IllegalArgumentException(
+            s"Could not rename: an object named '$toN' already exists")
+        val b = TableEnv.rename(spark, fromN, toN)
+        // the old name must die in EVERY session, not just this one —
+        // a stale materialization elsewhere is a readable ghost of a
+        // cluster object that no longer exists (same class as DROP TABLE)
+        sessions.values.foreach { sess =>
+          if ((sess.spark ne spark) &&
+              !TableEnv.viewDefExact(fromN, viewScope(sess.spark)).isDefined)
+            try sess.spark.catalog.dropTempView(fromN)
+            catch { case _: Exception => () }
+        }
         Statement(s"Table renamed to ${b.name}")
       case ShowCreateRe(target) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         Statement(TableEnv.showCreateTable(TableEnv.lookup(target.replace("`", "")).get))

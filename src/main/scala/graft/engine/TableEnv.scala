@@ -121,6 +121,11 @@ object TableEnv {
     val b = lookup(from).getOrElse(
       throw new IllegalArgumentException(s"Unknown binding: $from"))
     val nb = b.copy(name = to.toLowerCase)
+    // a bucketed binding's data lives in the saved catalog table
+    // graft_bucket_<name> — carry it to the new name or the renamed
+    // binding silently degrades to unbucketed reads (Exchange reappears)
+    if (b.distribution.isDefined && spark.catalog.tableExists(bucketTableName(b)))
+      spark.sql(s"ALTER TABLE ${bucketTableName(b)} RENAME TO ${bucketTableName(nb)}")
     registry.remove(b.name)
     registry.put(nb.name, nb)
     spark.catalog.dropTempView(b.name)

@@ -136,6 +136,49 @@ class ConcurrencySpec extends SparkTestBase {
       "binding refresh clobbered a session's temporary shadow")
     assert(run(a, "SELECT count(*) AS n FROM shadow_t").rows == Seq(Seq(3L)))
     run(a, "DROP TABLE shadow_t")
+    // the dropped binding is gone from the registry and from every
+    // session's catalog — it must not resurrect on reference (pre-r12 DROP
+    // TABLE left the registry entry answering SHOW CREATE TABLE forever)
+    assert(run(a, "SELECT count(*) AS n FROM shadow_t").columns == Seq("error"),
+      "dropped binding resurrected by the visibility mechanism")
+    assert(run(a, "SHOW CREATE TABLE shadow_t").columns == Seq("error"),
+      "dropped binding still answers SHOW CREATE TABLE")
+    // …while C's same-named temporary view (a separate object) survives
+    assert(run(c, "SELECT id FROM shadow_t").rows == Seq(Seq(42)))
+    // keyword and binding temporariness must agree, both directions
+    // (Flink's CatalogManager refuses the cross-drop)
+    assert(run(a, "CREATE TABLE cross_perm (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='1')").columns != Seq("error"))
+    assert(run(a, "CREATE TEMPORARY TABLE cross_temp (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='1')").columns != Seq("error"))
+    val xp = run(a, "DROP TEMPORARY TABLE cross_perm")
+    assert(xp.columns == Seq("error") &&
+      xp.rows.head.mkString.contains("not temporary"), xp.rows)
+    assert(run(a, "DROP TEMPORARY TABLE IF EXISTS cross_perm").columns != Seq("error"),
+      "IF EXISTS must downgrade the refused cross-drop to a no-op")
+    assert(run(a, "SELECT count(*) AS n FROM cross_perm").rows == Seq(Seq(1L)),
+      "refused DROP TEMPORARY TABLE must leave the permanent binding intact")
+    val xt = run(a, "DROP TABLE cross_temp")
+    assert(xt.columns == Seq("error") &&
+      xt.rows.head.mkString.contains("DROP TEMPORARY TABLE"), xt.rows)
+    assert(run(a, "DROP TEMPORARY TABLE cross_temp").columns != Seq("error"))
+    assert(run(a, "DROP TABLE cross_perm").columns != Seq("error"))
+    assert(run(a, "SHOW CREATE TABLE cross_temp").columns == Seq("error"))
+    // ALTER TABLE RENAME: the old name must die in EVERY session (same
+    // ghost class as DROP), and renaming onto an existing object refuses
+    assert(run(a, "CREATE TABLE ren_src (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='2')").columns != Seq("error"))
+    assert(run(b, "SELECT count(*) AS n FROM ren_src").rows == Seq(Seq(2L)),
+      "binding unreadable from the other session before rename")
+    val renConflict = run(a, "ALTER TABLE ren_src RENAME TO scoped_v")
+    assert(renConflict.columns == Seq("error") &&
+      renConflict.rows.head.mkString.contains("already exists"), renConflict.rows)
+    assert(run(a, "ALTER TABLE ren_src RENAME TO ren_dst").columns != Seq("error"))
+    assert(run(b, "SELECT count(*) AS n FROM ren_src").columns == Seq("error"),
+      "renamed-away binding still readable as a ghost in another session")
+    assert(run(b, "SELECT count(*) AS n FROM ren_dst").rows == Seq(Seq(2L)),
+      "renamed binding unreadable under its new name from another session")
+    assert(run(a, "DROP TABLE ren_dst").columns != Seq("error"))
     // plain DROP VIEW removes the materialization in EVERY session — a
     // dropped cluster object must not stay readable as a ghost elsewhere
     assert(run(a, "DROP VIEW scoped_v").columns != Seq("error"))

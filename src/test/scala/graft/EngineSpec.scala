@@ -942,6 +942,18 @@ class EngineSpec extends SparkTestBase {
          |WITH ('connector'='filesystem','path'='$d3','format'='parquet')""".stripMargin)
     gw2.fetchResults(gw2.executeStatement(h, "INSERT INTO bt1 SELECT id, v FROM bsrc LIMIT 10"), 0)
     assert(TableEnv.batchDF(spark, TableEnv.lookup("bt1").get).count() == 10)
+    // ALTER TABLE RENAME must carry the saved bucket table to the new name,
+    // or the renamed binding silently degrades to unbucketed reads
+    gw2.executeStatement(h, "ALTER TABLE bt1 RENAME TO bt1r")
+    assert(spark.catalog.tableExists("graft_bucket_bt1r"),
+      "bucket table did not follow the rename")
+    assert(!spark.catalog.tableExists("graft_bucket_bt1"),
+      "orphaned bucket table left under the old name")
+    assert(TableEnv.batchDF(spark, TableEnv.lookup("bt1r").get).count() == 10)
+    // DROP TABLE on the bucketed binding reaps the saved bucket table too
+    gw2.executeStatement(h, "DROP TABLE bt1r")
+    assert(!spark.catalog.tableExists("graft_bucket_bt1r"),
+      "DROP TABLE left the saved bucket table behind")
   }
 
   test("completion resolution endpoint: dot-chain levels resolve through the meta cache") {
