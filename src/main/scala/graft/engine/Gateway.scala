@@ -556,6 +556,15 @@ class Gateway(root: SparkSession) {
     stmt match {
       case s if TableEnv.isCreateTableWith(s) && upper.contains("WITH") =>
         val b = TableEnv.createTable(spark, s)
+        // createTable rebinds the materialization in THIS session — if this
+        // session holds a same-named temporary VIEW, the shadow must keep
+        // winning locally (temp objects shadow catalog objects), so restore
+        // its materialization over the binding's
+        TableEnv.viewDefExact(b.name, viewScope(spark)).foreach { case (sql, _) =>
+          try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `${b.name}` AS " +
+            FlinkDialect.rewrite(sql))
+          catch { case _: Exception => () }
+        }
         Statement(s"Table ${b.name} created (connector=${b.connector})")
       case s if TableEnv.isCreateTableWith(s) =>
         // CREATE TABLE without a connector: translate the Flink types
@@ -748,6 +757,16 @@ class Gateway(root: SparkSession) {
         // semantics; the "" fallback wrongly rejected the shadow pre-r12).
         // Non-temporary form: conflicts with the shared catalog definition
         // or any Spark-visible relation of that name.
+        // the non-temporary form claims a CATALOG name: a binding of that
+        // name blocks it even under OR REPLACE (Flink: "existing object is
+        // not a view") — the registry is cluster-wide, so tableExists on
+        // this session alone would miss bindings not yet materialized here
+        if (temp == null && TableEnv.lookup(viewName).isDefined) {
+          if (ifNotExists != null) Statement(s"View $viewName already exists (no-op)")
+          else throw new IllegalArgumentException(
+            s"'$viewName' is a table — tables and views share the catalog " +
+              "namespace; DROP TABLE it first")
+        } else {
         val exists =
           if (temp != null) TableEnv.viewDefExact(viewName, scope).isDefined
           else TableEnv.viewDefExact(viewName, "").isDefined ||
@@ -769,6 +788,7 @@ class Gateway(root: SparkSession) {
               FlinkDialect.rewrite(select))
           TableEnv.registerView(viewName, select.trim, temp != null, scope)
           Statement(s"View $viewName created")
+        }
         }
       case ShowCreateViewRe(target) =>
         TableEnv.viewDef(target.replace("`", ""), viewScope(spark)) match {
@@ -803,9 +823,43 @@ class Gateway(root: SparkSession) {
             try sess.spark.catalog.dropTempView(n)
             catch { case _: Exception => () }
         }
-        spark.catalog.dropTempView(n)
+        // the caller may itself hold a temporary-view shadow of the name —
+        // DROP TABLE removes the TABLE, never the shadow
+        if (!TableEnv.viewDefExact(n, viewScope(spark)).isDefined)
+          spark.catalog.dropTempView(n)
         Statement(s"Table $n dropped")
         }
+      case DropTableRe(_, _, target)
+          if TableEnv.viewDefExact(target.replace("`", "").toLowerCase, "").isDefined ||
+            TableEnv.viewDefExact(target.replace("`", "").toLowerCase,
+              viewScope(spark)).isDefined =>
+        // the object exists but is a VIEW (catalog, or this session's
+        // temporary) — Flink refuses the cross-kind drop even under IF
+        // EXISTS (the identifier is not absent, it is the wrong kind);
+        // delegating to Spark would silently destroy the view's local
+        // materialization while the definition lives on
+        throw new IllegalArgumentException(
+          s"'${target.replace("`", "")}' is a view — use DROP " +
+            (if (TableEnv.viewDefExact(target.replace("`", "").toLowerCase, "").isDefined)
+              "VIEW" else "TEMPORARY VIEW"))
+      case DropTableRe(temp, ifExists, target) if temp != null =>
+        // TEMPORARY form with no known object: Spark has no DROP TEMPORARY
+        // TABLE grammar, so delegating would surface a parse error instead
+        // of the real answer
+        if (ifExists != null)
+          Statement(s"Table ${target.replace("`", "")} does not exist (no-op)")
+        else throw new IllegalArgumentException(
+          s"Temporary table '${target.replace("`", "")}' does not exist")
+      case DropViewRe(_, _, target)
+          if TableEnv.lookup(target.replace("`", "")).isDefined &&
+            !TableEnv.viewDefExact(target.replace("`", "").toLowerCase,
+              viewScope(spark)).isDefined &&
+            !TableEnv.viewDefExact(target.replace("`", "").toLowerCase, "").isDefined =>
+        // mirror guard: DROP VIEW on a table name — delegating to Spark
+        // would drop the binding's materialization in THIS session only,
+        // leaving a ghost that resurrects on the next reference
+        throw new IllegalArgumentException(
+          s"'${target.replace("`", "")}' is a table — use DROP TABLE")
       case DropViewRe(temp, ifExists, target) =>
         // Scope-exact semantics (Flink's): DROP TEMPORARY VIEW removes only
         // THIS session's (scope, name) definition; plain DROP VIEW removes
@@ -886,7 +940,24 @@ class Gateway(root: SparkSession) {
             try sess.spark.catalog.dropTempView(fromN)
             catch { case _: Exception => () }
         }
+        // rename rebinds the NEW name here — a same-named local temporary
+        // shadow must keep winning (same restore as the CREATE TABLE route)
+        TableEnv.viewDefExact(toN, viewScope(spark)).foreach { case (sql, _) =>
+          try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$toN` AS " +
+            FlinkDialect.rewrite(sql))
+          catch { case _: Exception => () }
+        }
         Statement(s"Table renamed to ${b.name}")
+      case AlterRenameRe(from, _)
+          if TableEnv.viewDefExact(from.replace("`", "").toLowerCase, "").isDefined ||
+            TableEnv.viewDefExact(from.replace("`", "").toLowerCase,
+              viewScope(spark)).isDefined =>
+        // not a binding but a known VIEW: delegating to Spark would rename
+        // the view's local temp-view materialization while the stored
+        // definition keeps the old name — a ghost in this session and a
+        // re-materialization in every other
+        throw new IllegalArgumentException(
+          s"'${from.replace("`", "")}' is a view — ALTER TABLE cannot rename a view")
       case ShowCreateRe(target) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         Statement(TableEnv.showCreateTable(TableEnv.lookup(target.replace("`", "")).get))
       case DescribeRe(target) if TableEnv.lookup(target.replace("`", "")).isDefined =>

@@ -432,6 +432,30 @@ object TableEnv {
           distribution = parsed.distribution.orElse(
             if (exAll) None else base.distribution))
     }
+    // Flink's conflict semantics: plain CREATE TABLE on an existing object
+    // fails, IF NOT EXISTS no-ops (returns the existing binding untouched).
+    // Pre-r12 the registry.put silently REPLACED the binding — a session
+    // could clobber a table every other session was reading. The registry
+    // is name-keyed, so a temporary table cannot shadow a same-named
+    // permanent one (documented divergence; views support shadowing).
+    val ifNotExists =
+      """(?is)^CREATE\s+(?:TEMPORARY\s+)?TABLE\s+IF\s+NOT\s+EXISTS\b""".r
+        .findFirstIn(stmt.trim).isDefined
+    lookup(b.name).foreach { existing =>
+      if (ifNotExists) return existing
+      throw new IllegalArgumentException(
+        s"Table '${b.name}' already exists — DROP " +
+          s"${if (existing.temporary) "TEMPORARY " else ""}TABLE it first " +
+          "or use CREATE TABLE IF NOT EXISTS")
+    }
+    // tables and views share the catalog namespace (Flink refuses the
+    // cross-kind CREATE); IF NOT EXISTS no-ops on the existing object
+    if (viewDefExact(b.name, "").isDefined) {
+      if (ifNotExists) return b
+      throw new IllegalArgumentException(
+        s"A view named '${b.name}' already exists — tables and views " +
+          "share the catalog namespace; DROP VIEW it first")
+    }
     // re-creating a DISTRIBUTED binding must not inherit a stale bucketed
     // catalog table pointing at a PREVIOUS path — but re-declaring the same
     // DDL over existing data (the normal per-session workflow) must keep the

@@ -179,6 +179,20 @@ class ConcurrencySpec extends SparkTestBase {
     assert(run(b, "SELECT count(*) AS n FROM ren_dst").rows == Seq(Seq(2L)),
       "renamed binding unreadable under its new name from another session")
     assert(run(a, "DROP TABLE ren_dst").columns != Seq("error"))
+    // plain re-CREATE on a live binding refuses (pre-r12 it silently
+    // replaced the table under every other session); IF NOT EXISTS no-ops
+    // and leaves the existing binding untouched
+    assert(run(a, "CREATE TABLE conflict_t (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='1')").columns != Seq("error"))
+    val dup = run(b, "CREATE TABLE conflict_t (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='9')")
+    assert(dup.columns == Seq("error") &&
+      dup.rows.head.mkString.contains("already exists"), dup.rows)
+    assert(run(b, "CREATE TABLE IF NOT EXISTS conflict_t (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='9')").columns != Seq("error"))
+    assert(run(b, "SELECT count(*) AS n FROM conflict_t").rows == Seq(Seq(1L)),
+      "IF NOT EXISTS must not replace the existing binding")
+    assert(run(a, "DROP TABLE conflict_t").columns != Seq("error"))
     // plain DROP VIEW removes the materialization in EVERY session — a
     // dropped cluster object must not stay readable as a ghost elsewhere
     assert(run(a, "DROP VIEW scoped_v").columns != Seq("error"))

@@ -24,7 +24,13 @@ class CorpusSpec extends SparkTestBase {
     // the no-Hive-runtime reason (r8 real module registry), and the unload
     // then correctly reports the module absent — an environmental cascade,
     // not a routing failure
-    "needs a Hive runtime", "No module with name 'hive'")
+    "needs a Hive runtime", "No module with name 'hive'",
+    // the corpus DROPs its TEMPORARY table with plain DROP TABLE IF
+    // EXISTS; Flink's CatalogManager refuses a DROP TABLE through a
+    // temporary shadow unconditionally (the shadow check precedes the
+    // ignoreIfNotExists handling), so this refusal is engine parity —
+    // the corpus is a SYNTAX test in the reference and never executes
+    "use DROP TEMPORARY TABLE")
   private def allowedUnresolvedColumn(msg: String): Boolean =
     msg.contains("UNRESOLVED_COLUMN") && msg.contains("backtick identifier")
 
@@ -48,12 +54,14 @@ class CorpusSpec extends SparkTestBase {
     }
     assert(unexpected.isEmpty,
       s"non-environmental failures:\n${unexpected.mkString("\n")}")
-    // 40 statements run fully with no kafka connector and no external
+    // 39 statements run fully with no kafka connector and no external
     // catalogs present; regressions below that mean lost coverage.
     // (Was 42 before r8: LOAD/UNLOAD MODULE hive used to "succeed" as
     // documented no-ops — the real module registry now fails them with the
     // honest no-Hive-runtime reason, trading 2 hollow successes for
-    // fail-fast behavior, like the connector DDL posture.)
-    assert(ok >= 40, s"only $ok statements succeeded")
+    // fail-fast behavior, like the connector DDL posture. Was 40 before
+    // r12: DROP TABLE IF EXISTS through the corpus's temporary table used
+    // to no-op via Spark; it now refuses with Flink's named reason.)
+    assert(ok >= 39, s"only $ok statements succeeded")
   }
 }

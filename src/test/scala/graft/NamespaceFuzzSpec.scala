@@ -1,0 +1,168 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+import graft.engine.{Gateway, TableEnv}
+
+/** Model-based fuzz of the shared table/view namespace lifecycle (r12).
+  *
+  * Three gateway sessions issue a random interleaving of CREATE / DROP /
+  * RENAME over a 4-name pool SHARED by tables, catalog views, and session
+  * temporary views — the collision-heavy regime where this family's bugs
+  * live (silent re-CREATE clobbering a table other sessions read, ghost
+  * materializations after DROP/RENAME, cross-kind drops destroying a
+  * different object than named, binding refresh clobbering a shadow).
+  *
+  * A spec-side reference model tracks what MUST exist where. After every
+  * op the gateway's outcome (error vs success) must match the model, and
+  * periodically the full (session × name) visibility matrix is swept with
+  * SELECT count(*) probes — every created object carries a globally
+  * unique row count, so the observed count identifies exactly WHICH
+  * object (and which version of it) answered the name.
+  *
+  * Modeled semantics (Flink's object model, §2.2; reference surfaces it
+  * through the same DDL — src/flinkSqlLanguageServer.ts grammar G:315):
+  *   - tables and catalog views share one cluster-wide namespace;
+  *   - temporary views are session-scoped and SHADOW the shared object;
+  *   - plain CREATE on a live name fails, IF NOT EXISTS no-ops, only
+  *     OR REPLACE (views) redefines; cross-kind CREATE always fails;
+  *   - DROP must name the right kind and temporariness, both directions;
+  *   - RENAME refuses live targets and kills the old name everywhere.
+  */
+class NamespaceFuzzSpec extends SparkTestBase {
+
+  for (seed <- Seq(420012L, 987654L))
+  test(s"model fuzz: 300 random DDL ops across 3 sessions converge with the reference model (seed $seed)") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val hs = Vector(gw.openSession("ns_a"), gw.openSession("ns_b"), gw.openSession("ns_c"))
+    def run(h: String, s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    def isErr(r: gw.Page) = r.columns == Seq("error")
+
+    val names = Vector("ns_x", "ns_y", "ns_z", "ns_w")
+    val rnd = new Random(seed)
+    var counter = 1 // unique row count per created object version
+
+    // reference model
+    val tables = mutable.Map.empty[String, (Boolean, Int)] // name -> (temporary, rows)
+    val views  = mutable.Map.empty[String, Int]            // name -> rows
+    val temps  = mutable.Map.empty[(Int, String), Int]     // (session, name) -> rows
+
+    def valuesBody(c: Int): String =
+      "SELECT v FROM (VALUES " + (1 to c).map(i => s"($i)").mkString(",") + ") AS t(v)"
+
+    def expectedCount(s: Int, n: String): Option[Int] =
+      temps.get((s, n)).orElse(views.get(n)).orElse(tables.get(n).map(_._2))
+
+    var opLog = List.empty[String]
+    def probe(s: Int, n: String, ctx: String): Unit = {
+      val r = run(hs(s), s"SELECT count(*) AS c FROM $n")
+      def detail = s"(model: T=${tables.get(n)} V=${views.get(n)} L=${temps.get((s, n))})\n" +
+        s"recent ops:\n${opLog.filter(_.contains(n)).take(10).mkString("\n")}"
+      expectedCount(s, n) match {
+        case None => assert(isErr(r), s"$ctx: session $s sees dead name $n: ${r.rows} $detail")
+        case Some(c) => assert(!isErr(r) && r.rows.head.head.toString.toLong == c,
+          s"$ctx: session $s name $n expected $c got ${r.rows} $detail")
+      }
+    }
+    (1 to 300).foreach { step =>
+      val s = rnd.nextInt(3)
+      val n = names(rnd.nextInt(names.size))
+      val op = rnd.nextInt(100)
+      counter += 1
+      val c = counter
+
+      def exec(sql: String, expectErr: Boolean, onOk: => Unit): Unit = {
+        opLog = s"[$step s$s] $sql" :: opLog
+        val r = run(hs(s), sql)
+        assert(isErr(r) == expectErr,
+          s"step $step session $s: `$sql` expected " +
+            s"${if (expectErr) "ERROR" else "success"}, got ${r.rows}\n" +
+            s"model: T=$tables V=$views L=$temps\nrecent:\n${opLog.take(8).mkString("\n")}")
+        if (!isErr(r)) onOk
+      }
+
+      if (op < 20) { // CREATE [TEMPORARY] TABLE [IF NOT EXISTS]
+        val temp = rnd.nextInt(4) == 0
+        val ine = rnd.nextInt(3) == 0
+        val conflict = tables.contains(n) || views.contains(n)
+        exec(
+          s"CREATE ${if (temp) "TEMPORARY " else ""}TABLE ${if (ine) "IF NOT EXISTS " else ""}$n " +
+            s"(id BIGINT) WITH ('connector'='datagen','number-of-rows'='$c')",
+          expectErr = conflict && !ine,
+          onOk = if (!conflict) tables(n) = (temp, c))
+      } else if (op < 35) { // DROP [TEMPORARY] TABLE [IF EXISTS]
+        val temp = rnd.nextInt(3) == 0
+        val ifEx = rnd.nextInt(3) == 0
+        val sql = s"DROP ${if (temp) "TEMPORARY " else ""}TABLE ${if (ifEx) "IF EXISTS " else ""}$n"
+        tables.get(n) match {
+          case Some((isTemp, _)) =>
+            if (temp && !isTemp) exec(sql, expectErr = !ifEx, onOk = ())
+            else if (!temp && isTemp) exec(sql, expectErr = true, onOk = ())
+            else exec(sql, expectErr = false, onOk = tables -= n)
+          case None if views.contains(n) || temps.contains((s, n)) =>
+            exec(sql, expectErr = true, onOk = ()) // cross-kind: named refusal
+          case None =>
+            exec(sql, expectErr = !ifEx, onOk = ())
+        }
+      } else if (op < 55) { // CREATE [OR REPLACE] VIEW / IF NOT EXISTS
+        val orRepl = rnd.nextInt(3) == 0
+        val ine = !orRepl && rnd.nextInt(3) == 0
+        val sql = s"CREATE ${if (orRepl) "OR REPLACE " else ""}VIEW " +
+          s"${if (ine) "IF NOT EXISTS " else ""}$n AS ${valuesBody(c)}"
+        if (tables.contains(n))
+          exec(sql, expectErr = !ine, onOk = ())
+        else {
+          val exists = views.contains(n) || temps.contains((s, n))
+          exec(sql, expectErr = exists && !orRepl && !ine,
+            onOk = if (!exists || orRepl) views(n) = c)
+        }
+      } else if (op < 70) { // CREATE [OR REPLACE] TEMPORARY VIEW
+        val orRepl = rnd.nextInt(3) == 0
+        val sql = s"CREATE ${if (orRepl) "OR REPLACE " else ""}TEMPORARY VIEW $n AS ${valuesBody(c)}"
+        val exists = temps.contains((s, n))
+        exec(sql, expectErr = exists && !orRepl,
+          onOk = if (!exists || orRepl) temps((s, n)) = c)
+      } else if (op < 80) { // DROP VIEW [IF EXISTS]
+        val ifEx = rnd.nextInt(3) == 0
+        val sql = s"DROP VIEW ${if (ifEx) "IF EXISTS " else ""}$n"
+        if (temps.contains((s, n)))
+          exec(sql, expectErr = true, onOk = ()) // ambiguous through shadow
+        else if (tables.contains(n))
+          exec(sql, expectErr = true, onOk = ()) // cross-kind
+        else if (views.contains(n))
+          exec(sql, expectErr = false, onOk = views -= n)
+        else exec(sql, expectErr = !ifEx, onOk = ())
+      } else if (op < 90) { // DROP TEMPORARY VIEW [IF EXISTS]
+        val ifEx = rnd.nextInt(3) == 0
+        val sql = s"DROP TEMPORARY VIEW ${if (ifEx) "IF EXISTS " else ""}$n"
+        if (temps.contains((s, n)))
+          exec(sql, expectErr = false, onOk = temps -= ((s, n)))
+        else if (views.contains(n))
+          exec(sql, expectErr = !ifEx, onOk = ()) // catalog view: named refusal
+        else if (tables.contains(n))
+          exec(sql, expectErr = true, onOk = ()) // cross-kind
+        else exec(sql, expectErr = !ifEx, onOk = ())
+      } else if (op < 97) { // ALTER TABLE RENAME
+        val m = names(rnd.nextInt(names.size))
+        val sql = s"ALTER TABLE $n RENAME TO $m"
+        if (!tables.contains(n)) exec(sql, expectErr = true, onOk = ())
+        else if (tables.contains(m) || views.contains(m))
+          exec(sql, expectErr = true, onOk = ())
+        else exec(sql, expectErr = false, onOk = { tables(m) = tables(n); tables -= n })
+      } else { // SELECT probe
+        probe(s, n, s"step $step")
+      }
+
+      if (step % 30 == 0)
+        for (si <- 0 until 3; nm <- names) probe(si, nm, s"sweep@$step")
+    }
+
+    // terminal invariants: the engine's registries mirror the model exactly
+    assert(TableEnv.bindings.keySet == tables.keySet.map(_.toLowerCase),
+      s"registry drift: ${TableEnv.bindings.keySet} vs ${tables.keySet}")
+    assert(TableEnv.catalogViews.keySet == views.keySet.map(_.toLowerCase),
+      s"catalog-view drift: ${TableEnv.catalogViews.keySet} vs ${views.keySet}")
+    hs.foreach(gw.closeSession)
+  }
+}
