@@ -491,7 +491,16 @@ object TableEnv {
       throw new IllegalArgumentException(
         s"'${b.name}': upsert-kafka requires a PRIMARY KEY (it is the Kafka " +
           "record key; log compaction keeps the latest record per key)")
-    registry.put(b.name, b)
+    // atomic claim: the early conflict check fast-fails, but two sessions
+    // racing the same CREATE both pass it — the loser must not silently
+    // replace the winner's binding
+    registry.putIfAbsent(b.name, b).foreach { winner =>
+      if (ifNotExists) return winner
+      throw new IllegalArgumentException(
+        s"Table '${b.name}' already exists — DROP " +
+          s"${if (winner.temporary) "TEMPORARY " else ""}TABLE it first " +
+          "or use CREATE TABLE IF NOT EXISTS")
+    }
     // materialize a session view: unbounded datagen/kafka register their
     // STREAMING df so SELECT plans a streaming query (§3.1); jdbc registers a
     // live scan so later lookup joins see current dimension rows

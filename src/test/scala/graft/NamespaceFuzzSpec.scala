@@ -165,4 +165,78 @@ class NamespaceFuzzSpec extends SparkTestBase {
       s"catalog-view drift: ${TableEnv.catalogViews.keySet} vs ${views.keySet}")
     hs.foreach(gw.closeSession)
   }
+
+  test("concurrent namespace races: contended names never corrupt, errors stay named") {
+    // 6 threads × 40 random DDL/query ops over a SHARED 3-name pool —
+    // outcomes are racy by construction, so the assertions are the
+    // invariants that must hold under ANY interleaving:
+    //   (1) every failure is a NAMED refusal or analysis error, never an
+    //       internal error (the check-then-act DDL paths must not corrupt);
+    //   (2) after the storm, one cleanup pass per kind empties the
+    //       namespace — no object survives its own DROP, no ghost binding
+    //       or view definition leaks.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val names = Vector("race_x", "race_y", "race_z")
+    val internal = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val nThreads = 6
+    val pool = Executors.newFixedThreadPool(nThreads)
+    val start = new CountDownLatch(1)
+    val internalMarkers = Seq("MatchError", "NullPointerException",
+      "IndexOutOfBounds", "ClassCastException", "ConcurrentModification",
+      "StackOverflow", "IllegalStateException")
+    (0 until nThreads).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          start.await()
+          val h = gw.openSession(s"race_$i")
+          val rnd = new Random(7700L + i)
+          try (1 to 40).foreach { _ =>
+            val n = names(rnd.nextInt(names.size))
+            val m = names(rnd.nextInt(names.size))
+            val sql = rnd.nextInt(9) match {
+              case 0 => s"CREATE TABLE $n (id BIGINT) WITH ('connector'='datagen','number-of-rows'='3')"
+              case 1 => s"CREATE TABLE IF NOT EXISTS $n (id BIGINT) WITH ('connector'='datagen','number-of-rows'='4')"
+              case 2 => s"CREATE OR REPLACE VIEW $n AS SELECT 1 AS v"
+              case 3 => s"CREATE OR REPLACE TEMPORARY VIEW $n AS SELECT 2 AS v"
+              case 4 => s"DROP TABLE IF EXISTS $n"
+              case 5 => s"DROP VIEW IF EXISTS $n"
+              case 6 => s"DROP TEMPORARY VIEW IF EXISTS $n"
+              case 7 => s"ALTER TABLE $n RENAME TO $m"
+              case _ => s"SELECT count(*) AS c FROM $n"
+            }
+            val r = gw.fetchResults(gw.executeStatement(h, sql), 0)
+            if (r.columns == Seq("error")) {
+              val msg = r.rows.headOption.flatMap(_.headOption)
+                .map(String.valueOf(_)).getOrElse("")
+              if (msg.isEmpty || internalMarkers.exists(msg.contains))
+                internal.add(s"t$i `$sql` -> $msg")
+            }
+          } finally gw.closeSession(h)
+        } catch { case e: Throwable => failures.add(s"t$i crashed: $e") }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "race workers did not finish")
+    assert(failures.isEmpty, s"worker crashes: ${failures.toArray.mkString("; ")}")
+    assert(internal.isEmpty,
+      s"internal errors surfaced: ${internal.toArray.mkString("\n")}")
+    // cleanup pass: one DROP per kind per name empties the namespace
+    val h = gw.openSession("race_cleanup")
+    names.foreach { n =>
+      Seq(s"DROP VIEW IF EXISTS $n", s"DROP TABLE IF EXISTS $n",
+        s"DROP TEMPORARY TABLE IF EXISTS $n").foreach(s =>
+        gw.fetchResults(gw.executeStatement(h, s), 0))
+      val r = gw.fetchResults(gw.executeStatement(h, s"SELECT count(*) AS c FROM $n"), 0)
+      assert(r.columns == Seq("error"), s"ghost survived cleanup: $n -> ${r.rows}")
+    }
+    assert(names.forall(n => TableEnv.lookup(n).isEmpty),
+      s"binding leak: ${names.filter(n => TableEnv.lookup(n).isDefined)}")
+    assert(names.forall(n => TableEnv.viewDefExact(n, "").isEmpty),
+      s"catalog-view leak: ${names.filter(n => TableEnv.viewDefExact(n, "").isDefined)}")
+    gw.closeSession(h)
+  }
 }
