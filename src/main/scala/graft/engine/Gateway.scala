@@ -477,15 +477,34 @@ class Gateway(root: SparkSession) {
     * there lazily. Cost: one word-bounded scan of the (small) registry per
     * statement; catalog lookups only on a name hit. */
   private def ensureBindingsVisible(spark: SparkSession, stmt: String): Unit = {
-    def named(name: String): Boolean =
-      ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(name) + "(?![\\w`])").r
-        .findFirstIn(stmt).isDefined
     def exists(name: String): Boolean =
       try spark.catalog.tableExists(name) catch { case _: Exception => true }
     // a session-scoped TEMPORARY view shadows the shared object of the
     // same name — never clobber its materialization with the binding's
     def shadowed(name: String): Boolean =
       TableEnv.viewDefExact(name, viewScope(spark)).isDefined
+    // the statement may reach a binding INDIRECTLY through a catalog
+    // view's definition ("CREATE VIEW v AS SELECT ... FROM some_table";
+    // another session's "SELECT * FROM v" never names some_table) — so
+    // the name scan covers the statement PLUS the transitive closure of
+    // needed catalog-view definitions, or the view's materialization
+    // below fails its analysis and the view is unreadable outside its
+    // creating session (r12 review finding)
+    val defs = TableEnv.catalogViews
+    def namedIn(text: String): Set[String] = defs.keySet.filter(n =>
+      ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(n) + "(?![\\w`])").r
+        .findFirstIn(text).isDefined)
+    var need = namedIn(stmt)
+    var grown = true
+    while (grown) {
+      val more = need ++ need.flatMap(n => namedIn(defs(n)))
+      grown = more.size > need.size
+      need = more
+    }
+    val fullText = (stmt +: need.toSeq.sorted.map(defs)).mkString("\n")
+    def named(name: String): Boolean =
+      ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(name) + "(?![\\w`])").r
+        .findFirstIn(fullText).isDefined
     TableEnv.bindings.foreach { case (name, b) =>
       if (named(name) && !shadowed(name)) {
         // filesystem bindings re-materialize on every reference: the temp
@@ -508,18 +527,7 @@ class Gateway(root: SparkSession) {
     // runs dependencies-first. The per-scope materializedViews cache skips
     // the eager re-analysis when a definition (and all its dependencies)
     // is unchanged — the common case for every later statement.
-    val defs = TableEnv.catalogViews
     val scope = viewScope(spark)
-    def namedIn(text: String): Set[String] = defs.keySet.filter(n =>
-      ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(n) + "(?![\\w`])").r
-        .findFirstIn(text).isDefined)
-    var need = namedIn(stmt)
-    var grown = true
-    while (grown) {
-      val more = need ++ need.flatMap(n => namedIn(defs(n)))
-      grown = more.size > need.size
-      need = more
-    }
     val candidates = need.filter(n => !shadowed(n))
     var stale = candidates.filter(n =>
       !materializedViews.get((scope, n)).contains(defs(n)) || !exists(n))
@@ -550,7 +558,22 @@ class Gateway(root: SparkSession) {
     * there. Purged with the scope on closeSession. */
   private val materializedViews = TrieMap.empty[(String, String), String]
 
-  private def route(spark: SparkSession, stmt: String): OpResult = {
+  /** Namespace-claiming DDL — serialized under one lock: every claim is a
+    * check-then-act over TWO registries (bindings + view definitions), so
+    * cross-kind races (CREATE TABLE t vs CREATE VIEW t) and view-view
+    * races could otherwise both pass their checks and leave two objects
+    * under one name. The lock covers only control-plane DDL — queries,
+    * INSERT jobs, and fetches never take it. Statement-set recursion
+    * re-enters the monitor on the same thread (reentrant). */
+  private val NamespaceDdlRe =
+    """(?is)^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:TABLE|VIEW)|DROP\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)|ALTER\s+TABLE)\b.*""".r
+
+  private def route(spark: SparkSession, stmt: String): OpResult =
+    if (NamespaceDdlRe.pattern.matcher(stmt).matches())
+      TableEnv.ddlLock.synchronized(route0(spark, stmt))
+    else route0(spark, stmt)
+
+  private def route0(spark: SparkSession, stmt: String): OpResult = {
     ensureBindingsVisible(spark, stmt)
     val upper = stmt.toUpperCase
     stmt match {
@@ -565,7 +588,11 @@ class Gateway(root: SparkSession) {
             FlinkDialect.rewrite(sql))
           catch { case _: Exception => () }
         }
-        Statement(s"Table ${b.name} created (connector=${b.connector})")
+        // IF NOT EXISTS over an existing catalog VIEW no-ops inside
+        // createTable without registering — don't claim a creation
+        if (TableEnv.lookup(b.name).isEmpty)
+          Statement(s"A view named ${b.name} already exists (no-op)")
+        else Statement(s"Table ${b.name} created (connector=${b.connector})")
       case s if TableEnv.isCreateTableWith(s) =>
         // CREATE TABLE without a connector: translate the Flink types
         // (ROW<>/MULTISET<>/TIMESTAMP(p)/...) to Spark DDL. TEMPORARY lands
@@ -768,7 +795,15 @@ class Gateway(root: SparkSession) {
               "namespace; DROP TABLE it first")
         } else {
         val exists =
-          if (temp != null) TableEnv.viewDefExact(viewName, scope).isDefined
+          if (temp != null)
+            TableEnv.viewDefExact(viewName, scope).isDefined ||
+              // an unregistered same-session relation (a connector-less
+              // CREATE TEMPORARY TABLE, a raw createTempView) owns the
+              // name too — only a SHARED object (binding / catalog view)
+              // may be shadowed without OR REPLACE
+              (spark.catalog.tableExists(viewName) &&
+                TableEnv.lookup(viewName).isEmpty &&
+                TableEnv.viewDefExact(viewName, "").isEmpty)
           else TableEnv.viewDefExact(viewName, "").isDefined ||
             spark.catalog.tableExists(viewName)
         if (exists && orReplace == null) {
@@ -843,13 +878,17 @@ class Gateway(root: SparkSession) {
             (if (TableEnv.viewDefExact(target.replace("`", "").toLowerCase, "").isDefined)
               "VIEW" else "TEMPORARY VIEW"))
       case DropTableRe(temp, ifExists, target) if temp != null =>
-        // TEMPORARY form with no known object: Spark has no DROP TEMPORARY
-        // TABLE grammar, so delegating would surface a parse error instead
-        // of the real answer
-        if (ifExists != null)
-          Statement(s"Table ${target.replace("`", "")} does not exist (no-op)")
+        // TEMPORARY form with no registered object: Spark has no DROP
+        // TEMPORARY TABLE grammar, so delegating would surface a parse
+        // error instead of the real answer. A connector-less CREATE
+        // TEMPORARY TABLE lands as a plain session relation (not in the
+        // registry) — dropTempView is exactly its drop.
+        val n = target.replace("`", "")
+        if (spark.catalog.dropTempView(n)) Statement(s"Table $n dropped")
+        else if (ifExists != null)
+          Statement(s"Table $n does not exist (no-op)")
         else throw new IllegalArgumentException(
-          s"Temporary table '${target.replace("`", "")}' does not exist")
+          s"Temporary table '$n' does not exist")
       case DropViewRe(_, _, target)
           if TableEnv.lookup(target.replace("`", "")).isDefined &&
             !TableEnv.viewDefExact(target.replace("`", "").toLowerCase,
@@ -922,6 +961,17 @@ class Gateway(root: SparkSession) {
       case AlterSetRe(target, optStr) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         val opts = OptRe.findAllMatchIn(optStr).map(x => x.group(1) -> x.group(2)).toMap
         val b = TableEnv.alterOptions(spark, target.replace("`", ""), opts)
+        // alterOptions rebinds only HERE — drop the other sessions'
+        // materializations (sparing shadows) so their next reference
+        // re-materializes with the new options instead of serving
+        // pre-ALTER semantics forever (r12 review finding; the same
+        // stale-ghost class as DROP/RENAME)
+        sessions.values.foreach { sess =>
+          if ((sess.spark ne spark) &&
+              !TableEnv.viewDefExact(b.name, viewScope(sess.spark)).isDefined)
+            try sess.spark.catalog.dropTempView(b.name)
+            catch { case _: Exception => () }
+        }
         Statement(s"Table ${b.name} options updated (${opts.keys.mkString(", ")})")
       case AlterRenameRe(from, to) if TableEnv.lookup(from.replace("`", "")).isDefined =>
         val fromN = from.replace("`", "").toLowerCase
@@ -940,12 +990,17 @@ class Gateway(root: SparkSession) {
             try sess.spark.catalog.dropTempView(fromN)
             catch { case _: Exception => () }
         }
-        // rename rebinds the NEW name here — a same-named local temporary
-        // shadow must keep winning (same restore as the CREATE TABLE route)
-        TableEnv.viewDefExact(toN, viewScope(spark)).foreach { case (sql, _) =>
-          try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$toN` AS " +
-            FlinkDialect.rewrite(sql))
-          catch { case _: Exception => () }
+        // rename rebinds the NEW name and drops the OLD name here — local
+        // temporary shadows of EITHER name must keep winning / survive
+        // (same restore as the CREATE TABLE route; without the fromN
+        // restore the caller's shadow materialization dies while SHOW
+        // CREATE VIEW still advertises it — r12 review finding)
+        Seq(toN, fromN).foreach { nm =>
+          TableEnv.viewDefExact(nm, viewScope(spark)).foreach { case (sql, _) =>
+            try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$nm` AS " +
+              FlinkDialect.rewrite(sql))
+            catch { case _: Exception => () }
+          }
         }
         Statement(s"Table renamed to ${b.name}")
       case AlterRenameRe(from, _)

@@ -54,6 +54,12 @@ object TableEnv {
     * Flink catalogs are shared across gateway sessions). */
   private val registry = TrieMap.empty[String, Binding]
 
+  /** Serializes namespace-claiming DDL across gateway sessions (see
+    * Gateway.NamespaceDdlRe): claims are check-then-act over two
+    * registries, so they must not interleave. putIfAbsent below stays as
+    * a second line of defense for direct TableEnv callers. */
+  val ddlLock = new Object
+
   def bindings: Map[String, Binding] = registry.toMap
   def lookup(name: String): Option[Binding] = registry.get(name.toLowerCase)
   def drop(name: String): Boolean = registry.remove(name.toLowerCase).isDefined

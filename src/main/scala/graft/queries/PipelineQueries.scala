@@ -71,7 +71,10 @@ object PipelineQueries {
       expr("bool_and(__exact)").as("sims_exact"),
       ((sum(when(col("__in_brute"), 1).otherwise(0)) / k.toDouble) >= 0.05)
         .as("recall_floor_ok"))
-    queryIds.join(perQ, Seq("query_id"), "left_outer")
+    // FULL outer: a left join would silently discard operator rows whose
+    // query_id is outside the query set — the row-count mismatch is the
+    // documented flag for that regression (r12 review finding)
+    queryIds.join(perQ, Seq("query_id"), "full_outer")
       .select(col("query_id"),
         coalesce(col("within_k"), lit(true)).as("within_k"),
         coalesce(col("ranks_ok"), lit(true)).as("ranks_ok"),

@@ -366,4 +366,49 @@ class ConcurrencySpec extends SparkTestBase {
     assert(leftover.isEmpty, s"leaked bindings: $leftover")
     gw.closeSession(h)
   }
+
+  test("r12 review scenarios: indirect view deps, rename shadows, plain temp tables, ALTER SET propagation") {
+    graft.engine.TableEnv.clear()
+    val gw = new Gateway(spark)
+    val a = gw.openSession("rev_a")
+    val b = gw.openSession("rev_b")
+    def run(h: String, s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    // (1) a catalog view over a BINDING is readable from a session that
+    // never referenced the binding: the visibility scan must close over
+    // the view definition's names, not just the statement's
+    assert(run(a, "CREATE TABLE rev_base (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='3')").columns != Seq("error"))
+    assert(run(a, "CREATE VIEW rev_v AS SELECT id FROM rev_base").columns != Seq("error"))
+    assert(run(b, "SELECT count(*) AS n FROM rev_v").rows == Seq(Seq(3L)),
+      "view over a binding unreadable outside its creating session")
+    // (2) ALTER TABLE RENAME must not destroy the caller's shadow of the
+    // OLD name: definition and materialization must stay in agreement
+    assert(run(a, "CREATE TABLE rev_t (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='2')").columns != Seq("error"))
+    assert(run(a, "CREATE TEMPORARY VIEW rev_t AS SELECT 42 AS id").columns != Seq("error"))
+    assert(run(a, "ALTER TABLE rev_t RENAME TO rev_t2").columns != Seq("error"))
+    assert(run(a, "SELECT id FROM rev_t").rows == Seq(Seq(42)),
+      "rename destroyed the caller's shadow of the old name")
+    assert(run(a, "SHOW CREATE VIEW rev_t").rows.head.mkString.contains("TEMPORARY"))
+    assert(run(a, "SELECT count(*) AS n FROM rev_t2").rows == Seq(Seq(2L)))
+    // (3) a connector-less CREATE TEMPORARY TABLE is droppable by DROP
+    // TEMPORARY TABLE (it lives as a plain session relation)
+    assert(run(a, "CREATE TEMPORARY TABLE rev_plain (x INT)").columns != Seq("error"))
+    assert(run(a, "DROP TEMPORARY TABLE rev_plain").columns != Seq("error"),
+      "DROP TEMPORARY TABLE cannot drop the relation its own CREATE produced")
+    assert(run(a, "SELECT x FROM rev_plain").columns == Seq("error"))
+    // (4) plain CREATE TEMPORARY VIEW must not silently clobber an
+    // unregistered session relation — only shared objects are shadowable
+    assert(run(a, "CREATE TEMPORARY TABLE rev_plain2 (x INT)").columns != Seq("error"))
+    val clobber = run(a, "CREATE TEMPORARY VIEW rev_plain2 AS SELECT 7 AS y")
+    assert(clobber.columns == Seq("error") &&
+      clobber.rows.head.mkString.contains("already exists"), clobber.rows)
+    // (5) ALTER TABLE SET propagates to sessions that already materialized
+    // the binding
+    assert(run(b, "SELECT count(*) AS n FROM rev_t2").rows == Seq(Seq(2L)))
+    assert(run(a, "ALTER TABLE rev_t2 SET ('number-of-rows'='7')").columns != Seq("error"))
+    assert(run(b, "SELECT count(*) AS n FROM rev_t2").rows == Seq(Seq(7L)),
+      "other session kept serving pre-ALTER options")
+    gw.closeSession(a); gw.closeSession(b)
+  }
 }
