@@ -116,6 +116,7 @@ class Gateway(root: SparkSession) {
         TableEnv.dropScope(scope)
         materializedViews.keys.filter(_._1 == scope)
           .foreach(materializedViews.remove)
+        plainRelations.keys.filter(_._1 == scope).foreach(plainRelations.remove)
       }
     }
     metaCache.invalidatePrefix(s"$handle::")
@@ -144,6 +145,8 @@ class Gateway(root: SparkSession) {
   private val ShowCreateViewRe = """(?is)SHOW\s+CREATE\s+VIEW\s+([\w.`]+)""".r
   private val DropViewRe = """(?is)DROP\s+(TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)""".r
   private val DropTableRe = """(?is)DROP\s+(TEMPORARY\s+)?TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
+  private val CreateTableNameRe =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)""".r
   private val UpdateRe = """(?is)^UPDATE\s+([\w.`]+)\s+SET\s+(.*)$""".r
 
   /** Split "assignments [WHERE predicate]" at the top-level WHERE — never
@@ -481,8 +484,7 @@ class Gateway(root: SparkSession) {
       try spark.catalog.tableExists(name) catch { case _: Exception => true }
     // a session-scoped TEMPORARY view shadows the shared object of the
     // same name — never clobber its materialization with the binding's
-    def shadowed(name: String): Boolean =
-      TableEnv.viewDefExact(name, viewScope(spark)).isDefined
+    def shadowed(name: String): Boolean = locallyShadowed(spark, name)
     // the statement may reach a binding INDIRECTLY through a catalog
     // view's definition ("CREATE VIEW v AS SELECT ... FROM some_table";
     // another session's "SELECT * FROM v" never names some_table) — so
@@ -558,6 +560,22 @@ class Gateway(root: SparkSession) {
     * there. Purged with the scope on closeSession. */
   private val materializedViews = TrieMap.empty[(String, String), String]
 
+  /** (session scope, name) of connector-less CREATE TEMPORARY TABLE
+    * relations — session objects with no SQL definition, so viewDefs can't
+    * carry them. shadowed() consults this set too: like a temporary view,
+    * a temporary table SHADOWS the shared object of its name, and the
+    * per-reference binding refresh must not clobber it (a filesystem
+    * binding re-materializes on EVERY reference). Purged on closeSession
+    * and by DROP TEMPORARY TABLE. */
+  private val plainRelations = TrieMap.empty[(String, String), Unit]
+
+  /** Does `sess` hold a session-local object (temp-view definition or
+    * plain temporary-table relation) shadowing `name`? Sweeps that kill a
+    * shared object's materializations must spare these. */
+  private def locallyShadowed(sess: SparkSession, name: String): Boolean =
+    TableEnv.viewDefExact(name, viewScope(sess)).isDefined ||
+      plainRelations.contains((viewScope(sess), name.toLowerCase))
+
   /** Namespace-claiming DDL — serialized under one lock: every claim is a
     * check-then-act over TWO registries (bindings + view definitions), so
     * cross-kind races (CREATE TABLE t vs CREATE VIEW t) and view-view
@@ -578,7 +596,17 @@ class Gateway(root: SparkSession) {
     val upper = stmt.toUpperCase
     stmt match {
       case s if TableEnv.isCreateTableWith(s) && upper.contains("WITH") =>
+        // a same-named session temporary table (plain relation, no SQL
+        // definition to re-run) must survive the binding's rebind — save
+        // its DataFrame and re-register it after
+        val plainShadow = CreateTableNameRe.findFirstMatchIn(s)
+          .map(_.group(1).replace("`", "").toLowerCase)
+          .filter(n => plainRelations.contains((viewScope(spark), n)))
+          .flatMap(n => try Some((n, spark.table(n))) catch { case _: Exception => None })
         val b = TableEnv.createTable(spark, s)
+        plainShadow.foreach { case (n, df) =>
+          try df.createOrReplaceTempView(n) catch { case _: Exception => () }
+        }
         // createTable rebinds the materialization in THIS session — if this
         // session holds a same-named temporary VIEW, the shadow must keep
         // winning locally (temp objects shadow catalog objects), so restore
@@ -606,10 +634,24 @@ class Gateway(root: SparkSession) {
             (if (b.watermark.isDefined) Seq("WATERMARK") else Nil)
         val note = if (dropped.isEmpty) "" else s" (${dropped.mkString(", ")} not supported on plain tables)"
         if (b.temporary) {
-          val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
-          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-            .createOrReplaceTempView(b.name.split("\\.").last)
-          Statement(s"Temporary table ${b.name} created (empty typed relation)$note")
+          val rel = b.name.split("\\.").last.toLowerCase
+          // Flink conflict semantics for the session temporary namespace
+          // (one namespace for temp tables AND temp views): plain
+          // re-CREATE refuses, IF NOT EXISTS no-ops
+          if (plainRelations.contains((viewScope(spark), rel)) ||
+              TableEnv.viewDefExact(rel, viewScope(spark)).isDefined) {
+            if (IfNotExistsRe.findFirstIn(s).isDefined)
+              Statement(s"Table $rel already exists (no-op)")
+            else throw new IllegalArgumentException(
+              s"A temporary object '$rel' already exists in this session — " +
+                "drop it first")
+          } else {
+            val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+            spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+              .createOrReplaceTempView(rel)
+            plainRelations.put((viewScope(spark), rel), ())
+            Statement(s"Temporary table ${b.name} created (empty typed relation)$note")
+          }
         } else {
           val ine = if (IfNotExistsRe.findFirstIn(s).isDefined) "IF NOT EXISTS " else ""
           val qname = b.name.split("\\.").map(part => s"`$part`").mkString(".")
@@ -797,10 +839,11 @@ class Gateway(root: SparkSession) {
         val exists =
           if (temp != null)
             TableEnv.viewDefExact(viewName, scope).isDefined ||
-              // an unregistered same-session relation (a connector-less
-              // CREATE TEMPORARY TABLE, a raw createTempView) owns the
-              // name too — only a SHARED object (binding / catalog view)
-              // may be shadowed without OR REPLACE
+              // a same-session relation (a connector-less CREATE TEMPORARY
+              // TABLE, or a raw createTempView not made through the
+              // gateway) owns the name too — only a SHARED object
+              // (binding / catalog view) may be shadowed without OR REPLACE
+              plainRelations.contains((scope, viewName.toLowerCase)) ||
               (spark.catalog.tableExists(viewName) &&
                 TableEnv.lookup(viewName).isEmpty &&
                 TableEnv.viewDefExact(viewName, "").isEmpty)
@@ -817,11 +860,16 @@ class Gateway(root: SparkSession) {
           // (it would otherwise show the catalog body under a TEMPORARY
           // SHOW CREATE VIEW, the inconsistency shadowing exists to avoid)
           val throughShadow =
-            temp == null && TableEnv.viewDefExact(viewName, scope).isDefined
+            temp == null && (TableEnv.viewDefExact(viewName, scope).isDefined ||
+              plainRelations.contains((scope, viewName.toLowerCase)))
           if (!throughShadow)
             spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$viewName` AS " +
               FlinkDialect.rewrite(select))
           TableEnv.registerView(viewName, select.trim, temp != null, scope)
+          // an explicit OR REPLACE over a plain temporary-table relation
+          // replaces it — the relation tracking must not outlive it
+          if (temp != null)
+            plainRelations.remove((scope, viewName.toLowerCase))
           Statement(s"View $viewName created")
         }
         }
@@ -831,6 +879,17 @@ class Gateway(root: SparkSession) {
             s"CREATE ${if (temp) "TEMPORARY " else ""}VIEW `${target.replace("`", "")}` AS $sql")
           case None => Finished(spark.sql(s"SHOW CREATE TABLE $target"))
         }
+      case DropTableRe(temp, _, target)
+          if temp != null && plainRelations.contains(
+            (viewScope(spark), target.replace("`", "").toLowerCase)) =>
+        // session temporary tables resolve FIRST (Flink's temporary
+        // namespace precedes the catalog), so DROP TEMPORARY TABLE drops
+        // the local relation even when a binding shares the name — the
+        // shared object re-surfaces lazily on the next reference
+        val n = target.replace("`", "").toLowerCase
+        spark.catalog.dropTempView(n)
+        plainRelations.remove((viewScope(spark), n))
+        Statement(s"Table $n dropped")
       case DropTableRe(temp, ifExists, target) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         // DROP TABLE on a connector binding must remove the REGISTRY entry
         // and every session's materialization — pre-r12, Spark's DROP TABLE
@@ -841,7 +900,13 @@ class Gateway(root: SparkSession) {
         // CatalogManager refuses the cross-drop in both directions).
         val n = target.replace("`", "").toLowerCase
         val b = TableEnv.lookup(n).get
-        if ((temp != null) && !b.temporary) {
+        if ((temp == null) && plainRelations.contains((viewScope(spark), n)))
+          // Flink's CatalogManager: a temporary TABLE shadowing the name
+          // blocks DROP TABLE outright (a temporary VIEW does not — the
+          // kind filter only trips on tables)
+          throw new IllegalArgumentException(
+            s"A temporary table '$n' exists — use DROP TEMPORARY TABLE to remove it")
+        else if ((temp != null) && !b.temporary) {
           if (ifExists != null) Statement(s"Table $n does not exist (no-op)")
           else throw new IllegalArgumentException(
             s"Table '$n' is not temporary — use DROP TABLE")
@@ -854,13 +919,13 @@ class Gateway(root: SparkSession) {
           try spark.sql(s"DROP TABLE IF EXISTS ${TableEnv.bucketTableName(b)}")
           catch { case _: Exception => () }
         sessions.values.foreach { sess =>
-          if (!TableEnv.viewDefExact(n, viewScope(sess.spark)).isDefined)
+          if (!locallyShadowed(sess.spark, n))
             try sess.spark.catalog.dropTempView(n)
             catch { case _: Exception => () }
         }
         // the caller may itself hold a temporary-view shadow of the name —
         // DROP TABLE removes the TABLE, never the shadow
-        if (!TableEnv.viewDefExact(n, viewScope(spark)).isDefined)
+        if (!locallyShadowed(spark, n))
           spark.catalog.dropTempView(n)
         Statement(s"Table $n dropped")
         }
@@ -877,6 +942,14 @@ class Gateway(root: SparkSession) {
           s"'${target.replace("`", "")}' is a view — use DROP " +
             (if (TableEnv.viewDefExact(target.replace("`", "").toLowerCase, "").isDefined)
               "VIEW" else "TEMPORARY VIEW"))
+      case DropTableRe(temp, _, target)
+          if temp == null && plainRelations.contains(
+            (viewScope(spark), target.replace("`", "").toLowerCase)) =>
+        // plain DROP TABLE through a session temporary table: the same
+        // unconditional refusal as through a temporary binding
+        throw new IllegalArgumentException(
+          s"A temporary table '${target.replace("`", "")}' exists — " +
+            "use DROP TEMPORARY TABLE to remove it")
       case DropTableRe(temp, ifExists, target) if temp != null =>
         // TEMPORARY form with no registered object: Spark has no DROP
         // TEMPORARY TABLE grammar, so delegating would surface a parse
@@ -884,11 +957,19 @@ class Gateway(root: SparkSession) {
         // TEMPORARY TABLE lands as a plain session relation (not in the
         // registry) — dropTempView is exactly its drop.
         val n = target.replace("`", "")
-        if (spark.catalog.dropTempView(n)) Statement(s"Table $n dropped")
-        else if (ifExists != null)
+        if (spark.catalog.dropTempView(n)) {
+          plainRelations.remove((viewScope(spark), n.toLowerCase))
+          Statement(s"Table $n dropped")
+        } else if (ifExists != null)
           Statement(s"Table $n does not exist (no-op)")
         else throw new IllegalArgumentException(
           s"Temporary table '$n' does not exist")
+      case DropViewRe(_, _, target)
+          if plainRelations.contains(
+            (viewScope(spark), target.replace("`", "").toLowerCase)) =>
+        // DROP [TEMPORARY] VIEW on a session temporary TABLE — cross-kind
+        throw new IllegalArgumentException(
+          s"'${target.replace("`", "")}' is a table — use DROP TEMPORARY TABLE")
       case DropViewRe(_, _, target)
           if TableEnv.lookup(target.replace("`", "")).isDefined &&
             !TableEnv.viewDefExact(target.replace("`", "").toLowerCase,
@@ -942,7 +1023,7 @@ class Gateway(root: SparkSession) {
           // owns the name; forget the materialization-cache entries so a
           // later re-CREATE re-materializes everywhere
           sessions.values.foreach { sess =>
-            if (!TableEnv.viewDefExact(n, viewScope(sess.spark)).isDefined)
+            if (!locallyShadowed(sess.spark, n))
               try sess.spark.catalog.dropTempView(n)
               catch { case _: Exception => () }
           }
@@ -968,7 +1049,7 @@ class Gateway(root: SparkSession) {
         // stale-ghost class as DROP/RENAME)
         sessions.values.foreach { sess =>
           if ((sess.spark ne spark) &&
-              !TableEnv.viewDefExact(b.name, viewScope(sess.spark)).isDefined)
+              !locallyShadowed(sess.spark, b.name))
             try sess.spark.catalog.dropTempView(b.name)
             catch { case _: Exception => () }
         }
@@ -980,13 +1061,16 @@ class Gateway(root: SparkSession) {
         if (TableEnv.lookup(toN).isDefined || TableEnv.viewDefExact(toN, "").isDefined)
           throw new IllegalArgumentException(
             s"Could not rename: an object named '$toN' already exists")
+        val renPlainShadows = Seq(fromN, toN).distinct
+          .filter(nm => plainRelations.contains((viewScope(spark), nm)))
+          .flatMap(nm => try Some((nm, spark.table(nm))) catch { case _: Exception => None })
         val b = TableEnv.rename(spark, fromN, toN)
         // the old name must die in EVERY session, not just this one —
         // a stale materialization elsewhere is a readable ghost of a
         // cluster object that no longer exists (same class as DROP TABLE)
         sessions.values.foreach { sess =>
           if ((sess.spark ne spark) &&
-              !TableEnv.viewDefExact(fromN, viewScope(sess.spark)).isDefined)
+              !locallyShadowed(sess.spark, fromN))
             try sess.spark.catalog.dropTempView(fromN)
             catch { case _: Exception => () }
         }
@@ -994,7 +1078,9 @@ class Gateway(root: SparkSession) {
         // temporary shadows of EITHER name must keep winning / survive
         // (same restore as the CREATE TABLE route; without the fromN
         // restore the caller's shadow materialization dies while SHOW
-        // CREATE VIEW still advertises it — r12 review finding)
+        // CREATE VIEW still advertises it — r12 review finding). Plain
+        // temporary-table relations have no SQL body, so their DataFrames
+        // were saved above.
         Seq(toN, fromN).foreach { nm =>
           TableEnv.viewDefExact(nm, viewScope(spark)).foreach { case (sql, _) =>
             try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$nm` AS " +
@@ -1002,17 +1088,21 @@ class Gateway(root: SparkSession) {
             catch { case _: Exception => () }
           }
         }
+        renPlainShadows.foreach { case (nm, df) =>
+          try df.createOrReplaceTempView(nm) catch { case _: Exception => () }
+        }
         Statement(s"Table renamed to ${b.name}")
       case AlterRenameRe(from, _)
           if TableEnv.viewDefExact(from.replace("`", "").toLowerCase, "").isDefined ||
-            TableEnv.viewDefExact(from.replace("`", "").toLowerCase,
-              viewScope(spark)).isDefined =>
-        // not a binding but a known VIEW: delegating to Spark would rename
-        // the view's local temp-view materialization while the stored
-        // definition keeps the old name — a ghost in this session and a
-        // re-materialization in every other
+            locallyShadowed(spark, from.replace("`", "")) =>
+        // not a binding but a known VIEW or session temporary table:
+        // delegating to Spark would rename the local materialization while
+        // the stored definition (or relation tracking) keeps the old name —
+        // a ghost in this session and a re-materialization in every other.
+        // Flink likewise refuses ALTER TABLE on temporary objects.
         throw new IllegalArgumentException(
-          s"'${from.replace("`", "")}' is a view — ALTER TABLE cannot rename a view")
+          s"'${from.replace("`", "")}' is not an alterable table — " +
+            "ALTER TABLE cannot rename a view or a temporary table")
       case ShowCreateRe(target) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         Statement(TableEnv.showCreateTable(TableEnv.lookup(target.replace("`", "")).get))
       case DescribeRe(target) if TableEnv.lookup(target.replace("`", "")).isDefined =>

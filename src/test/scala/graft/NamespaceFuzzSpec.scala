@@ -47,17 +47,20 @@ class NamespaceFuzzSpec extends SparkTestBase {
     val tables = mutable.Map.empty[String, (Boolean, Int)] // name -> (temporary, rows)
     val views  = mutable.Map.empty[String, Int]            // name -> rows
     val temps  = mutable.Map.empty[(Int, String), Int]     // (session, name) -> rows
+    val plains = mutable.Set.empty[(Int, String)]          // connector-less temp tables (0 rows)
 
     def valuesBody(c: Int): String =
       "SELECT v FROM (VALUES " + (1 to c).map(i => s"($i)").mkString(",") + ") AS t(v)"
 
     def expectedCount(s: Int, n: String): Option[Int] =
-      temps.get((s, n)).orElse(views.get(n)).orElse(tables.get(n).map(_._2))
+      temps.get((s, n))
+        .orElse(if (plains((s, n))) Some(0) else None)
+        .orElse(views.get(n)).orElse(tables.get(n).map(_._2))
 
     var opLog = List.empty[String]
     def probe(s: Int, n: String, ctx: String): Unit = {
       val r = run(hs(s), s"SELECT count(*) AS c FROM $n")
-      def detail = s"(model: T=${tables.get(n)} V=${views.get(n)} L=${temps.get((s, n))})\n" +
+      def detail = s"(model: T=${tables.get(n)} V=${views.get(n)} L=${temps.get((s, n))} P=${plains((s, n))})\n" +
         s"recent ops:\n${opLog.filter(_.contains(n)).take(10).mkString("\n")}"
       expectedCount(s, n) match {
         case None => assert(isErr(r), s"$ctx: session $s sees dead name $n: ${r.rows} $detail")
@@ -82,7 +85,7 @@ class NamespaceFuzzSpec extends SparkTestBase {
         if (!isErr(r)) onOk
       }
 
-      if (op < 20) { // CREATE [TEMPORARY] TABLE [IF NOT EXISTS]
+      if (op < 18) { // CREATE [TEMPORARY] TABLE ... WITH [IF NOT EXISTS]
         val temp = rnd.nextInt(4) == 0
         val ine = rnd.nextInt(3) == 0
         val conflict = tables.contains(n) || views.contains(n)
@@ -91,11 +94,17 @@ class NamespaceFuzzSpec extends SparkTestBase {
             s"(id BIGINT) WITH ('connector'='datagen','number-of-rows'='$c')",
           expectErr = conflict && !ine,
           onOk = if (!conflict) tables(n) = (temp, c))
-      } else if (op < 35) { // DROP [TEMPORARY] TABLE [IF EXISTS]
+      } else if (op < 31) { // DROP [TEMPORARY] TABLE [IF EXISTS]
         val temp = rnd.nextInt(3) == 0
         val ifEx = rnd.nextInt(3) == 0
         val sql = s"DROP ${if (temp) "TEMPORARY " else ""}TABLE ${if (ifEx) "IF EXISTS " else ""}$n"
-        tables.get(n) match {
+        if (temp && plains((s, n)))
+          // session temporary namespace resolves first
+          exec(sql, expectErr = false, onOk = plains -= ((s, n)))
+        else if (!temp && plains((s, n)))
+          // Flink: a temporary TABLE shadow blocks DROP TABLE outright
+          exec(sql, expectErr = true, onOk = ())
+        else tables.get(n) match {
           case Some((isTemp, _)) =>
             if (temp && !isTemp) exec(sql, expectErr = !ifEx, onOk = ())
             else if (!temp && isTemp) exec(sql, expectErr = true, onOk = ())
@@ -105,7 +114,7 @@ class NamespaceFuzzSpec extends SparkTestBase {
           case None =>
             exec(sql, expectErr = !ifEx, onOk = ())
         }
-      } else if (op < 55) { // CREATE [OR REPLACE] VIEW / IF NOT EXISTS
+      } else if (op < 49) { // CREATE [OR REPLACE] VIEW / IF NOT EXISTS
         val orRepl = rnd.nextInt(3) == 0
         val ine = !orRepl && rnd.nextInt(3) == 0
         val sql = s"CREATE ${if (orRepl) "OR REPLACE " else ""}VIEW " +
@@ -113,37 +122,47 @@ class NamespaceFuzzSpec extends SparkTestBase {
         if (tables.contains(n))
           exec(sql, expectErr = !ine, onOk = ())
         else {
-          val exists = views.contains(n) || temps.contains((s, n))
+          val exists = views.contains(n) || temps.contains((s, n)) || plains((s, n))
           exec(sql, expectErr = exists && !orRepl && !ine,
             onOk = if (!exists || orRepl) views(n) = c)
         }
-      } else if (op < 70) { // CREATE [OR REPLACE] TEMPORARY VIEW
+      } else if (op < 63) { // CREATE [OR REPLACE] TEMPORARY VIEW
         val orRepl = rnd.nextInt(3) == 0
         val sql = s"CREATE ${if (orRepl) "OR REPLACE " else ""}TEMPORARY VIEW $n AS ${valuesBody(c)}"
-        val exists = temps.contains((s, n))
+        val exists = temps.contains((s, n)) || plains((s, n))
         exec(sql, expectErr = exists && !orRepl,
-          onOk = if (!exists || orRepl) temps((s, n)) = c)
-      } else if (op < 80) { // DROP VIEW [IF EXISTS]
+          onOk = if (!exists || orRepl) { temps((s, n)) = c; plains -= ((s, n)) })
+      } else if (op < 73) { // DROP VIEW [IF EXISTS]
         val ifEx = rnd.nextInt(3) == 0
         val sql = s"DROP VIEW ${if (ifEx) "IF EXISTS " else ""}$n"
-        if (temps.contains((s, n)))
+        if (plains((s, n)))
+          exec(sql, expectErr = true, onOk = ()) // cross-kind: temp table
+        else if (temps.contains((s, n)))
           exec(sql, expectErr = true, onOk = ()) // ambiguous through shadow
         else if (tables.contains(n))
           exec(sql, expectErr = true, onOk = ()) // cross-kind
         else if (views.contains(n))
           exec(sql, expectErr = false, onOk = views -= n)
         else exec(sql, expectErr = !ifEx, onOk = ())
-      } else if (op < 90) { // DROP TEMPORARY VIEW [IF EXISTS]
+      } else if (op < 83) { // DROP TEMPORARY VIEW [IF EXISTS]
         val ifEx = rnd.nextInt(3) == 0
         val sql = s"DROP TEMPORARY VIEW ${if (ifEx) "IF EXISTS " else ""}$n"
-        if (temps.contains((s, n)))
+        if (plains((s, n)))
+          exec(sql, expectErr = true, onOk = ()) // cross-kind: temp table
+        else if (temps.contains((s, n)))
           exec(sql, expectErr = false, onOk = temps -= ((s, n)))
         else if (views.contains(n))
           exec(sql, expectErr = !ifEx, onOk = ()) // catalog view: named refusal
         else if (tables.contains(n))
           exec(sql, expectErr = true, onOk = ()) // cross-kind
         else exec(sql, expectErr = !ifEx, onOk = ())
-      } else if (op < 97) { // ALTER TABLE RENAME
+      } else if (op < 90) { // CREATE TEMPORARY TABLE (connector-less plain relation)
+        val ine = rnd.nextInt(3) == 0
+        val sql = s"CREATE TEMPORARY TABLE ${if (ine) "IF NOT EXISTS " else ""}$n (x INT)"
+        val conflict = plains((s, n)) || temps.contains((s, n))
+        exec(sql, expectErr = conflict && !ine,
+          onOk = if (!conflict) plains += ((s, n)))
+      } else if (op < 96) { // ALTER TABLE RENAME
         val m = names(rnd.nextInt(names.size))
         val sql = s"ALTER TABLE $n RENAME TO $m"
         if (!tables.contains(n)) exec(sql, expectErr = true, onOk = ())
