@@ -138,6 +138,10 @@ class Gateway(root: SparkSession) {
   private val StopJobRe = """(?is)STOP\s+JOB\s+'([^']+)'(\s+WITH\s+(SAVEPOINT|DRAIN))?\s*;?""".r
   private val InsertIntoRe = """(?is)INSERT\s+INTO\s+([\w.`]+)\s+(SELECT.*)""".r
   private val InsertOverwriteRe = """(?is)INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.`]+)\s+(SELECT.*)""".r
+  // the remaining Flink INSERT forms (corpus syntax-test.fsql:176-177): an
+  // explicit column list and/or a VALUES body
+  private val InsertColsRe =
+    """(?is)INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.`]+)\s*(?:\(([^)]+)\)\s*)?((?:SELECT|VALUES).*)""".r
   private val ShowCreateRe = """(?is)SHOW\s+CREATE\s+TABLE\s+([\w.`]+)""".r
   private val DescribeRe = """(?is)(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.`]+)""".r
   private val CreateViewRe =
@@ -810,6 +814,40 @@ class Gateway(root: SparkSession) {
         val b = TableEnv.lookup(target.replace("`", "")).get
         TableEnv.batchInsert(spark, b, spark.sql(FlinkDialect.rewrite(select)), overwrite = true)
         Statement(s"Overwrote ${b.name}")
+      case InsertColsRe(mode, target, colList, body)
+          if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        // column-list and/or VALUES INSERT (reference corpus F:176-177).
+        // Unnamed columns receive NULL; everything realigns to the declared
+        // schema by name and type before the write — the parquet writer
+        // records the frame's column NAMES, so an unaligned col1/col2
+        // VALUES frame would corrupt the table for later reads.
+        val b = TableEnv.lookup(target.replace("`", "")).get
+        val df0 = spark.sql(FlinkDialect.rewrite(body))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+        import org.apache.spark.sql.functions.{col, lit}
+        val declared = Option(colList).map(_.split(",").toSeq
+          .map(_.trim.replace("`", "")).filter(_.nonEmpty)).getOrElse(Nil)
+        val aligned =
+          if (declared.isEmpty) {
+            require(df0.columns.length == schema.length,
+              s"INSERT into ${b.name}: ${df0.columns.length} columns for " +
+                s"${schema.length} declared")
+            df0.toDF(schema.map(_.name): _*)
+              .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+          } else {
+            require(df0.columns.length == declared.length,
+              s"INSERT into ${b.name}: ${df0.columns.length} values for " +
+                s"${declared.length} named columns")
+            val byName = declared.map(_.toLowerCase).zip(df0.columns).toMap
+            df0.select(schema.map { f =>
+              byName.get(f.name.toLowerCase)
+                .map(c => col(c).cast(f.dataType).as(f.name))
+                .getOrElse(lit(null).cast(f.dataType).as(f.name))
+            }: _*)
+          }
+        TableEnv.batchInsert(spark, b, aligned,
+          overwrite = mode.equalsIgnoreCase("OVERWRITE"))
+        Statement(s"Inserted into ${b.name}")
       case CreateViewRe(orReplace, temp, ifNotExists, name, select) =>
         // Flink views are catalog objects; the engine registry is in-memory,
         // so both forms land as session temp views + a stored definition

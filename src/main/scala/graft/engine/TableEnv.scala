@@ -1389,7 +1389,20 @@ object TableEnv {
     }
     val insertDF = inserts.reduceOption(_ unionAll _).map(_.localCheckpoint())
     val inserted = insertDF.map(_.count()).getOrElse(0L)
-    val result = insertDF.foldLeft(updated)(_ unionAll _)
+    // union at the RDD level, not Dataset.unionAll: both sides are
+    // localCheckpoint()ed LogicalRDDs that carry constraints referencing
+    // their ORIGINAL plans' expression ids, and Catalyst's
+    // Union.rewriteConstraints throws "key not found: <attr>" on the
+    // mismatch when a downstream step (the bucketed swapRewrite's own
+    // checkpoint) evaluates the union's constraints. createDataFrame
+    // builds a constraint-free scan of the already-materialized rows.
+    val result = insertDF match {
+      case None => updated
+      case Some(ins) => spark.createDataFrame(
+        updated.rdd.union(ins.rdd),
+        org.apache.spark.sql.types.StructType(
+          targetCols.map(c => target.schema(c)).toArray))
+    }
     swapRewrite(spark, b, result)
     (touched, inserted)
   }
