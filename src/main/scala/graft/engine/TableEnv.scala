@@ -1208,9 +1208,22 @@ object TableEnv {
             b.primaryKey, opts)
         } else
           jdbcUpsert(dedupPerKey(df, b.primaryKey), b.primaryKey, opts)
-      } else
-        df.drop("__op", "__ts_ms", "__seq").write.format("jdbc").options(opts)
+      } else {
+        // align nullability to the DECLARED schema: a VALUES-sourced frame
+        // carries non-nullable columns, and an overwrite would recreate the
+        // database table with NOT NULL everywhere — later inserts of a
+        // legitimate NULL (e.g. a column-list INSERT) would then fail
+        val clean = df.drop("__op", "__ts_ms", "__seq")
+        val declared = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+        val out =
+          if (clean.schema.fields.forall(_.nullable)) clean
+          else spark.createDataFrame(clean.rdd,
+            org.apache.spark.sql.types.StructType(clean.schema.fields.map(f =>
+              f.copy(nullable =
+                declared.find(_.name.equalsIgnoreCase(f.name)).forall(_.nullable)))))
+        out.write.format("jdbc").options(opts)
           .mode(if (overwrite) "overwrite" else "append").save()
+      }
     case c => throw new IllegalArgumentException(s"connector '$c' is not batch-writable")
   }
 
@@ -1427,6 +1440,7 @@ object TableEnv {
       touched
     case "jdbc" =>
       val cols = b.cols.map(_.name)
+      ensureJdbcTable(spark, b)
       jdbcExecute(b, qs => {
         val setSql = assignments.map { case (c, e) =>
           s"$qs$c$qs = ${quoteIdentifiers(e, cols, qs)}" }.mkString(", ")
@@ -1445,6 +1459,7 @@ object TableEnv {
       swapRewrite(spark, b, df.filter(!pred || pred.isNull))
       touched
     case "jdbc" =>
+      ensureJdbcTable(spark, b)
       jdbcExecute(b, qs => s"DELETE FROM ${jdbcOptions(b)("dbtable")}" +
         where.map(w => s" WHERE ${quoteIdentifiers(w, b.cols.map(_.name), qs)}").getOrElse(""))
     case c => throw new IllegalArgumentException(s"DELETE unsupported for connector '$c'")
@@ -1486,6 +1501,17 @@ object TableEnv {
     fs.rename(tmp, path)
     fs.delete(trash, true)
     rebind(spark, b)
+  }
+
+  /** A declared jdbc binding's database table exists only after the first
+    * write (Spark's JDBC writer creates on insert) — UPDATE/DELETE against
+    * the declared-but-empty table must succeed with 0 rows touched, not
+    * fail with the vendor's table-not-found. An empty append creates it. */
+  private def ensureJdbcTable(spark: SparkSession, b: Binding): Unit = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .write.format("jdbc").options(jdbcOptions(b)).mode("append").save()
   }
 
   /** Execute one DML statement directly on the binding's database; the SQL

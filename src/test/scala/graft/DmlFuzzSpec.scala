@@ -14,30 +14,41 @@ import graft.engine.{Gateway, TableEnv}
   * first-match-wins clause chain all sit on this path, and a stale cache
   * or misaligned write shows up as a row diff immediately.
   *
-  * Runs twice: a plain parquet binding and a DISTRIBUTED BY bucketed one
-  * (the bucketed DML path rewrites through the saved catalog table and
-  * must preserve the zero-shuffle contract — EngineSpec pins the plan
-  * shape; this spec pins the DATA under sustained mutation).
+  * Runs three ways: a plain parquet binding, a DISTRIBUTED BY bucketed
+  * one (the bucketed DML path rewrites through the saved catalog table
+  * and must preserve the zero-shuffle contract — EngineSpec pins the
+  * plan shape; this spec pins the DATA under sustained mutation), and a
+  * jdbc binding on embedded Derby (UPDATE/DELETE push the statement down
+  * to the database — a different execution path entirely; MERGE is
+  * documented-unsupported there and the fuzz redistributes that op).
   */
 class DmlFuzzSpec extends SparkTestBase {
 
   private case class R(id: Long, v: Long, tag: String)
 
-  for (bucketed <- Seq(false, true))
-  test(s"model fuzz: 40 random DML ops converge with the reference model (bucketed=$bucketed)") {
+  for (variant <- Seq("plain", "bucketed", "jdbc"))
+  test(s"model fuzz: 40 random DML ops converge with the reference model ($variant)") {
     TableEnv.clear()
     val gw = new Gateway(spark)
-    val h = gw.openSession(s"dml_${bucketed}")
+    val h = gw.openSession(s"dml_$variant")
     def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
     def isErr(r: gw.Page) = r.columns == Seq("error")
 
     val dir = java.nio.file.Files.createTempDirectory("graft-dmlfuzz").toString
-    val dist = if (bucketed) "DISTRIBUTED BY (id) INTO 4 BUCKETS " else ""
-    val mk = run(s"CREATE TABLE dml_t (id BIGINT, v BIGINT, tag STRING) $dist" +
-      s"WITH ('connector'='filesystem','path'='$dir','format'='parquet')")
+    val mk = run(variant match {
+      case "jdbc" =>
+        s"CREATE TABLE dml_t (id BIGINT, v BIGINT, tag STRING) WITH " +
+          s"('connector'='jdbc','url'='jdbc:derby:$dir/db;create=true'," +
+          "'table-name'='dml_fuzz')"
+      case v =>
+        val dist = if (v == "bucketed") "DISTRIBUTED BY (id) INTO 4 BUCKETS " else ""
+        s"CREATE TABLE dml_t (id BIGINT, v BIGINT, tag STRING) $dist" +
+          s"WITH ('connector'='filesystem','path'='$dir','format'='parquet')"
+    })
     assert(!isErr(mk), mk.rows)
 
-    val rnd = new Random(if (bucketed) 551L else 550L)
+    val seed = Map("plain" -> "550", "bucketed" -> "551", "jdbc" -> "552")(variant)
+    val rnd = new Random(sys.env.getOrElse("DML_FUZZ_SEED", seed).toLong)
     val model = mutable.ArrayBuffer.empty[R]
     var opLog = List.empty[String]
 
@@ -86,11 +97,18 @@ class DmlFuzzSpec extends SparkTestBase {
           rs.map(r => s"(CAST(${r.id} AS BIGINT), CAST(${r.v} AS BIGINT), '${r.tag}')")
             .mkString(", ") + ") AS t(id, v, tag)")
         model.clear(); model ++= rs
-      } else if (op < 58) { // UPDATE with predicate (SET sees the OLD row)
+      } else if (op < 52) { // UPDATE with predicate (SET sees the OLD row)
         val k = 1 + rnd.nextInt(9); val m = rnd.nextInt(3)
-        exec(s"UPDATE dml_t SET v = v + $k WHERE id % 3 = $m")
+        exec(s"UPDATE dml_t SET v = v + $k WHERE MOD(id, 3) = $m")
         model.indices.foreach { i =>
           if (model(i).id % 3 == m) model(i) = model(i).copy(v = model(i).v + k)
+        }
+      } else if (op < 58) { // column-swap UPDATE: both SETs see the OLD row
+        val m = rnd.nextInt(2)
+        exec(s"UPDATE dml_t SET id = v, v = id WHERE MOD(v, 2) = $m")
+        model.indices.foreach { i =>
+          val r = model(i)
+          if (((r.v % 2) + 2) % 2 == m) model(i) = r.copy(id = r.v, v = r.id)
         }
       } else if (op < 65) { // UPDATE all rows
         val t = s"u$step"
@@ -103,6 +121,11 @@ class DmlFuzzSpec extends SparkTestBase {
       } else if (op < 80) { // DELETE the NULL-tagged rows (IS NULL path)
         exec(s"DELETE FROM dml_t WHERE tag IS NULL")
         val keep = model.filter(_.tag != null); model.clear(); model ++= keep
+      } else if (variant == "jdbc") { // MERGE is filesystem-only: append instead
+        val rs = rows(1)
+        exec(s"INSERT INTO dml_t VALUES " +
+          rs.map(r => s"(${r.id}, ${r.v}, '${r.tag}')").mkString(", "))
+        model ++= rs
       } else { // MERGE: distinct-id source, update matched / insert new
         val srcIds = rnd.shuffle((0 until 20).toList).take(2 + rnd.nextInt(3))
         val src = srcIds.map(id => (id.toLong, rnd.nextInt(100).toLong))
