@@ -285,6 +285,8 @@ class Gateway(root: SparkSession) {
   private val CreateCatalogRe =
     """(?is)CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s+WITH\s*\((.*)\)\s*$""".r
   private val DropCatalogRe = """(?is)DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?([\w`]+)\s*$""".r
+  private val AlterCatalogRe =
+    """(?is)ALTER\s+CATALOG\s+([\w`]+)\s+SET\s*\((.*)\)\s*$""".r
   private val AlterSetRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+SET\s*\((.*)\)\s*$""".r
   private val AlterRenameRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*$""".r
   private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
@@ -745,6 +747,30 @@ class Gateway(root: SparkSession) {
         Seq("", ".url", ".user", ".password", ".driver")
           .foreach(sfx => spark.conf.unset(s"spark.sql.catalog.$name$sfx"))
         Statement(s"Catalog $name dropped")
+      case AlterCatalogRe(name0, optStr) =>
+        // FLIP-295 ALTER CATALOG ... SET: update the catalog's registered
+        // options in place (the same key translation CREATE CATALOG uses)
+        val name = name0.replace("`", "")
+        if (spark.conf.getOption(s"spark.sql.catalog.$name").isEmpty)
+          throw new IllegalArgumentException(s"Catalog '$name' does not exist")
+        val opts = OptRe.findAllMatchIn(optStr).map(x => x.group(1) -> x.group(2)).toMap
+        opts.foreach {
+          case ("username", v) => spark.conf.set(s"spark.sql.catalog.$name.user", v)
+          case ("base-url", v) => spark.conf.set(s"spark.sql.catalog.$name.url", v)
+          case (k, v) => spark.conf.set(s"spark.sql.catalog.$name.$k", v)
+        }
+        Statement(s"Catalog $name options updated (${opts.keys.mkString(", ")})")
+      case _ if upper.replaceAll("\\s+", " ").startsWith("CREATE MODULE") ||
+          upper.replaceAll("\\s+", " ").startsWith("DROP MODULE") =>
+        // Flink modules are LOADED, not created (G:371-384): answer with the
+        // correct verb instead of leaking a raw parse error
+        throw new IllegalArgumentException(
+          "Modules are loaded, not created or dropped — use LOAD MODULE / UNLOAD MODULE")
+      case _ if upper.trim == "END" =>
+        // a stray END outside BEGIN STATEMENT SET ... END (the paired form
+        // is consumed by the statement-set route)
+        throw new IllegalArgumentException(
+          "END without an open BEGIN STATEMENT SET")
       case _ if upper.startsWith("CURRENT_WATERMARK") =>
         Statement("CURRENT_WATERMARK() is unsupported — read StreamingQueryProgress.eventTime.watermark instead")
       case _ if upper.replaceAll("\\s+", " ").startsWith("BEGIN STATEMENT SET") =>

@@ -124,6 +124,11 @@ object Results {
     var cur = e
     while (cur.getCause != null && cur.getCause != cur) cur = cur.getCause
     val m = cur.getMessage
-    if (m == null) cur.getClass.getSimpleName else m.linesIterator.next()
+    // first NON-EMPTY line: Spark's ParseException message begins with a
+    // newline, so taking the literal first line surfaced every parse error
+    // as an empty string to the client (r12 route-robustness fuzz finding)
+    if (m == null) cur.getClass.getSimpleName
+    else m.linesIterator.map(_.trim).find(_.nonEmpty)
+      .getOrElse(cur.getClass.getSimpleName)
   }
 }
