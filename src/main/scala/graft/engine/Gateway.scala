@@ -151,6 +151,8 @@ class Gateway(root: SparkSession) {
   private val DropTableRe = """(?is)DROP\s+(TEMPORARY\s+)?TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
   private val CreateTableNameRe =
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)""".r
+  private val CreateTempTableNameRe =
+    """(?is)^\s*CREATE\s+TEMPORARY\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)""".r
   private val UpdateRe = """(?is)^UPDATE\s+([\w.`]+)\s+SET\s+(.*)$""".r
 
   /** Split "assignments [WHERE predicate]" at the top-level WHERE — never
@@ -601,6 +603,18 @@ class Gateway(root: SparkSession) {
     ensureBindingsVisible(spark, stmt)
     val upper = stmt.toUpperCase
     stmt match {
+      case s if TableEnv.isCreateTableWith(s) &&
+          CreateTempTableNameRe.findFirstMatchIn(s).exists(m =>
+            locallyShadowed(spark, m.group(1).replace("`", ""))) =>
+        // CREATE TEMPORARY TABLE ... WITH when this session's temporary
+        // namespace already holds the name (a plain relation or a temp
+        // view): one session namespace, Flink's conflict rules
+        val n = CreateTempTableNameRe.findFirstMatchIn(s).get
+          .group(1).replace("`", "").toLowerCase
+        if (IfNotExistsRe.findFirstIn(s).isDefined)
+          Statement(s"Table $n already exists (no-op)")
+        else throw new IllegalArgumentException(
+          s"A temporary object '$n' already exists in this session — drop it first")
       case s if TableEnv.isCreateTableWith(s) && upper.contains("WITH") =>
         // a same-named session temporary table (plain relation, no SQL
         // definition to re-run) must survive the binding's rebind — save
@@ -645,7 +659,8 @@ class Gateway(root: SparkSession) {
           // (one namespace for temp tables AND temp views): plain
           // re-CREATE refuses, IF NOT EXISTS no-ops
           if (plainRelations.contains((viewScope(spark), rel)) ||
-              TableEnv.viewDefExact(rel, viewScope(spark)).isDefined) {
+              TableEnv.viewDefExact(rel, viewScope(spark)).isDefined ||
+              TableEnv.lookup(rel).exists(_.temporary)) {
             if (IfNotExistsRe.findFirstIn(s).isDefined)
               Statement(s"Table $rel already exists (no-op)")
             else throw new IllegalArgumentException(
@@ -744,16 +759,28 @@ class Gateway(root: SparkSession) {
         Statement(s"Catalog $name created")
       case DropCatalogRe(name0) =>
         val name = name0.replace("`", "")
-        Seq("", ".url", ".user", ".password", ".driver")
-          .foreach(sfx => spark.conf.unset(s"spark.sql.catalog.$name$sfx"))
+        // unset EVERY key under the catalog's prefix — ALTER CATALOG can
+        // register arbitrary suffixes, and a leftover would leak into a
+        // later re-CREATE of the same name
+        val prefix = s"spark.sql.catalog.$name"
+        spark.conf.getAll.keys
+          .filter(k => k == prefix || k.startsWith(prefix + "."))
+          .foreach(spark.conf.unset)
         Statement(s"Catalog $name dropped")
       case AlterCatalogRe(name0, optStr) =>
         // FLIP-295 ALTER CATALOG ... SET: update the catalog's registered
-        // options in place (the same key translation CREATE CATALOG uses)
+        // options in place (the same key translation CREATE CATALOG uses).
+        // 'type' and 'default-database' are structural — they were folded
+        // into the catalog implementation / url at CREATE time and cannot
+        // be re-pointed here; claiming success would silently do nothing.
         val name = name0.replace("`", "")
         if (spark.conf.getOption(s"spark.sql.catalog.$name").isEmpty)
           throw new IllegalArgumentException(s"Catalog '$name' does not exist")
         val opts = OptRe.findAllMatchIn(optStr).map(x => x.group(1) -> x.group(2)).toMap
+        val structural = opts.keys.filter(k => k == "type" || k == "default-database")
+        if (structural.nonEmpty) throw new IllegalArgumentException(
+          s"ALTER CATALOG cannot change ${structural.mkString(", ")} — " +
+            "DROP and re-CREATE the catalog")
         opts.foreach {
           case ("username", v) => spark.conf.set(s"spark.sql.catalog.$name.user", v)
           case ("base-url", v) => spark.conf.set(s"spark.sql.catalog.$name.url", v)
@@ -864,6 +891,14 @@ class Gateway(root: SparkSession) {
             require(df0.columns.length == declared.length,
               s"INSERT into ${b.name}: ${df0.columns.length} values for " +
                 s"${declared.length} named columns")
+            // a column name outside the schema (or listed twice) would
+            // silently discard its value through the byName mapping
+            val schemaNames = schema.map(_.name.toLowerCase).toSet
+            val unknown = declared.filterNot(d => schemaNames(d.toLowerCase))
+            require(unknown.isEmpty,
+              s"INSERT into ${b.name}: unknown column(s) ${unknown.mkString(", ")}")
+            require(declared.map(_.toLowerCase).distinct.size == declared.size,
+              s"INSERT into ${b.name}: duplicate column in the column list")
             val byName = declared.map(_.toLowerCase).zip(df0.columns).toMap
             df0.select(schema.map { f =>
               byName.get(f.name.toLowerCase)
@@ -871,9 +906,17 @@ class Gateway(root: SparkSession) {
                 .getOrElse(lit(null).cast(f.dataType).as(f.name))
             }: _*)
           }
-        TableEnv.batchInsert(spark, b, aligned,
-          overwrite = mode.equalsIgnoreCase("OVERWRITE"))
-        Statement(s"Inserted into ${b.name}")
+        if (aligned.isStreaming) {
+          // the no-column-list form starts a streaming job for streaming
+          // sources — this form must too (valid Flink SQL either way)
+          if (mode.equalsIgnoreCase("OVERWRITE")) throw new IllegalArgumentException(
+            "INSERT OVERWRITE cannot take a streaming source")
+          Statement(s"Job ${TableEnv.startStreamingInsert(spark, b, aligned)} started")
+        } else {
+          TableEnv.batchInsert(spark, b, aligned,
+            overwrite = mode.equalsIgnoreCase("OVERWRITE"))
+          Statement(s"Inserted into ${b.name}")
+        }
       case CreateViewRe(orReplace, temp, ifNotExists, name, select) =>
         // Flink views are catalog objects; the engine registry is in-memory,
         // so both forms land as session temp views + a stored definition
@@ -954,6 +997,14 @@ class Gateway(root: SparkSession) {
         spark.catalog.dropTempView(n)
         plainRelations.remove((viewScope(spark), n))
         Statement(s"Table $n dropped")
+      case DropTableRe(temp, _, target)
+          if temp == null && plainRelations.contains(
+            (viewScope(spark), target.replace("`", "").toLowerCase)) =>
+        // plain DROP TABLE through a session temporary table: the same
+        // unconditional refusal as through a temporary binding
+        throw new IllegalArgumentException(
+          s"A temporary table '${target.replace("`", "")}' exists — " +
+            "use DROP TEMPORARY TABLE to remove it")
       case DropTableRe(temp, ifExists, target) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         // DROP TABLE on a connector binding must remove the REGISTRY entry
         // and every session's materialization — pre-r12, Spark's DROP TABLE
@@ -964,13 +1015,7 @@ class Gateway(root: SparkSession) {
         // CatalogManager refuses the cross-drop in both directions).
         val n = target.replace("`", "").toLowerCase
         val b = TableEnv.lookup(n).get
-        if ((temp == null) && plainRelations.contains((viewScope(spark), n)))
-          // Flink's CatalogManager: a temporary TABLE shadowing the name
-          // blocks DROP TABLE outright (a temporary VIEW does not — the
-          // kind filter only trips on tables)
-          throw new IllegalArgumentException(
-            s"A temporary table '$n' exists — use DROP TEMPORARY TABLE to remove it")
-        else if ((temp != null) && !b.temporary) {
+        if ((temp != null) && !b.temporary) {
           if (ifExists != null) Statement(s"Table $n does not exist (no-op)")
           else throw new IllegalArgumentException(
             s"Table '$n' is not temporary — use DROP TABLE")
@@ -1006,14 +1051,6 @@ class Gateway(root: SparkSession) {
           s"'${target.replace("`", "")}' is a view — use DROP " +
             (if (TableEnv.viewDefExact(target.replace("`", "").toLowerCase, "").isDefined)
               "VIEW" else "TEMPORARY VIEW"))
-      case DropTableRe(temp, _, target)
-          if temp == null && plainRelations.contains(
-            (viewScope(spark), target.replace("`", "").toLowerCase)) =>
-        // plain DROP TABLE through a session temporary table: the same
-        // unconditional refusal as through a temporary binding
-        throw new IllegalArgumentException(
-          s"A temporary table '${target.replace("`", "")}' exists — " +
-            "use DROP TEMPORARY TABLE to remove it")
       case DropTableRe(temp, ifExists, target) if temp != null =>
         // TEMPORARY form with no registered object: Spark has no DROP
         // TEMPORARY TABLE grammar, so delegating would surface a parse
@@ -1030,8 +1067,13 @@ class Gateway(root: SparkSession) {
           s"Temporary table '$n' does not exist")
       case DropViewRe(_, _, target)
           if plainRelations.contains(
-            (viewScope(spark), target.replace("`", "").toLowerCase)) =>
-        // DROP [TEMPORARY] VIEW on a session temporary TABLE — cross-kind
+            (viewScope(spark), target.replace("`", "").toLowerCase)) &&
+            TableEnv.viewDefExact(target.replace("`", "").toLowerCase, "").isEmpty =>
+        // DROP [TEMPORARY] VIEW on a session temporary TABLE — cross-kind.
+        // When a catalog VIEW of the name ALSO exists behind the shadow,
+        // fall through: DROP VIEW targets the catalog object (Flink's kind
+        // filter lets a temp TABLE shadow pass), so the view stays
+        // droppable while shadowed
         throw new IllegalArgumentException(
           s"'${target.replace("`", "")}' is a table — use DROP TEMPORARY TABLE")
       case DropViewRe(_, _, target)
@@ -1093,7 +1135,10 @@ class Gateway(root: SparkSession) {
           }
           materializedViews.keys.filter(_._2 == n.toLowerCase)
             .foreach(materializedViews.remove)
-          spark.catalog.dropTempView(n)
+          // the caller may hold a plain temp-TABLE shadow of the name
+          // (a temp-VIEW shadow was refused earlier in this chain) —
+          // dropping the catalog view must not kill it
+          if (!locallyShadowed(spark, n)) spark.catalog.dropTempView(n)
           Statement(s"View $n dropped")
         } else {
           // not engine-registered: delegate to Spark, rebuilt WITHOUT the
@@ -1125,7 +1170,15 @@ class Gateway(root: SparkSession) {
         if (TableEnv.lookup(toN).isDefined || TableEnv.viewDefExact(toN, "").isDefined)
           throw new IllegalArgumentException(
             s"Could not rename: an object named '$toN' already exists")
-        val renPlainShadows = Seq(fromN, toN).distinct
+        // temporary namespace resolves FIRST: a plain temp TABLE shadowing
+        // fromN means ALTER TABLE addresses the temporary object — refuse,
+        // exactly as DROP TABLE does in the same state (a temp VIEW shadow
+        // does not block table verbs)
+        if (plainRelations.contains((viewScope(spark), fromN)))
+          throw new IllegalArgumentException(
+            s"A temporary table '$fromN' shadows the catalog table — " +
+              "ALTER TABLE cannot address it; DROP TEMPORARY TABLE it first")
+        val renPlainShadows = Seq(toN)
           .filter(nm => plainRelations.contains((viewScope(spark), nm)))
           .flatMap(nm => try Some((nm, spark.table(nm))) catch { case _: Exception => None })
         val b = TableEnv.rename(spark, fromN, toN)

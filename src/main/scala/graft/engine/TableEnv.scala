@@ -1507,11 +1507,20 @@ object TableEnv {
     * write (Spark's JDBC writer creates on insert) — UPDATE/DELETE against
     * the declared-but-empty table must succeed with 0 rows touched, not
     * fail with the vendor's table-not-found. An empty append creates it. */
+  private val ensuredJdbc = TrieMap.empty[(String, String), Unit]
+
   private def ensureJdbcTable(spark: SparkSession, b: Binding): Unit = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
-    spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      .write.format("jdbc").options(jdbcOptions(b)).mode("append").save()
+    // once per (url, table) per JVM — the create-if-missing probe is a full
+    // Spark JDBC write job, far too heavy to pay on every UPDATE/DELETE
+    val opts = jdbcOptions(b)
+    val key = (opts.getOrElse("url", ""), opts.getOrElse("dbtable", b.name))
+    if (!ensuredJdbc.contains(key)) {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+      spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        .write.format("jdbc").options(opts).mode("append").save()
+      ensuredJdbc.put(key, ())
+    }
   }
 
   /** Execute one DML statement directly on the binding's database; the SQL

@@ -89,7 +89,10 @@ class NamespaceFuzzSpec extends SparkTestBase {
       if (op < 18) { // CREATE [TEMPORARY] TABLE ... WITH [IF NOT EXISTS]
         val temp = rnd.nextInt(4) == 0
         val ine = rnd.nextInt(3) == 0
-        val conflict = tables.contains(n) || views.contains(n)
+        // the TEMPORARY form also conflicts with this session's local
+        // temporary namespace (plain relations and temp views)
+        val conflict = tables.contains(n) || views.contains(n) ||
+          (temp && (plains((s, n)) || temps.contains((s, n))))
         exec(
           s"CREATE ${if (temp) "TEMPORARY " else ""}TABLE ${if (ine) "IF NOT EXISTS " else ""}$n " +
             s"(id BIGINT) WITH ('connector'='datagen','number-of-rows'='$c')",
@@ -136,8 +139,12 @@ class NamespaceFuzzSpec extends SparkTestBase {
       } else if (op < 73) { // DROP VIEW [IF EXISTS]
         val ifEx = rnd.nextInt(3) == 0
         val sql = s"DROP VIEW ${if (ifEx) "IF EXISTS " else ""}$n"
-        if (plains((s, n)))
+        if (plains((s, n)) && !views.contains(n))
           exec(sql, expectErr = true, onOk = ()) // cross-kind: temp table
+        else if (plains((s, n)))
+          // DROP VIEW targets the catalog view even under a temp-TABLE
+          // shadow (Flink's kind filter lets the shadow pass)
+          exec(sql, expectErr = false, onOk = views -= n)
         else if (temps.contains((s, n)))
           exec(sql, expectErr = true, onOk = ()) // ambiguous through shadow
         else if (tables.contains(n))
@@ -148,8 +155,10 @@ class NamespaceFuzzSpec extends SparkTestBase {
       } else if (op < 83) { // DROP TEMPORARY VIEW [IF EXISTS]
         val ifEx = rnd.nextInt(3) == 0
         val sql = s"DROP TEMPORARY VIEW ${if (ifEx) "IF EXISTS " else ""}$n"
-        if (plains((s, n)))
+        if (plains((s, n)) && !views.contains(n))
           exec(sql, expectErr = true, onOk = ()) // cross-kind: temp table
+        else if (plains((s, n)))
+          exec(sql, expectErr = !ifEx, onOk = ()) // catalog view behind the shadow
         else if (temps.contains((s, n)))
           exec(sql, expectErr = false, onOk = temps -= ((s, n)))
         else if (views.contains(n))
@@ -160,13 +169,15 @@ class NamespaceFuzzSpec extends SparkTestBase {
       } else if (op < 90) { // CREATE TEMPORARY TABLE (connector-less plain relation)
         val ine = rnd.nextInt(3) == 0
         val sql = s"CREATE TEMPORARY TABLE ${if (ine) "IF NOT EXISTS " else ""}$n (x INT)"
-        val conflict = plains((s, n)) || temps.contains((s, n))
+        val conflict = plains((s, n)) || temps.contains((s, n)) ||
+          tables.get(n).exists(_._1) // a TEMPORARY binding shares the namespace
         exec(sql, expectErr = conflict && !ine,
           onOk = if (!conflict) plains += ((s, n)))
       } else if (op < 96) { // ALTER TABLE RENAME
         val m = names(rnd.nextInt(names.size))
         val sql = s"ALTER TABLE $n RENAME TO $m"
-        if (!tables.contains(n)) exec(sql, expectErr = true, onOk = ())
+        if (plains((s, n))) exec(sql, expectErr = true, onOk = ()) // shadowed source
+        else if (!tables.contains(n)) exec(sql, expectErr = true, onOk = ())
         else if (tables.contains(m) || views.contains(m))
           exec(sql, expectErr = true, onOk = ())
         else exec(sql, expectErr = false, onOk = { tables(m) = tables(n); tables -= n })
