@@ -367,6 +367,66 @@ class ConcurrencySpec extends SparkTestBase {
     gw.closeSession(h)
   }
 
+  test("lifecycle verbs against a binding with a live streaming writer") {
+    // Flink's jobs are COMPILED topologies owned by the cluster: dropping
+    // a catalog table does not touch a running job that reads or writes
+    // it. The catalog object dies, the writer keeps committing, and a
+    // re-created binding over the same path sees the orphan's output.
+    graft.engine.TableEnv.clear()
+    val gw = new Gateway(spark)
+    val a = gw.openSession("live_a")
+    val b = gw.openSession("live_b")
+    def run(h: String, s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    val runDir = s"/tmp/graft-live-${java.util.UUID.randomUUID()}"
+    val sinkDdl = "CREATE TABLE live_snk (id BIGINT, v DOUBLE) WITH " +
+      s"('connector'='filesystem','path'='$runDir/snk','format'='parquet'," +
+      s"'checkpoint'='$runDir/ckpt')"
+    assert(run(a, "CREATE TABLE live_src (id BIGINT, v DOUBLE) WITH " +
+      "('connector'='datagen','rows-per-second'='200')").columns != Seq("error"))
+    assert(run(a, sinkDdl).columns != Seq("error"))
+    val msg = run(a, "INSERT INTO live_snk SELECT id, v FROM live_src").rows.head.head.toString
+    val job = "Job (\\S+) started".r.findFirstMatchIn(msg)
+      .getOrElse(fail(s"unexpected INSERT result '$msg'")).group(1)
+    def running() = run(b, "SHOW JOBS").rows.exists(r =>
+      r(1).toString == job && r(2).toString == "RUNNING")
+    def count(h: String) =
+      try run(h, "SELECT count(*) AS n FROM live_snk").rows.head.head.toString.toLong
+      catch { case _: Exception => -1L }
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    while ((count(b) <= 0 || !running()) && System.nanoTime() < deadline)
+      Thread.sleep(250)
+    assert(running(), "job never showed RUNNING")
+    assert(count(b) > 0, "writer committed nothing")
+    try {
+      // dropping the SOURCE binding leaves the job running (its plan was
+      // compiled at submit time)
+      assert(run(b, "DROP TABLE live_src").columns != Seq("error"))
+      assert(running(), "job died when its source binding was dropped")
+      // dropping the SINK binding: catalog object gone everywhere, job
+      // still writing
+      assert(run(b, "DROP TABLE live_snk").columns != Seq("error"))
+      assert(run(a, "SHOW CREATE TABLE live_snk").columns == Seq("error"),
+        "dropped sink still answers SHOW CREATE TABLE")
+      assert(run(a, "SELECT count(*) AS n FROM live_snk").columns == Seq("error"),
+        "dropped sink still readable")
+      assert(running(), "job died when its sink binding was dropped")
+      // a re-created binding over the same path adopts the orphan's output
+      assert(run(b, sinkDdl).columns != Seq("error"))
+      val before = count(a)
+      assert(before > 0, "re-created binding sees no data")
+      val deadline2 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (count(a) <= before && System.nanoTime() < deadline2) Thread.sleep(250)
+      assert(count(a) > before, "orphan writer stopped committing after the drop")
+    } finally {
+      run(a, s"STOP JOB '$job'")
+      graft.engine.Jobs.stopAll()
+    }
+    assert(run(b, "SHOW JOBS").rows.exists(r =>
+      r(1).toString == job && r(2).toString != "RUNNING"), "job not stopped")
+    run(a, "DROP TABLE IF EXISTS live_snk")
+    gw.closeSession(a); gw.closeSession(b)
+  }
+
   test("r12 review scenarios: indirect view deps, rename shadows, plain temp tables, ALTER SET propagation") {
     graft.engine.TableEnv.clear()
     val gw = new Gateway(spark)
