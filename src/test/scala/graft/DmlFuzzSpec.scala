@@ -26,7 +26,7 @@ class DmlFuzzSpec extends SparkTestBase {
 
   private case class R(id: Long, v: Long, tag: String)
 
-  for (variant <- Seq("plain", "bucketed", "jdbc"))
+  for (variant <- Seq("plain", "bucketed", "jdbc", "partitioned"))
   test(s"model fuzz: 40 random DML ops converge with the reference model ($variant)") {
     TableEnv.clear()
     val gw = new Gateway(spark)
@@ -41,13 +41,16 @@ class DmlFuzzSpec extends SparkTestBase {
           s"('connector'='jdbc','url'='jdbc:derby:$dir/db;create=true'," +
           "'table-name'='dml_fuzz')"
       case v =>
-        val dist = if (v == "bucketed") "DISTRIBUTED BY (id) INTO 4 BUCKETS " else ""
+        val dist =
+          if (v == "bucketed") "DISTRIBUTED BY (id) INTO 4 BUCKETS "
+          else if (v == "partitioned") "PARTITIONED BY (tag) "
+          else ""
         s"CREATE TABLE dml_t (id BIGINT, v BIGINT, tag STRING) $dist" +
           s"WITH ('connector'='filesystem','path'='$dir','format'='parquet')"
     })
     assert(!isErr(mk), mk.rows)
 
-    val seed = Map("plain" -> "550", "bucketed" -> "551", "jdbc" -> "552")(variant)
+    val seed = Map("plain" -> "550", "bucketed" -> "551", "jdbc" -> "552", "partitioned" -> "553")(variant)
     val rnd = new Random(sys.env.getOrElse("DML_FUZZ_SEED", seed).toLong)
     val model = mutable.ArrayBuffer.empty[R]
     var opLog = List.empty[String]
