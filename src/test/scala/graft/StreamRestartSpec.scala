@@ -1,0 +1,389 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.FlinkDialect
+import graft.queries.StreamParityQueries.withParityConf
+
+/** Checkpoint-restart determinism for the STATEFUL streaming operators.
+  *
+  * The r12 exactly-once INSERT test pins the stateless source→sink resume
+  * path; what it cannot see is whether OPERATOR STATE survives a restart
+  * intact — the java-serialized `CepState` of streaming MATCH_RECOGNIZE,
+  * the (buffered rows, last version) tuple of the streaming as-of join,
+  * the keep-first dedup candidate slots, and Spark's own windowed-agg
+  * state, all restored from the HDFS-backed state store plus the restored
+  * watermark. A serialization field that doesn't round-trip, state keyed
+  * on something batch-local, or logic that consults the pre-restart
+  * watermark would all pass every existing single-run parity gate and
+  * still corrupt results on the first real-world failover.
+  *
+  * Property fuzzed here: for a random stateful query and random input
+  * waves, (run waves 0..k-1 → STOP the query → start a NEW query from the
+  * same checkpoint → run waves k..n) must produce exactly the same output
+  * multiset as one uninterrupted run — the restart boundary is placed at
+  * every interior wave by the seed sweep, including before the far-future
+  * pusher waves, so pending state crosses the restart and is drained only
+  * AFTER it (the restored-state path does the emitting, not the
+  * pre-restart run).
+  *
+  * Determinism notes baked into the generators:
+  * - waves are precomputed once per config, so both runs feed identical
+  *   batch compositions; the late filter (one-batch-lagged watermark) and
+  *   eviction (current watermark) then see identical values in both runs,
+  *   because a restart restores the previous batch's watermark from the
+  *   commit log — the same value the next batch would have seen anyway;
+  * - dedup/CEP inputs avoid exact event-time ties within a key (tie-breaks
+  *   are arrival-order inside a micro-batch, which Spark does not order
+  *   across shuffle within a batch).
+  */
+class StreamRestartSpec extends SparkTestBase {
+
+  private val N = sys.props.get("graft.restartfuzz.n").map(_.toInt).getOrElse(64)
+
+  private val rowSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ets", TimestampType),
+    StructField("v", DoubleType)))
+
+  private def ts(sec: Long, ms: Int = 0): Timestamp =
+    Timestamp.from(Instant.ofEpochMilli(sec * 1000L + ms))
+
+  private def interval(sec: Int): String =
+    if (sec % 60 == 0) s"INTERVAL '${sec / 60}' MINUTE"
+    else s"INTERVAL '$sec' SECOND"
+
+  private def ckptBase: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
+
+  private def freshCkpt(name: String): java.io.File = {
+    val who = System.getProperty("user.name", "anon")
+    val f = new java.io.File(
+      s"$ckptBase/graft_restart_ckpt_${who}_${ProcessHandle.current().pid()}/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(f)
+    f
+  }
+
+  /** Start `out` against `ckpt` writing to the parquet `dir`, feed each
+    * wave to a processAllAvailable quiescent point, stop. A second call
+    * with the SAME ckpt+dir resumes from the stop point — the file sink is
+    * the one exactly-once sink Spark allows to recover, and its metadata
+    * log keeps replayed/orphan batches out of [[sinkRows]]. (The memory
+    * sink refuses checkpoint recovery outright.) */
+  private def runSegment(out: DataFrame, dir: java.io.File, ckpt: java.io.File,
+      waves: Seq[() => Unit]): Unit = {
+    val q = out.writeStream.format("parquet")
+      .option("path", dir.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append").start()
+    try {
+      waves.foreach { w => w(); q.processAllAvailable() }
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  /** Metadata-log-aware read of a file-sink dir; a query that committed no
+    * batches leaves nothing readable — that is the empty multiset. */
+  private def sinkRows(dir: java.io.File): List[List[Any]] =
+    try spark.read.parquet(dir.getAbsolutePath).collect().map(_.toSeq.toList).toList
+    catch { case _: org.apache.spark.sql.AnalysisException => Nil }
+
+  private def multisetDiff(a: Seq[List[Any]], b: Seq[List[Any]]): Long = {
+    val m = collection.mutable.Map.empty[List[Any], Long]
+    a.foreach(r => m.update(r, m.getOrElse(r, 0L) + 1))
+    b.foreach(r => m.update(r, m.getOrElse(r, 0L) - 1))
+    m.valuesIterator.map(math.abs).sum
+  }
+
+  /** One restartable case: fresh sources per instantiation (`tag` keeps
+    * view/sink names apart across the straight and restarted runs), the
+    * same precomputed waves feeding them. */
+  private type Case = (DataFrame, Seq[() => Unit])
+
+  // ---- family 0: TVF window aggregation (TUMBLE/HOP/CUMULATE/SESSION) ----
+  private def tvfCase(i: Int, rnd: scala.util.Random): (String, String => Case) = {
+    val kind = rnd.nextInt(4)
+    val keyed = rnd.nextBoolean()
+    val (tvf, label) = kind match {
+      case 0 =>
+        val size = 5 + rnd.nextInt(236)
+        (s"TUMBLE(TABLE %s, DESCRIPTOR(ets), ${interval(size)})", s"TUMBLE($size s)")
+      case 1 =>
+        val slide = 2 + rnd.nextInt(59)
+        val size = slide + 1 + rnd.nextInt(math.min(slide * 3, 240 - slide))
+        (s"HOP(TABLE %s, DESCRIPTOR(ets), ${interval(slide)}, ${interval(size)})",
+          s"HOP($slide/$size s)")
+      case 2 =>
+        val step = 2 + rnd.nextInt(29)
+        val size = step * (2 + rnd.nextInt(4))
+        (s"CUMULATE(TABLE %s, DESCRIPTOR(ets), ${interval(step)}, ${interval(size)})",
+          s"CUMULATE($step/$size s)")
+      case _ =>
+        val gap = 2 + rnd.nextInt(59)
+        val part = if (keyed) " PARTITION BY user_id" else ""
+        (s"SESSION(TABLE %s$part, DESCRIPTOR(ets), ${interval(gap)})", s"SESSION($gap s)")
+    }
+    val delay = rnd.nextInt(11)
+    val groupCols = if (keyed) "window_start, window_end, user_id"
+      else "window_start, window_end"
+    val nKeys = 1 + rnd.nextInt(3)
+    val nRows = 40 + rnd.nextInt(41)
+    val rows = (0 until nRows).map { _ =>
+      val sec = 3600L + rnd.nextInt(601)
+      val ms = if (rnd.nextInt(4) == 0) 0 else rnd.nextInt(1000)
+      Row(rnd.nextInt(nKeys).toLong, ts(sec, ms), rnd.nextInt(1000) / 10.0)
+    }.sortBy(_.getAs[Timestamp](1).getTime)
+    val third = math.max(1, rows.length / 3)
+    val dataWaves = Seq(rows.take(third), rows.slice(third, 2 * third),
+      rows.drop(2 * third)).map(w => rnd.shuffle(w))
+    val pushers = Seq(Seq(Row(-1L, ts(1000000L), 0.0)), Seq(Row(-1L, ts(2000000L), 0.0)))
+    val mk = (tag: String) => {
+      val mem = MemoryStream[Row](
+        org.apache.spark.sql.Encoders.row(rowSchema), spark.sqlContext)
+      val view = s"rs_tvf_src_${i}_$tag"
+      mem.toDF().withWatermark("ets", s"$delay seconds").createOrReplaceTempView(view)
+      val out = spark.sql(FlinkDialect.rewrite(
+        s"""SELECT $groupCols, COUNT(*) AS n,
+           |  SUM(CAST(v AS DECIMAL(20, 6))) AS sv
+           |FROM TABLE(${tvf.format(view)})
+           |GROUP BY $groupCols""".stripMargin))
+      assert(out.isStreaming, s"[config $i] rewrite lost the streaming source")
+      (out, (dataWaves ++ pushers).map(w => () => { mem.addData(w: _*); () }))
+    }
+    (s"$label delay=${delay}s keys=$nKeys rows=$nRows keyed=$keyed", mk)
+  }
+
+  // ---- family 1: streaming MATCH_RECOGNIZE ----
+  private def cepCase(i: Int, rnd: scala.util.Random): (String, String => Case) = {
+    import graft.operators.MatchRecognize
+    import graft.operators.MatchRecognize._
+    val patterns = Seq("A+ B", "A B+", "A{2,3} B")
+    val pat = patterns(rnd.nextInt(patterns.length))
+    val delay = rnd.nextInt(6)
+    val nKeys = 1 + rnd.nextInt(3)
+    val nRows = 45 + rnd.nextInt(46)
+    var sec = 3600L
+    val rows = (0 until nRows).map { _ =>
+      sec += 1 + rnd.nextInt(3) // strictly increasing: no event-time ties
+      val price = if (rnd.nextInt(10) < 7) rnd.nextInt(99).toDouble
+        else (100 + rnd.nextInt(100)).toDouble
+      (rnd.nextInt(nKeys).toLong, ts(sec), price)
+    }
+    val third = math.max(1, rows.length / 3)
+    val dataWaves = Seq(rows.take(third), rows.slice(third, 2 * third), rows.drop(2 * third))
+    val pushers = Seq(Seq((999L, ts(1000000L), 50.0)), Seq((998L, ts(2000000L), 50.0)))
+    val mk = (_: String) => {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val out = MatchRecognize.matchRecognizeStream(
+        mem.toDF().toDF("k", "ts", "price"), Seq("k"), "ts",
+        defines = Seq("A" -> (col("price") < 100), "B" -> (col("price") >= 100)),
+        pattern = parsePattern(pat),
+        measures = Seq(
+          Measure("start_ts", "first", "A", "ts"),
+          Measure("b_val", "last", "B", "price"),
+          Measure("mno", "match_number", "", "")),
+        watermarkDelay = Some(s"$delay seconds"))
+      (out, (dataWaves ++ pushers).map(w => () => { mem.addData(w: _*); () }))
+    }
+    (s"CEP pattern='$pat' delay=${delay}s keys=$nKeys rows=$nRows", mk)
+  }
+
+  // ---- family 2: streaming as-of join ----
+  private def asofCase(i: Int, rnd: scala.util.Random): (String, String => Case) = {
+    import graft.operators.AsOfJoin
+    val nKeys = 3 + rnd.nextInt(3)
+    val base = 3600L * 1000L
+    val nLeft = 90 + rnd.nextInt(61)
+    val leftRows = (0 until nLeft).map { j =>
+      (j % nKeys.toLong, j.toLong, new Timestamp(base + rnd.nextInt(3600) * 1000L))
+    }
+    val rightRows = (0 until 30 + rnd.nextInt(31)).map { j =>
+      (j % nKeys.toLong, s"v$j", new Timestamp(base + rnd.nextInt(3600) * 1000L))
+    }.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq // unique (key, ts) versions
+    def slice3[A](xs: Seq[A]): Seq[Seq[A]] = {
+      val t = math.max(1, xs.length / 3)
+      Seq(xs.take(t), xs.slice(t, 2 * t), xs.drop(2 * t))
+    }
+    val (lw, rw) = (slice3(leftRows), slice3(rightRows))
+    val dataWaves = (0 until 3).map(j => (lw(j), rw(j)))
+    val pushTs = Seq(6L, 7L).map(h => new Timestamp(base + h * 3600L * 1000L))
+    val mk = (_: String) => {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val lm = MemoryStream[(Long, Long, Timestamp)]
+      val rm = MemoryStream[(Long, String, Timestamp)]
+      val out = AsOfJoin.leftAsOfStream(
+        lm.toDF().toDF("k", "lid", "lts"),
+        rm.toDF().toDF("k", "payload", "rts"),
+        "k", "lts", "rts", Seq("payload"), watermarkDelay = "2 hours")
+      val feeds = dataWaves.map { case (lc, rc) => () => {
+        if (lc.nonEmpty) lm.addData(lc)
+        if (rc.nonEmpty) rm.addData(rc)
+        ()
+      } } ++ pushTs.zipWithIndex.map { case (t, j) => () => {
+        lm.addData((99L, 1000L + j, t)); rm.addData((99L, s"z$j", t)); ()
+      } }
+      (out, feeds)
+    }
+    (s"ASOF keys=$nKeys left=${leftRows.length} right=${rightRows.length}", mk)
+  }
+
+  // ---- family 3: event-time keep-first dedup ----
+  private def dedupCase(i: Int, rnd: scala.util.Random): (String, String => Case) = {
+    val nKeys = 2 + rnd.nextInt(4)
+    val delaySec = 700 + rnd.nextInt(300)
+    // distinct event times per key (tie-breaks are arrival-order within a
+    // batch — not deterministic across runs), all inside the lateness
+    // bound so arrival shuffling never late-drops
+    val rows = (0 until nKeys).flatMap { k =>
+      val times = rnd.shuffle((0 until 650).toList).take(2 + rnd.nextInt(5))
+      times.map(t => (k.toLong, ts(3600L + t), rnd.nextInt(1000) / 10.0))
+    }
+    val shuffled = rnd.shuffle(rows)
+    val third = math.max(1, shuffled.length / 3)
+    val dataWaves = Seq(shuffled.take(third), shuffled.slice(third, 2 * third),
+      shuffled.drop(2 * third))
+    val pushers = Seq(Seq((9999L, ts(1000000L), 0.0)), Seq((9998L, ts(2000000L), 0.0)))
+    val mk = (_: String) => {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val out = graft.operators.StreamingDedup.keepFirstByEventTime(
+        mem.toDF().toDF("k", "ts", "v").withWatermark("ts", s"$delaySec seconds"),
+        Seq("k"), "ts")
+      (out, (dataWaves ++ pushers).map(w => () => { mem.addData(w: _*); () }))
+    }
+    (s"DEDUP keys=$nKeys rows=${rows.length} delay=${delaySec}s", mk)
+  }
+
+  test(s"$N random stateful streaming configs: restart from checkpoint == uninterrupted") {
+    val seed0 = 0x4e57a97dL
+    val workers = 8
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runConfig(i: Int): Unit = {
+      val rnd = new scala.util.Random(seed0 + i)
+      val (label, mk) = (i % 4) match {
+        case 0 => tvfCase(i, rnd)
+        case 1 => cepCase(i, rnd)
+        case 2 => asofCase(i, rnd)
+        case _ => dedupCase(i, rnd)
+      }
+      // straight run
+      val (outA, wavesA) = mk("a")
+      val ckA = freshCkpt(s"straight_$i")
+      val dirA = freshCkpt(s"straight_sink_$i")
+      runSegment(outA, dirA, ckA, wavesA)
+      val straight = sinkRows(dirA)
+      // interrupted run: same case shape, fresh sources, shared checkpoint
+      val (outB, wavesB) = mk("b")
+      val k = 1 + rnd.nextInt(wavesB.length - 1) // ≥1 wave each side of the stop
+      val ck = freshCkpt(s"resumed_$i")
+      val dirB = freshCkpt(s"resumed_sink_$i")
+      runSegment(outB, dirB, ck, wavesB.take(k))
+      runSegment(outB, dirB, ck, wavesB.drop(k))
+      val resumed = sinkRows(dirB)
+      val diff = multisetDiff(straight, resumed)
+      // CEP configs can legitimately match nothing; the other families
+      // always emit (TVF pusher windows, as-of left rows, dedup keepers)
+      if (diff != 0 || (straight.isEmpty && (i % 4) != 1))
+        failures.add(s"[config $i seed ${seed0 + i}] $label stopAfterWave=$k -> " +
+          s"diff=$diff straight=${straight.size} resumed=${resumed.size}")
+      // per-config dirs only: the parent is shared with in-flight configs
+      Seq(ckA, dirA, ck, dirB).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
+    withParityConf(spark) {
+      // single state partition per stream (same rationale as StreamFuzzSpec:
+      // per-batch overhead is linear in state partitions × live queries;
+      // multi-partition state correctness is the parity gates' job)
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until N).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try runConfig(i)
+            catch { case e: Throwable => errs.add(
+              new RuntimeException(s"[config $i seed ${seed0 + i}] crashed", e)) }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES),
+        "restart fuzz pool did not finish")
+      errs.forEach(e => info(s"${e.getMessage}: ${e.getCause}"))
+      assert(errs.isEmpty, s"${errs.size} configs crashed (see info output)")
+    }
+    failures.forEach(f => info(f))
+    assert(failures.isEmpty, s"${failures.size} of $N configs diverged (see info output)")
+  }
+
+  test("raced kills of a stateful windowed aggregation resume exactly-once from checkpoint") {
+    // The fuzz above stops cleanly at batch boundaries; this test kills the
+    // query WHEREVER it happens to be — racing the state-store commit, the
+    // file-sink manifest commit, and the offset-log commit — three times,
+    // then lets a final run drain. The file sink's metadata log must
+    // exclude any orphan files from killed batches and the restored state
+    // must not double- or drop-count: the final sink contents equal the
+    // batch aggregation of the input, exactly once.
+    val rnd = new scala.util.Random(42)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-rkill-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rkill-out").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val ckpt = freshCkpt("raced_kill")
+    // integer-valued v keeps double sums exact whatever the partial-agg
+    // association order is
+    val real = (0 until 2400).map(j =>
+      (j % 7L, ts(3600L + j / 4 + rnd.nextInt(2)), (j % 100).toDouble))
+    // two far-future rows: the second's watermark closes the first's
+    // window, so every REAL window plus the first far-future one emits
+    val all = real ++ Seq((99L, ts(10000000L), 1.0), (98L, ts(20000000L), 1.0))
+    import spark.implicits._
+    all.grouped(100).zipWithIndex.foreach { case (chunk, gi) =>
+      chunk.toDF("user_id", "ets", "v").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ets", "30 seconds")
+      .groupBy(window(col("ets"), "60 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .select(col("window.start").as("ws"), col("user_id"), col("n"), col("sv"))
+    def start() = stream.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append").start()
+    try {
+      Seq(400L, 900L, 1700L).foreach { sleepMs =>
+        val q = start()
+        Thread.sleep(sleepMs)
+        q.stop() // kill wherever the micro-batch happens to be
+      }
+      val q = start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.read.parquet(outDir) // metadata-log-aware read
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // exactly-once: one row per (window, key), values equal batch
+      assert(streamed.map(r => (r._1, r._2)).distinct.length == streamed.length,
+        "a replayed batch double-emitted a window")
+      val expected = real.toDF("user_id", "ets", "v")
+        .union(Seq((99L, ts(10000000L), 1.0)).toDF("user_id", "ets", "v"))
+        .groupBy(window(col("ets"), "60 seconds"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .select(col("window.start").as("ws"), col("user_id"), col("n"), col("sv"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(streamed.toSet == expected.toSet,
+        s"resume diverged from batch: extra=${streamed.toSet.diff(expected.toSet).take(3)} " +
+          s"missing=${expected.toSet.diff(streamed.toSet).take(3)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    }
+  }
+}
