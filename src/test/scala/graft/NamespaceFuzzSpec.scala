@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.mutable
 import scala.util.Random
-import graft.engine.{Gateway, TableEnv}
+import graft.engine.{Gateway, Jobs, TableEnv}
 
 /** Model-based fuzz of the shared table/view namespace lifecycle (r12).
   *
@@ -269,5 +269,114 @@ class NamespaceFuzzSpec extends SparkTestBase {
     assert(names.forall(n => TableEnv.viewDefExact(n, "").isEmpty),
       s"catalog-view leak: ${names.filter(n => TableEnv.viewDefExact(n, "").isDefined)}")
     gw.closeSession(h)
+  }
+
+  test("namespace storm against live streaming writers: jobs keep committing, errors stay named") {
+    // Composition of the two r12 campaigns: the DDL race storm runs over a
+    // name pool that INCLUDES the source and sink bindings of RUNNING
+    // streaming INSERT jobs. Jobs are cluster-owned compiled topologies
+    // (the directed contract in ConcurrencySpec): no interleaving of
+    // CREATE/DROP/RENAME/REPLACE over their names may kill the writer,
+    // stall its commits, or surface an internal error. Job 2's bindings
+    // stay OUT of the pool as the undisturbed control.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val runDir = s"/tmp/graft-nsstorm-${java.util.UUID.randomUUID()}"
+    val ctl = gw.openSession("storm_ctl")
+    def run(h: String, s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    try {
+      val jobs = (0 until 3).map { j =>
+        run(ctl, s"CREATE TABLE storm_src_$j (id BIGINT, v DOUBLE) WITH " +
+          "('connector'='datagen','rows-per-second'='100')")
+        run(ctl, s"CREATE TABLE storm_snk_$j (id BIGINT, v DOUBLE) WITH " +
+          s"('connector'='filesystem','path'='$runDir/sink_$j'," +
+          s"'format'='parquet','checkpoint'='$runDir/ckpt_$j')")
+        val msg = run(ctl, s"INSERT INTO storm_snk_$j SELECT id, v FROM storm_src_$j")
+          .rows.head.head.toString
+        "Job (\\S+) started".r.findFirstMatchIn(msg)
+          .getOrElse(fail(s"job $j: unexpected INSERT result '$msg'")).group(1)
+      }
+      // committed rows by PATH (metadata-log-aware), independent of whatever
+      // the storm does to the catalog names
+      def committed(j: Int): Long =
+        try spark.read.parquet(s"$runDir/sink_$j").count()
+        catch { case _: Exception => 0L }
+      var deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while ((0 until 3).exists(committed(_) == 0) && System.nanoTime() < deadline)
+        Thread.sleep(250)
+      (0 until 3).foreach(j => assert(committed(j) > 0, s"job $j never committed"))
+      val before = (0 until 3).map(committed)
+
+      // the storm: live names 0 and 1 plus two free names
+      val names = Vector("storm_src_0", "storm_snk_0", "storm_src_1", "storm_snk_1",
+        "storm_free_a", "storm_free_b")
+      val internal = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val crashes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val internalMarkers = Seq("MatchError", "NullPointerException",
+        "IndexOutOfBounds", "ClassCastException", "ConcurrentModification",
+        "StackOverflow", "IllegalStateException")
+      val nThreads = 6
+      val pool = Executors.newFixedThreadPool(nThreads)
+      val start = new CountDownLatch(1)
+      (0 until nThreads).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            start.await()
+            val h = gw.openSession(s"storm_$i")
+            val rnd = new Random(9900L + i)
+            try (1 to 40).foreach { _ =>
+              val n = names(rnd.nextInt(names.size))
+              val m = names(rnd.nextInt(names.size))
+              val sql = rnd.nextInt(9) match {
+                case 0 => s"CREATE TABLE $n (id BIGINT) WITH ('connector'='datagen','number-of-rows'='3')"
+                case 1 => s"CREATE TABLE IF NOT EXISTS $n (id BIGINT) WITH ('connector'='datagen','number-of-rows'='4')"
+                case 2 => s"CREATE OR REPLACE VIEW $n AS SELECT 1 AS v"
+                case 3 => s"CREATE OR REPLACE TEMPORARY VIEW $n AS SELECT 2 AS v"
+                case 4 => s"DROP TABLE IF EXISTS $n"
+                case 5 => s"DROP VIEW IF EXISTS $n"
+                case 6 => s"DROP TEMPORARY VIEW IF EXISTS $n"
+                case 7 => s"ALTER TABLE $n RENAME TO $m"
+                case _ => s"SELECT count(*) AS c FROM $n"
+              }
+              val r = gw.fetchResults(gw.executeStatement(h, sql), 0)
+              if (r.columns == Seq("error")) {
+                val msg = r.rows.headOption.flatMap(_.headOption)
+                  .map(String.valueOf(_)).getOrElse("")
+                if (msg.isEmpty || internalMarkers.exists(msg.contains))
+                  internal.add(s"t$i `$sql` -> $msg")
+              }
+            } finally gw.closeSession(h)
+          } catch { case e: Throwable => crashes.add(s"t$i crashed: $e") }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(180, TimeUnit.SECONDS), "storm workers did not finish")
+      assert(crashes.isEmpty, s"worker crashes: ${crashes.toArray.mkString("; ")}")
+      assert(internal.isEmpty,
+        s"internal errors surfaced: ${internal.toArray.mkString("\n")}")
+
+      // every job survived whatever the storm did to its catalog names...
+      jobs.zipWithIndex.foreach { case (job, j) =>
+        val st = Jobs.list().find(_.name == job).map(_.status)
+        assert(st.contains("RUNNING"), s"job $j ($job) after storm: $st")
+      }
+      // ...and is still COMMITTING fresh data, stormed and control alike
+      deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while ((0 until 3).exists(j => committed(j) <= before(j)) &&
+        System.nanoTime() < deadline) Thread.sleep(250)
+      (0 until 3).foreach(j => assert(committed(j) > before(j),
+        s"job $j stopped committing after the storm (${before(j)} -> ${committed(j)})"))
+      // clean stop through the gateway; terminal states stick
+      jobs.foreach(job => run(ctl, s"STOP JOB '$job'"))
+      jobs.foreach(job =>
+        assert(Jobs.list().find(_.name == job).map(_.status).contains("CANCELED"),
+          s"job $job not CANCELED after STOP JOB"))
+    } finally {
+      Jobs.stopAll()
+      gw.closeSession(ctl)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(runDir))
+    }
   }
 }
