@@ -415,6 +415,19 @@ object FlinkDialect {
     // already-rewritten SQL re-entered the dialect (DialectFuzzSpec F5)
     s = s.replace("__" + tag + "_TS_LTZ__", "TIMESTAMP_LTZ")
 
+    // Length-optional character/binary types in EXPRESSIONS (r12, found by
+    // the SqlFuzz cross-engine sweep): Flink accepts bare VARCHAR/CHAR in
+    // CAST, Spark demands a length (DATATYPE_MISSING_SIZE). Map the bare
+    // forms to STRING — the same posture TableEnv.mapType takes for DDL —
+    // and VARBINARY/BYTES to BINARY (Spark has no VARBINARY type). The
+    // lookahead keeps precisioned VARCHAR(n)/CHAR(n), which Spark supports
+    // natively; CHAR_LENGTH et al are single \w+ tokens, so \b can't split
+    // them.
+    s = s.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+    s = s.replaceAll("(?i)\\bCHAR\\b(?!\\s*\\()", "STRING")
+    s = s.replaceAll("(?i)\\bVARBINARY\\b(\\s*\\(\\s*\\d+\\s*\\))?", "BINARY")
+    s = s.replaceAll("(?i)\\bBYTES\\b", "BINARY")
+
     // EXPLAIN variants (F:535-539): Flink modifiers → Spark EXPLAIN forms
     s = s.replaceAll("(?i)\\bEXPLAIN\\s+PLAN\\s+FOR\\b", "EXPLAIN")
     s = s.replaceAll("(?i)\\bEXPLAIN\\s+ESTIMATED_COST\\b", "EXPLAIN COST")

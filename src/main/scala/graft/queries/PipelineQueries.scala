@@ -667,11 +667,16 @@ object PipelineQueries {
         .orderBy(col("shuffle_key"), col("doc_id"))
     },
 
-    // source balancing: cap each source at ~1200 tokens, rate derived from
-    // the actual totals (two tiny aggregates + scan-speed hash filter)
+    // source balancing: cap each source at ~2.4 tokens/doc worth of budget
+    // (= 1200 tokens at the 500-doc driver fixture), rate derived from the
+    // actual totals (two tiny aggregates + scan-speed hash filter). The cap
+    // scales with corpus size so the gate stays NON-EMPTY at every SF — a
+    // fixed 1200 rounded the rate to 0‰ at sf10 and the gate passed on
+    // empty output (r12 sf10 sweep finding).
     "q_budget_mix" -> { (s, dir) =>
-      Sampling.capSourceTokens(t(s, dir, "documents"), "doc_id", "source", "text",
-          capTokens = 1200L)
+      val docs = t(s, dir, "documents")
+      Sampling.capSourceTokens(docs, "doc_id", "source", "text",
+          capTokens = docs.count() * 12L / 5L)
         .orderBy(col("doc_id"))
     },
 
@@ -1225,7 +1230,8 @@ object PipelineQueries {
         |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n
         |  FROM documents),
         |tot AS (SELECT source, SUM(n) AS total FROM tok GROUP BY source),
-        |r AS (SELECT source, least(1000, 1200000 // greatest(total, 1)) AS rate_mille FROM tot)
+        |cap AS (SELECT COUNT(*) * 12 // 5 AS cap_tokens FROM documents),
+        |r AS (SELECT source, least(1000, (cap_tokens * 1000) // greatest(total, 1)) AS rate_mille FROM tot, cap)
         |SELECT t.doc_id, t.source, CAST(r.rate_mille AS BIGINT) AS rate_mille
         |FROM tok t JOIN r USING (source)
         |WHERE ((t.doc_id % 2147483648 + 506952113)*1103515245 + 12345) % 2147483648 % 1000 < r.rate_mille
@@ -1289,11 +1295,25 @@ object PipelineQueries {
         |bb2 AS (SELECT doc_id, phash_hi, phash_lo, band,
         |    CASE band WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536
         |              WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS bucket
-        |  FROM bands)
-        |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.phash_hi, b2.phash_hi)) + bit_count(xor(a.phash_lo, b2.phash_lo)) AS INT) AS hamming
-        |FROM bb2 a JOIN bb2 b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
-        |WHERE bit_count(xor(a.phash_hi, b2.phash_hi)) + bit_count(xor(a.phash_lo, b2.phash_lo)) <= 8
+        |  FROM bands),
+        |counted AS (SELECT doc_id, phash_hi, phash_lo, band, bucket,
+        |    COUNT(*) OVER (PARTITION BY band, bucket) AS bn,
+        |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS rep
+        |  FROM bb2),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |         a.phash_hi AS ha, a.phash_lo AS la, b2.phash_hi AS hb, b2.phash_lo AS lb
+        |  FROM counted a JOIN counted b2
+        |    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |  WHERE a.bn <= 10000
+        |  UNION ALL
+        |  SELECT c.rep, c.doc_id, hr.phash_hi, hr.phash_lo, c.phash_hi, c.phash_lo
+        |  FROM counted c JOIN h hr ON hr.doc_id = c.rep
+        |  WHERE c.bn > 10000 AND c.rep < c.doc_id)
+        |SELECT DISTINCT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cut_spans" ->

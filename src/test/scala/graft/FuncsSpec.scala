@@ -26,6 +26,37 @@ class FuncsSpec extends SparkTestBase {
     assert(one("conv('255', 10, 16)") == "FF")
   }
 
+  test("length-optional type names: bare VARCHAR/CHAR/VARBINARY/BYTES cast (r12 SqlFuzz find)") {
+    // Flink accepts bare VARCHAR/CHAR in CAST; Spark demands a length
+    // (DATATYPE_MISSING_SIZE). The dialect maps the bare forms to STRING —
+    // the posture TableEnv.mapType takes for DDL — and VARBINARY/BYTES to
+    // BINARY. Precisioned forms pass through untouched.
+    def dsql(q: String) = graft.engine.FlinkDialect.sql(spark, s"SELECT $q AS v").head().get(0)
+    assert(dsql("CAST(42 AS VARCHAR)") == "42")
+    assert(dsql("CAST('abc' AS CHAR)") == "abc")
+    assert(dsql("CAST(o AS VARCHAR(5)) FROM (SELECT 'xyz' AS o)") == "xyz")
+    assert(dsql("CAST('ab' AS BYTES)").asInstanceOf[Array[Byte]].toSeq == Seq[Byte](97, 98))
+    assert(dsql("CAST('ab' AS VARBINARY)").asInstanceOf[Array[Byte]].toSeq == Seq[Byte](97, 98))
+    // the masked-literal contract still holds: a string containing the
+    // word VARCHAR is untouched
+    assert(dsql("'CAST AS VARCHAR'") == "CAST AS VARCHAR")
+  }
+
+  test("DOCUMENTED DIVERGENCE: grouping sets over EMPTY input drop the global () row (r12 SqlFuzz find)") {
+    // SQL standard (and DuckDB/Postgres): the empty grouping set aggregates
+    // the whole (empty) input and yields ONE row with COUNT(*)=0. Spark
+    // expands grouping sets into an Aggregate keyed by spark_grouping_id,
+    // so empty input yields ZERO rows for every set, () included. This
+    // pins Spark's behavior so a silent change (either direction) surfaces;
+    // SURVEY §2.6 records it as a known divergence from the standard.
+    val cube = spark.sql(
+      "SELECT COUNT(*) AS c FROM (SELECT 1 AS x WHERE false) GROUP BY CUBE(x)")
+    assert(cube.count() == 0L) // standard says 1 row (c=0)
+    val plain = spark.sql(
+      "SELECT COUNT(*) AS c FROM (SELECT 1 AS x WHERE false)")
+    assert(plain.count() == 1L) // the non-grouping-sets global agg is standard
+  }
+
   test("Flink shims: TRUNCATE toward zero, RAND_INTEGER bounds, GCD/LCM edges") {
     assert(one("truncate(3.789, 1)") == 3.7)
     assert(one("truncate(-3.789, 1)") == -3.7) // toward zero, not floor
