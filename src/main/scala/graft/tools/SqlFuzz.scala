@@ -446,11 +446,60 @@ object SqlFuzz {
     Case(name, c.f.replace("@E@", e.f), c.d.replace("@E@", e.d))
   }
 
+  /** Shape 14: randomized window-TVF parameters — HOP (slide, size=m·slide)
+    * and CUMULATE (step, size=m·step) through the full dialect TVF rewrite
+    * into the Windows operators, against the parameterized DuckDB oracles
+    * (the q_hop_agg / q_cumulate_agg pairing patterns at random params). */
+  private def genWindowTVF(r: Random, name: String): Case = {
+    val base = pick(r, Seq(2, 3, 4, 5, 6, 10, 12, 15, 20)) // minutes
+    val m = 2 + r.nextInt(3)                               // size multiplier
+    val size = base * m
+    val key = if (r.nextBoolean()) Some("event_type") else None
+    val kSel = key.map(k => s"$k, ").getOrElse("")
+    val kGrp = key.map(k => s", $k").getOrElse("")
+    val kOrd = key.map(k => s", $k NULLS FIRST").getOrElse("")
+    val w = pred(r, "events")
+    if (r.nextBoolean()) {
+      // HOP: each event lands in m windows, starts at bucket(ts,slide)-k·slide
+      val c = fill(
+        s"SELECT window_start, window_end, ${kSel}COUNT(*) AS cnt, ${dsum("value")} AS sv " +
+          s"FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '$base' MINUTES, INTERVAL '$size' MINUTES)) " +
+          s"WHERE @W0@ GROUP BY window_start, window_end$kGrp " +
+          s"ORDER BY window_start NULLS FIRST$kOrd", w)
+      val duck =
+        s"WITH h AS (SELECT time_bucket(INTERVAL '$base minutes', CAST(ts AS TIMESTAMP)) " +
+          s"- (k * INTERVAL '$base minutes') AS window_start, ${kSel}value " +
+          s"FROM events, (SELECT UNNEST(generate_series(0, ${m - 1})) AS k) WHERE @W0@) " +
+          s"SELECT window_start, window_start + INTERVAL '$size minutes' AS window_end, " +
+          s"${kSel}COUNT(*) AS cnt, ${dsum("value")} AS sv " +
+          s"FROM h GROUP BY window_start$kGrp ORDER BY window_start NULLS FIRST$kOrd"
+      Case(name, c.f, duck.replace("@W0@", w.d))
+    } else {
+      // CUMULATE: expanding windows of step·{1..m} within each size bucket
+      val stepSec = base * 60; val sizeSec = size * 60
+      val c = fill(
+        s"SELECT window_start, window_end, ${kSel}COUNT(*) AS cnt, ${dsum("value")} AS sv " +
+          s"FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '$base' MINUTES, INTERVAL '$size' MINUTES)) " +
+          s"WHERE @W0@ GROUP BY window_start, window_end$kGrp " +
+          s"ORDER BY window_start NULLS FIRST, window_end NULLS FIRST$kOrd", w)
+      val duck =
+        s"WITH c AS (SELECT time_bucket(INTERVAL '$size minutes', CAST(ts AS TIMESTAMP)) AS window_start, " +
+          s"${kSel}value, UNNEST(generate_series(" +
+          s"((epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(time_bucket(INTERVAL '$size minutes', CAST(ts AS TIMESTAMP)))) // 1000000 // $stepSec + 1) * $stepSec, " +
+          s"$sizeSec, $stepSec)) AS end_sec FROM events WHERE @W0@) " +
+          s"SELECT window_start, window_start + end_sec * INTERVAL '1 second' AS window_end, " +
+          s"${kSel}COUNT(*) AS cnt, ${dsum("value")} AS sv " +
+          s"FROM c GROUP BY window_start, window_end$kGrp " +
+          s"ORDER BY window_start NULLS FIRST, window_end NULLS FIRST$kOrd"
+      Case(name, c.f, duck.replace("@W0@", w.d))
+    }
+  }
+
   def gen(seed: Long, count: Int): Seq[Case] = {
     val r = new Random(seed)
     (0 until count).map { i =>
       val name = f"fz_$i%04d"
-      r.nextInt(13) match {
+      r.nextInt(14) match {
         case 0 => genProjFilter(r, name)
         case 1 => genAgg(r, name)
         case 2 => genJoin(r, name)
@@ -463,7 +512,8 @@ object SqlFuzz {
         case 9 => genCondAgg(r, name)
         case 10 => genDistinct(r, name)
         case 11 => genCorrScalar(r, name)
-        case _ => genStrFuncs(r, name)
+        case 12 => genStrFuncs(r, name)
+        case _ => genWindowTVF(r, name)
       }
     }
   }
