@@ -495,11 +495,37 @@ object SqlFuzz {
     }
   }
 
+  /** Shape 15: interval self-join on events — identical text both engines
+    * (BETWEEN range predicate on a co-keyed self-join). */
+  private def genIntervalJoin(r: Random, name: String): Case = {
+    val mins = 1 + r.nextInt(10)
+    val w = pred(r, "events", "a")
+    val c = fill(s"SELECT a.event_id AS ida, b.event_id AS idb FROM events a " +
+      s"JOIN events b ON a.user_id = b.user_id AND a.event_id <> b.event_id " +
+      s"AND b.ts BETWEEN a.ts AND a.ts + INTERVAL '$mins' MINUTE " +
+      s"WHERE @W0@ ORDER BY ida NULLS FIRST, idb NULLS FIRST", w)
+    Case(name, c.f, c.d)
+  }
+
+  /** Shape 16: LATERAL UNNEST of a split — Flink's CROSS JOIN UNNEST with a
+    * column alias vs DuckDB's UNNEST-in-SELECT. */
+  private def genUnnest(r: Random, name: String): Case = {
+    val w = pred(r, "documents")
+    val lim = 1 + r.nextInt(200)
+    val f = s"WITH d AS (SELECT doc_id, split(text, ' ') AS toks FROM documents WHERE ${w.f}) " +
+      s"SELECT doc_id AS pk, tok FROM d CROSS JOIN UNNEST(toks) AS t(tok) " +
+      s"ORDER BY pk NULLS FIRST, tok NULLS FIRST LIMIT $lim"
+    val d = s"WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE ${w.d}) " +
+      s"SELECT doc_id AS pk, UNNEST(toks) AS tok FROM d " +
+      s"ORDER BY pk NULLS FIRST, tok NULLS FIRST LIMIT $lim"
+    Case(name, f, d)
+  }
+
   def gen(seed: Long, count: Int): Seq[Case] = {
     val r = new Random(seed)
     (0 until count).map { i =>
       val name = f"fz_$i%04d"
-      r.nextInt(14) match {
+      r.nextInt(16) match {
         case 0 => genProjFilter(r, name)
         case 1 => genAgg(r, name)
         case 2 => genJoin(r, name)
@@ -513,7 +539,9 @@ object SqlFuzz {
         case 10 => genDistinct(r, name)
         case 11 => genCorrScalar(r, name)
         case 12 => genStrFuncs(r, name)
-        case _ => genWindowTVF(r, name)
+        case 13 => genWindowTVF(r, name)
+        case 14 => genIntervalJoin(r, name)
+        case _ => genUnnest(r, name)
       }
     }
   }
