@@ -161,7 +161,11 @@ object ScaleProbe {
     // chained pairwise — diameter ~4, the shape LSH near-dup output has).
     // Parity vs the driver union-find on the SAME edges is the correctness
     // pin; wall time and round count land in PLANS.md.
-    val edgeDocs = math.max(n, 2700000L) // ≥2M edges after the 3-in-4 filter
+    // EDGE_DOCS scales the clustering graph independently of the corpus
+    // size n (the 20M-edge probe should not pay a 23M-doc synthesis first);
+    // edges ≈ 0.875 × edgeDocs, so EDGE_DOCS=22857144 → 20,000,001 edges.
+    val edgeDocs = sys.env.get("EDGE_DOCS").map(_.toLong)
+      .getOrElse(math.max(n, 2700000L)) // ≥2M edges after the 3-in-4 filter
     val star = spark.range(edgeDocs).toDF("id")
       .filter(col("id") % 4 =!= 0)
       .select((col("id") - (col("id") % 4)).as("id_a"), col("id").as("id_b"))

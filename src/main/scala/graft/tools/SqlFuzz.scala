@@ -521,11 +521,92 @@ object SqlFuzz {
     Case(name, f, d)
   }
 
+  /** Shape 17: the OVER-frame parameter space — ROWS/RANGE frames with
+    * random PRECEDING/FOLLOWING/UNBOUNDED bounds under FIRST/LAST/NTH_VALUE
+    * and frame aggregates. genOver spot-checks one ROWS shape; this sweeps
+    * the bound combinations. Determinism pins: ORDER BY the table's unique
+    * key (ROWS frame content is then deterministic); RANGE frames order by
+    * a possibly-tied int column but only under MIN/MAX/COUNT (peer-set
+    * insensitive); double SUM/AVG goes through DECIMAL. */
+  private def genFrames(r: Random, name: String): Case = {
+    val t = pick(r, Seq("orders", "customer", "events", "part"))
+    val uk = uniqExpr(t)
+    val part = pick(r, strCols(t))
+    def rowsBounds: String = {
+      val lo = r.nextInt(3) match {
+        case 0 => "UNBOUNDED PRECEDING"
+        case 1 => s"${1 + r.nextInt(8)} PRECEDING"
+        case _ => "CURRENT ROW"
+      }
+      val hi =
+        if (lo == "CURRENT ROW") s"${1 + r.nextInt(8)} FOLLOWING"
+        else r.nextInt(3) match {
+          case 0 => "CURRENT ROW"
+          case 1 => s"${1 + r.nextInt(8)} FOLLOWING"
+          case _ => "UNBOUNDED FOLLOWING"
+        }
+      s"ROWS BETWEEN $lo AND $hi"
+    }
+    val wexpr: Frag = r.nextInt(5) match {
+      case 0 =>
+        same(s"FIRST_VALUE($part) OVER (PARTITION BY $part ORDER BY $uk $rowsBounds)")
+      case 1 =>
+        same(s"LAST_VALUE(${pick(r, intCols(t))}) OVER (PARTITION BY $part ORDER BY $uk $rowsBounds)")
+      case 2 =>
+        same(s"NTH_VALUE(${pick(r, intCols(t))}, ${1 + r.nextInt(4)}) " +
+          s"OVER (PARTITION BY $part ORDER BY $uk $rowsBounds)")
+      case 3 =>
+        // RANGE over a tied int order key: peer-insensitive aggs only
+        val ord = pick(r, intCols(t))
+        val fn = pick(r, Seq("MIN", "MAX", "COUNT"))
+        val arg = pick(r, intCols(t))
+        val k = 10 + r.nextInt(1000)
+        Frag(s"$fn($arg) OVER (PARTITION BY $part ORDER BY $ord " +
+             s"RANGE BETWEEN $k PRECEDING AND CURRENT ROW)",
+          s"CAST($fn($arg) OVER (PARTITION BY $part ORDER BY $ord " +
+             s"RANGE BETWEEN $k PRECEDING AND CURRENT ROW) AS BIGINT)")
+      case _ =>
+        val ds = dblCols(t)
+        val frame = rowsBounds
+        if (ds.isEmpty)
+          Frag(s"SUM(${pick(r, intCols(t))}) OVER (PARTITION BY $part ORDER BY $uk $frame)",
+            s"CAST(SUM(${pick(r, intCols(t))}) OVER (PARTITION BY $part ORDER BY $uk $frame) AS BIGINT)")
+        else same(s"CAST(SUM(CAST(${pick(r, ds)} AS DECIMAL(18,4))) " +
+          s"OVER (PARTITION BY $part ORDER BY $uk $frame) AS DOUBLE)")
+    }
+    val w = pred(r, t)
+    val c = fill(s"SELECT $uk AS pk, @WX@ AS wv FROM $t WHERE @W0@ " +
+      s"ORDER BY pk NULLS FIRST", w)
+    Case(name, c.f.replace("@WX@", wexpr.f), c.d.replace("@WX@", wexpr.d))
+  }
+
+  /** Shape 18: Flink's canonical Top-N — ROW_NUMBER in a derived table,
+    * rn <= n outside (reference snippet family). Unique-key tie-break makes
+    * the cut deterministic; final ORDER BY (partition, rn) is total. */
+  private def genTopN(r: Random, name: String): Case = {
+    val t = pick(r, Seq("orders", "customer", "events", "part", "documents"))
+    val uk = uniqExpr(t)
+    val part = pick(r, strCols(t))
+    val ds = dblCols(t)
+    val v = if (ds.nonEmpty) pick(r, ds) else pick(r, intCols(t))
+    val dir = if (r.nextBoolean()) "DESC" else "ASC"
+    val n = 1 + r.nextInt(6)
+    val w = pred(r, t)
+    val c = fill(
+      s"SELECT p0, pk, rn FROM (SELECT $part AS p0, $uk AS pk, " +
+        s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $v $dir, $uk) AS rn " +
+        s"FROM $t WHERE @W0@) WHERE rn <= $n " +
+        s"ORDER BY p0 NULLS FIRST, rn", w)
+    // DuckDB requires a derived-table alias; Spark/Flink accept it too, but
+    // keep the Flink side alias-free to exercise the dialect's tolerance
+    Case(name, c.f, c.d.replace(s"WHERE rn <= $n", s"sub WHERE rn <= $n"))
+  }
+
   def gen(seed: Long, count: Int): Seq[Case] = {
     val r = new Random(seed)
     (0 until count).map { i =>
       val name = f"fz_$i%04d"
-      r.nextInt(16) match {
+      r.nextInt(18) match {
         case 0 => genProjFilter(r, name)
         case 1 => genAgg(r, name)
         case 2 => genJoin(r, name)
@@ -541,7 +622,9 @@ object SqlFuzz {
         case 12 => genStrFuncs(r, name)
         case 13 => genWindowTVF(r, name)
         case 14 => genIntervalJoin(r, name)
-        case _ => genUnnest(r, name)
+        case 15 => genUnnest(r, name)
+        case 16 => genFrames(r, name)
+        case _ => genTopN(r, name)
       }
     }
   }
