@@ -459,6 +459,39 @@ object SqlFuzz {
     val kGrp = key.map(k => s", $k").getOrElse("")
     val kOrd = key.map(k => s", $k NULLS FIRST").getOrElse("")
     val w = pred(r, "events")
+    r.nextInt(3) match {
+      case 2 =>
+        // SESSION: gap-merged per-user windows. The predicate must commute
+        // with sessionization (the TVF assigns windows before WHERE; the
+        // rewritten session_window groups after), so filter only WHOLE
+        // partitions — a user_id predicate removes or keeps every row of a
+        // user together and both orders agree.
+        val g = pick(r, Seq(5, 10, 15, 20, 30, 45, 60))
+        val up = r.nextInt(3) match {
+          case 0 => s"user_id % ${2 + r.nextInt(5)} = ${r.nextInt(2)}"
+          case 1 => s"user_id > ${r.nextInt(500)}"
+          case _ => s"user_id BETWEEN ${r.nextInt(200)} AND ${300 + r.nextInt(700)}"
+        }
+        val f =
+          s"SELECT window_start, window_end, user_id, COUNT(*) AS cnt, ${dsum("value")} AS sv " +
+            s"FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '$g' MINUTES)) " +
+            s"WHERE $up GROUP BY window_start, window_end, user_id " +
+            s"ORDER BY user_id NULLS FIRST, window_start NULLS FIRST"
+        val duck =
+          s"WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, " +
+            s"CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) " +
+            s"OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '$g minutes' " +
+            s"OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
+            s"THEN 1 ELSE 0 END AS new_session FROM events WHERE $up), " +
+            s"y AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts " +
+            s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+            s"SELECT MIN(ts) AS window_start, MAX(ts) + INTERVAL '$g minutes' AS window_end, " +
+            s"user_id, COUNT(*) AS cnt, ${dsum("value")} AS sv " +
+            s"FROM y GROUP BY user_id, sid " +
+            s"ORDER BY user_id NULLS FIRST, window_start NULLS FIRST"
+        return Case(name, f, duck)
+      case _ => ()
+    }
     if (r.nextBoolean()) {
       // HOP: each event lands in m windows, starts at bucket(ts,slide)-k·slide
       val c = fill(
