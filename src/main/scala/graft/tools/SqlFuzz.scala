@@ -31,8 +31,11 @@ import java.nio.file.{Files, Paths}
   */
 object SqlFuzz {
 
-  /** One generated query: name, Flink-dialect text, DuckDB text. */
-  final case class Case(name: String, flink: String, duck: String)
+  /** One generated query: name, Flink-dialect text, DuckDB text, plus
+    * optional per-case Spark setup SQL (temp views for routes that need
+    * named tables, e.g. the temporal as-of join). */
+  final case class Case(name: String, flink: String, duck: String,
+      prep: Seq[String] = Nil)
 
   /** A paired SQL fragment (usually identical on both sides). */
   final case class Frag(f: String, d: String)
@@ -635,11 +638,51 @@ object SqlFuzz {
     Case(name, c.f, c.d.replace(s"WHERE rn <= $n", s"sub WHERE rn <= $n"))
   }
 
+  /** Shape 19: temporal as-of join — Flink's `FOR SYSTEM_TIME AS OF p.ts`
+    * through the gateway's AsOfJoin.sql route vs DuckDB's native ASOF LEFT
+    * JOIN (an independent engine's as-of implementation, beyond the hand
+    * SQL oracle the q_join_asof gates use). The right side is grouped to
+    * one row per (key, version-ts) so there is no tie ambiguity; both
+    * sides pin the inclusive `vts <= p.ts` match the operator implements
+    * (right row sorts before left at equal ts). Left-side WHERE and the
+    * randomized event-type split exercise the rewrite's alias
+    * substitution and tail preservation. */
+  private def genAsOf(r: Random, name: String): Case = {
+    val types = Seq("click", "view", "purchase", "scroll", "login")
+    val lt = pick(r, types)
+    val rt = pick(r, types.filterNot(_ == lt))
+    val lv = s"asof_l_$name"; val rv = s"asof_r_$name"
+    val wp = r.nextInt(3) match {
+      case 0 => s"p.value > ${r.nextInt(50)}.5"
+      case 1 => s"p.event_id % ${2 + r.nextInt(5)} = ${r.nextInt(2)}"
+      case _ => s"p.user_id BETWEEN ${r.nextInt(300)} AND ${400 + r.nextInt(600)}"
+    }
+    val prep = Seq(
+      s"CREATE OR REPLACE TEMPORARY VIEW $lv AS SELECT user_id, event_id, value, " +
+        s"CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = '$lt'",
+      s"CREATE OR REPLACE TEMPORARY VIEW $rv AS SELECT user_id, " +
+        s"CAST(ts AS TIMESTAMP) AS vts, MAX(event_id) AS ref_id " +
+        s"FROM events WHERE event_type = '$rt' GROUP BY user_id, CAST(ts AS TIMESTAMP)")
+    val f =
+      s"SELECT p.user_id AS uid, p.event_id AS pid, s.ref_id AS rid " +
+        s"FROM $lv AS p LEFT JOIN $rv FOR SYSTEM_TIME AS OF p.ts AS s " +
+        s"ON p.user_id = s.user_id WHERE $wp ORDER BY pid NULLS FIRST"
+    val duck =
+      s"WITH l AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts " +
+        s"FROM events WHERE event_type = '$lt'), " +
+        s"r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, MAX(event_id) AS ref_id " +
+        s"FROM events WHERE event_type = '$rt' GROUP BY user_id, CAST(ts AS TIMESTAMP)) " +
+        s"SELECT p.user_id AS uid, p.event_id AS pid, s.ref_id AS rid " +
+        s"FROM l p ASOF LEFT JOIN r s ON p.user_id = s.user_id AND p.ts >= s.vts " +
+        s"WHERE $wp ORDER BY pid NULLS FIRST"
+    Case(name, f, duck, prep)
+  }
+
   def gen(seed: Long, count: Int): Seq[Case] = {
     val r = new Random(seed)
     (0 until count).map { i =>
       val name = f"fz_$i%04d"
-      r.nextInt(18) match {
+      r.nextInt(19) match {
         case 0 => genProjFilter(r, name)
         case 1 => genAgg(r, name)
         case 2 => genJoin(r, name)
@@ -657,7 +700,8 @@ object SqlFuzz {
         case 14 => genIntervalJoin(r, name)
         case 15 => genUnnest(r, name)
         case 16 => genFrames(r, name)
-        case _ => genTopN(r, name)
+        case 17 => genTopN(r, name)
+        case _ => genAsOf(r, name)
       }
     }
   }
@@ -681,8 +725,16 @@ object SqlFuzz {
     var failed = 0
     cases.foreach { c =>
       try {
-        graft.engine.FlinkDialect.sql(spark, c.flink)
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/${c.name}")
+        c.prep.foreach(spark.sql(_))
+        // gateway routing order: the temporal as-of route claims its SQL
+        // before the dialect (which would strip AS OF to snapshot
+        // semantics) — same dispatch as Gateway.executeStatement
+        val df =
+          if (graft.operators.AsOfJoin.isTemporalSql(c.flink))
+            graft.operators.AsOfJoin.sql(spark, c.flink)
+              .getOrElse(sys.error("temporal as-of route did not match"))
+          else graft.engine.FlinkDialect.sql(spark, c.flink)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/${c.name}")
       } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[sqlfuzz] ${c.name} FAILED on spark side: ${e.getMessage}")
