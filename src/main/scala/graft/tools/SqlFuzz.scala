@@ -678,11 +678,31 @@ object SqlFuzz {
     Case(name, f, duck, prep)
   }
 
+  /** Shape 20: ordered string aggregation — ANSI LISTAGG ... WITHIN GROUP
+    * (Spark 4) vs DuckDB's STRING_AGG(x, sep ORDER BY x). The explicit
+    * within-group ordering is the determinism pin (Flink's own LISTAGG is
+    * unordered); equal elements concatenate identically under any tie
+    * order, and both engines skip NULLs. */
+  private def genListAgg(r: Random, name: String): Case = {
+    val t = pick(r, Seq("orders", "customer", "part", "supplier", "events", "documents"))
+    val g = pick(r, strCols(t))
+    val c = pick(r, (strCols(t) :+ pkCol(t)).distinct)
+    val sep = pick(r, Seq(",", "|", ";"))
+    val w = pred(r, t)
+    val cc = if (c == pkCol(t)) s"CAST($c AS VARCHAR)" else c
+    val cas = fill(
+      s"SELECT $g AS p0, @WX@ AS agg_s, COUNT(*) AS cnt FROM $t " +
+        s"WHERE @W0@ GROUP BY $g ORDER BY p0 NULLS FIRST", w)
+    Case(name,
+      cas.f.replace("@WX@", s"LISTAGG($cc, '$sep') WITHIN GROUP (ORDER BY $cc)"),
+      cas.d.replace("@WX@", s"STRING_AGG($cc, '$sep' ORDER BY $cc)"))
+  }
+
   def gen(seed: Long, count: Int): Seq[Case] = {
     val r = new Random(seed)
     (0 until count).map { i =>
       val name = f"fz_$i%04d"
-      r.nextInt(19) match {
+      r.nextInt(20) match {
         case 0 => genProjFilter(r, name)
         case 1 => genAgg(r, name)
         case 2 => genJoin(r, name)
@@ -701,7 +721,8 @@ object SqlFuzz {
         case 15 => genUnnest(r, name)
         case 16 => genFrames(r, name)
         case 17 => genTopN(r, name)
-        case _ => genAsOf(r, name)
+        case 18 => genAsOf(r, name)
+        case _ => genListAgg(r, name)
       }
     }
   }
