@@ -415,16 +415,36 @@ object FlinkDialect {
     // already-rewritten SQL re-entered the dialect (DialectFuzzSpec F5)
     s = s.replace("__" + tag + "_TS_LTZ__", "TIMESTAMP_LTZ")
 
+    // SQL-standard type synonyms FIRST, so the bare-CHAR rule below cannot
+    // corrupt CHAR VARYING(n) into STRING VARYING(n) (r13 advisor find).
+    // CHARACTER_LENGTH et al are single \w+ tokens (underscore is a word
+    // char), so \b cannot split them.
+    s = s.replaceAll("(?i)\\bCHAR(?:ACTER)?\\s+VARYING\\b", "VARCHAR")
+    s = s.replaceAll("(?i)\\bCHARACTER\\b", "CHAR")
+
+    // Explicit-length character/binary CASTs → Flink trim/pad shims (r13
+    // advisor find): Spark parses CHAR(n)/VARCHAR(n) in CAST but ERASES the
+    // length, while Flink (since 1.15, FLINK-24413) trims to n — see
+    // rewriteCastLengths for the exact semantics.
+    s = rewriteCastLengths(s)
+
     // Length-optional character/binary types in EXPRESSIONS (r12, found by
     // the SqlFuzz cross-engine sweep): Flink accepts bare VARCHAR/CHAR in
     // CAST, Spark demands a length (DATATYPE_MISSING_SIZE). Map the bare
     // forms to STRING — the same posture TableEnv.mapType takes for DDL —
-    // and VARBINARY/BYTES to BINARY (Spark has no VARBINARY type). The
-    // lookahead keeps precisioned VARCHAR(n)/CHAR(n), which Spark supports
-    // natively; CHAR_LENGTH et al are single \w+ tokens, so \b can't split
-    // them.
+    // and VARBINARY/BYTES to BINARY (Spark has no VARBINARY type). This is
+    // a DOCUMENTED DIVERGENCE (SURVEY §2.10): Flink defaults the missing
+    // length to 1 and would trim, a footgun virtually no real query
+    // intends; a caller wanting the trim writes the length explicitly and
+    // rewriteCastLengths above gives exact Flink behavior. The lookahead
+    // keeps precisioned VARCHAR(n)/CHAR(n) (ROW fields, DDL passthrough —
+    // cast positions were already shimmed above); CHAR_LENGTH et al are
+    // single \w+ tokens, so \b can't split them.
     s = s.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
     s = s.replaceAll("(?i)\\bCHAR\\b(?!\\s*\\()", "STRING")
+    // VARBINARY(n) outside a cast position (ROW fields, DDL passthrough)
+    // still collapses to BINARY — Spark has no VARBINARY type to carry the
+    // precision; cast positions were already shimmed above.
     s = s.replaceAll("(?i)\\bVARBINARY\\b(\\s*\\(\\s*\\d+\\s*\\))?", "BINARY")
     s = s.replaceAll("(?i)\\bBYTES\\b", "BINARY")
 
@@ -749,6 +769,93 @@ object FlinkDialect {
     }
     s
   }
+
+  // ---------------------------------------------- CAST length fidelity --
+  // Since Flink 1.15 (FLINK-24413; `table.exec.legacy-cast-behaviour`
+  // disabled by default) a CAST to CHAR(n)/VARCHAR(n) TRIMS the value to n
+  // code points — CHAR(n) additionally right-pads with spaces — and
+  // BINARY(n)/VARBINARY(n) trims to n bytes, BINARY(n) zero-padding.
+  // Spark PARSES these types inside CAST but erases the length entirely
+  // (CAST('abc' AS VARCHAR(1)) = 'abc'), silently keeping the untrimmed
+  // value. Rewrite explicit-length character/binary casts into
+  // rpad/substring shims with exactly Flink's semantics (Spark's rpad
+  // truncates when the input exceeds the target length, matching the
+  // trim; rpad also accepts BINARY with a binary pad since 3.3).
+  // Length-LESS forms (bare CHAR/VARCHAR/VARBINARY) are handled by the
+  // STRING/BINARY fallback in rewrite() — a documented divergence.
+  private val CastKw = """(?i)\b(TRY_CAST|CAST)\s*\(""".r
+  private val CharN = """(?i)^CHAR\s*\(\s*(\d+)\s*\)$""".r
+  private val VarcharN = """(?i)^VARCHAR\s*\(\s*(\d+)\s*\)$""".r
+  private val BinaryN = """(?i)^BINARY\s*\(\s*(\d+)\s*\)$""".r
+  private val VarbinaryN = """(?i)^VARBINARY\s*\(\s*(\d+)\s*\)$""".r
+
+  private def castShim(kw: String, expr: String, tpe: String): Option[String] =
+    tpe match {
+      case CharN(n) => Some(s"rpad($kw($expr AS STRING), $n, ' ')")
+      case VarcharN(n) if n.toLong < Int.MaxValue =>
+        Some(s"substring($kw($expr AS STRING), 1, $n)")
+      case VarcharN(_) => Some(s"$kw($expr AS STRING)") // VARCHAR(max) ≡ STRING
+      case BinaryN(n) => Some(s"rpad($kw($expr AS BINARY), $n, X'00')")
+      case VarbinaryN(n) if n.toLong < Int.MaxValue =>
+        Some(s"substring($kw($expr AS BINARY), 1, $n)")
+      case VarbinaryN(_) => Some(s"$kw($expr AS BINARY)")
+      case _ => None
+    }
+
+  /** Index of the matching ')' for the '(' at `open`, or -1. Runs on
+    * masked text, so parens inside string literals cannot confuse it
+    * (the only unmasked literals are numeric/duration-shaped). */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** Start index of the LAST depth-0 `AS` keyword in a CAST body (the type
+    * separator; any AS inside the operand sits behind its own parens). */
+  private def lastTopLevelAs(s: String): Int = {
+    var depth = 0; var last = -1; var i = 0
+    def wordAt(j: Int) = j >= 0 && j < s.length &&
+      (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')
+    while (i < s.length - 1) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (c == 'A' || c == 'a') &&
+          (s.charAt(i + 1) == 'S' || s.charAt(i + 1) == 's') &&
+          !wordAt(i - 1) && !wordAt(i + 2)) last = i
+      i += 1
+    }
+    last
+  }
+
+  /** Rewrite every explicit-length character/binary CAST in `s` (masked
+    * text) into its Flink trim/pad shim; all other casts pass through with
+    * only their operands recursively processed. */
+  def rewriteCastLengths(s: String): String =
+    CastKw.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchingParen(s, open)
+        if (close < 0) s // unbalanced: leave for Spark's parser to reject
+        else {
+          val inner = rewriteCastLengths(s.substring(open + 1, close))
+          val kw = m.group(1).toUpperCase(java.util.Locale.ROOT)
+          val asIdx = lastTopLevelAs(inner)
+          val body =
+            if (asIdx < 0) s"$kw($inner)"
+            else castShim(kw, inner.substring(0, asIdx).trim,
+                inner.substring(asIdx + 2).trim)
+              .getOrElse(s"$kw($inner)")
+          s.substring(0, m.start) + body + rewriteCastLengths(s.substring(close + 1))
+        }
+    }
 
   /** Convenience: rewrite + run one statement. */
   def sql(spark: org.apache.spark.sql.SparkSession, stmt: String): org.apache.spark.sql.DataFrame =

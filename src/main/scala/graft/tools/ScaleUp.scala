@@ -23,12 +23,32 @@ import org.apache.spark.sql.functions._
   *    activity in the same window, which is how the driver generator
   *    scales too (sf0.1's events span the same dates as sf0.001's).
   *
+  * Two growth regimes (r13, VERDICT item 1): the default `density` mode is
+  * the r11 generator above — the key UNIVERSE of users/payload byte
+  * distributions stays fixed while rows grow, so pair-generating operators
+  * (phash near-dup, interval join) see per-key density rise with SF and
+  * their OUTPUT grows ~quadratically per decade. Real 100 TB corpora grow
+  * the other way — more users, more distinct images, more subcorpora — so
+  * `universe` mode makes each replica a genuinely NEW key universe:
+  *  - events: user_id shifts per replica (new users, same per-user density);
+  *  - documents: texts additionally pass a per-replica random letter
+  *    PERMUTATION (word lengths/whitespace preserved, byte distribution
+  *    genuinely new, so byte-level near-dup structure does not replicate);
+  *  - everything else as in density mode (keys already shift).
+  * Composable: universe-scaling an already universe-scaled dir composes
+  * permutations (still a permutation) and shifts.
+  *
   * Run: sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 target/sf1.0 10"
+  *      sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 target/sf10u 100 universe documents,events"
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, fStr) = args.take(3)
     val factor = fStr.toInt
+    val universe = args.lift(3).contains("universe")
+    val only: Option[Set[String]] =
+      args.lift(4).filter(t => t.nonEmpty && t != "all")
+        .map(_.split(",").map(_.trim).toSet)
     val s = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -40,23 +60,27 @@ object ScaleUp {
     def tbl(n: String) = graft.Tables.load(s, src, n)
     def step(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
-    val oStep = step(tbl("orders"), "o_orderkey")
-    val cStep = step(tbl("customer"), "c_custkey")
-    val pStep = step(tbl("part"), "p_partkey")
-    val sStep = step(tbl("supplier"), "s_suppkey")
-    val eStep = step(tbl("events"), "event_id")
-    val dStep = step(tbl("documents"), "doc_id")
-    val vStep = step(tbl("embeddings"), "vec_id")
+    // lazy: a table-filtered run (5th arg) must not load tables absent
+    // from a partially-generated source dir
+    lazy val oStep = step(tbl("orders"), "o_orderkey")
+    lazy val cStep = step(tbl("customer"), "c_custkey")
+    lazy val pStep = step(tbl("part"), "p_partkey")
+    lazy val sStep = step(tbl("supplier"), "s_suppkey")
+    lazy val eStep = step(tbl("events"), "event_id")
+    lazy val uStep = step(tbl("events"), "user_id")
+    lazy val dStep = step(tbl("documents"), "doc_id")
+    lazy val vStep = step(tbl("embeddings"), "vec_id")
 
-    def replicate(name: String)(mk: (DataFrame, Int) => DataFrame): Unit = {
-      val base = tbl(name)
-      val out = (0 until factor).map(r => mk(base, r)).reduce(_ union _)
-      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"[scaleup] $name -> ${factor}x")
-    }
+    def replicate(name: String)(mk: (DataFrame, Int) => DataFrame): Unit =
+      if (only.forall(_.contains(name))) {
+        val base = tbl(name)
+        val out = (0 until factor).map(r => mk(base, r)).reduce(_ union _)
+        out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        println(s"[scaleup] $name -> ${factor}x")
+      }
 
     // dimensions: copy through unchanged
-    Seq("region", "nation").foreach { n =>
+    Seq("region", "nation").filter(n => only.forall(_.contains(n))).foreach { n =>
       tbl(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
     }
     replicate("customer") { (d, r) =>
@@ -78,15 +102,31 @@ object ScaleUp {
       // distinct event times; engines tie-break session boundaries on
       // equal timestamps differently, which showed as ±6 rows in 95k at
       // the first sweep)
-      d.withColumn("event_id", col("event_id") + lit(r * eStep))
+      val shifted = d.withColumn("event_id", col("event_id") + lit(r * eStep))
         .withColumn("ts", timestamp_micros(
           unix_micros(col("ts").cast("timestamp")) + lit(r.toLong * 1000L))
-          .cast("timestamp_ntz")) }
+          .cast("timestamp_ntz"))
+      // universe mode: each replica brings NEW users at the base per-user
+      // density, instead of densifying the fixed user set
+      if (universe) shifted.withColumn("user_id", col("user_id") + lit(r * uStep))
+      else shifted }
     replicate("documents") { (d, r) =>
-      val text =
+      val shuffled =
         if (r == 0) col("text")
         else expr(s"array_join(transform(array_sort(transform(split(text, ' '), " +
           s"w -> struct(hash(w, $r) AS h, w AS w))), p -> p.w), ' ')")
+      val text =
+        if (!universe || r == 0) shuffled
+        else {
+          // per-replica letter permutation (deterministic in r): word
+          // lengths and whitespace survive, the byte distribution is a new
+          // universe — byte-level near-dup structure must not replicate
+          val alpha = "abcdefghijklmnopqrstuvwxyz"
+          val perm = new scala.util.Random(0x5ca1eL * 31 + r)
+            .shuffle(alpha.toList).mkString
+          translate(shuffled, alpha + alpha.toUpperCase,
+            perm + perm.toUpperCase)
+        }
       d.withColumn("doc_id", col("doc_id") + lit(r * dStep))
         .withColumn("text", text)
         .withColumn("n_chars", length(col("text")).cast("long")) }

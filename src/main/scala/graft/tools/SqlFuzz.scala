@@ -156,7 +156,18 @@ object SqlFuzz {
   private def proj(r: Random, t: String): Frag = {
     def ic = pick(r, intCols(t))
     def sc = pick(r, strCols(t))
-    r.nextInt(10) match {
+    r.nextInt(12) match {
+      case 10 =>
+        // explicit-length VARCHAR cast: Flink trims to n (FLINK-24413);
+        // the dialect shims it, DuckDB pairs with substr (bind the column
+        // once — `sc` re-picks per reference)
+        val c = sc; val n = 1 + r.nextInt(4)
+        Frag(s"CAST($c AS VARCHAR($n))", s"substr($c, 1, $n)")
+      case 11 =>
+        // explicit-length CHAR cast: Flink trims AND pads with spaces;
+        // DuckDB's rpad does exactly both
+        val c = sc; val n = 2 + r.nextInt(5)
+        Frag(s"CAST($c AS CHAR($n))", s"rpad($c, $n, ' ')")
       case 0 => same(s"$ic + ${r.nextInt(100)}")
       case 1 => { val c = ic; same(s"$c * ${1 + r.nextInt(5)} - $c") }
       case 2 => same(s"CASE WHEN $ic % 2 = 0 THEN 'even' WHEN $ic % 3 = 0 THEN 'odd3' ELSE 'other' END")
@@ -698,11 +709,148 @@ object SqlFuzz {
       cas.d.replace("@WX@", s"STRING_AGG($cc, '$sep' ORDER BY $cc)"))
   }
 
-  def gen(seed: Long, count: Int): Seq[Case] = {
+  /** Shape 21 (r13, verdict item 3): GROUPING SETS / ROLLUP / CUBE composed
+    * with OVER windows — the super-aggregate rows flow through ranking and
+    * running-sum windows. Determinism: within a k1 partition the k2 values
+    * are distinct across grouping-set rows (k2 is never NULL in the data,
+    * so the subtotal row's NULL k2 cannot collide), and the global rank
+    * orders by (cnt, k1, k2) where (k1, k2) is unique across all rows.
+    * NULLS FIRST is written explicitly inside every OVER (Spark's ASC
+    * default; DuckDB defaults NULLS LAST). */
+  private def genGroupingSetsOver(r: Random, name: String): Case = {
+    val t = pick(r, Seq("orders", "lineitem", "customer", "documents"))
+    val k1 = pick(r, strCols(t))
+    val k2 = s"${pick(r, intCols(t))} % ${2 + r.nextInt(4)}"
+    val grp = r.nextInt(3) match {
+      case 0 => s"GROUPING SETS (($k1), ($k1, $k2), ())"
+      case 1 => s"ROLLUP ($k1, $k2)"
+      case _ => s"CUBE ($k1, $k2)"
+    }
+    val w = pred(r, t)
+    val pk = pkCol(t)
+    val winOrd = "k2 NULLS FIRST"
+    val wexpr: Frag = r.nextInt(3) match {
+      case 0 =>
+        // running sum of BIGINT counts: DuckDB widens SUM(BIGINT) to
+        // HUGEINT, so pin the result type on the oracle side
+        Frag(s"SUM(cnt) OVER (PARTITION BY k1 ORDER BY $winOrd " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+          s"CAST(SUM(cnt) OVER (PARTITION BY k1 ORDER BY $winOrd " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)")
+      case 1 => same(s"ROW_NUMBER() OVER (PARTITION BY k1 ORDER BY $winOrd)")
+      case _ => same("RANK() OVER (ORDER BY cnt DESC, k1 NULLS FIRST, k2 NULLS FIRST)")
+    }
+    // ≥1 input row guaranteed (OR-MIN arm): Spark's documented divergence
+    // drops the global () row over EMPTY input — same guard as shape 8
+    val c = fill(s"SELECT k1, k2, cnt, @WX@ AS wv FROM (" +
+      s"SELECT $k1 AS k1, $k2 AS k2, COUNT(*) AS cnt FROM $t " +
+      s"WHERE (@W0@) OR $pk = (SELECT MIN($pk) FROM $t) GROUP BY $grp) " +
+      s"ORDER BY k1 NULLS FIRST, k2 NULLS FIRST, cnt NULLS FIRST", w)
+    Case(name, c.f.replace("@WX@", wexpr.f), c.d.replace("@WX@", wexpr.d))
+  }
+
+  /** Shape 22 (r13, verdict item 3): Flink window join — two TVF-windowed
+    * aggregates equi-joined on (window_start, window_end, key). DuckDB
+    * pairs with time_bucket aggregates. Outer variants exercise the NULL
+    * sides; ORDER BY covers every output column. */
+  private def genWindowJoin(r: Random, name: String): Case = {
+    val mins = pick(r, Seq(5, 10, 15, 20, 30, 60))
+    val types = Seq("click", "view", "purchase", "scroll", "login")
+    val lt = pick(r, types)
+    val rt = pick(r, types.filterNot(_ == lt))
+    val join = pick(r, Seq("JOIN", "LEFT JOIN", "FULL JOIN"))
+    val lw = s"user_id % ${2 + r.nextInt(5)} = ${r.nextInt(2)}"
+    def fSide(et: String, p: String) =
+      s"(SELECT window_start, window_end, user_id, COUNT(*) AS cnt, ${dsum("value")} AS sv " +
+        s"FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '$mins' MINUTES)) " +
+        s"WHERE event_type = '$et' AND $p GROUP BY window_start, window_end, user_id)"
+    def dSide(et: String, p: String) =
+      s"(SELECT time_bucket(INTERVAL '$mins minutes', CAST(ts AS TIMESTAMP)) AS window_start, " +
+        s"time_bucket(INTERVAL '$mins minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '$mins minutes' AS window_end, " +
+        s"user_id, COUNT(*) AS cnt, ${dsum("value")} AS sv FROM events " +
+        s"WHERE event_type = '$et' AND $p GROUP BY 1, 2, 3)"
+    val on = "L.window_start = R.window_start AND L.window_end = R.window_end AND L.user_id = R.user_id"
+    val sel = "L.window_start AS lws, L.user_id AS luid, L.cnt AS lcnt, L.sv AS lsv, " +
+      "R.window_start AS rws, R.user_id AS ruid, R.cnt AS rcnt, R.sv AS rsv"
+    val ord = "ORDER BY lws NULLS FIRST, luid NULLS FIRST, rws NULLS FIRST, ruid NULLS FIRST, " +
+      "lcnt NULLS FIRST, rcnt NULLS FIRST, lsv NULLS FIRST, rsv NULLS FIRST"
+    Case(name,
+      s"SELECT $sel FROM ${fSide(lt, lw)} L $join ${fSide(rt, lw)} R ON $on $ord",
+      s"SELECT $sel FROM ${dSide(lt, lw)} L $join ${dSide(rt, lw)} R ON $on $ord")
+  }
+
+  /** Shape 23 (r13, verdict item 4): a second ENGINE on the CEP kernel.
+    * MATCH_RECOGNIZE with complementary row-local DEFINEs (A: value below
+    * the threshold, B: at-or-above) compiles to exact gaps-and-islands /
+    * lag SQL that DuckDB can run — the corpus's own simple-pattern shapes
+    * (reference test/syntax-test.fsql:467-482):
+    *  - PATTERN (A+ B), SKIP PAST LAST ROW: greedy A+ over complementary
+    *    classes consumes each maximal A-run; a match exists iff the row
+    *    after the run is a B (mid-run restarts provably fail too), so the
+    *    oracle is islands-of-A joined to their next row when it's a B.
+    *  - PATTERN (A B): matches are exactly the A→B adjacencies (two
+    *    adjacencies cannot share a row, so SKIP PAST LAST ROW never skips
+    *    a candidate), i.e. rows where cls='B' AND lag(cls)='A'.
+    * Row order in MATCH_RECOGNIZE is event_id (unique), so classification
+    * is total; the runner sorts the output by column name, mirrored by the
+    * oracle's ORDER BY. */
+  private def genCep(r: Random, name: String): Case = {
+    val x = 30 + r.nextInt(380)              // threshold inside value range
+    val up = s"user_id % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"  // whole-partition filter
+    val prep = Seq("CREATE OR REPLACE TEMPORARY VIEW cep_fuzz AS " +
+      s"SELECT * FROM events WHERE $up")
+    val plus = r.nextBoolean()
+    val pattern = if (plus) "A+ B" else "A B"
+    val flink =
+      s"""SELECT * FROM cep_fuzz MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY event_id
+         |  MEASURES FIRST(A.event_id) AS a_start,
+         |           COUNT(A.*) AS n_a,
+         |           MAX(A.value) AS a_max,
+         |           LAST(B.value) AS b_val
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN ($pattern)
+         |  DEFINE A AS A.value < $x,
+         |         B AS B.value >= $x
+         |)""".stripMargin
+    val ord = "ORDER BY a_max NULLS FIRST, a_start NULLS FIRST, b_val NULLS FIRST, " +
+      "n_a NULLS FIRST, user_id NULLS FIRST"
+    val duck = if (plus)
+      s"""WITH ord AS (
+         |  SELECT user_id, event_id, value,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         |         CASE WHEN value < $x THEN 'A' ELSE 'B' END AS cls
+         |  FROM events WHERE $up),
+         |runs AS (
+         |  SELECT user_id, grp, MIN(event_id) AS a_start, COUNT(*) AS n_a,
+         |         MAX(value) AS a_max, MAX(rn) AS a_last_rn
+         |  FROM (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+         |        FROM ord WHERE cls = 'A')
+         |  GROUP BY user_id, grp)
+         |SELECT * FROM (
+         |  SELECT r.a_max, r.a_start, o.value AS b_val, r.n_a, r.user_id
+         |  FROM runs r JOIN ord o ON o.user_id = r.user_id AND o.rn = r.a_last_rn + 1
+         |  WHERE o.cls = 'B') $ord""".stripMargin
+    else
+      s"""WITH ord AS (
+         |  SELECT user_id, event_id, value,
+         |         LAG(event_id) OVER w AS p_event, LAG(value) OVER w AS p_value,
+         |         LAG(CASE WHEN value < $x THEN 'A' ELSE 'B' END) OVER w AS p_cls,
+         |         CASE WHEN value < $x THEN 'A' ELSE 'B' END AS cls
+         |  FROM events WHERE $up
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+         |SELECT p_value AS a_max, p_event AS a_start, value AS b_val,
+         |       CAST(1 AS BIGINT) AS n_a, user_id
+         |FROM ord WHERE cls = 'B' AND p_cls = 'A' $ord""".stripMargin
+    Case(name, flink, duck, prep)
+  }
+
+  def gen(seed: Long, count: Int, shapes: Seq[Int] = 0 until 23): Seq[Case] = {
     val r = new Random(seed)
     (0 until count).map { i =>
       val name = f"fz_$i%04d"
-      r.nextInt(20) match {
+      shapes(r.nextInt(shapes.length)) match {
         case 0 => genProjFilter(r, name)
         case 1 => genAgg(r, name)
         case 2 => genJoin(r, name)
@@ -722,7 +870,10 @@ object SqlFuzz {
         case 16 => genFrames(r, name)
         case 17 => genTopN(r, name)
         case 18 => genAsOf(r, name)
-        case _ => genListAgg(r, name)
+        case 19 => genListAgg(r, name)
+        case 20 => genGroupingSetsOver(r, name)
+        case 21 => genWindowJoin(r, name)
+        case _ => genCep(r, name)
       }
     }
   }
@@ -742,18 +893,39 @@ object SqlFuzz {
     graft.functions.FlinkFunctions.registerAll(spark)
     graft.functions.Aggregators.registerAll(spark)
     new java.io.File(outDir).mkdirs()
-    val cases = gen(seedS.toLong, countS.toInt)
+    // optional 5th arg: comma-separated shape indices to restrict the draw
+    // (a targeted campaign on a new shape, e.g. "20,21,22")
+    val shapes = args.lift(4).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(0 until 23)
+    val cases = gen(seedS.toLong, countS.toInt, shapes)
     var failed = 0
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(deleteRec(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
     cases.foreach { c =>
+      // drop any previous run's output under this case name FIRST: a case
+      // that fails on the Spark side must leave NO parquet behind, or the
+      // comparator grades stale results from an earlier run of the same
+      // outDir as this run's output (r13 advisor find)
+      deleteRec(java.nio.file.Paths.get(s"$outDir/${c.name}"))
       try {
         c.prep.foreach(spark.sql(_))
         // gateway routing order: the temporal as-of route claims its SQL
         // before the dialect (which would strip AS OF to snapshot
-        // semantics) — same dispatch as Gateway.executeStatement
+        // semantics), MATCH_RECOGNIZE compiles through the CEP operator —
+        // same dispatch as Gateway.executeStatement
         val df =
           if (graft.operators.AsOfJoin.isTemporalSql(c.flink))
             graft.operators.AsOfJoin.sql(spark, c.flink)
               .getOrElse(sys.error("temporal as-of route did not match"))
+          else if (graft.operators.MatchRecognize.isMatchRecognize(c.flink)) {
+            // the MR form carries no trailing ORDER BY; sort by column name
+            // (the oracle SQL mirrors this exact order)
+            val mr = graft.operators.MatchRecognize.sql(spark, c.flink)
+            mr.orderBy(mr.columns.sorted.map(org.apache.spark.sql.functions.col(_).asc_nulls_first): _*)
+          }
           else graft.engine.FlinkDialect.sql(spark, c.flink)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/${c.name}")
       } catch { case e: Throwable =>
@@ -773,5 +945,8 @@ object SqlFuzz {
     Files.writeString(Paths.get(s"$outDir/flink_sql.json"), fjson)
     println(s"[sqlfuzz] ${cases.length} generated, $failed spark-side failures")
     spark.stop()
+    // a spark-side failure IS a finding — surface it in the exit code so a
+    // scripted campaign can't silently record a green round (r13 advisor)
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -29,7 +29,7 @@ class CdcFuzzSpec extends SparkTestBase {
     val live = mutable.Map.empty[Long, Long] // id -> v (the reference model)
     val events = mutable.ArrayBuffer.empty[String]
     var ts = 1000L
-    (1 to 80).foreach { _ =>
+    (1 to soak(80)).foreach { _ =>
       ts += 1 + rnd.nextInt(3)
       val id = rnd.nextInt(8).toLong
       if (!live.contains(id)) {

@@ -471,4 +471,71 @@ class ConcurrencySpec extends SparkTestBase {
       "other session kept serving pre-ALTER options")
     gw.closeSession(a); gw.closeSession(b)
   }
+
+  test("driver memory ceiling under adversarial paging: 6 concurrent large batch ops, interleaved token walks (r13)") {
+    // NotebookLifecycleSpec proves ONE paged SELECT materializes one page
+    // at a time; this holds SIX large batch operations open AT ONCE and
+    // walks their tokens interleaved — the adversarial client shape (many
+    // editor panels, each mid-scroll through a huge result). The driver
+    // must hold, per op, at most the 8-page retention cache plus
+    // toLocalIterator's one-partition prefetch — NOT the full results.
+    val gw = new Gateway(spark)
+    val nOps = 6
+    val rowsPerOp = 120000     // 120 pages of 1000; ~1 KB per row
+    // warm the session + codegen before the baseline heap reading
+    val warm = gw.openSession("page_warm")
+    gw.fetchResults(gw.executeStatement(warm,
+      "SELECT id, repeat('x', 1024) AS pad FROM range(0, 2000, 1, 4)"), 0)
+    gw.closeSession(warm)
+    def usedHeap(): Long = {
+      System.gc(); Thread.sleep(100); System.gc(); Thread.sleep(100)
+      val rt = Runtime.getRuntime; rt.totalMemory() - rt.freeMemory()
+    }
+    val heap0 = usedHeap()
+    val hs = (0 until nOps).map(i => gw.openSession(s"pager_$i"))
+    val ops = hs.map { h =>
+      // 24 input partitions → toLocalIterator's prefetch is ~5k rows, far
+      // below the 120k total, so partition granularity can't mask a leak
+      gw.executeStatement(h,
+        s"SELECT id, repeat('x', 1024) AS pad FROM range(0, $rowsPerOp, 1, 24)")
+    }
+    // interleaved walk: 15 pages from each op, round-robin — every op stays
+    // OPEN and mid-result the whole time
+    val walked = 15
+    (0 until walked).foreach { t =>
+      ops.zipWithIndex.foreach { case (op, i) =>
+        val p = gw.fetchResults(op, t)
+        assert(p.rows.size == 1000, s"op $i token $t: ${p.rows.size} rows")
+        assert(!p.eos, s"op $i ended at token $t")
+      }
+    }
+    // counter proof of bounded retention: pages materialized = pages walked
+    // (the iterator was NOT drained), cache within the retention window,
+    // total page count still unknown for every op
+    ops.zipWithIndex.foreach { case (op, i) =>
+      val (materialized, cached, totalPages) = gw.opDiagnostics(op)
+      assert(materialized == walked, s"op $i materialized $materialized pages for $walked fetches")
+      assert(cached <= 8, s"op $i retains $cached pages (> retention window)")
+      assert(totalPages.isEmpty, s"op $i was drained to EOS behind the client's back")
+    }
+    // end-to-end heap guard: 6 ops × 120k × ~1 KB ≈ 740 MB if results were
+    // held whole; the bounded-paging shape is ≤ (8 pages + 1 partition
+    // prefetch) × 6 ≈ 80 MB. Assert well under the leak scenario with slack
+    // for GC noise.
+    val heapDelta = usedHeap() - heap0
+    assert(heapDelta < 350L * 1024 * 1024,
+      f"driver heap grew ${heapDelta / 1048576}%d MB across 6 open paged ops — paging is materializing results")
+    // draining ONE op to EOS must not disturb the others
+    var t = walked
+    var eos = false
+    while (!eos) { val p = gw.fetchResults(ops.head, t); eos = p.eos || p.rows.isEmpty; t += 1 }
+    val (_, _, total0) = gw.opDiagnostics(ops.head)
+    assert(total0.contains(rowsPerOp / 1000), s"drained op reports $total0 pages")
+    ops.tail.zipWithIndex.foreach { case (op, i) =>
+      val (materialized, _, totalPages) = gw.opDiagnostics(op)
+      assert(materialized == walked && totalPages.isEmpty,
+        s"draining op 0 advanced op ${i + 1}: $materialized/$totalPages")
+    }
+    hs.foreach(gw.closeSession)
+  }
 }

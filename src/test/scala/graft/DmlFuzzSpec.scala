@@ -76,7 +76,7 @@ class DmlFuzzSpec extends SparkTestBase {
           s"recent:\n${opLog.take(6).mkString("\n")}")
     }
 
-    (1 to 40).foreach { step =>
+    (1 to soak(40)).foreach { step =>
       val op = rnd.nextInt(100)
       def exec(sql: String): Unit = {
         opLog = s"[$step] $sql" :: opLog

@@ -69,7 +69,7 @@ class NamespaceFuzzSpec extends SparkTestBase {
           s"$ctx: session $s name $n expected $c got ${r.rows} $detail")
       }
     }
-    (1 to 300).foreach { step =>
+    (1 to soak(300)).foreach { step =>
       val s = rnd.nextInt(3)
       val n = names(rnd.nextInt(names.size))
       val op = rnd.nextInt(100)

@@ -43,7 +43,7 @@ import graft.queries.StreamParityQueries.withParityConf
   */
 class StreamRestartSpec extends SparkTestBase {
 
-  private val N = sys.props.get("graft.restartfuzz.n").map(_.toInt).getOrElse(64)
+  private val N = sys.props.get("graft.restartfuzz.n").map(_.toInt).getOrElse(soak(64))
 
   private val rowSchema = StructType(Seq(
     StructField("user_id", LongType), StructField("ets", TimestampType),
