@@ -45,7 +45,8 @@ object CurveProbe {
         f"rows=${runs.head._2}%,d  (runs: ${runs.map(t => f"${t._1}%.2f").mkString(" / ")})")
     }
 
-    if (probes("minhash") || probes("phash")) {
+    if (probes("minhash") || probes("phash") || probes("phash_hist")
+        || probes("phash_gen")) {
       val docs = graft.Tables.load(spark, sfDir, "documents")
       docs.count() // warm the scan so run 1 isn't an IO measurement
       if (probes("minhash")) {
@@ -62,6 +63,73 @@ object CurveProbe {
           val withBin = graft.pipeline.Multimodal.withBinaryPayload(docs, "text")
           graft.pipeline.Multimodal.phashNearDupPairs(
             withBin, "doc_id", "payload", maxHamming = 8).count()
+        }
+      }
+      if (probes("phash_hist")) {
+        // candidate-graph census WITHOUT generating the pairs: the banded
+        // bucket histogram and the implied candidate count under the skew
+        // cap (all-pairs n(n-1)/2 at or under the cap, star n-1 above it).
+        // At decades where the pair set itself would out-shuffle the
+        // sandbox disk, this is the measured cardinality the curve table
+        // records — the same blocking key the operator shuffles on.
+        timed("phash: bucket census") {
+          val withBin = graft.pipeline.Multimodal.withBinaryPayload(docs, "text")
+          val h = withBin.select(col("doc_id").as("id"),
+            graft.pipeline.Multimodal.perceptualHash(col("payload")).as("ph"))
+          val banded = h.select(col("id"), posexplode(
+            array((0 until 4).map(b => shiftrightunsigned(col("ph"), b * 16)
+              .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
+          val hist = banded.groupBy("band", "bucket").count()
+            .agg(
+              count(lit(1)).as("buckets"),
+              max(col("count")).as("max_bucket"),
+              sum(when(col("count") > 10000, 1L).otherwise(0L)).as("capped"),
+              sum(when(col("count") <= 10000,
+                  col("count") * (col("count") - 1) / 2)
+                .otherwise(col("count") - 1)).cast("long").as("cand_under_cap"),
+              sum(col("count") * (col("count") - 1) / 2).cast("long").as("cand_cap_free"))
+            .head()
+          println(s"[curve]   buckets=${hist.getLong(0)} max=${hist.getLong(1)} " +
+            s"capped=${hist.getLong(2)} cand_under_cap=${hist.getLong(3)} " +
+            s"cand_cap_free=${hist.getLong(4)}")
+          hist.getLong(3)
+        }
+      }
+      if (probes("phash_gen")) {
+        // times the candidate GENERATION + hamming verify with the final
+        // distinct left off — the count aggregates map-side, so this stage
+        // is measurable even at decades where the distinct pair set itself
+        // would out-shuffle a single node's disk (on a real cluster that
+        // last exchange is spread over the fleet; here it is the bound).
+        // Mirrors Dedup.bandedPairs pre-distinct (all-pairs at or under the
+        // cap, star edges above it) + the gate's hamming<=8 filter; counts
+        // carry band multiplicity (a pair surviving in k bands counts k
+        // times, k<=4), so it upper-bounds the distinct output.
+        timed("phash: survivors pre-distinct") {
+          import org.apache.spark.sql.expressions.Window
+          val withBin = graft.pipeline.Multimodal.withBinaryPayload(docs, "text")
+          val h = withBin.select(col("doc_id").as("id"),
+            graft.pipeline.Multimodal.perceptualHash(col("payload")).as("ph"))
+          val banded = h.select(col("id"), col("ph"), posexplode(
+            array((0 until 4).map(b => shiftrightunsigned(col("ph"), b * 16)
+              .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
+          val w = Window.partitionBy(col("band"), col("bucket"))
+          val wOrd = w.orderBy(col("id"))
+          val ann = banded
+            .withColumn("bucket_n", count(lit(1)).over(w))
+            .withColumn("rep_id", min(col("id")).over(w))
+            .withColumn("rep_ph", first(col("ph")).over(wOrd))
+          val small = ann.filter(col("bucket_n") <= 10000)
+          val allPairs = small.as("a").join(small.as("b"),
+              col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+                && col("a.id") < col("b.id"))
+            .select(col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
+          val star = ann.filter(col("bucket_n") > 10000)
+            .filter(col("rep_id") < col("id"))
+            .select(col("rep_ph").as("ph_a"), col("ph").as("ph_b"))
+          allPairs.union(star)
+            .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= 8)
+            .count()
         }
       }
     }

@@ -31,12 +31,22 @@ import org.apache.spark.sql.functions._
   * the other way — more users, more distinct images, more subcorpora — so
   * `universe` mode makes each replica a genuinely NEW key universe:
   *  - events: user_id shifts per replica (new users, same per-user density);
-  *  - documents: texts additionally pass a per-replica random letter
-  *    PERMUTATION (word lengths/whitespace preserved, byte distribution
-  *    genuinely new, so byte-level near-dup structure does not replicate);
+  *  - documents: texts pass a per-replica random letter PERMUTATION and are
+  *    NOT word-shuffled (word lengths/whitespace preserved, byte
+  *    distribution genuinely new). A char-alphabet bijection maps character
+  *    shingles 1:1, so each universe carries EXACTLY the base corpus's
+  *    near-dup pair structure while sharing no shingles with any other
+  *    universe — per-universe dup density stays fixed as rows grow, which is
+  *    the realistic 100 TB regime. The density-mode word-shuffle must NOT be
+  *    applied here: sorting words by hash(w, r) puts every doc in a replica
+  *    into one canonical global word order, so docs that merely share
+  *    vocabulary collapse into near-identical char sequences — the first
+  *    sf1u probe measured 3254× candidate growth for 10× data from exactly
+  *    this artifact (PLANS.md r13);
   *  - everything else as in density mode (keys already shift).
   * Composable: universe-scaling an already universe-scaled dir composes
-  * permutations (still a permutation) and shifts.
+  * permutations (still a permutation) and shifts; the permutation seed is
+  * salted with the source path so composed runs draw distinct families.
   *
   * Run: sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 target/sf1.0 10"
   *      sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 target/sf10u 100 universe documents,events"
@@ -111,20 +121,28 @@ object ScaleUp {
       if (universe) shifted.withColumn("user_id", col("user_id") + lit(r * uStep))
       else shifted }
     replicate("documents") { (d, r) =>
-      val shuffled =
-        if (r == 0) col("text")
-        else expr(s"array_join(transform(array_sort(transform(split(text, ' '), " +
-          s"w -> struct(hash(w, $r) AS h, w AS w))), p -> p.w), ' ')")
       val text =
-        if (!universe || r == 0) shuffled
+        if (r == 0) col("text")
+        else if (!universe)
+          // density mode: global canonical word order per replica — replicas
+          // are distinct docs but per-key density rises (see scaladoc)
+          expr(s"array_join(transform(array_sort(transform(split(text, ' '), " +
+            s"w -> struct(hash(w, $r) AS h, w AS w))), p -> p.w), ' ')")
         else {
-          // per-replica letter permutation (deterministic in r): word
-          // lengths and whitespace survive, the byte distribution is a new
-          // universe — byte-level near-dup structure must not replicate
+          // universe mode: letter permutation ONLY (deterministic in r) —
+          // word order survives, so the char-shingle bijection carries the
+          // base's near-dup pair structure into the new universe unchanged.
+          // Do NOT compose with the word-shuffle: its canonical sort
+          // manufactures near-dups between vocabulary-sharing docs.
+          // seed salted with the SOURCE path: composing two universe runs
+          // with unsalted seeds would make composed universe (a,0) and
+          // (0,a) byte-identical (both = perm_a(base), since r=0 applies no
+          // permutation) — planting 5k-doc exact-dup clusters across
+          // universes. Distinct sources draw distinct permutation families.
           val alpha = "abcdefghijklmnopqrstuvwxyz"
-          val perm = new scala.util.Random(0x5ca1eL * 31 + r)
+          val perm = new scala.util.Random(0x5ca1eL * 31 + r + src.hashCode.toLong)
             .shuffle(alpha.toList).mkString
-          translate(shuffled, alpha + alpha.toUpperCase,
+          translate(col("text"), alpha + alpha.toUpperCase,
             perm + perm.toUpperCase)
         }
       d.withColumn("doc_id", col("doc_id") + lit(r * dStep))
