@@ -157,10 +157,14 @@ object FlinkDialect {
     val btTag = "__" + tag + "_BT_"
     val literals = ArrayBuffer.empty[String]
     val simpleLit = """^'[0-9:. \-]*'$""".r
-    s = """'(?:[^']|'')*'""".r.replaceAllIn(s, m =>
-      if (simpleLit.findFirstIn(m.matched).isDefined) Regex.quoteReplacement(m.matched)
+    // iterative scanner, NOT a regex: '(?:[^']|'')*' recursed once per
+    // character and its unrolled form once per '' escape — either way a
+    // document-sized literal (a corpus INSERT) overflowed the stack
+    // (found by the r13 NamespaceFuzz soak / LongStatementSpec)
+    s = foldLiterals(s)(lit =>
+      if (simpleLit.findFirstIn(lit).isDefined) lit
       else {
-        literals += m.matched
+        literals += lit
         s"$litTag${literals.size - 1}__"
       })
     val bticks = ArrayBuffer.empty[String]
@@ -214,8 +218,8 @@ object FlinkDialect {
       // ORDER BY) cannot trigger __w injection into a grouping that does
       // not actually list the window columns
       val gbRe = ("""(?i)(GROUP\s+BY\s+)""" +
-        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()])*\bwindow_start\b)""" +
-        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()])*\bwindow_end\b)""").r
+        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()]){0,600}\bwindow_start\b)""" +
+        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()]){0,600}\bwindow_end\b)""").r
       val otherTvf = CumulateTvf.findFirstIn(s).isDefined ||
         SessionTvf.findFirstIn(s).isDefined
       val gbMatches = gbRe.findAllIn(s).size
@@ -251,8 +255,8 @@ object FlinkDialect {
       // same unambiguity rules as TUMBLE/HOP above: one CUMULATE, no other
       // TVF family, exactly one GROUP BY naming both window_start/end
       val gbRe = ("""(?i)(GROUP\s+BY\s+)""" +
-        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()])*\bwindow_start\b)""" +
-        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()])*\bwindow_end\b)""").r
+        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()]){0,600}\bwindow_start\b)""" +
+        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()]){0,600}\bwindow_end\b)""").r
       val otherTvf = tumbleHops > 0 || SessionTvf.findFirstIn(s).isDefined
       if (cumulates == 1 && !otherTvf && gbRe.findAllIn(s).size == 1)
         s = gbRe.replaceAllIn(s, "$1`__w`, ")
@@ -281,30 +285,56 @@ object FlinkDialect {
         "session_window.start AS window_start, session_window.end AS window_end")
     }
 
-    // SIMILAR TO pattern → anchored regexp_like ('%'→'.*', '_'→'.').
+    // [NOT] SIMILAR TO pattern → anchored regexp_like ('%'→'.*', '_'→'.').
     // The pattern literal arrives either unmasked (simple numeric-ish
     // content) or as a masked placeholder; either way the translated regex
     // is emitted as a NEW masked literal so no later rule can touch it.
     // Regex metacharacters that are LITERALS in SQL SIMILAR TO (. ^ $ \)
     // are escaped first — 'a.b' must match only "a.b", not "aXb"; the
     // escapes run before %/_ translation so the introduced '.'/'.*' survive.
-    s = ("""(?i)((?:[\w.`']|\((?:[^()']|'[^']*'|\([^()]*\))*\))+)\s+SIMILAR\s+TO\s+(?:'([^']*)'|""" +
-      Regex.quote(litTag) + """(\d+)__)""").r
-      .replaceAllIn(s, m => {
-        val pat =
-          if (m.group(2) != null) m.group(2)
-          else literals(m.group(3).toInt)
-            .stripPrefix("'").stripSuffix("'").replace("''", "'")
-        // DOUBLE backslash in the emitted SQL text: Spark's string-literal
-        // unescaping consumes one layer ('\.' parses to '.'), the regex
-        // engine needs the other
-        val rx = pat.replace("\\", "\\\\\\\\").replace(".", "\\\\.")
-          .replace("^", "\\\\^").replace("$", "\\\\$")
-          .replace("%", ".*").replace("_", ".")
-        literals += "'^" + rx.replace("'", "''") + "$'"
-        Regex.quoteReplacement(
-          s"regexp_like(${m.group(1)}, $litTag${literals.size - 1}__)")
-      })
+    // The LEFT OPERAND is extracted by an iterative backward scan, not a
+    // regex: the former operand pattern ((?:[\w.`']|\(...\))+) recursed once
+    // per character in java.util.regex, so a long statement (~20 KB of
+    // VALUES tuples) overflowed the stack while merely SCANNING for a
+    // SIMILAR TO that was not there (found by the r13 NamespaceFuzz soak).
+    locally {
+      val simRe = ("""(?i)\s+(NOT\s+)?SIMILAR\s+TO\s+(?:'([^']*)'|""" +
+        Regex.quote(litTag) + """(\d+)__)""").r
+      val ms = simRe.findAllMatchIn(s).toList
+      if (ms.nonEmpty) {
+        val out = new StringBuilder
+        var last = 0
+        ms.foreach { m =>
+          val opEnd = m.start
+          val opStart = similarOperandStart(s, opEnd)
+          if (opStart >= opEnd || opStart < last)
+            // no parsable operand (or one overlapping a prior rewrite):
+            // leave the text alone for Spark's own parse error
+            out.append(s.substring(last, m.end))
+          else {
+            val pat =
+              if (m.group(2) != null) m.group(2)
+              else literals(m.group(3).toInt)
+                .stripPrefix("'").stripSuffix("'").replace("''", "'")
+            // DOUBLE backslash in the emitted SQL text: Spark's string-
+            // literal unescaping consumes one layer ('\.' parses to '.'),
+            // the regex engine needs the other
+            val rx = pat.replace("\\", "\\\\\\\\").replace(".", "\\\\.")
+              .replace("^", "\\\\^").replace("$", "\\\\$")
+              .replace("%", ".*").replace("_", ".")
+            literals += "'^" + rx.replace("'", "''") + "$'"
+            val neg = if (m.group(1) != null) "NOT " else ""
+            out.append(s.substring(last, opStart))
+            out.append(neg).append("regexp_like(")
+              .append(s.substring(opStart, opEnd))
+              .append(s", $litTag${literals.size - 1}__)")
+          }
+          last = m.end
+        }
+        out.append(s.substring(last))
+        s = out.toString
+      }
+    }
 
     // PROCTIME() → current_timestamp()
     s = s.replaceAll("(?i)\\bPROCTIME\\s*\\(\\s*\\)", "current_timestamp()")
@@ -805,6 +835,79 @@ object FlinkDialect {
   /** Index of the matching ')' for the '(' at `open`, or -1. Runs on
     * masked text, so parens inside string literals cannot confuse it
     * (the only unmasked literals are numeric/duration-shaped). */
+  /** Iteratively rewrite every single-quoted literal ('' escapes included)
+    * through `f` (which receives the literal WITH its quotes); non-literal
+    * text is copied verbatim, an unterminated trailing literal is copied
+    * as-is. A hand scanner, not a regex: java.util.regex recurses once per
+    * character for `(?:[^']|'')*` (and once per escape for the unrolled
+    * form), so literal length must not drive match depth — a ~10 KB string
+    * literal in a statement overflowed the stack (r13 soak finding). */
+  def foldLiterals(s: String)(f: String => String): String = {
+    val n = s.length
+    if (s.indexOf('\'') < 0) return s
+    val out = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val start = i
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2 // '' escape
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        if (closed) out.append(f(s.substring(start, i)))
+        else out.append(s.substring(start))
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Start index of a SIMILAR TO left operand ending (exclusive) at `end`:
+    * walks BACKWARD over identifier/placeholder characters, simple quoted
+    * literals and balanced parenthesized groups — iteratively, so operand
+    * length cannot overflow the stack the way a regex group loop does
+    * (java.util.regex recurses once per character for `(?:A|B)+`). Returns
+    * `end` when no operand precedes the position. Mirrors the shapes the
+    * old regex accepted: `(?:[\w.`']|\((?:[^()']|'[^']*'|\([^()]*\))*\))+`. */
+  private def similarOperandStart(s: String, end: Int): Int = {
+    var i = end
+    var start = end
+    var done = false
+    while (!done && i > 0) {
+      val c = s.charAt(i - 1)
+      if (c == ')') {
+        // balanced paren walk, quote-aware (a ')' inside '...' is content)
+        var depth = 0; var j = i; var stop = false; var bad = false
+        while (j > 0 && !stop) {
+          j -= 1
+          s.charAt(j) match {
+            case '\'' =>
+              var k = j - 1
+              while (k >= 0 && s.charAt(k) != '\'') k -= 1
+              if (k < 0) { stop = true; bad = true } else j = k
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) stop = true
+            case _ => ()
+          }
+        }
+        if (bad || depth != 0) done = true
+        else { i = j; start = i }
+      } else if (c == '\'') {
+        // a simple inline literal chunk ('12:30'): jump to its opening quote
+        var k = i - 2
+        while (k >= 0 && s.charAt(k) != '\'') k -= 1
+        if (k < 0) done = true else { i = k; start = i }
+      } else if (c == '_' || c == '.' || c == '`' || Character.isLetterOrDigit(c)) {
+        i -= 1; start = i
+      } else done = true
+    }
+    start
+  }
+
   private def matchingParen(s: String, open: Int): Int = {
     var depth = 0; var i = open
     while (i < s.length) {

@@ -307,7 +307,16 @@ class Gateway(root: SparkSession) {
     if (MutatingRe.pattern.matcher(stmt).matches()) metaCache.invalidateAll()
     val result =
       try routeCached(sessionHandle, spark, stmt)
-      catch { case e: Exception => Failed(Results.rootCauseMessage(e)) }
+      catch {
+        case e: Exception => Failed(Results.rootCauseMessage(e))
+        // a statement must never take the gateway down with a raw throw —
+        // a pathological input that exhausts the analysis stack answers an
+        // error page like any other bad statement (the stack has fully
+        // unwound by the time this frame catches). Deliberately NOT a
+        // blanket Throwable: OOM and friends should still crash loudly.
+        case _: StackOverflowError =>
+          Failed("statement too complex to analyze (stack depth exceeded)")
+      }
     val op = new Operation(UUID.randomUUID().toString, result)
     operations.put(op.handle, op)
     op.handle
@@ -1415,8 +1424,8 @@ class Gateway(root: SparkSession) {
           if (!ok) throw new IllegalArgumentException(
             s"CURRENT_WATERMARK: '$a' is not a time attribute of '$table'")
         }
-        val masked = CurrentWatermarkRe.replaceAllIn(stmt, "")
-          .replaceAll("'(?:[^']|'')*'", "''")
+        val masked = FlinkDialect.foldLiterals(
+          CurrentWatermarkRe.replaceAllIn(stmt, ""))(_ => "''")
         if (AggStmtRe.findFirstIn(masked).isDefined)
           throw new IllegalArgumentException(
             "CURRENT_WATERMARK supports row-level streaming statements only " +

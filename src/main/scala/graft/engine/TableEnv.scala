@@ -1545,9 +1545,11 @@ object TableEnv {
   private def quoteIdentifiers(frag: String, cols: Seq[String], qs: String): String = {
     if (qs.isEmpty) return frag
     val lits = ArrayBuffer.empty[String]
-    var s = """'(?:[^']|'')*'""".r.replaceAllIn(frag, m => {
-      lits += m.matched; s"__GRAFT_L${lits.size - 1}__"
-    })
+    // iterative scan, not a regex — literal length must not drive regex
+    // recursion depth (see FlinkDialect.foldLiterals)
+    var s = FlinkDialect.foldLiterals(frag) { lit =>
+      lits += lit; s"__GRAFT_L${lits.size - 1}__"
+    }
     cols.foreach { c =>
       s = s.replaceAll("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(c) + "(?![\\w`])",
         java.util.regex.Matcher.quoteReplacement(s"$qs$c$qs"))
