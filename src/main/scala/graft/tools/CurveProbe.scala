@@ -133,6 +133,23 @@ object CurveProbe {
         }
       }
     }
+    if (probes("semantic")) {
+      // SemDeDup family at scale: centroids sized O(√N) per the operator's
+      // own rule, so expected cluster size stays constant and candidates
+      // stay linear — the measured numbers check exactly that.
+      val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      val n = emb.count()
+      val k = math.max(16, math.sqrt(n.toDouble).toInt)
+      timed(s"semantic: candidates k=$k") {
+        graft.pipeline.Dedup.semanticCandidatePairs(
+          emb, "vec_id", "embedding", nCentroids = k, maxCluster = 256).count()
+      }
+      timed("semantic: verified pairs") {
+        graft.pipeline.Dedup.semanticNearDupPairs(
+          emb, "vec_id", "embedding", threshold = 0.95,
+          nCentroids = k, maxCluster = 256).count()
+      }
+    }
     if (probes("interval")) {
       val ev = graft.Tables.load(spark, sfDir, "events")
       ev.count()
