@@ -148,6 +148,19 @@ object MatchRecognize {
       q match {
         case "" | "+" | "*" | "?" => out += PatTok(vars, quantOf(q))
         case BraceQuantRe(n0, max0) =>
+          // expansion is one token per repetition, so the bound is user
+          // input: PATTERN (A{2,999999999}) built a billion-element token
+          // list and hung the session (r13 probe). Cap with a named error
+          // BEFORE any toInt (digits beyond Long are caught by the regex's
+          // \d+ against BigInt-free parsing via length); every realistic
+          // CEP pattern sits orders of magnitude below the cap.
+          val cap = 10000
+          require(n0.length <= 9 && n0.toLong <= cap &&
+              Option(max0).filter(_.nonEmpty).forall(mx =>
+                mx.length <= 9 && mx.toLong <= cap),
+            s"range quantifier '$q' in '$p' exceeds the $cap-repetition " +
+              "bound (patterns expand to one token per repetition); use an " +
+              "unbounded tail like A{n,} or restate the pattern")
           val n = n0.toInt
           require(n > 0 || max0 != null, s"A{0} matches nothing: '$q' in '$p'")
           (1 to n).foreach(_ => out += PatTok(vars, One))
@@ -848,7 +861,10 @@ object MatchRecognize {
       """MEASURES\s+(.*?)\s+(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+""" +
       """AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+\w+)\s+""" +
       """PATTERN\s*\(\s*(.*?)\s*\)\s+""" +
-      """DEFINE\s+(.*?)\s*\)\s*$""").r
+      // trailing derived-table alias `) AS m` / `) m` is standard SQL and
+      // appears throughout the reference corpus; SELECT * output is
+      // identical with or without it, so it parses and is ignored
+      """DEFINE\s+(.*?)\s*\)\s*(?:(?:AS\s+)?\w+\s*)?$""").r
 
   /** Does this statement use MATCH_RECOGNIZE? */
   def isMatchRecognize(sql: String): Boolean =

@@ -88,6 +88,24 @@ class LongStatementSpec extends SparkTestBase {
     gw.closeSession(h)
   }
 
+  test("pathological nesting answers an error page, never a raw throw") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("deep_nest")
+    // 20k nested parens blow Catalyst's recursive-descent parser stack;
+    // the gateway boundary must convert the StackOverflowError (an Error,
+    // not an Exception) into an error page — this is the only test that
+    // exercises that catch arm
+    val deep = "SELECT " + "(" * 20000 + "1" + ")" * 20000
+    val r = page(gw, h, deep)
+    assert(r.columns == Seq("error"), s"expected error page, got ${r.columns}")
+    assert(r.rows.head.head.toString.nonEmpty)
+    // the session is still alive and usable afterwards
+    val ok = page(gw, h, "SELECT 1 AS x")
+    assert(ok.columns == Seq("x") && ok.rows.head.head.toString == "1")
+    gw.closeSession(h)
+  }
+
   test("SIMILAR TO operand shapes survive the backward-scan extraction") {
     TableEnv.clear()
     val gw = new Gateway(spark)

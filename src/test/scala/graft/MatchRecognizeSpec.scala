@@ -376,6 +376,33 @@ class MatchRecognizeSpec extends SparkTestBase {
       .getMessage.contains("reluctant"))
     assert(intercept[IllegalArgumentException](parsePattern("A ^ B"))
       .getMessage.contains("unsupported PATTERN"))
+    // quantifier bombs: expansion is one token per repetition, so an
+    // unbounded count is user-controlled memory — A{2,999999999} built a
+    // billion-token list and hung the session before the cap (r13)
+    assert(intercept[IllegalArgumentException](parsePattern("A{2,999999999}"))
+      .getMessage.contains("10000-repetition bound"))
+    assert(intercept[IllegalArgumentException](parsePattern("A{999999999999999,}"))
+      .getMessage.contains("10000-repetition bound"))
+    // at the cap itself the expansion still works
+    assert(parsePattern("A{10000}").size == 10000)
+  }
+
+  test("trailing derived-table alias after MATCH_RECOGNIZE(...) routes") {
+    // `) AS m` / `) m` is standard SQL and pervasive in the reference
+    // corpus; it was rejected as an unsupported form until r13
+    mk(Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 150.0)))
+      .createOrReplaceTempView("mr_alias")
+    for (alias <- Seq("AS m", "m", "")) {
+      val out = MatchRecognize.sql(spark,
+        s"""SELECT * FROM mr_alias MATCH_RECOGNIZE (
+           |  PARTITION BY k ORDER BY seq
+           |  MEASURES COUNT(A.price) AS n_low
+           |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+           |  PATTERN (A{2} B)
+           |  DEFINE A AS A.price < 100, B AS B.price >= 100) $alias""".stripMargin)
+      assert(out.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        == Seq((1, 2L)), s"alias form '$alias'")
+    }
   }
 
   test("unsupported MEASURES items error instead of vanishing from the schema") {
