@@ -982,8 +982,12 @@ object TableEnv {
 
   /** Deterministic typed columns for datagen from a sequence column. */
   private def synthesize(seqDf: DataFrame, b: Binding): DataFrame = {
-    var df = seqDf
-    b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty).foreach { c =>
+    // ONE select for all generated columns, not a withColumn per column:
+    // each withColumn wraps a new Project and re-analyzes the whole plan,
+    // which is quadratic with a full-analyzer constant — a 1000-column
+    // datagen DDL took 65 s (5000 columns: hours) before this; as one
+    // projection it is milliseconds (r13 wide-DDL probe)
+    val gen = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty).map { c =>
       val seed = xxhash64(lit(c.name), col("__seq"))
       val e = c.sparkType match {
         case "STRING" => concat(lit(c.name + "-"), pmod(seed, lit(1000)).cast("string"))
@@ -997,9 +1001,17 @@ object TableEnv {
             if (c.sparkType == "TIMESTAMP_NTZ") "timestamp_ntz" else "timestamp")
         case _ => seed.cast("string")
       }
-      df = df.withColumn(c.name, e)
+      e.as(c.name)
     }
-    df.drop("__seq")
+    // keep any pre-existing raw columns (the rate source's `timestamp` in
+    // the streaming path) exactly as the old withColumn loop did, minus the
+    // __seq driver and minus names the generated list replaces
+    val genNames = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
+      .map(_.name.toLowerCase).toSet
+    val keep = seqDf.columns
+      .filter(n => n != "__seq" && !genNames.contains(n.toLowerCase))
+      .map(col).toSeq
+    seqDf.select(keep ++ gen: _*)
   }
 
   // ---------------------------------------------------------------- sinks --

@@ -88,6 +88,27 @@ class LongStatementSpec extends SparkTestBase {
     gw.closeSession(h)
   }
 
+  test("a 2000-column datagen DDL materializes in one projection") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("wide_ddl")
+    // wide feature tables are a normal training-pipeline shape; the old
+    // per-column withColumn loop re-analyzed a growing plan per column
+    // (quadratic with a full-analyzer constant: 1000 columns took 65 s,
+    // 5000 hung) — as one select this must stay in test-suite time
+    val cols = (0 until 2000).map(i => s"c$i BIGINT").mkString(", ")
+    val t0 = System.nanoTime()
+    val r = page(gw, h,
+      s"CREATE TABLE wide_ls ($cols) WITH ('connector'='datagen','number-of-rows'='3')")
+    assert(r.columns != Seq("error"), s"wide DDL failed: ${r.rows}")
+    val q = page(gw, h, "SELECT c0, c1999 FROM wide_ls")
+    assert(q.columns == Seq("c0", "c1999") && q.rows.size == 3)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60, f"wide DDL+read took $secs%.1f s — per-column analysis is back")
+    page(gw, h, "DROP TABLE wide_ls")
+    gw.closeSession(h)
+  }
+
   test("pathological nesting answers an error page, never a raw throw") {
     TableEnv.clear()
     val gw = new Gateway(spark)
