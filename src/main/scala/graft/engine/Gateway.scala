@@ -290,6 +290,10 @@ class Gateway(root: SparkSession) {
   private val AlterCatalogRe =
     """(?is)ALTER\s+CATALOG\s+([\w`]+)\s+SET\s*\((.*)\)\s*$""".r
   private val AlterSetRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+SET\s*\((.*)\)\s*$""".r
+  // FLIP-273 schema evolution on bindings: ADD/MODIFY/DROP of columns
+  // (incl. computed/METADATA/FIRST/AFTER), WATERMARK, PRIMARY KEY
+  private val AlterSchemaRe =
+    """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+(ADD|MODIFY|DROP)\s+(?:COLUMNS?\s+)?(.+?)\s*$""".r
   private val AlterRenameRe = """(?is)ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*$""".r
   private val OptRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val LoadModuleRe =
@@ -1172,6 +1176,25 @@ class Gateway(root: SparkSession) {
             catch { case _: Exception => () }
         }
         Statement(s"Table ${b.name} options updated (${opts.keys.mkString(", ")})")
+      case AlterSchemaRe(target, verb, rest)
+          if TableEnv.lookup(target.replace("`", "")).isDefined =>
+        val tn = target.replace("`", "").toLowerCase
+        // temporary namespace resolves FIRST — same refusal as RENAME/SET:
+        // ALTER TABLE must not silently edit the catalog object behind a
+        // temp-table shadow
+        if (plainRelations.contains((viewScope(spark), tn)))
+          throw new IllegalArgumentException(
+            s"A temporary table '$tn' shadows the catalog table — " +
+              "ALTER TABLE cannot address it; DROP TEMPORARY TABLE it first")
+        val b = TableEnv.alterSchema(spark, tn, verb, rest)
+        // rebind only materialized HERE — drop the other sessions' stale
+        // materializations (sparing shadows), same class as ALTER SET
+        sessions.values.foreach { sess =>
+          if ((sess.spark ne spark) && !locallyShadowed(sess.spark, b.name))
+            try sess.spark.catalog.dropTempView(b.name)
+            catch { case _: Exception => () }
+        }
+        Statement(s"Table ${b.name} schema altered (${verb.toUpperCase})")
       case AlterRenameRe(from, to) if TableEnv.lookup(from.replace("`", "")).isDefined =>
         val fromN = from.replace("`", "").toLowerCase
         val toN = to.replace("`", "").toLowerCase

@@ -122,6 +122,166 @@ object TableEnv {
     nb
   }
 
+  /** ALTER TABLE t ADD/MODIFY/DROP on a binding (FLIP-273 schema evolution:
+    * column definitions incl. computed/METADATA forms and FIRST/AFTER
+    * position, WATERMARK, PRIMARY KEY). `rest` is the raw text after the
+    * verb — a parenthesized list or a single item. Metadata-only, like
+    * Flink: existing files are re-read under the new schema (a missing
+    * parquet column reads NULL; an incompatible MODIFY surfaces at scan
+    * time). Every refusal is a named error. */
+  def alterSchema(spark: SparkSession, name: String, verb: String, rest0: String): Binding = {
+    val b = lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"Unknown binding: $name"))
+    val rest = rest0.trim
+    val items =
+      if (rest.startsWith("(") && rest.endsWith(")"))
+        splitTop(rest.substring(1, rest.length - 1)).map(_.trim).filter(_.nonEmpty)
+      else Seq(rest)
+    require(items.nonEmpty, s"empty ALTER TABLE ${verb.toUpperCase} list")
+
+    val PosRe = """(?is)^(.*?)\s+(?:(FIRST)|AFTER\s+(`[^`]+`|\w+))\s*$""".r
+    val WmItemRe = """(?is)^WATERMARK\s+FOR\s+(`[^`]+`|\w+)\s+AS\s+(.+)$""".r
+    val WmBoundRe = """(?i)^.*?-\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*$""".r
+    val PkItemRe = """(?is)^(?:CONSTRAINT\s+[\w`]+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)(?:\s+NOT\s+ENFORCED)?\s*$""".r
+    val ColItemRe = """(?s)^(`[^`]+`|\w+)\s+(.+)$""".r
+
+    def parseCol(item0: String): (ColumnDef, Option[Either[Unit, String]]) = {
+      // Either[Unit, String]: Left(())=FIRST, Right(c)=AFTER c
+      val (item, pos) = item0 match {
+        case PosRe(body, first, after) =>
+          (body.trim, Some(if (first != null) Left(()) else Right(after.replace("`", "").toLowerCase)))
+        case _ => (item0.trim, None)
+      }
+      val cd = item match {
+        case MetadataRe(n, t, from, _) =>
+          ColumnDef(n.replace("`", ""), mapType(t),
+            metadataFrom = Some(Option(from).getOrElse(n.replace("`", ""))))
+        case ComputedRe(n, e) if !item.toUpperCase.contains(" METADATA") =>
+          ColumnDef(n.replace("`", ""), "", computed = Some(FlinkDialect.rewrite(e)))
+        case ColItemRe(n, t) => ColumnDef(n.replace("`", ""), mapType(t))
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse column definition '$item' in ALTER TABLE ${verb.toUpperCase}")
+      }
+      (cd, pos)
+    }
+    def insertAt(cols: Seq[ColumnDef], cd: ColumnDef,
+        pos: Option[Either[Unit, String]]): Seq[ColumnDef] = pos match {
+      case None => cols :+ cd
+      case Some(Left(())) => cd +: cols
+      case Some(Right(after)) =>
+        val i = cols.indexWhere(_.name.toLowerCase == after)
+        require(i >= 0, s"AFTER column '$after' does not exist in '$name'")
+        (cols.take(i + 1) :+ cd) ++ cols.drop(i + 1)
+    }
+
+    var cols = b.cols
+    var wm = b.watermark
+    var pk = b.primaryKey
+    items.foreach { item =>
+      val up = item.toUpperCase
+      verb.toLowerCase match {
+        case "add" if up.startsWith("WATERMARK") =>
+          require(wm.isEmpty, s"'$name' already has a watermark — use ALTER TABLE MODIFY")
+          wm = Some(parseWatermarkItem(item, WmItemRe, WmBoundRe))
+        case "modify" if up.startsWith("WATERMARK") =>
+          require(wm.isDefined, s"'$name' has no watermark — use ALTER TABLE ADD")
+          wm = Some(parseWatermarkItem(item, WmItemRe, WmBoundRe))
+        case "drop" if up.replaceAll("\\s+", " ").startsWith("WATERMARK") =>
+          require(wm.isDefined, s"'$name' has no watermark to drop")
+          wm = None
+        case "add" if PkItemRe.findFirstIn(item).isDefined =>
+          require(pk.isEmpty, s"'$name' already has a primary key")
+          val PkItemRe(ks) = item: @unchecked
+          pk = ks.split(",").map(_.trim.replace("`", "")).toSeq
+          pk.foreach(k => require(cols.exists(_.name.equalsIgnoreCase(k)),
+            s"PRIMARY KEY column '$k' does not exist in '$name'"))
+        case "drop" if up.replaceAll("\\s+", " ").startsWith("PRIMARY KEY") =>
+          require(pk.nonEmpty, s"'$name' has no primary key to drop")
+          pk = Nil
+        case "add" =>
+          val (cd, pos) = parseCol(item)
+          require(!cols.exists(_.name.equalsIgnoreCase(cd.name)),
+            s"column '${cd.name}' already exists in '$name'")
+          cols = insertAt(cols, cd, pos)
+        case "modify" =>
+          val (cd, pos) = parseCol(item)
+          val i = cols.indexWhere(_.name.equalsIgnoreCase(cd.name))
+          require(i >= 0, s"column '${cd.name}' does not exist in '$name'")
+          cols = insertAt(cols.patch(i, Nil, 1), cd,
+            pos.orElse(if (i == 0) Some(Left(()))
+              else Some(Right(cols(i - 1).name.toLowerCase))))
+        case "drop" =>
+          val n = item.replace("`", "").trim
+          require(ColItemRe.findFirstIn(item).isEmpty,
+            s"cannot parse '$item' as a column name in ALTER TABLE DROP")
+          val i = cols.indexWhere(_.name.equalsIgnoreCase(n))
+          require(i >= 0, s"column '$n' does not exist in '$name'")
+          wm.foreach { case (wc, _) => require(!wc.equalsIgnoreCase(n),
+            s"column '$n' carries the watermark — drop the watermark first") }
+          require(!pk.exists(_.equalsIgnoreCase(n)),
+            s"column '$n' is part of the primary key — drop the constraint first")
+          require(!b.partitionedBy.exists(_.equalsIgnoreCase(n)),
+            s"column '$n' is a partition column and cannot be dropped")
+          require(!b.distribution.exists(_._1.exists(_.equalsIgnoreCase(n))),
+            s"column '$n' is a bucketing column and cannot be dropped")
+          val refRx = ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(n) + "(?![\\w`])").r
+          cols.filter(c => c.computed.exists(e => refRx.findFirstIn(e).isDefined))
+            .foreach(c => throw new IllegalArgumentException(
+              s"column '$n' is referenced by computed column '${c.name}' — drop that first"))
+          cols = cols.patch(i, Nil, 1)
+        case v => throw new IllegalArgumentException(s"unsupported ALTER TABLE verb '$v'")
+      }
+    }
+    // a bucketed binding reads through its saved catalog table — keep that
+    // table's schema in step for plain appended columns; anything else on a
+    // bucketed binding would silently diverge from the saved files, refuse
+    if (b.distribution.isDefined && spark.catalog.tableExists(bucketTableName(b))) {
+      require(verb.equalsIgnoreCase("add") &&
+          items.forall(i => parseColSafe(i).exists(c => c.computed.isEmpty && c.metadataFrom.isEmpty)),
+        s"'$name' is DISTRIBUTED BY (bucketed): only plain ALTER TABLE ADD " +
+          "columns are supported; MODIFY/DROP require rewriting the table")
+      val newPlain = cols.drop(b.cols.length)
+        .filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
+      if (newPlain.nonEmpty)
+        spark.sql(s"ALTER TABLE ${bucketTableName(b)} ADD COLUMNS (" +
+          newPlain.map(c => s"`${c.name}` ${c.sparkType}").mkString(", ") + ")")
+    }
+    val nb = b.copy(cols = cols, watermark = wm, primaryKey = pk)
+    registry.put(nb.name, nb)
+    rebind(spark, nb)
+    nb
+  }
+
+  private val PlainColRe = """(?s)^(`[^`]+`|\w+)\s+(.+)$""".r
+
+  private def parseColSafe(item: String): Option[ColumnDef] = {
+    val body = """(?is)^(.*?)\s+(?:FIRST|AFTER\s+(?:`[^`]+`|\w+))\s*$""".r
+      .findFirstMatchIn(item).map(_.group(1)).getOrElse(item).trim
+    body match {
+      case MetadataRe(n, t, from, _) => Some(ColumnDef(n.replace("`", ""), mapType(t),
+        metadataFrom = Some(Option(from).getOrElse(n.replace("`", "")))))
+      case ComputedRe(n, e) if !body.toUpperCase.contains(" METADATA") =>
+        Some(ColumnDef(n.replace("`", ""), "", computed = Some(e)))
+      case PlainColRe(n, t) =>
+        Some(ColumnDef(n.replace("`", ""), mapType(t)))
+      case _ => None
+    }
+  }
+
+  private def parseWatermarkItem(item: String, wmRe: scala.util.matching.Regex,
+      boundRe: scala.util.matching.Regex): (String, String) = {
+    val m = wmRe.findFirstMatchIn(item).getOrElse(throw new IllegalArgumentException(
+      s"cannot parse '$item' — expected WATERMARK FOR col AS col - INTERVAL 'n' UNIT"))
+    val colName = m.group(1).replace("`", "")
+    m.group(2).trim match {
+      case boundRe(v, unit) => (colName, s"$v ${FlinkDialect.unitName(unit)}")
+      case e if e.replace("`", "").equalsIgnoreCase(colName) ||
+          e.toUpperCase.startsWith("SOURCE_WATERMARK") => (colName, "0 seconds")
+      case e => throw new IllegalArgumentException(
+        s"unsupported watermark expression '$e' — use col - INTERVAL 'n' UNIT")
+    }
+  }
+
   /** ALTER TABLE t RENAME TO t2 on a binding. */
   def rename(spark: SparkSession, from: String, to: String): Binding = {
     val b = lookup(from).getOrElse(
