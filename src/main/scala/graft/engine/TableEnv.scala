@@ -179,6 +179,20 @@ object TableEnv {
     var pk = b.primaryKey
     items.foreach { item =>
       val up = item.toUpperCase
+      // a jdbc binding's physical schema comes from the DATABASE at read
+      // time, so a plain-column edit here would be a silent no-op (or a
+      // phantom column that fails at scan) — refuse by name; computed/
+      // METADATA columns, watermark and PK are projection-level and fine
+      def physicalDrop = cols.find(_.name.equalsIgnoreCase(item.replace("`", "").trim))
+        .exists(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
+      if (b.connector == "jdbc" &&
+          !up.startsWith("WATERMARK") && !up.contains("PRIMARY KEY") &&
+          (if (verb.equalsIgnoreCase("drop")) physicalDrop
+           else parseColSafe(item).exists(c => c.computed.isEmpty && c.metadataFrom.isEmpty)))
+        throw new IllegalArgumentException(
+          s"'$name' is a jdbc binding — its physical columns come from the " +
+            "database schema; ALTER the database table instead (computed/" +
+            "METADATA columns, WATERMARK and PRIMARY KEY can be altered here)")
       verb.toLowerCase match {
         case "add" if up.startsWith("WATERMARK") =>
           require(wm.isEmpty, s"'$name' already has a watermark — use ALTER TABLE MODIFY")
@@ -228,6 +242,9 @@ object TableEnv {
           cols.filter(c => c.computed.exists(e => refRx.findFirstIn(e).isDefined))
             .foreach(c => throw new IllegalArgumentException(
               s"column '$n' is referenced by computed column '${c.name}' — drop that first"))
+          require(cols.exists(c => !c.name.equalsIgnoreCase(n) &&
+              c.computed.isEmpty && c.metadataFrom.isEmpty),
+            s"cannot drop the last physical column of '$name'")
           cols = cols.patch(i, Nil, 1)
         case v => throw new IllegalArgumentException(s"unsupported ALTER TABLE verb '$v'")
       }
@@ -695,6 +712,19 @@ object TableEnv {
     var df = df0
     b.cols.filter(_.computed.isDefined).foreach { c =>
       df = df.withColumn(c.name, expr(c.computed.get))
+    }
+    // project DECLARED column order (Flink semantics: SELECT * follows the
+    // DDL, a computed column declared mid-list must not drift to the end
+    // just because withColumn appends). Columns the source did not produce
+    // (e.g. METADATA on a batch filesystem read) are skipped; undeclared
+    // source columns (connector internals) keep their positions at the end.
+    locally {
+      val declared = b.cols.map(_.name)
+        .filter(n => df.columns.exists(_.equalsIgnoreCase(n)))
+      val extras = df.columns
+        .filterNot(c => b.cols.exists(_.name.equalsIgnoreCase(c))).toSeq
+      val want = declared ++ extras
+      if (want != df.columns.toSeq) df = df.select(want.map(col): _*)
     }
     b.watermark match {
       case Some((c, delay)) if stream =>

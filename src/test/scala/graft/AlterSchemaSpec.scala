@@ -78,6 +78,96 @@ class AlterSchemaSpec extends SparkTestBase {
     gw.closeSession(h)
   }
 
+  test("model fuzz: random ALTER sequences converge with a reference schema") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("alter_fuzz")
+    ok(gw, h, "CREATE TABLE af (base0 INT, base1 STRING) WITH " +
+      "('connector'='datagen','number-of-rows'='2')")
+    val rnd = new scala.util.Random(20260815L)
+    // reference model: ordered (name, isComputed) plus watermark/pk flags
+    var model = Vector(("base0", false), ("base1", false))
+    var mWm = false
+    var mPk = false
+    var n = 1
+    (1 to soak(120)).foreach { step =>
+      val op = rnd.nextInt(10)
+      def freshName = { n += 1; s"c$n" }
+      def existing = model(rnd.nextInt(model.size))._1
+      op match {
+        case 0 | 1 | 2 => // ADD with random position
+          val nm = freshName
+          val pos = rnd.nextInt(3) match {
+            case 0 => ""
+            case 1 => " FIRST"
+            case _ => s" AFTER $existing"
+          }
+          ok(gw, h, s"ALTER TABLE af ADD $nm BIGINT$pos")
+          model =
+            if (pos == " FIRST") (nm, false) +: model
+            else if (pos.isEmpty) model :+ ((nm, false))
+            else {
+              val after = pos.stripPrefix(" AFTER ")
+              val i = model.indexWhere(_._1 == after)
+              (model.take(i + 1) :+ ((nm, false))) ++ model.drop(i + 1)
+            }
+        case 3 => // ADD computed over a random physical column
+          val phys = model.filter(!_._2)
+          if (phys.nonEmpty) {
+            val nm = freshName
+            val src = phys(rnd.nextInt(phys.size))._1
+            // computed refs only physical; CAST keeps it type-agnostic
+            ok(gw, h, s"ALTER TABLE af ADD $nm AS CAST($src AS STRING)")
+            model = model :+ ((nm, true))
+          }
+        case 4 => // MODIFY retype in place (physical only, keep position)
+          val phys = model.filter(!_._2)
+          if (phys.nonEmpty)
+            ok(gw, h, s"ALTER TABLE af MODIFY ${phys(rnd.nextInt(phys.size))._1} DOUBLE")
+        case 5 | 6 => // DROP a random column — the ENGINE decides (refs,
+          // watermark, pk, last-physical guards); the model mirrors success
+          val t = existing
+          val r = page(gw, h, s"ALTER TABLE af DROP $t")
+          if (r.columns != Seq("error")) model = model.filterNot(_._1 == t)
+          else assert(r.rows.head.head.toString.matches(
+            "(?s).*(referenced by computed column|carries the watermark|" +
+              "primary key|last physical column).*"),
+            s"unexpected DROP refusal: ${r.rows.head.head}")
+        case 7 => // watermark lifecycle (ts column may not exist — add once)
+          if (!model.exists(_._1 == "wmts")) {
+            ok(gw, h, "ALTER TABLE af ADD wmts TIMESTAMP(3)")
+            model = model :+ (("wmts", false))
+          }
+          if (!mWm) { ok(gw, h,
+            "ALTER TABLE af ADD WATERMARK FOR wmts AS wmts - INTERVAL '5' SECOND")
+            mWm = true
+          } else { ok(gw, h, "ALTER TABLE af DROP WATERMARK"); mWm = false }
+        case 8 => // pk lifecycle over a random physical column
+          if (!mPk) {
+            val phys = model.filter(!_._2)
+            if (phys.nonEmpty) {
+              ok(gw, h, s"ALTER TABLE af ADD PRIMARY KEY (${phys(rnd.nextInt(phys.size))._1}) NOT ENFORCED")
+              mPk = true
+            }
+          } else { ok(gw, h, "ALTER TABLE af DROP PRIMARY KEY"); mPk = false }
+        case 9 => // always-refused forms stay named
+          err(gw, h, s"ALTER TABLE af ADD $existing INT", "already exists")
+          err(gw, h, "ALTER TABLE af DROP ghost_col", "does not exist")
+      }
+      // convergence sweep: SELECT * column order must equal the model
+      val cols = page(gw, h, "SELECT * FROM af").columns
+      assert(cols == model.map(_._1),
+        s"step $step: engine $cols != model ${model.map(_._1)}")
+    }
+    // end-to-end round-trip of the final evolved schema
+    val ddl = page(gw, h, "SHOW CREATE TABLE af").rows.head.head.toString
+    ok(gw, h, "DROP TABLE af")
+    ok(gw, h, ddl)
+    assert(page(gw, h, "SELECT * FROM af").columns == model.map(_._1),
+      "SHOW CREATE of the evolved schema must recreate it exactly")
+    gw.closeSession(h)
+  }
+
   test("ALTER propagates across sessions; temp shadow blocks it") {
     TableEnv.clear()
     val gw = new Gateway(spark)
