@@ -168,6 +168,29 @@ class AlterSchemaSpec extends SparkTestBase {
     gw.closeSession(h)
   }
 
+  test("filesystem evolution workflow: old files NULL-fill, new writes carry the column") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("alter_fs")
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    ok(gw, h, s"CREATE TABLE evo (a INT, b STRING) WITH " +
+      s"('connector'='filesystem','path'='$dir','format'='parquet')")
+    ok(gw, h, "INSERT INTO evo VALUES (1, 'x'), (2, 'y')")
+    ok(gw, h, "ALTER TABLE evo ADD c DOUBLE")
+    // pre-evolution files read NULL for the appended column
+    val r1 = page(gw, h, "SELECT * FROM evo ORDER BY a")
+    assert(r1.columns == Seq("a", "b", "c"))
+    assert(r1.rows.map(_(2)) == Seq(null, null), r1.rows)
+    // post-evolution inserts carry it; both generations read together
+    ok(gw, h, "INSERT INTO evo VALUES (3, 'z', 9.5)")
+    ok(gw, h, "ALTER TABLE evo ADD d AS a * 10")
+    val r2 = page(gw, h, "SELECT * FROM evo ORDER BY a")
+    assert(r2.columns == Seq("a", "b", "c", "d"))
+    assert(r2.rows.map(r => (r.head, r(2), r(3)))
+      == Seq((1, null, 10), (2, null, 20), (3, 9.5, 30)), r2.rows)
+    gw.closeSession(h)
+  }
+
   test("ALTER propagates across sessions; temp shadow blocks it") {
     TableEnv.clear()
     val gw = new Gateway(spark)
