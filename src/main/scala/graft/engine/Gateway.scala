@@ -50,7 +50,8 @@ class Gateway(root: SparkSession) {
     def snapshot: (Long, Seq[Row]) = synchronized { (offset0, buf.toSeq) }
   }
 
-  final class Operation(val handle: String, val result: OpResult) {
+  final class Operation(val handle: String, val result: OpResult,
+      val session: String = "") {
     // Lazily-paged batch result: rows are pulled from `toLocalIterator` one
     // partition at a time as the client walks tokens — the driver never holds
     // more than the retention window of pages, no matter how large the
@@ -64,6 +65,11 @@ class Gateway(root: SparkSession) {
     private[Gateway] val cache = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[Seq[Any]]]
   }
 
+  /** Test hook: live operations in the registry (the abandoned-op
+    * retention spec asserts this stays bounded under churn and empties on
+    * closeSession). */
+  private[graft] def liveOperationCount: Int = operations.size
+
   /** Test hook: (pages materialized so far, cached-page count, known total
     * page count). A bounded-memory paging spec asserts the iterator has NOT
     * been drained after early fetches — pageCount still None, cache within
@@ -75,6 +81,14 @@ class Gateway(root: SparkSession) {
 
   private val sessions = TrieMap.empty[String, Session]
   private val operations = TrieMap.empty[String, Operation]
+  /** per-session FIFO of issued op handles, for abandoned-op retention
+    * (see executeStatement) and closeSession purge */
+  private val sessionOps =
+    TrieMap.empty[String, java.util.concurrent.ConcurrentLinkedQueue[String]]
+  /** completed non-streaming operations retained per session before the
+    * oldest is auto-closed; a client that closeOperation()s promptly never
+    * notices (Flink's gateway expires idle operations the same way) */
+  val maxOpsPerSession = 512
   val pageSize = 1000
 
   /** metadata TTL cache + in-flight dedup (catalogProvider.ts:22-26,349-377);
@@ -106,6 +120,12 @@ class Gateway(root: SparkSession) {
   }
 
   def closeSession(handle: String): Unit = {
+    // release every operation the session issued (streaming handles too —
+    // the JOBS keep running per Flink semantics and stay visible/stoppable
+    // via the cross-session jobs registry; only the result handles die)
+    sessionOps.remove(handle).foreach { q =>
+      q.forEach(h => if (operations.contains(h)) closeOperation(h))
+    }
     sessions.remove(handle).foreach { s =>
       s.alive = false
       sessionModules.remove(s.spark)
@@ -321,8 +341,32 @@ class Gateway(root: SparkSession) {
         case _: StackOverflowError =>
           Failed("statement too complex to analyze (stack depth exceeded)")
       }
-    val op = new Operation(UUID.randomUUID().toString, result)
+    val op = new Operation(UUID.randomUUID().toString, result, sessionHandle)
     operations.put(op.handle, op)
+    // retention: a well-behaved client closeOperation()s each handle, but
+    // an abandoning one (the reference's notebook on error paths) must not
+    // grow the registry without bound — ~100 KB of retained plan/page state
+    // per trivial statement (r13 churn probe: 4k SELECTs leaked ~380 MB).
+    // FIFO-evict this session's oldest NON-streaming completed operations
+    // over the cap; streaming handles stay (their jobs are live resources a
+    // client may still be offset-fetching — they fall with closeSession,
+    // the jobs themselves keep running per Flink semantics).
+    val mine = sessionOps.getOrElseUpdate(sessionHandle,
+      new java.util.concurrent.ConcurrentLinkedQueue[String])
+    mine.add(op.handle)
+    if (mine.size > maxOpsPerSession) {
+      val it = mine.iterator()
+      var evicted = false
+      while (!evicted && it.hasNext) {
+        val h = it.next()
+        val streaming = operations.get(h).exists(_.result.isInstanceOf[StreamingOp])
+        if (!streaming) {
+          it.remove()
+          if (operations.contains(h)) { closeOperation(h); evicted = true }
+          // already client-closed entries just drop from the queue
+        }
+      }
+    }
     op.handle
   }
 

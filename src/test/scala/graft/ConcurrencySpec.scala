@@ -538,4 +538,27 @@ class ConcurrencySpec extends SparkTestBase {
     }
     hs.foreach(gw.closeSession)
   }
+
+  test("abandoned-operation retention: churn stays bounded, closeSession purges (r13)") {
+    // a client that never closeOperation()s (the reference notebook's error
+    // paths) must not grow the registry without bound — the r13 churn probe
+    // measured ~100 KB of retained plan/page state per trivial statement
+    // (4k SELECTs leaked ~380 MB) before the per-session FIFO retention
+    val gw = new Gateway(spark)
+    val h = gw.openSession("op_churn")
+    val handles = (1 to gw.maxOpsPerSession + 200).map { i =>
+      gw.executeStatement(h, s"SELECT $i AS x")
+    }
+    assert(gw.liveOperationCount <= gw.maxOpsPerSession + 1,
+      s"registry grew past the cap: ${gw.liveOperationCount}")
+    // the oldest handles were auto-closed, the newest still fetch
+    assert(intercept[IllegalStateException](gw.fetchResults(handles.head, 0))
+      .getMessage.contains("does not exist"))
+    val live = gw.fetchResults(handles.last, 0)
+    assert(live.rows.head.head.toString == (gw.maxOpsPerSession + 200).toString)
+    // closeSession releases everything the session issued
+    gw.closeSession(h)
+    assert(gw.liveOperationCount == 0,
+      s"closeSession left ${gw.liveOperationCount} operations")
+  }
 }
