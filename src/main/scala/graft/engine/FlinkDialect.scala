@@ -26,6 +26,8 @@ import scala.util.matching.Regex
   *  - TIMESTAMP_LTZ type name → TIMESTAMP (instant semantics).
   */
 object FlinkDialect {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
 
   // ---------------------------------------------------------------- split --
 
@@ -217,16 +219,30 @@ object FlinkDialect {
       // window_start appearing only AFTER the GROUP BY clause (e.g. in
       // ORDER BY) cannot trigger __w injection into a grouping that does
       // not actually list the window columns
+      // the {0,4000} bound exists only to keep the lookahead's backtracking
+      // depth finite on pathological statements — 4000 chars is far beyond
+      // any realistic GROUP BY key list (the depth stays bounded regardless)
       val gbRe = ("""(?i)(GROUP\s+BY\s+)""" +
-        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()]){0,600}\bwindow_start\b)""" +
-        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()]){0,600}\bwindow_end\b)""").r
+        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()]){0,4000}\bwindow_start\b)""" +
+        """(?=(?:(?!\b(?:ORDER|HAVING|LIMIT|WINDOW)\b)[^()]){0,4000}\bwindow_end\b)""").r
       val otherTvf = CumulateTvf.findFirstIn(s).isDefined ||
         SessionTvf.findFirstIn(s).isDefined
       val gbMatches = gbRe.findAllIn(s).size
       if (tumbleHops == 1 && !otherTvf && gbMatches == 1)
         s = gbRe.replaceAllIn(s, "$1`__w`, ")
-      else
+      else {
+        // diagnose the silent case: a single-TVF statement that mentions the
+        // window columns after GROUP BY but whose key list ran past the
+        // lookahead bound would skip __w injection and change window-agg
+        // behavior (streaming state eviction) with no signal — warn loudly
+        if (tumbleHops == 1 && !otherTvf &&
+            """(?is)GROUP\s+BY\b.*\bwindow_start\b""".r.findFirstIn(s).isDefined)
+          log.warn("window TVF: GROUP BY mentions window_start but the " +
+            "bounded window-key scan did not match — __w was NOT injected; " +
+            "if this GROUP BY key list genuinely exceeds 4000 characters, " +
+            "shorten it or group by window_start/window_end explicitly")
         s = s.replaceAll("""(?i)window\([^)]*\)\s+AS\s+__w,\s*""", "")
+      }
     }
     // CUMULATE projects the aligned size-window STRUCT as __w too: grouping
     // by (__w, window_start, window_end, keys) has identical batch

@@ -367,6 +367,15 @@ class Gateway(root: SparkSession) {
         }
       }
     }
+    // race with closeSession: if the purge ran between routing and the
+    // registry update above, this operation (and the resurrected sessionOps
+    // queue) would leak forever — no later closeSession will see them.
+    // Re-check and clean up on the losing side of the race.
+    if (!sessions.contains(sessionHandle)) {
+      sessionOps.remove(sessionHandle)
+        .foreach(_.forEach(h => if (operations.contains(h)) closeOperation(h)))
+      if (operations.contains(op.handle)) closeOperation(op.handle)
+    }
     op.handle
   }
 
@@ -1684,6 +1693,13 @@ class Gateway(root: SparkSession) {
   def fetchResults(opHandle: String, token: Int): Page = {
     val op = operations.getOrElse(opHandle,
       throw new IllegalStateException(s"Operation does not exist: $opHandle"))
+    // liveness touch: retention evicts from the head of the session's FIFO,
+    // so a large result a client is still token-paging must move to the tail
+    // on each fetch — otherwise 512 newer statements in the same session
+    // auto-close it mid-pagination and the next fetch throws
+    sessionOps.get(op.session).foreach { q =>
+      if (q.remove(opHandle)) q.add(opHandle)
+    }
     op.result match {
       case Failed(err) =>
         Page(Seq("error"), if (token == 0) Seq(Seq(err)) else Nil, None, eos = true)

@@ -141,7 +141,7 @@ object TableEnv {
 
     val PosRe = """(?is)^(.*?)\s+(?:(FIRST)|AFTER\s+(`[^`]+`|\w+))\s*$""".r
     val WmItemRe = """(?is)^WATERMARK\s+FOR\s+(`[^`]+`|\w+)\s+AS\s+(.+)$""".r
-    val WmBoundRe = """(?i)^.*?-\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*$""".r
+    val WmBoundRe = """(?is)^(.*?)-\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*$""".r
     val PkItemRe = """(?is)^(?:CONSTRAINT\s+[\w`]+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)(?:\s+NOT\s+ENFORCED)?\s*$""".r
     val ColItemRe = """(?s)^(`[^`]+`|\w+)\s+(.+)$""".r
 
@@ -178,7 +178,9 @@ object TableEnv {
     var wm = b.watermark
     var pk = b.primaryKey
     items.foreach { item =>
-      val up = item.toUpperCase
+      // whitespace-normalized for keyword checks: PkItemRe/WmItemRe accept
+      // arbitrary whitespace (PRIMARY\nKEY), so the guards below must too
+      val up = item.trim.toUpperCase.replaceAll("\\s+", " ")
       // a jdbc binding's physical schema comes from the DATABASE at read
       // time, so a plain-column edit here would be a silent no-op (or a
       // phantom column that fails at scan) — refuse by name; computed/
@@ -200,7 +202,7 @@ object TableEnv {
         case "modify" if up.startsWith("WATERMARK") =>
           require(wm.isDefined, s"'$name' has no watermark — use ALTER TABLE ADD")
           wm = Some(parseWatermarkItem(item, WmItemRe, WmBoundRe))
-        case "drop" if up.replaceAll("\\s+", " ").startsWith("WATERMARK") =>
+        case "drop" if up.startsWith("WATERMARK") =>
           require(wm.isDefined, s"'$name' has no watermark to drop")
           wm = None
         case "add" if PkItemRe.findFirstIn(item).isDefined =>
@@ -209,7 +211,7 @@ object TableEnv {
           pk = ks.split(",").map(_.trim.replace("`", "")).toSeq
           pk.foreach(k => require(cols.exists(_.name.equalsIgnoreCase(k)),
             s"PRIMARY KEY column '$k' does not exist in '$name'"))
-        case "drop" if up.replaceAll("\\s+", " ").startsWith("PRIMARY KEY") =>
+        case "drop" if up.startsWith("PRIMARY KEY") =>
           require(pk.nonEmpty, s"'$name' has no primary key to drop")
           pk = Nil
         case "add" =>
@@ -291,7 +293,15 @@ object TableEnv {
       s"cannot parse '$item' — expected WATERMARK FOR col AS col - INTERVAL 'n' UNIT"))
     val colName = m.group(1).replace("`", "")
     m.group(2).trim match {
-      case boundRe(v, unit) => (colName, s"$v ${FlinkDialect.unitName(unit)}")
+      case boundRe(base, v, unit) =>
+        // Flink rejects a rowtime expression whose base column differs from
+        // the FOR column (WATERMARK FOR ts AS other - INTERVAL …) — so do we,
+        // instead of silently watermarking the FOR column
+        require(base.replace("`", "").trim.equalsIgnoreCase(colName),
+          s"unsupported watermark expression '${m.group(2).trim}' — the " +
+            s"expression must be based on the watermark column '$colName' " +
+            "(use col - INTERVAL 'n' UNIT)")
+        (colName, s"$v ${FlinkDialect.unitName(unit)}")
       case e if e.replace("`", "").equalsIgnoreCase(colName) ||
           e.toUpperCase.startsWith("SOURCE_WATERMARK") => (colName, "0 seconds")
       case e => throw new IllegalArgumentException(

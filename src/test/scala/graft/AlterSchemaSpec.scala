@@ -212,4 +212,27 @@ class AlterSchemaSpec extends SparkTestBase {
     ok(gw, h1, "ALTER TABLE shad ADD z INT") // unshadowed session can
     gw.closeSession(h1); gw.closeSession(h2)
   }
+
+  test("r13 ADVICE: watermark base-column mismatch refused; jdbc PK guard whitespace-robust") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("alter_advice")
+    ok(gw, h, "CREATE TABLE av (id INT, ts TIMESTAMP(3), other TIMESTAMP(3)) " +
+      "WITH ('connector'='datagen','number-of-rows'='2')")
+    // Flink rejects a rowtime expression based on a different column — the
+    // old parser silently watermarked `ts` here
+    err(gw, h, "ALTER TABLE av ADD WATERMARK FOR ts AS other - INTERVAL '5' SECOND",
+      "must be based on the watermark column")
+    ok(gw, h, "ALTER TABLE av ADD WATERMARK FOR ts AS `ts` - INTERVAL '5' SECOND")
+    // jdbc binding: PK evolution is projection-level and allowed, including
+    // with arbitrary whitespace in PRIMARY  KEY (the guard used to check a
+    // single-space literal and wrongly refuse with the physical-columns
+    // message); plain-column edits stay refused by name
+    ok(gw, h, "CREATE TABLE aj (id INT, v STRING) WITH ('connector'='jdbc'," +
+      "'url'='jdbc:mysql://localhost:3306/d','table-name'='t')")
+    ok(gw, h, "ALTER TABLE aj ADD PRIMARY\n  KEY (id) NOT ENFORCED")
+    ok(gw, h, "ALTER TABLE aj DROP PRIMARY\n\tKEY")
+    err(gw, h, "ALTER TABLE aj ADD newcol STRING", "jdbc binding")
+    gw.closeSession(h)
+  }
 }

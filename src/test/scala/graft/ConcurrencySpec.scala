@@ -561,4 +561,25 @@ class ConcurrencySpec extends SparkTestBase {
     assert(gw.liveOperationCount == 0,
       s"closeSession left ${gw.liveOperationCount} operations")
   }
+
+  test("fetchResults is a liveness touch: an actively-paged result survives churn (r14)") {
+    // retention used to evict strictly by issuance order, so a large batch
+    // result a client was still token-paging got auto-closed once
+    // maxOpsPerSession newer statements ran in the same session — the next
+    // fetch threw 'Operation does not exist' mid-pagination (r13 ADVICE)
+    val gw = new Gateway(spark)
+    val h = gw.openSession("page_touch")
+    val big = gw.executeStatement(h, "SELECT id FROM range(5000)")
+    assert(gw.fetchResults(big, 0).rows.size == gw.pageSize)
+    (1 to gw.maxOpsPerSession + 50).foreach { i =>
+      gw.executeStatement(h, s"SELECT $i AS x")
+      // the paging client touches its result well under the cap interval —
+      // each touch moves the handle to the retention queue's tail
+      if (i % 100 == 0) assert(gw.fetchResults(big, 1).rows.nonEmpty)
+    }
+    val p = gw.fetchResults(big, 2) // still alive mid-pagination
+    assert(p.rows.size == gw.pageSize, s"big result evicted mid-pagination")
+    gw.closeSession(h)
+    assert(gw.liveOperationCount == 0)
+  }
 }

@@ -275,6 +275,28 @@ class DialectFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("F8: __w injection survives a GROUP BY key list past 600 chars (r13 ADVICE)") {
+    // the window-key lookahead is bounded (backtracking depth), but the
+    // bound must sit far above realistic clause sizes: a 40-key GROUP BY
+    // (~1.1k chars before window_start) must still get __w injected, or
+    // streaming window-agg state eviction silently changes
+    val keys = (0 until 40).map(i => s"some_rather_long_key_name_$i")
+    val stmt = s"SELECT window_start, window_end, ${keys.mkString(", ")}, COUNT(*) AS c " +
+      "FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTES)) " +
+      s"GROUP BY ${keys.mkString(", ")}, window_start, window_end"
+    assert(keys.mkString(", ").length > 600, "test must exceed the old bound")
+    val out = FlinkDialect.rewrite(stmt)
+    assert(out.contains("`__w`, "), s"__w not injected past 600 chars:\n$out")
+    // and the genuinely-unbounded case (past 4000 chars) degrades by
+    // stripping the __w projection — never a foreign column in the output
+    val hugeKeys = (0 until 200).map(i => s"some_rather_long_key_name_$i")
+    val huge = s"SELECT window_start, window_end, COUNT(*) AS c " +
+      "FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTES)) " +
+      s"GROUP BY ${hugeKeys.mkString(", ")}, window_start, window_end"
+    val outHuge = FlinkDialect.rewrite(huge)
+    assert(!outHuge.contains("AS __w"), s"__w projection must strip:\n$outHuge")
+  }
+
   // --------------------------------------------------------- F4: reparse --
 
   test("F4: rewrite output of well-formed statements reparses under Spark") {
