@@ -1710,9 +1710,18 @@ class Gateway(root: SparkSession) {
         val eos = (token + 1) * pageSize >= rows.size
         Page(cols, page, if (eos) None else Some(token + 1), eos)
       case Finished(df) => op.synchronized {
-        val rows = batchPage(op, df, token)
-        val eos = op.pageCount.exists(token + 1 >= _)
-        Page(op.resultColumns, rows, if (eos) None else Some(token + 1), eos)
+        // a batch result materializes lazily — a read failure (schema/file
+        // drift since the plan was routed, corrupt bytes) surfaces HERE, not
+        // at execute time; it must answer an error page like any other bad
+        // statement, never escape fetchResults as a raw executor exception
+        try {
+          val rows = batchPage(op, df, token)
+          val eos = op.pageCount.exists(token + 1 >= _)
+          Page(op.resultColumns, rows, if (eos) None else Some(token + 1), eos)
+        } catch {
+          case e: Exception =>
+            Page(Seq("error"), Seq(Seq(Results.rootCauseMessage(e))), None, eos = true)
+        }
       }
       case StreamingOp(_, buffer, cols) =>
         // token = running row offset; rows older than the buffer are gone

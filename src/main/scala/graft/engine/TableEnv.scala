@@ -223,6 +223,29 @@ object TableEnv {
           val (cd, pos) = parseCol(item)
           val i = cols.indexWhere(_.name.equalsIgnoreCase(cd.name))
           require(i >= 0, s"column '${cd.name}' does not exist in '$name'")
+          // retype guard (r14): a filesystem binding's files keep the OLD
+          // physical type — a retype the format's reader can't convert
+          // succeeds here but poisons every later read (parquet
+          // PARQUET_COLUMN_DATA_TYPE_MISMATCH, ORC/json/csv decode errors)
+          // or silently corrupts values (avro date/decimal). Refuse by name
+          // while data exists; the probed compatibility matrix is in
+          // retypeCompatible.
+          val old = cols(i)
+          val physToPys = old.computed.isEmpty && old.metadataFrom.isEmpty &&
+            cd.computed.isEmpty && cd.metadataFrom.isEmpty
+          if (b.connector == "filesystem" && physToPys &&
+              !old.sparkType.equalsIgnoreCase(cd.sparkType)) {
+            val fmt = if (cdcFormats(b.format)) "json" else b.format
+            if (!retypeCompatible(fmt, old.sparkType, cd.sparkType) &&
+                hasDataFiles(spark, b.options("path")))
+              throw new IllegalArgumentException(
+                s"cannot MODIFY '${cd.name}' from ${old.sparkType} to " +
+                  s"${cd.sparkType}: existing ${b.format} files hold the old " +
+                  s"physical type and the ${b.format} reader cannot convert " +
+                  "it — later reads would fail or silently corrupt; rewrite " +
+                  "the data (INSERT OVERWRITE into a table declared with the " +
+                  "new type) instead")
+          }
           cols = insertAt(cols.patch(i, Nil, 1), cd,
             pos.orElse(if (i == 0) Some(Left(()))
               else Some(Right(cols(i - 1).name.toLowerCase))))
@@ -426,6 +449,83 @@ object TableEnv {
   }
 
   /** Flink type name → Spark DDL type (SURVEY.md §1.2 mapping). */
+  /** Can `format`'s reader still decode files written with column type
+    * `from` once the declared type becomes `to`? Probed empirically per
+    * format (tools/RetypeProbe, r14) — anything outside these sets either
+    * fails every later read with a raw decoder error or, worse, silently
+    * corrupts values (the avro reader decodes DATE days as TIMESTAMP micros
+    * and misscales DECIMAL on a scale change). Types are the stored
+    * uppercase Spark DDL forms (TIMESTAMP already mapped to TIMESTAMP_NTZ). */
+  private[engine] def retypeCompatible(format: String, from0: String, to0: String): Boolean = {
+    val from = from0.trim.toUpperCase; val to = to0.trim.toUpperCase
+    def base(t: String) = t.takeWhile(_ != '(').trim
+    val (bf, bt) = (base(from), base(to))
+    def dec(t: String): Option[(Int, Int)] =
+      if (base(t) != "DECIMAL") None
+      else t.dropWhile(_ != '(').drop(1).takeWhile(_ != ')').split(",") match {
+        case Array(p) => Some((p.trim.toInt, 0))
+        case Array(p, s) => Some((p.trim.toInt, s.trim.toInt))
+        case _ => None
+      }
+    if (from == to) return true
+    val intRank = Map("TINYINT" -> 1, "SMALLINT" -> 2, "INT" -> 3, "BIGINT" -> 4)
+    def integral(b: String) = intRank.contains(b)
+    val intWiden = integral(bf) && integral(bt) && intRank(bt) > intRank(bf)
+    // parquet's vectorized reader upcasts INT32-backed types and FLOAT to
+    // DOUBLE, but NOT INT64 (BIGINT/DECIMAL backing) to DOUBLE
+    val int32ToDouble = Set("TINYINT", "SMALLINT", "INT", "FLOAT")(bf) && bt == "DOUBLE"
+    val dateToTs = bf == "DATE" && (bt == "TIMESTAMP_NTZ" || bt == "TIMESTAMP_LTZ")
+    // integer digits must not shrink and scale must not shrink
+    val decWiden = (dec(from), dec(to)) match {
+      case (Some((p1, s1)), Some((p2, s2))) => s2 >= s1 && p2 - s2 >= p1 - s1
+      case _ => false
+    }
+    val numericish = Set("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE", "DECIMAL")
+    format match {
+      case "parquet" => intWiden || int32ToDouble || dateToTs || decWiden
+      case "orc" =>
+        // ORC converts freely within numeric/decimal/string/boolean (a
+        // failed parse reads NULL) but refuses date/timestamp conversions
+        val fam = numericish + "STRING" + "BOOLEAN"
+        fam(bf) && fam(bt)
+      case "json" | "csv" =>
+        // text re-parses per the declared schema: widening and anything→
+        // STRING are safe; narrowing to integral/boolean is data-dependent
+        // ("1.5" as INT fails at read) — refuse
+        bt == "STRING" ||
+          intWiden || dateToTs ||
+          (bf == "TIMESTAMP_NTZ" || bf == "TIMESTAMP_LTZ") && bt == "DATE" ||
+          numericish(bf) && (bt == "DOUBLE" || bt == "FLOAT" || bt == "DECIMAL")
+      case "avro" =>
+        // avro schema-resolution promotions only; decimal scale changes and
+        // date→timestamp DECODE WRONG VALUES (probed), never allow them
+        intWiden || int32ToDouble || integral(bf) && bt == "FLOAT" ||
+          bf == "BIGINT" && bt == "DOUBLE" ||
+          ((dec(from), dec(to)) match {
+            case (Some((p1, s1)), Some((p2, s2))) => s1 == s2 && p2 >= p1
+            case _ => false
+          })
+      case _ => true // no probe data for other formats: keep prior behavior
+    }
+  }
+
+  /** Any committed data file under `path` (Hadoop FS — works for hdfs:// /
+    * s3a:// paths too, not just local dirs)? Metadata (`_spark_metadata`,
+    * `_SUCCESS`) and hidden files don't count. */
+  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(hp) && {
+      val it = fs.listFiles(hp, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) found = true
+      }
+      found
+    }
+  }
+
   def mapType(t0: String): String = {
     val t = t0.trim
     val up = t.toUpperCase

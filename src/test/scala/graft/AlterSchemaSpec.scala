@@ -235,4 +235,74 @@ class AlterSchemaSpec extends SparkTestBase {
     err(gw, h, "ALTER TABLE aj ADD newcol STRING", "jdbc binding")
     gw.closeSession(h)
   }
+
+  test("MODIFY retype guard: reader-incompatible retypes refuse while data exists (r14)") {
+    // probed matrix (tools/RetypeProbe): a retype the format's reader can't
+    // convert used to succeed at ALTER time and poison every later read
+    // with a raw decoder error — or silently corrupt values on avro
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("alter_retype")
+    def mk(t: String, cols: String, fmt: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-rt-$t").toString
+      ok(gw, h, s"CREATE TABLE $t ($cols) WITH " +
+        s"('connector'='filesystem','path'='$dir','format'='$fmt')")
+      dir
+    }
+    mk("rp", "a BIGINT, s STRING, d DECIMAL(10,2), k INT", "parquet")
+    // empty table: any retype is fine — no files hold the old type yet
+    ok(gw, h, "ALTER TABLE rp MODIFY s INT")
+    ok(gw, h, "ALTER TABLE rp MODIFY s STRING")
+    ok(gw, h, "INSERT INTO rp VALUES (1, 'x', 1.25, 7)")
+    // parquet reader upcasts INT32 chains, FLOAT→DOUBLE, DATE→TIMESTAMP,
+    // decimal widening — and nothing else
+    ok(gw, h, "ALTER TABLE rp MODIFY k BIGINT")
+    ok(gw, h, "ALTER TABLE rp MODIFY d DECIMAL(12,4)")
+    err(gw, h, "ALTER TABLE rp MODIFY a DOUBLE", "cannot convert")
+    err(gw, h, "ALTER TABLE rp MODIFY s INT", "cannot convert")
+    err(gw, h, "ALTER TABLE rp MODIFY a INT", "cannot convert") // narrowing
+    val r = page(gw, h, "SELECT a, s, d, k FROM rp")
+    assert(r.rows == Seq(Seq(1L, "x", new java.math.BigDecimal("1.2500"), 7L)), r.rows)
+    // avro decodes DATE days as TIMESTAMP micros and misscales DECIMAL on a
+    // scale change — both would be SILENT corruption, both refuse
+    mk("ra", "dt DATE, d DECIMAL(10,2)", "avro")
+    ok(gw, h, "INSERT INTO ra VALUES (DATE '2024-01-02', CAST(1.25 AS DECIMAL(10,2)))")
+    err(gw, h, "ALTER TABLE ra MODIFY dt TIMESTAMP(3)", "cannot convert")
+    err(gw, h, "ALTER TABLE ra MODIFY d DECIMAL(12,4)", "cannot convert")
+    ok(gw, h, "ALTER TABLE ra MODIFY d DECIMAL(20,2)") // precision-only: safe
+    // text formats re-parse: widening fine, data-dependent narrowing refused
+    mk("rj", "s STRING, v DOUBLE", "json")
+    ok(gw, h, "INSERT INTO rj VALUES ('x', 1.5)")
+    err(gw, h, "ALTER TABLE rj MODIFY s INT", "cannot convert")
+    err(gw, h, "ALTER TABLE rj MODIFY v INT", "cannot convert")
+    ok(gw, h, "ALTER TABLE rj MODIFY v DECIMAL(10,2)")
+    gw.closeSession(h)
+  }
+
+  test("a read failure at fetch time answers an error page, not a raw throw (r14)") {
+    // batch results materialize lazily: schema/file drift after routing
+    // surfaces at fetchResults — the gateway contract (never a raw throw)
+    // must hold there too. Forge the drift by dropping the files under a
+    // routed-but-unfetched SELECT.
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("fetch_err")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fetcherr").toString
+    ok(gw, h, s"CREATE TABLE fe (a INT) WITH " +
+      s"('connector'='filesystem','path'='$dir','format'='parquet')")
+    ok(gw, h, "INSERT INTO fe VALUES (1), (2)")
+    val op = gw.executeStatement(h, "SELECT * FROM fe")
+    // corrupt the files AFTER routing, BEFORE the first fetch
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](16)(0x7f))
+    }
+    val p = gw.fetchResults(op, 0)
+    assert(p.columns == Seq("error"), s"expected an error page: ${p.rows.take(1)}")
+    assert(p.eos)
+    // the session stays usable
+    val again = page(gw, h, "SELECT 1 AS one")
+    assert(again.rows == Seq(Seq(1)))
+    gw.closeSession(h)
+  }
 }
