@@ -82,28 +82,49 @@ object Bench {
     // hitting one pass, not a property of the query), take one extra pass
     // and keep the min of all three — best-of-3 on outliers only.
     var reruns = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val (ta, oka) = timeOnce(fn)
-      val (tb, okb) = timeOnce(fn)
-      val best = (oka, okb) match {
-        case (true, true) =>
-          val (lo, hi) = (math.min(ta, tb), math.max(ta, tb))
-          if (hi > lo * 1.5 && hi - lo > 0.2) {
-            reruns += 1
-            val (tc, okc) = timeOnce(fn)
-            if (okc) math.min(lo, tc) else lo
-          } else lo
-        case (true, false) => ta
-        case (false, true) => tb
-        case _             => math.max(ta, tb)
+    val raw = SparkEntry.queries.map { case (name, fn) =>
+      val a = timeOnce(fn)
+      val b = timeOnce(fn)
+      var passes = Vector(a, b)
+      if (a._2 && b._2) {
+        val (lo, hi) = (math.min(a._1, b._1), math.max(a._1, b._1))
+        if (hi > lo * 1.5 && hi - lo > 0.2) { reruns += 1; passes :+= timeOnce(fn) }
       }
-      name -> best
+      name -> passes
     }
+    // ---- stall mode (r14, VERDICT item 3): three rounds of stall-inflated
+    // headlines is enough. When the sweep itself flags a stalling host
+    // (foreign load, or outlier reruns on >12% of queries — both signatures
+    // of intermittent multi-second freezes, not CPU contention), take one
+    // more full pass per query. The HEADLINE stays min-of-all-passes: under
+    // additive positive noise the min is the estimator that converges to a
+    // quiet-host re-run (inflated only when EVERY pass stalled, p^k), while
+    // a median stays inflated at probability ~3p^2. The per-query
+    // median-of-3 total is emitted alongside so both numbers are in the
+    // artifact and the dispersion is legible from the JSON alone.
+    val loadMid = loadAvg()
+    val stallMode = loadBefore > 1.0 || loadMid > 1.0 || reruns * 8 > raw.size
+    val withExtra =
+      if (stallMode)
+        raw.map { case (name, ps) => name -> (ps :+ timeOnce(SparkEntry.queries(name))) }
+      else raw
+    def okTimes(ps: Vector[(Double, Boolean)]): Vector[Double] = {
+      val oks = ps.filter(_._2).map(_._1)
+      if (oks.nonEmpty) oks else Vector(ps.map(_._1).max) // all failed: slowest stays visible
+    }
+    val results = withExtra.map { case (name, ps) => name -> okTimes(ps).min }
+    // median over the successful passes (≥3 in stall mode; degenerates to
+    // min-of-2 on a quiet host, where the two agree anyway)
+    val medianTotal = withExtra.map { case (_, ps) =>
+      val ts = okTimes(ps).sorted
+      ts((ts.size - 1) / 2)
+    }.sum
     val loadAfter = loadAvg(); val spinAfter = spin()
     val noiseJson = String.format(java.util.Locale.ROOT,
-      """"noise":{"load_before":%.2f,"load_after":%.2f,"spin_before_sec":%.3f,"spin_after_sec":%.3f,"outlier_reruns":%d}""",
+      """"noise":{"load_before":%.2f,"load_after":%.2f,"spin_before_sec":%.3f,"spin_after_sec":%.3f,"outlier_reruns":%d,"stall_mode":%b,"median_total":%.2f}""",
       Double.box(loadBefore), Double.box(loadAfter),
-      Double.box(spinBefore), Double.box(spinAfter), Int.box(reruns))
+      Double.box(spinBefore), Double.box(spinAfter), Int.box(reruns),
+      Boolean.box(stallMode), Double.box(medianTotal))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def jsonLine(qs: Seq[(String, Double)], omitted: Int): String = {
       val entries = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")

@@ -926,12 +926,16 @@ class Gateway(root: SparkSession) {
         route(spark, stmtStored.trim.stripSuffix(";"))
       case InsertIntoRe(target, select) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         val b = TableEnv.lookup(target.replace("`", "")).get
-        val df = spark.sql(FlinkDialect.rewrite(select))
+        // positional alignment: the query's column names must NOT reach the
+        // writer (r14 find — a post-ALTER `SELECT id, w, 'g2'` wrote files
+        // whose by-name read NULL-filled every declared column)
+        val df = TableEnv.alignInsert(b, spark.sql(FlinkDialect.rewrite(select)))
         if (df.isStreaming) Statement(s"Job ${TableEnv.startStreamingInsert(spark, b, df)} started")
         else { TableEnv.batchInsert(spark, b, df); Statement(s"Inserted into ${b.name}") }
       case InsertOverwriteRe(target, select) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         val b = TableEnv.lookup(target.replace("`", "")).get
-        TableEnv.batchInsert(spark, b, spark.sql(FlinkDialect.rewrite(select)), overwrite = true)
+        TableEnv.batchInsert(spark, b,
+          TableEnv.alignInsert(b, spark.sql(FlinkDialect.rewrite(select))), overwrite = true)
         Statement(s"Overwrote ${b.name}")
       case InsertColsRe(mode, target, colList, body)
           if TableEnv.lookup(target.replace("`", "")).isDefined =>
@@ -947,13 +951,8 @@ class Gateway(root: SparkSession) {
         val declared = Option(colList).map(_.split(",").toSeq
           .map(_.trim.replace("`", "")).filter(_.nonEmpty)).getOrElse(Nil)
         val aligned =
-          if (declared.isEmpty) {
-            require(df0.columns.length == schema.length,
-              s"INSERT into ${b.name}: ${df0.columns.length} columns for " +
-                s"${schema.length} declared")
-            df0.toDF(schema.map(_.name): _*)
-              .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-          } else {
+          if (declared.isEmpty) TableEnv.alignInsert(b, df0)
+          else {
             require(df0.columns.length == declared.length,
               s"INSERT into ${b.name}: ${df0.columns.length} values for " +
                 s"${declared.length} named columns")

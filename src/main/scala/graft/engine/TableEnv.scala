@@ -1442,6 +1442,22 @@ object TableEnv {
     * (prefixed so the binding's own temp-view name can't shadow it). */
   def bucketTableName(b: Binding): String = s"graft_bucket_${b.name}"
 
+  /** Positional alignment of an INSERT source frame to the binding's
+    * physical schema (Flink INSERT semantics). The writer must record the
+    * DECLARED column names — parquet/orc readers match by name, so a frame
+    * whose columns keep the query's names (`SELECT id, w, 'g2'` → id, w,
+    * g2) would write files the evolved-schema read silently NULL-fills
+    * (r14 find: the streaming INSERT and INSERT OVERWRITE routes skipped
+    * this; the column-list route already aligned). */
+  def alignInsert(b: Binding, df: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+    require(df.columns.length == schema.length,
+      s"INSERT into ${b.name}: ${df.columns.length} columns for " +
+        s"${schema.length} declared")
+    df.toDF(schema.map(_.name): _*)
+      .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
   def batchInsert(spark: SparkSession, b: Binding, df: DataFrame,
       overwrite: Boolean = false): Unit = b.connector match {
     case "filesystem" if b.format == "avro" =>

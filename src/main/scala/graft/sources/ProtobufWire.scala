@@ -108,7 +108,10 @@ object ProtobufWire {
     /** Length-delimited payload: returns (start, end) and advances past it. */
     def readDelimited(): (Int, Int) = {
       val len = readVarint().toInt
-      if (len < 0 || pos + len > end)
+      // subtraction, not addition: `pos + len` overflows Int for a forged
+      // length near Int.MaxValue and would wrap NEGATIVE, passing a `>` end
+      // check and sending the reader out of bounds (r14 fuzz hardening)
+      if (len < 0 || len > end - pos)
         throw new IllegalArgumentException(s"protobuf: bad length $len")
       val s = pos; pos += len; (s, pos)
     }

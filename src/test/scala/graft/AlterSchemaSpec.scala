@@ -279,6 +279,69 @@ class AlterSchemaSpec extends SparkTestBase {
     gw.closeSession(h)
   }
 
+  test("ALTER between streaming job starts: running jobs keep the captured schema, new starts see the evolved one (r14)") {
+    // the reference keeps jobs live across DDL (notebookController.ts:
+    // 219-294): a Flink job is a compiled topology — evolving the source or
+    // sink BINDING must not touch a running INSERT job; only the NEXT job
+    // start compiles against the evolved schema. This pins exactly which
+    // schema each start sees.
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("alter_stream")
+    def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    val runDir = s"/tmp/graft-alterstream-${java.util.UUID.randomUUID()}"
+    ok(gw, h, "CREATE TABLE as_src (id BIGINT, v DOUBLE) WITH " +
+      "('connector'='datagen','rows-per-second'='200')")
+    ok(gw, h, s"CREATE TABLE as_snk (id BIGINT, v DOUBLE) WITH " +
+      s"('connector'='filesystem','path'='$runDir/snk','format'='parquet'," +
+      s"'checkpoint'='$runDir/ckpt')")
+    def startJob(sql: String): String = {
+      val msg = run(sql).rows.head.head.toString
+      "Job (\\S+) started".r.findFirstMatchIn(msg)
+        .getOrElse(fail(s"unexpected INSERT result '$msg'")).group(1)
+    }
+    def running(job: String) = run("SHOW JOBS").rows.exists(r =>
+      r(1).toString == job && r(2).toString == "RUNNING")
+    def countWhere(pred: String): Long =
+      try run(s"SELECT count(*) AS n FROM as_snk WHERE $pred").rows.head.head.toString.toLong
+      catch { case _: Exception => -1L }
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    val job1 = startJob("INSERT INTO as_snk SELECT id, v FROM as_src")
+    try {
+      awaitTrue("job1 committing")(running(job1) && countWhere("true") > 0)
+      // evolve BOTH bindings while job1 runs
+      ok(gw, h, "ALTER TABLE as_snk ADD tag STRING")
+      ok(gw, h, "ALTER TABLE as_src ADD w DOUBLE")
+      assert(running(job1), "running job died on a binding ALTER")
+      // the captured 2-column plan keeps committing — generation-1 rows
+      // read through the evolved 3-column binding with tag NULL-filled
+      val before = countWhere("true")
+      awaitTrue("job1 commits past the ALTER")(countWhere("true") > before)
+      val sel = page(gw, h, "SELECT * FROM as_snk")
+      assert(sel.columns == Seq("id", "v", "tag"),
+        s"evolved sink read order: ${sel.columns}")
+      assert(countWhere("tag IS NOT NULL") == 0,
+        "a RUNNING job must not see the evolved schema")
+    } finally {
+      run(s"STOP JOB '$job1'")
+    }
+    // a job compiled AFTER the ALTERs sees the evolved source column and
+    // the 3-column sink schema
+    val job2 = startJob("INSERT INTO as_snk SELECT id, w, 'g2' FROM as_src")
+    try {
+      awaitTrue("job2 writes evolved rows")(countWhere("tag = 'g2'") > 0)
+      assert(countWhere("tag IS NULL") > 0, "generation-1 rows must survive")
+    } finally {
+      run(s"STOP JOB '$job2'")
+      graft.engine.Jobs.stopAll()
+    }
+    gw.closeSession(h)
+  }
+
   test("a read failure at fetch time answers an error page, not a raw throw (r14)") {
     // batch results materialize lazily: schema/file drift after routing
     // surfaces at fetchResults — the gateway contract (never a raw throw)
