@@ -874,9 +874,18 @@ object TableEnv {
   val cdcFormats: Set[String] =
     Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
 
+  /** Parse mode for a CDC changelog read: Flink's `<fmt>.ignore-parse-errors`
+    * (default false → fail on a corrupt line). PERMISSIVE would be worse
+    * than either: a corrupt envelope silently becomes an all-null row and a
+    * null-keyed changelog op (r14 corrupt-bytes fuzz find). */
+  private def cdcParseMode(b: Binding): String =
+    if (b.options.get(s"${b.format}.ignore-parse-errors").exists(_.equalsIgnoreCase("true")))
+      "DROPMALFORMED" else "FAILFAST"
+
   def batchDF(spark: SparkSession, b: Binding): DataFrame = b.connector match {
     case "filesystem" if cdcFormats(b.format) =>
-      val raw = spark.read.format("json").schema(cdcEnvelope(b)).load(b.options("path"))
+      val raw = spark.read.format("json").option("mode", cdcParseMode(b))
+        .schema(cdcEnvelope(b)).load(b.options("path"))
       finishSource(decodeCdc(raw.select(struct(raw.columns.map(col): _*).as("__e")), b),
         b, stream = false)
     case "filesystem" if b.distribution.isDefined &&
@@ -911,7 +920,8 @@ object TableEnv {
       // bounded read over a CDC table = the snapshot phase: fold the
       // changelog to the latest surviving row per key
       val nb = cdcReplayBinding(b)
-      val raw = spark.read.format("json").schema(cdcEnvelope(nb)).load(nb.options("path"))
+      val raw = spark.read.format("json").option("mode", cdcParseMode(nb))
+        .schema(cdcEnvelope(nb)).load(nb.options("path"))
       val changelog =
         decodeCdc(raw.select(struct(raw.columns.map(col): _*).as("__e")), nb)
       finishSource(cdcSnapshot(changelog, b), b, stream = false)
@@ -1004,7 +1014,8 @@ object TableEnv {
         .withColumnRenamed("value", "__seq")
       finishSource(synthesize(raw, b), b, stream = true)
     case "filesystem" if cdcFormats(b.format) =>
-      val raw = spark.readStream.format("json").schema(cdcEnvelope(b)).load(b.options("path"))
+      val raw = spark.readStream.format("json").option("mode", cdcParseMode(b))
+        .schema(cdcEnvelope(b)).load(b.options("path"))
       finishSource(decodeCdc(raw.select(struct(raw.columns.map(col): _*).as("__e")), b),
         b, stream = true)
     case "filesystem" if b.format == "avro" =>
@@ -1018,8 +1029,8 @@ object TableEnv {
       // unbounded read = the incremental phase: surface the changelog rows
       // (__op/__ts_ms ride along; PK sinks APPLY them)
       val nb = cdcReplayBinding(b)
-      val raw = spark.readStream.format("json").schema(cdcEnvelope(nb))
-        .load(nb.options("path"))
+      val raw = spark.readStream.format("json").option("mode", cdcParseMode(nb))
+        .schema(cdcEnvelope(nb)).load(nb.options("path"))
       finishSource(
         decodeCdc(raw.select(struct(raw.columns.map(col): _*).as("__e")), nb),
         b, stream = true)
@@ -1178,6 +1189,14 @@ object TableEnv {
     * partition/offset) remain addressable. */
   private def decodeCdc(parsed: DataFrame, b: Binding): DataFrame = {
     val dataCols = b.cols.filter(c => c.computed.isEmpty && c.metadataFrom.isEmpty)
+    // ogg's op_ts is a STRING the envelope parse can deliver corrupt-but-
+    // valid-JSON (the json reader's DROPMALFORMED can't see it): under
+    // ignore-parse-errors the whole record drops, Flink-style, instead of
+    // the strict cast error (r14 corrupt-bytes fuzz)
+    val tolerant = b.options
+      .get(s"${b.format}.ignore-parse-errors").exists(_.equalsIgnoreCase("true"))
+    def parseTs(c: org.apache.spark.sql.Column) =
+      if (tolerant) try_to_timestamp(c) else to_timestamp(c)
     // normalize to (__img STRUCT, __op STRING, __ts_ms LONG) per event row,
     // keeping the source's native columns addressable for metadata
     val rows = b.format match {
@@ -1212,8 +1231,11 @@ object TableEnv {
               .when(upper(col("__e.op_type")) === "U", "u")
               .when(upper(col("__e.op_type")) === "D", "d")
               .otherwise("r"))
-          .withColumn("__ts_ms", unix_millis(to_timestamp(col("__e.op_ts"))))
+          .withColumn("__ts_ms", unix_millis(parseTs(col("__e.op_ts"))))
           .withColumn("__seq", col("__e.pos"))
+          // present-but-unparseable op_ts: drop the record under tolerance
+          .filter(if (tolerant) col("__e.op_ts").isNull || col("__ts_ms").isNotNull
+                  else lit(true))
     }
     val metaCols = b.cols.filter(_.metadataFrom.isDefined).map { c =>
       c.metadataFrom.get match {
@@ -1226,7 +1248,7 @@ object TableEnv {
           col("__e.primary_keys").cast(c.sparkType).as(c.name)
         case "ingestion-timestamp" | "value.ingestion-timestamp"
             if b.format == "ogg-json" =>
-          to_timestamp(col("__e.current_ts")).cast(c.sparkType).as(c.name)
+          parseTs(col("__e.current_ts")).cast(c.sparkType).as(c.name)
         case "ts_ms" | "event-timestamp" | "value.source.timestamp" |
             "value.ingestion-timestamp" | "value.event-timestamp" =>
           timestamp_millis(col("__ts_ms")).cast(c.sparkType).as(c.name)

@@ -36,6 +36,16 @@ import org.apache.spark.sql.types._
   * nullable fields as union(null, T). */
 object AvroFiles {
 
+  // Cap avro's decoder limits once (r14 corrupt-bytes hardening): a forged
+  // length word in a corrupt container/frame would otherwise drive a
+  // GB-scale allocation BEFORE any bounds check (avro 1.12 defaults are
+  // unlimited). 512 MB is far above any legitimate single datum here; over
+  // the cap avro raises its named SystemLimitException instead.
+  for (k <- Seq("org.apache.avro.limits.string.maxLength",
+      "org.apache.avro.limits.bytes.maxLength"))
+    if (System.getProperty(k) == null)
+      System.setProperty(k, (512L * 1024 * 1024).toString)
+
   // ---------------------------------------------------------- schema map --
 
   def toAvroSchema(st: StructType, name: String = "record"): Schema = {
@@ -170,14 +180,25 @@ object AvroFiles {
     StructField("path", StringType), StructField("modificationTime", TimestampType),
     StructField("length", LongType), StructField("content", BinaryType)))
 
-  /** Decode one container file's bytes into declared-schema Rows. */
+  /** Decode one container file's bytes into declared-schema Rows. Any
+    * decode failure (truncated container, flipped bytes, codec checksum
+    * mismatch, not-an-avro-file) surfaces as ONE named error — never a raw
+    * avro internal exception (r14 corrupt-bytes fuzz contract). */
   private def decodeContainer(bytes: Array[Byte], schema: StructType): Iterator[Row] = {
-    val reader = DataFileReader.openReader(
-      new org.apache.avro.file.SeekableByteArrayInput(bytes),
-      new GenericDatumReader[GenericRecord]())
+    def corrupt(e: Exception): Nothing = throw new IllegalArgumentException(
+      s"avro container is corrupt or not an avro file: ${e.getMessage}", e)
+    val reader =
+      try DataFileReader.openReader(
+        new org.apache.avro.file.SeekableByteArrayInput(bytes),
+        new GenericDatumReader[GenericRecord]())
+      catch { case e: Exception => corrupt(e) }
     new Iterator[Row] {
-      def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
-      def next(): Row = fromDatum(reader.next(), schema).asInstanceOf[Row]
+      def hasNext: Boolean =
+        try { val h = reader.hasNext; if (!h) reader.close(); h }
+        catch { case e: Exception => corrupt(e) }
+      def next(): Row =
+        try fromDatum(reader.next(), schema).asInstanceOf[Row]
+        catch { case e: Exception => corrupt(e) }
     }
   }
 
@@ -309,8 +330,14 @@ object AvroFiles {
               "avro-confluent: missing wire-format header (magic byte 0)")
             java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
           }
-        val dec = DecoderFactory.get().binaryDecoder(body, null)
-        fromDatum(reader.read(null, dec), schema).asInstanceOf[Row]
+        try {
+          val dec = DecoderFactory.get().binaryDecoder(body, null)
+          fromDatum(reader.read(null, dec), schema).asInstanceOf[Row]
+        } catch {
+          // named error, never a raw avro internal (r14 corrupt-bytes fuzz)
+          case e: Exception => throw new IllegalArgumentException(
+            s"avro value is corrupt for the declared schema: ${e.getMessage}", e)
+        }
       }
     }, schema)
     f(c)
