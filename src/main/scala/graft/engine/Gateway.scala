@@ -63,6 +63,28 @@ class Gateway(root: SparkSession) {
     private[Gateway] var pageCount: Option[Int] = None
     /** trailing window of materialized pages (idempotent re-fetch/retry) */
     private[Gateway] val cache = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[Seq[Any]]]
+    /** estimated heap bytes retained by this handle (cached pages + an
+      * eagerly-materialized Rows result) — feeds the per-session byte cap */
+    @volatile private[Gateway] var retainedBytes: Long = result match {
+      case Rows(_, rows) => estimateBytes(rows)
+      case _ => 0L
+    }
+  }
+
+  /** Cheap per-cell heap estimate for retained result rows: strings by
+    * length, everything else a boxed-word constant. Exactness doesn't
+    * matter — the cap needs the right order of magnitude. */
+  private def estimateBytes(rows: Seq[Seq[Any]]): Long = {
+    var total = 0L
+    rows.foreach { r =>
+      total += 40L
+      r.foreach {
+        case s: String => total += 48L + 2L * s.length
+        case b: Array[Byte] => total += 32L + b.length
+        case _ => total += 24L
+      }
+    }
+    total
   }
 
   /** Test hook: live operations in the registry (the abandoned-op
@@ -90,6 +112,38 @@ class Gateway(root: SparkSession) {
     * notices (Flink's gateway expires idle operations the same way) */
   val maxOpsPerSession = 512
   val pageSize = 1000
+  /** Per-session cap on ESTIMATED retained result bytes (r14): the
+    * 512-handle FIFO is count-based, so a few huge cached results could
+    * dodge it — the churn probe that sized the FIFO used tiny statements.
+    * Over the cap, the oldest completed non-streaming handles close first,
+    * always sparing the handle currently being served. */
+  val maxRetainedBytesPerSession: Long = 64L * 1024 * 1024
+
+  /** Test hook: estimated retained result bytes across a session's live
+    * handles. */
+  private[graft] def sessionRetainedBytes(sessionHandle: String): Long = {
+    var t = 0L
+    sessionOps.get(sessionHandle).foreach(_.forEach(h =>
+      operations.get(h).foreach(t += _.retainedBytes)))
+    t
+  }
+
+  private def enforceSessionBytes(sessionHandle: String, keep: String): Unit =
+    sessionOps.get(sessionHandle).foreach { q =>
+      var total = sessionRetainedBytes(sessionHandle)
+      if (total > maxRetainedBytesPerSession) {
+        val it = q.iterator()
+        while (total > maxRetainedBytesPerSession && it.hasNext) {
+          val h = it.next()
+          if (h != keep) operations.get(h) match {
+            case Some(o) if !o.result.isInstanceOf[StreamingOp] =>
+              it.remove(); total -= o.retainedBytes; closeOperation(h)
+            case Some(_) => () // streaming handles fall with closeSession
+            case None => it.remove() // already client-closed
+          }
+        }
+      }
+    }
 
   /** metadata TTL cache + in-flight dedup (catalogProvider.ts:22-26,349-377);
     * keyed per session (temp views differ across sessions). */
@@ -367,6 +421,9 @@ class Gateway(root: SparkSession) {
         }
       }
     }
+    // eagerly-materialized Rows results (metadata pages, VALUES) count
+    // toward the byte cap the moment they register
+    enforceSessionBytes(sessionHandle, keep = op.handle)
     // race with closeSession: if the purge ran between routing and the
     // registry update above, this operation (and the resurrected sessionOps
     // queue) would leak forever — no later closeSession will see them.
@@ -1708,20 +1765,20 @@ class Gateway(root: SparkSession) {
         val page = rows.slice(token * pageSize, (token + 1) * pageSize)
         val eos = (token + 1) * pageSize >= rows.size
         Page(cols, page, if (eos) None else Some(token + 1), eos)
-      case Finished(df) => op.synchronized {
+      case Finished(df) =>
         // a batch result materializes lazily — a read failure (schema/file
         // drift since the plan was routed, corrupt bytes) surfaces HERE, not
         // at execute time; it must answer an error page like any other bad
         // statement, never escape fetchResults as a raw executor exception
         try {
-          val rows = batchPage(op, df, token)
+          val rows = op.synchronized(batchPage(op, df, token))
+          enforceSessionBytes(op.session, keep = opHandle)
           val eos = op.pageCount.exists(token + 1 >= _)
           Page(op.resultColumns, rows, if (eos) None else Some(token + 1), eos)
         } catch {
           case e: Exception =>
             Page(Seq("error"), Seq(Seq(Results.rootCauseMessage(e))), None, eos = true)
         }
-      }
       case StreamingOp(_, buffer, cols) =>
         // token = running row offset; rows older than the buffer are gone
         // (drop-oldest), newer rows stream in on later fetches
@@ -1762,6 +1819,7 @@ class Gateway(root: SparkSession) {
           if (!op.iter.hasNext) op.pageCount = Some(op.nextPageIdx + 1)
           op.nextPageIdx += 1
         }
+        op.retainedBytes = op.cache.valuesIterator.map(estimateBytes).sum
         if (op.nextPageIdx > token) op.cache.getOrElse(token, page) else Nil
     }
 

@@ -562,6 +562,152 @@ class ConcurrencySpec extends SparkTestBase {
       s"closeSession left ${gw.liveOperationCount} operations")
   }
 
+  test("cross-session churn bomb: 10k operations under racing closeSession/STOP JOB (r14)") {
+    // the registry caps are per-session; this proves the GLOBAL picture: 8
+    // workers push 10,000 operations through short-lived sessions while a
+    // chaos thread closes live sessions out from under them and a job
+    // worker churns streaming INSERT jobs with STOP JOB. Contract: no call
+    // escapes with anything but the documented IllegalStateException, and
+    // when the dust settles the registry is EMPTY — including operations
+    // that raced a closeSession (the r13 ADVICE leak: a racing
+    // executeStatement could re-create the purged session queue forever).
+    graft.engine.TableEnv.clear()
+    val gw = new Gateway(spark)
+    val n = 8
+    val perWorker = soak(1250)
+    val pool = Executors.newFixedThreadPool(n + 2)
+    val start = new CountDownLatch(1)
+    val live = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Try[Unit]]()
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          results.put(i, Try {
+            start.await()
+            var ops = 0
+            var batch = 0
+            while (ops < perWorker) {
+              val h = gw.openSession(s"bomb_${i}_$batch")
+              batch += 1
+              live.add(h)
+              var k = 0
+              while (k < 25 && ops < perWorker) {
+                k += 1; ops += 1
+                try {
+                  val op = k % 5 match {
+                    case 0 => gw.executeStatement(h, "SHOW TABLES")
+                    case 1 => gw.executeStatement(h, s"SELECT id FROM range(${50 + k})")
+                    case _ => gw.executeStatement(h, s"SELECT $ops AS x")
+                  }
+                  if (k % 3 == 0) gw.fetchResults(op, 0)
+                  if (k % 7 == 0) gw.closeOperation(op)
+                  // the rest are abandoned: retention must absorb them
+                } catch {
+                  case e: IllegalStateException =>
+                    // chaos closed the session mid-use: the ONLY legal throw
+                    assert(e.getMessage.contains("does not exist"), e.getMessage)
+                    k = 25 // session is gone; open a fresh one
+                }
+              }
+              live.remove(h)
+              gw.closeSession(h) // idempotent vs a chaos close
+            }
+          })
+          done.incrementAndGet(); ()
+        }
+      })
+    }
+    // chaos: close random live sessions out from under their workers
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        val rnd = new scala.util.Random(14)
+        while (done.get() < n) {
+          val arr = live.toArray(Array.empty[String])
+          if (arr.nonEmpty && rnd.nextInt(4) == 0) {
+            val h = arr(rnd.nextInt(arr.length))
+            live.remove(h)
+            gw.closeSession(h)
+          }
+          Thread.sleep(3)
+        }
+      }
+    })
+    // job churn: streaming INSERT into blackhole, STOP JOB, repeat
+    val jobErr = new java.util.concurrent.atomic.AtomicReference[String](null)
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try {
+          val h = gw.openSession("bomb_jobs")
+          gw.executeStatement(h, "CREATE TABLE bomb_src (id BIGINT) WITH " +
+            "('connector'='datagen','rows-per-second'='50')")
+          gw.executeStatement(h, "CREATE TABLE bomb_bh (id BIGINT) WITH " +
+            "('connector'='blackhole')")
+          (1 to 6).foreach { _ =>
+            val p = gw.fetchResults(gw.executeStatement(h,
+              "INSERT INTO bomb_bh SELECT id FROM bomb_src"), 0)
+            val msg = p.rows.head.head.toString
+            val job = "Job (\\S+) started".r.findFirstMatchIn(msg)
+              .getOrElse(throw new IllegalStateException(s"job start failed: $msg")).group(1)
+            Thread.sleep(150)
+            gw.fetchResults(gw.executeStatement(h, s"STOP JOB '$job'"), 0)
+          }
+          gw.closeSession(h)
+        } catch { case e: Exception => jobErr.set(e.toString) }
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(600, TimeUnit.SECONDS), "churn bomb timed out")
+    results.forEach((i, r) => r match {
+      case Failure(e) => fail(s"worker $i: $e")
+      case Success(_) => ()
+    })
+    assert(jobErr.get() == null, s"job churn worker: ${jobErr.get()}")
+    // close any sessions chaos never reached
+    live.forEach(gw.closeSession)
+    assert(gw.liveOperationCount == 0,
+      s"churn left ${gw.liveOperationCount} live operations in the registry")
+    // the gateway is still fully usable
+    val h2 = gw.openSession("bomb_after")
+    assert(gw.fetchResults(gw.executeStatement(h2, "SELECT 1 AS one"), 0)
+      .rows == Seq(Seq(1)))
+    gw.closeSession(h2)
+    graft.engine.Jobs.stopAll()
+  }
+
+  test("byte-aware retention: a few huge cached results cannot dodge the count cap (r14)") {
+    // the 512-handle FIFO is count-based; handles whose cached pages are
+    // each large could retain far more than the churn probe's tiny
+    // statements. The per-session byte cap closes the corner: oldest
+    // completed handles close once the ESTIMATED retained bytes cross it,
+    // long before 512 handles accumulate.
+    val gw = new Gateway(spark)
+    val h = gw.openSession("byte_cap")
+    // each op caches up to 8 pages x 1000 rows x ~8 KB string = ~16 MB once
+    // two pages are walked; a handful crosses the 64 MB session cap
+    def bigOp(): String = {
+      val op = gw.executeStatement(h,
+        "SELECT id, repeat('x', 8192) AS pad FROM range(3000)")
+      assert(gw.fetchResults(op, 0).rows.size == gw.pageSize)
+      assert(gw.fetchResults(op, 1).rows.nonEmpty)
+      op
+    }
+    val ops = (1 to 8).map(_ => bigOp())
+    val retained = gw.sessionRetainedBytes(h)
+    assert(retained <= gw.maxRetainedBytesPerSession,
+      s"retained ${retained / 1024 / 1024} MB past the byte cap")
+    // the oldest big handles were auto-closed well under the 512 count cap
+    assert(intercept[IllegalStateException](gw.fetchResults(ops.head, 0))
+      .getMessage.contains("does not exist"))
+    // the newest (the one being served at enforcement time) survived
+    assert(gw.fetchResults(ops.last, 1).rows.nonEmpty)
+    gw.closeSession(h)
+    assert(gw.liveOperationCount == 0)
+  }
+
   test("fetchResults is a liveness touch: an actively-paged result survives churn (r14)") {
     // retention used to evict strictly by issuance order, so a large batch
     // result a client was still token-paging got auto-closed once
