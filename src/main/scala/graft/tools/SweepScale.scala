@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** r14 (VERDICT item 4): time every gate at one decade of a ScaleUp corpus
+  * and record (seconds, output rows) to a JSON file, so two runs (sf10,
+  * sf100) compose into the cost-curve table in PLANS.md.
+  *
+  * One process per decade — several gates memoize per-JVM fixtures (IVF
+  * index, bucketed digests) keyed by their input dir; mixing decades in one
+  * JVM would cross-contaminate them.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=target/sf10f  runMain graft.tools.SweepScale out10.json
+  *   SPARK_GRAFT_SF_DIR=target/sf100f runMain graft.tools.SweepScale out100.json skip=out10.json
+  * With skip=, a gate is SKIPPED (named) when the reference decade measured
+  * it output-explosive (>3M rows) or already slow (>120 s) — those are the
+  * disk-bound CEP/top-N/extraction gates the sweep deliberately bounds. */
+object SweepScale {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("sweep_out.json")
+    val skipRef: Map[String, (Double, Long)] = args.find(_.startsWith("skip="))
+      .map(_.stripPrefix("skip="))
+      .map { p =>
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        """"([^"]+)":\{"sec":([0-9.]+),"rows":(\d+)\}""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toLong)).toMap
+      }.getOrElse(Map.empty)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf10f")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.registerAll(spark, sfDir)
+    graft.functions.FlinkFunctions.registerAll(spark)
+    spark.sql("SELECT count(*) FROM nation").collect()
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    val skipped = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      skipRef.get(name) match {
+        case Some((sec, rows)) if rows > 3000000L =>
+          skipped(name) = s"output-explosive at reference decade ($rows rows)"
+          println(s"[sweep] SKIP $name: ${skipped(name)}")
+        case Some((sec, _)) if sec > 120.0 =>
+          skipped(name) = f"already $sec%.1f s at reference decade"
+          println(s"[sweep] SKIP $name: ${skipped(name)}")
+        case _ =>
+          try {
+            val t0 = System.nanoTime()
+            val rows = fn(spark, sfDir).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            results(name) = (sec, rows)
+            println(f"[sweep] $name%-36s $sec%8.2f s  $rows%12d rows")
+          } catch {
+            case e: Exception =>
+              skipped(name) = s"ERROR ${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString
+              println(s"[sweep] FAIL $name: ${skipped(name)}")
+          }
+      }
+    }
+    val json = "{" +
+      results.map { case (n, (s, r)) =>
+        "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"rows\":" + r + "}"
+      }.mkString(",") + "}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
+    if (skipped.nonEmpty) {
+      val sj = "{" + skipped.map { case (n, why) =>
+        "\"" + n + "\":\"" + why.replace("\"", "'") + "\"" }.mkString(",") + "}"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out.replace(".json", "_skipped.json")),
+        sj.getBytes("UTF-8"))
+    }
+    println(s"[sweep] wrote $out (${results.size} gates, ${skipped.size} skipped)")
+    spark.stop()
+  }
+}
