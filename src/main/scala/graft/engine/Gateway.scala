@@ -754,11 +754,12 @@ class Gateway(root: SparkSession) {
         // session holds a same-named temporary VIEW, the shadow must keep
         // winning locally (temp objects shadow catalog objects), so restore
         // its materialization over the binding's
-        TableEnv.viewDefExact(b.name, viewScope(spark)).foreach { case (sql, _) =>
-          try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `${b.name}` AS " +
-            FlinkDialect.rewrite(sql))
-          catch { case _: Exception => () }
-        }
+        if (TableEnv.viewDefExact(b.name, viewScope(spark)).isDefined)
+          TableEnv.viewMatSql(b.name, viewScope(spark)).foreach { sql =>
+            try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `${b.name}` AS " +
+              FlinkDialect.rewrite(sql))
+            catch { case _: Exception => () }
+          }
         // IF NOT EXISTS over an existing catalog VIEW no-ops inside
         // createTable without registering — don't claim a creation
         if (TableEnv.lookup(b.name).isEmpty)
@@ -1091,10 +1092,22 @@ class Gateway(root: SparkSession) {
           val throughShadow =
             temp == null && (TableEnv.viewDefExact(viewName, scope).isDefined ||
               plainRelations.contains((scope, viewName.toLowerCase)))
+          // capture the view's output columns at CREATE time (Flink stores
+          // the EXPANDED query): `SELECT *` must not grow columns when the
+          // underlying table later evolves. The wrap only applies when the
+          // body resolves and its column names are unambiguous.
+          val matSql = (try {
+            val cols = spark.sql(FlinkDialect.rewrite(select)).columns.toSeq
+            val distinct = cols.map(_.toLowerCase).distinct.size == cols.size
+            if (cols.nonEmpty && distinct)
+              Some("SELECT " + cols.map(c => s"`${c.replace("`", "``")}`")
+                .mkString(", ") + s" FROM (\n${select.trim}\n) __graft_view_body")
+            else None
+          } catch { case _: Exception => None })
           if (!throughShadow)
             spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$viewName` AS " +
-              FlinkDialect.rewrite(select))
-          TableEnv.registerView(viewName, select.trim, temp != null, scope)
+              FlinkDialect.rewrite(matSql.getOrElse(select)))
+          TableEnv.registerView(viewName, select.trim, temp != null, scope, matSql)
           // an explicit OR REPLACE over a plain temporary-table relation
           // replaces it — the relation tracking must not outlive it
           if (temp != null)
@@ -1221,11 +1234,12 @@ class Gateway(root: SparkSession) {
             // un-shadow: if the dropped temp view shadowed a catalog view,
             // restore the catalog view's materialization so SELECT agrees
             // with what SHOW CREATE VIEW now advertises
-            TableEnv.viewDefExact(n, "").foreach { case (sql, _) =>
-              try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$n` AS " +
-                FlinkDialect.rewrite(sql))
-              catch { case _: Exception => () }
-            }
+            if (TableEnv.viewDefExact(n, "").isDefined)
+              TableEnv.viewMatSql(n, "").foreach { sql =>
+                try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$n` AS " +
+                  FlinkDialect.rewrite(sql))
+                catch { case _: Exception => () }
+              }
             Statement(s"View $n dropped")
           } else if (TableEnv.viewDefExact(n, "").isDefined) {
             // the only local relation is this session's MATERIALIZATION of

@@ -63,7 +63,7 @@ object TableEnv {
   def bindings: Map[String, Binding] = registry.toMap
   def lookup(name: String): Option[Binding] = registry.get(name.toLowerCase)
   def drop(name: String): Boolean = registry.remove(name.toLowerCase).isDefined
-  def clear(): Unit = { registry.clear(); viewDefs.clear() }
+  def clear(): Unit = { registry.clear(); viewDefs.clear(); viewMatTexts.clear() }
 
   // ------------------------------------------------- views + ALTER TABLE --
 
@@ -78,10 +78,28 @@ object TableEnv {
     * session's DROP cannot erase another's definition (r11,
     * ConcurrencySpec caught the shared-registry interference). */
   private val viewDefs = TrieMap.empty[(String, String), (String, Boolean)]
+  /** (scope, name) → schema-captured materialization text: the original
+    * body wrapped in a projection of the columns resolved at CREATE VIEW
+    * time. Flink stores the EXPANDED query (CatalogView.expandedQuery), so
+    * a `SELECT *` view must NOT grow columns when the underlying table
+    * later evolves (r14 probe find — ALTER ADD used to appear in the view).
+    * SHOW CREATE VIEW keeps showing the original text in viewDefs. */
+  private val viewMatTexts = TrieMap.empty[(String, String), String]
   def registerView(name: String, sql: String, temporary: Boolean,
-      scope: String = ""): Unit =
-    viewDefs.put(((if (temporary) scope else ""), name.toLowerCase),
-      (sql, temporary))
+      scope: String = "", materializeSql: Option[String] = None): Unit = {
+    val key = ((if (temporary) scope else ""), name.toLowerCase)
+    viewDefs.put(key, (sql, temporary))
+    materializeSql match {
+      case Some(m) => viewMatTexts.put(key, m)
+      case None => viewMatTexts.remove(key)
+    }
+  }
+  /** The text to MATERIALIZE a view from: the schema-captured wrap when one
+    * was resolved at creation, else the original body. Exact-key. */
+  def viewMatSql(name: String, scope: String): Option[String] = {
+    val key = (scope, name.toLowerCase)
+    viewMatTexts.get(key).orElse(viewDefs.get(key).map(_._1))
+  }
   def viewDef(name: String, scope: String = ""): Option[(String, Boolean)] =
     viewDefs.get((scope, name.toLowerCase))
       .orElse(viewDefs.get(("", name.toLowerCase)))
@@ -97,19 +115,24 @@ object TableEnv {
     * catalog definition. (The r11 fallback let one session's DROP
     * TEMPORARY VIEW delete a shared catalog view — the cross-session
     * interference the scoping exists to prevent.) */
-  def dropView(name: String, scope: String = ""): Boolean =
+  def dropView(name: String, scope: String = ""): Boolean = {
+    viewMatTexts.remove((scope, name.toLowerCase))
     viewDefs.remove((scope, name.toLowerCase)).isDefined
+  }
   /** Purge every view definition registered under `scope` — called when a
     * gateway session closes, else a long-lived gateway accumulates dead
     * sessions' (uuid, name) keys forever. */
   def dropScope(scope: String): Unit =
-    if (scope.nonEmpty)
+    if (scope.nonEmpty) {
       viewDefs.keys.filter(_._1 == scope).foreach(viewDefs.remove)
+      viewMatTexts.keys.filter(_._1 == scope).foreach(viewMatTexts.remove)
+    }
   /** Shared (catalog) view definitions: name → SQL text. Gateway sessions
     * other than the creator materialize these lazily on first reference
     * (the binding-visibility mechanism, r12). */
   def catalogViews: Map[String, String] =
-    viewDefs.iterator.collect { case (("", n), (sql, _)) => n -> sql }.toMap
+    viewDefs.iterator.collect { case (("", n), (sql, _)) =>
+      n -> viewMatTexts.getOrElse(("", n), sql) }.toMap
 
   /** ALTER TABLE t SET ('k'='v', ...) on a binding (F:96-98): merge options
     * and refresh the materialized view so later reads see the change. */

@@ -342,6 +342,43 @@ class AlterSchemaSpec extends SparkTestBase {
     gw.closeSession(h)
   }
 
+  test("views capture their creation-time schema: ALTER does not grow SELECT * views (r14)") {
+    // Flink stores the EXPANDED query (CatalogView.expandedQuery): a
+    // `SELECT *` view's columns are fixed at CREATE VIEW time. Before r14
+    // our views re-expanded `*` at every materialization, so an unrelated
+    // ALTER ADD silently grew every star-view over the table.
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("view_capture")
+    val dir = java.nio.file.Files.createTempDirectory("graft-viewcap").toString
+    ok(gw, h, s"CREATE TABLE vc_base (a INT, b STRING) WITH " +
+      s"('connector'='filesystem','path'='$dir','format'='parquet')")
+    ok(gw, h, "INSERT INTO vc_base VALUES (1, 'x')")
+    ok(gw, h, "CREATE VIEW vc_star AS SELECT * FROM vc_base")
+    ok(gw, h, "ALTER TABLE vc_base ADD c DOUBLE")
+    ok(gw, h, "INSERT INTO vc_base VALUES (2, 'y', 9.5)")
+    val r = page(gw, h, "SELECT * FROM vc_star ORDER BY a")
+    assert(r.columns == Seq("a", "b"), s"star view grew: ${r.columns}")
+    assert(r.rows.size == 2)
+    // the base table itself DOES show the evolved schema
+    assert(page(gw, h, "SELECT * FROM vc_base").columns == Seq("a", "b", "c"))
+    // a column the view captured is dropped: the view errors BY NAME
+    ok(gw, h, "ALTER TABLE vc_base DROP b")
+    val e = page(gw, h, "SELECT * FROM vc_star")
+    assert(e.columns == Seq("error") && e.rows.head.head.toString.contains("`b`"), e.rows.take(1))
+    // re-creating the view re-captures the current schema
+    ok(gw, h, "CREATE OR REPLACE VIEW vc_star AS SELECT * FROM vc_base")
+    assert(page(gw, h, "SELECT * FROM vc_star").columns == Seq("a", "c"))
+    // SHOW CREATE VIEW still shows the ORIGINAL body, not the wrap
+    val sc = page(gw, h, "SHOW CREATE VIEW vc_star").rows.head.head.toString
+    assert(sc.contains("SELECT * FROM vc_base") && !sc.contains("__graft_view_body"), sc)
+    // cross-session: another session sees the same captured schema
+    val h2 = gw.openSession("view_capture2")
+    ok(gw, h, "ALTER TABLE vc_base ADD d BIGINT")
+    assert(page(gw, h2, "SELECT * FROM vc_star").columns == Seq("a", "c"))
+    gw.closeSession(h); gw.closeSession(h2)
+  }
+
   test("a read failure at fetch time answers an error page, not a raw throw (r14)") {
     // batch results materialize lazily: schema/file drift after routing
     // surfaces at fetchResults — the gateway contract (never a raw throw)
