@@ -398,4 +398,37 @@ class CdcDmlSpec extends SparkTestBase {
     assert(m3.columns == Seq("error") &&
       m3.rows.head.head.toString.contains("can only INSERT"), s"got $m3")
   }
+
+  test("ALTER evolution over a CDC binding: generations NULL-fill, drops project away (r14)") {
+    TableEnv.clear()
+    val gw = new graft.engine.Gateway(spark)
+    val h = gw.openSession("cdc_alter")
+    def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-alter")
+    java.nio.file.Files.write(dir.resolve("cdc.json"), Seq(
+      """{"before": null, "after": {"id": 1, "name": "ada"}, "op": "c", "ts_ms": 1000}""",
+      """{"before": null, "after": {"id": 2, "name": "bob"}, "op": "c", "ts_ms": 1001}""")
+      .mkString("\n").getBytes("UTF-8"))
+    assert(run(s"CREATE TABLE dbz_ev (id BIGINT, name STRING) WITH " +
+      s"('connector'='filesystem','path'='$dir','format'='debezium-json')")
+      .columns != Seq("error"))
+    // ADD: old changelog lines lack the field -> NULL-fill; a new
+    // generation carries it
+    assert(run("ALTER TABLE dbz_ev ADD score DOUBLE").columns != Seq("error"))
+    java.nio.file.Files.write(dir.resolve("cdc2.json"),
+      ("""{"before": null, "after": {"id": 3, "name": "eve", "score": 9.5}, "op": "c", "ts_ms": 1002}""" + "\n")
+        .getBytes("UTF-8"))
+    val r1 = run("SELECT id, name, score FROM dbz_ev ORDER BY id")
+    assert(r1.rows.map(_.toList) ==
+      Seq(List(1L, "ada", null), List(2L, "bob", null), List(3L, "eve", 9.5)), r1.rows)
+    // DROP: the changelog still carries 'name'; it must project away
+    assert(run("ALTER TABLE dbz_ev DROP name").columns != Seq("error"))
+    val r2 = run("SELECT id, score FROM dbz_ev ORDER BY id")
+    assert(r2.rows.map(_.toList) ==
+      Seq(List(1L, null), List(2L, null), List(3L, 9.5)), r2.rows)
+    // retype on a json-backed cdc binding re-parses text: DOUBLE -> STRING ok
+    assert(run("ALTER TABLE dbz_ev MODIFY score STRING").columns != Seq("error"))
+    assert(run("SELECT score FROM dbz_ev WHERE id = 3").rows == Seq(Seq("9.5")))
+    gw.closeSession(h)
+  }
 }
