@@ -200,6 +200,22 @@ object TableEnv {
     var cols = b.cols
     var wm = b.watermark
     var pk = b.primaryKey
+    // csv rows are POSITIONAL: evolving the physical column LAYOUT (ADD at
+    // any position — old rows then carry the wrong token count — DROP, or a
+    // MODIFY that repositions / crosses physical↔computed) makes every
+    // pre-evolution file unreadable, or worse silently misassigns
+    // same-typed columns (r14 probe: even ADD-at-end reads
+    // MALFORMED_CSV_RECORD). Refuse by name while data exists. In-place
+    // retypes re-parse text and stay governed by retypeCompatible; computed/
+    // METADATA/watermark/PK edits are projection-level and always fine.
+    lazy val csvLayoutFrozen = b.connector == "filesystem" &&
+      b.format == "csv" && hasDataFiles(spark, b.options("path"))
+    def refuseCsvLayout(what: String): Nothing = throw new IllegalArgumentException(
+      s"'$name' is a csv binding with existing data — csv rows bind by " +
+        s"POSITION, so $what would misread every pre-evolution file; " +
+        "rewrite the data (INSERT OVERWRITE into a table declared with the " +
+        "new layout) instead (in-place retypes, computed/METADATA columns, " +
+        "WATERMARK and PRIMARY KEY can still be altered)")
     items.foreach { item =>
       // whitespace-normalized for keyword checks: PkItemRe/WmItemRe accept
       // arbitrary whitespace (PRIMARY\nKEY), so the guards below must too
@@ -241,6 +257,8 @@ object TableEnv {
           val (cd, pos) = parseCol(item)
           require(!cols.exists(_.name.equalsIgnoreCase(cd.name)),
             s"column '${cd.name}' already exists in '$name'")
+          if (cd.computed.isEmpty && cd.metadataFrom.isEmpty && csvLayoutFrozen)
+            refuseCsvLayout(s"adding physical column '${cd.name}'")
           cols = insertAt(cols, cd, pos)
         case "modify" =>
           val (cd, pos) = parseCol(item)
@@ -256,6 +274,11 @@ object TableEnv {
           val old = cols(i)
           val physToPys = old.computed.isEmpty && old.metadataFrom.isEmpty &&
             cd.computed.isEmpty && cd.metadataFrom.isEmpty
+          val oldPhysical = old.computed.isEmpty && old.metadataFrom.isEmpty
+          val newPhysical = cd.computed.isEmpty && cd.metadataFrom.isEmpty
+          if ((oldPhysical || newPhysical) && (oldPhysical != newPhysical ||
+              (pos.isDefined && oldPhysical)) && csvLayoutFrozen)
+            refuseCsvLayout(s"repositioning or re-kinding column '${cd.name}'")
           if (b.connector == "filesystem" && physToPys &&
               !old.sparkType.equalsIgnoreCase(cd.sparkType)) {
             val fmt = if (cdcFormats(b.format)) "json" else b.format
@@ -290,6 +313,8 @@ object TableEnv {
           cols.filter(c => c.computed.exists(e => refRx.findFirstIn(e).isDefined))
             .foreach(c => throw new IllegalArgumentException(
               s"column '$n' is referenced by computed column '${c.name}' — drop that first"))
+          if (cols(i).computed.isEmpty && cols(i).metadataFrom.isEmpty && csvLayoutFrozen)
+            refuseCsvLayout(s"dropping physical column '$n'")
           require(cols.exists(c => !c.name.equalsIgnoreCase(n) &&
               c.computed.isEmpty && c.metadataFrom.isEmpty),
             s"cannot drop the last physical column of '$name'")

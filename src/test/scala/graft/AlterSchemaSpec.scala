@@ -342,6 +342,45 @@ class AlterSchemaSpec extends SparkTestBase {
     gw.closeSession(h)
   }
 
+  test("csv layout freeze: positional evolution refuses while data exists (r14)") {
+    // csv rows bind by POSITION: ADD (even at the end — old rows then carry
+    // the wrong token count), DROP, and MODIFY-reposition all misread every
+    // pre-evolution file, or silently misassign same-typed columns. json/
+    // avro/orc/parquet bind by name and evolve freely (probed,
+    // tools/CsvEvolveProbe).
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("csv_freeze")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvfreeze").toString
+    ok(gw, h, s"CREATE TABLE cf (a INT, b STRING, c DOUBLE) WITH " +
+      s"('connector'='filesystem','path'='$dir','format'='csv')")
+    // empty table: layout still free
+    ok(gw, h, "ALTER TABLE cf ADD z BIGINT FIRST")
+    ok(gw, h, "ALTER TABLE cf DROP z")
+    ok(gw, h, "INSERT INTO cf VALUES (1, 'x', 1.5)")
+    // with data: every physical-layout change refuses by name
+    err(gw, h, "ALTER TABLE cf ADD z BIGINT", "bind by POSITION")
+    err(gw, h, "ALTER TABLE cf ADD z BIGINT FIRST", "bind by POSITION")
+    err(gw, h, "ALTER TABLE cf DROP b", "bind by POSITION")
+    err(gw, h, "ALTER TABLE cf MODIFY c DOUBLE FIRST", "bind by POSITION")
+    // projection-level edits and in-place retypes stay allowed
+    ok(gw, h, "ALTER TABLE cf ADD d AS a * 2")
+    ok(gw, h, "ALTER TABLE cf MODIFY a BIGINT")
+    ok(gw, h, "ALTER TABLE cf ADD PRIMARY KEY (a) NOT ENFORCED")
+    val r = page(gw, h, "SELECT * FROM cf")
+    assert(r.columns == Seq("a", "b", "c", "d") &&
+      r.rows == Seq(Seq(1L, "x", 1.5, 2L)), s"${r.columns} ${r.rows}")
+    // json binds by name: the same evolutions are fine with data
+    val jdir = java.nio.file.Files.createTempDirectory("graft-jsonevo").toString
+    ok(gw, h, s"CREATE TABLE jf (a INT, b STRING) WITH " +
+      s"('connector'='filesystem','path'='$jdir','format'='json')")
+    ok(gw, h, "INSERT INTO jf VALUES (1, 'x')")
+    ok(gw, h, "ALTER TABLE jf ADD z BIGINT FIRST")
+    ok(gw, h, "ALTER TABLE jf DROP b")
+    assert(page(gw, h, "SELECT * FROM jf").rows == Seq(Seq(null, 1)))
+    gw.closeSession(h)
+  }
+
   test("views capture their creation-time schema: ALTER does not grow SELECT * views (r14)") {
     // Flink stores the EXPANDED query (CatalogView.expandedQuery): a
     // `SELECT *` view's columns are fixed at CREATE VIEW time. Before r14
