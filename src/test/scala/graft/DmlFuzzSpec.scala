@@ -158,10 +158,15 @@ class DmlFuzzSpec extends SparkTestBase {
     * computed columns mid-list, positional INSERT against an evolved
     * physical column order, safe retypes over mixed-generation files, and
     * named refusals for unsafe ones. */
-  test("interleaved fuzz: ALTER evolution x DML converge with the model (220 ops)") {
+  for (variant <- Seq("parquet", "json", "partitioned"))
+  test(s"interleaved fuzz: ALTER evolution x DML converge with the model (220 ops, $variant)") {
+    // parquet: the by-name baseline. json: the text-backed by-name path —
+    // its retype whitelist differs (BIGINT→DOUBLE allowed, STRING→INT
+    // data-dependent-refused). partitioned: partition-column guard rails
+    // (tag undropable, directory-encoded values) under the same churn.
     TableEnv.clear()
     val gw = new Gateway(spark)
-    val h = gw.openSession("dml_evo")
+    val h = gw.openSession(s"dml_evo_$variant")
     def page(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
     def isErr(r: gw.Page) = r.columns == Seq("error")
 
@@ -171,11 +176,16 @@ class DmlFuzzSpec extends SparkTestBase {
     val rows = mutable.ArrayBuffer.empty[mutable.Map[String, Any]]
     def physical = schema.filter(_.computedMul.isEmpty)
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-evofuzz").toString
-    assert(!isErr(page("CREATE TABLE evo_t (id BIGINT, v BIGINT, tag STRING) WITH " +
-      s"('connector'='filesystem','path'='$dir','format'='parquet')")))
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-evofuzz-$variant").toString
+    val (part, fmt) = variant match {
+      case "partitioned" => ("PARTITIONED BY (tag) ", "parquet")
+      case f => ("", f)
+    }
+    assert(!isErr(page(s"CREATE TABLE evo_t (id BIGINT, v BIGINT, tag STRING) $part" +
+      s"WITH ('connector'='filesystem','path'='$dir','format'='$fmt')")))
 
-    val rnd = new Random(sys.env.getOrElse("EVO_FUZZ_SEED", "1414").toLong)
+    val seed = Map("parquet" -> "1414", "json" -> "1415", "partitioned" -> "1416")(variant)
+    val rnd = new Random(sys.env.getOrElse("EVO_FUZZ_SEED", seed).toLong)
     var colSeq = 0
     var opLog = List.empty[String]
     def exec(sql: String): Unit = {
@@ -283,7 +293,8 @@ class DmlFuzzSpec extends SparkTestBase {
         exec(s"ALTER TABLE evo_t ADD ${cd.name} AS id * $mul$ps")
         insertAt(cd, p)
       } else if (op < 52) { // ALTER DROP a droppable column
-        val droppable = schema.filterNot(_.name == "id")
+        val droppable = schema.filterNot(c => c.name == "id" ||
+          (variant == "partitioned" && c.name == "tag"))
         if (droppable.nonEmpty) {
           val c = droppable(rnd.nextInt(droppable.size))
           exec(s"ALTER TABLE evo_t DROP ${c.name}")
@@ -326,8 +337,11 @@ class DmlFuzzSpec extends SparkTestBase {
         }
       } else if (op < 66) { // unsafe retype attempt: named refusal, model unchanged
         if (rows.nonEmpty) {
+          // json re-parses text: BIGINT->DOUBLE is ALLOWED there, so the
+          // only universally-unsafe pair is STRING->INT (data-dependent)
           val target = schema.find(c => c.typ == "STRING" && c.computedMul.isEmpty)
-            .orElse(schema.find(c => c.typ == "BIGINT" && c.computedMul.isEmpty))
+            .orElse(if (variant == "json") None
+              else schema.find(c => c.typ == "BIGINT" && c.computedMul.isEmpty))
           target.foreach { c =>
             val to = if (c.typ == "STRING") "INT" else "DOUBLE"
             execErr(s"ALTER TABLE evo_t MODIFY ${c.name} $to", "cannot convert")
@@ -401,9 +415,10 @@ class DmlFuzzSpec extends SparkTestBase {
           }
         }
       } else { // illegal-op probes: named refusals, nothing changes
-        rnd.nextInt(3) match {
+        rnd.nextInt(if (variant == "partitioned") 4 else 3) match {
           case 0 => execErr(s"ALTER TABLE evo_t ADD ${schema.head.name} INT", "already exists")
           case 1 => execErr("ALTER TABLE evo_t DROP no_such_col", "does not exist")
+          case 3 => execErr("ALTER TABLE evo_t DROP tag", "partition column")
           case _ =>
             if (schema.exists(_.computedMul.isDefined))
               execErr("ALTER TABLE evo_t DROP id", "referenced by computed column")
