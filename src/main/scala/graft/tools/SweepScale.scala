@@ -39,6 +39,23 @@ object SweepScale {
     graft.Tables.registerAll(spark, sfDir)
     graft.functions.FlinkFunctions.registerAll(spark)
     spark.sql("SELECT count(*) FROM nation").collect()
+    // warm the OS page cache with a raw sequential read of every data file
+    // (parquet count-star reads only footers, so timed gates would otherwise
+    // pay the corpus's first-touch disk I/O in whichever gate runs first —
+    // at sf100 that put ~12s of cold scan into q_subq_in's reading, r14):
+    // decade ratios should measure COMPUTE scaling
+    locally {
+      val t0 = System.nanoTime()
+      val buf = new Array[Byte](1 << 20)
+      var bytes = 0L
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+      try stream.filter(p => java.nio.file.Files.isRegularFile(p)).forEach { p =>
+        val in = java.nio.file.Files.newInputStream(p)
+        try { var n = 0; while ({ n = in.read(buf); n >= 0 }) bytes += n }
+        finally in.close()
+      } finally stream.close()
+      println(f"[sweep] warmed ${bytes / 1e9}%.1f GB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
     val skipped = scala.collection.mutable.LinkedHashMap.empty[String, String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

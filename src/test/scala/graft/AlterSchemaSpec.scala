@@ -418,6 +418,45 @@ class AlterSchemaSpec extends SparkTestBase {
     gw.closeSession(h); gw.closeSession(h2)
   }
 
+  test("STATEMENT SET with streaming inserts: jobs run, post-ALTER sets see the evolved schema (r14)") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("ss_stream")
+    def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    val d = s"/tmp/graft-ssalter-${java.util.UUID.randomUUID()}"
+    ok(gw, h, "CREATE TABLE ss_src (id BIGINT, v DOUBLE) WITH " +
+      "('connector'='datagen','rows-per-second'='200')")
+    ok(gw, h, s"CREATE TABLE ss_a (id BIGINT, v DOUBLE) WITH ('connector'='filesystem'," +
+      s"'path'='$d/a','format'='parquet','checkpoint'='$d/ca')")
+    ok(gw, h, s"CREATE TABLE ss_b (id BIGINT, v DOUBLE) WITH ('connector'='filesystem'," +
+      s"'path'='$d/b','format'='parquet','checkpoint'='$d/cb')")
+    def count(t: String, pred: String = "true"): Long =
+      try run(s"SELECT count(*) AS n FROM $t WHERE $pred").rows.head.head.toString.toLong
+      catch { case _: Exception => -1L }
+    def await(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(cond, s"timed out: $what")
+    }
+    try {
+      // one set, two STREAMING inserts: both jobs start and commit
+      val msg = run("BEGIN STATEMENT SET; INSERT INTO ss_a SELECT id, v FROM ss_src; " +
+        "INSERT INTO ss_b SELECT id, v FROM ss_src; END").rows.head.head.toString
+      assert(msg.contains("2 inserts"), msg)
+      await("both sinks commit")(count("ss_a") > 0 && count("ss_b") > 0)
+      // ALTER while the set's jobs run: they keep their captured schema
+      ok(gw, h, "ALTER TABLE ss_b ADD tag STRING")
+      assert(run("SHOW JOBS").rows.count(_(2).toString == "RUNNING") == 2,
+        "a statement-set job died on ALTER")
+      graft.engine.Jobs.stopAll()
+      // a set compiled AFTER the ALTER writes the evolved schema
+      ok(gw, h, "BEGIN STATEMENT SET; INSERT INTO ss_b SELECT id, v, 'g2' FROM ss_src; END")
+      await("evolved rows commit")(count("ss_b", "tag = 'g2'") > 0)
+      assert(count("ss_b", "tag IS NULL") > 0, "generation-1 rows must survive")
+    } finally graft.engine.Jobs.stopAll()
+    gw.closeSession(h)
+  }
+
   test("a read failure at fetch time answers an error page, not a raw throw (r14)") {
     // batch results materialize lazily: schema/file drift after routing
     // surfaces at fetchResults — the gateway contract (never a raw throw)
