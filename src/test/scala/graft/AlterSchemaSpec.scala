@@ -306,7 +306,7 @@ class AlterSchemaSpec extends SparkTestBase {
       try run(s"SELECT count(*) AS n FROM as_snk WHERE $pred").rows.head.head.toString.toLong
       catch { case _: Exception => -1L }
     def awaitTrue(what: String)(cond: => Boolean): Unit = {
-      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
       while (!cond && System.nanoTime() < deadline) Thread.sleep(250)
       assert(cond, s"timed out waiting for: $what")
     }
@@ -434,7 +434,7 @@ class AlterSchemaSpec extends SparkTestBase {
       try run(s"SELECT count(*) AS n FROM $t WHERE $pred").rows.head.head.toString.toLong
       catch { case _: Exception => -1L }
     def await(what: String)(cond: => Boolean): Unit = {
-      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
       while (!cond && System.nanoTime() < deadline) Thread.sleep(250)
       assert(cond, s"timed out: $what")
     }
@@ -444,10 +444,14 @@ class AlterSchemaSpec extends SparkTestBase {
         "INSERT INTO ss_b SELECT id, v FROM ss_src; END").rows.head.head.toString
       assert(msg.contains("2 inserts"), msg)
       await("both sinks commit")(count("ss_a") > 0 && count("ss_b") > 0)
-      // ALTER while the set's jobs run: they keep their captured schema
+      // ALTER while the set's jobs run: they keep their captured schema.
+      // Check THE SET'S OWN jobs by name — the jobs registry is global and
+      // another suite's leftover job must not poison a bare RUNNING count.
       ok(gw, h, "ALTER TABLE ss_b ADD tag STRING")
-      assert(run("SHOW JOBS").rows.count(_(2).toString == "RUNNING") == 2,
-        "a statement-set job died on ALTER")
+      val jobs = run("SHOW JOBS").rows
+      assert(Seq("ss_a_", "ss_b_").forall(p => jobs.exists(r =>
+          r(1).toString.startsWith(p) && r(2).toString == "RUNNING")),
+        s"a statement-set job died on ALTER: $jobs")
       graft.engine.Jobs.stopAll()
       // a set compiled AFTER the ALTER writes the evolved schema
       ok(gw, h, "BEGIN STATEMENT SET; INSERT INTO ss_b SELECT id, v, 'g2' FROM ss_src; END")
