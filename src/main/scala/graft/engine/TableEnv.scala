@@ -134,9 +134,16 @@ object TableEnv {
     viewDefs.iterator.collect { case (("", n), (sql, _)) =>
       n -> viewMatTexts.getOrElse(("", n), sql) }.toMap
 
+  // The ALTER verbs below are read-modify-write on the shared registry:
+  // two concurrent alters of one table would otherwise both read the same
+  // base and the second put would silently DROP the first edit (a lost
+  // ALTER ADD — r14 race audit). The gateway already routes all DDL under
+  // ddlLock; taking the same reentrant monitor here extends the guarantee
+  // to direct TableEnv callers, like putIfAbsent does for creates.
+
   /** ALTER TABLE t SET ('k'='v', ...) on a binding (F:96-98): merge options
     * and refresh the materialized view so later reads see the change. */
-  def alterOptions(spark: SparkSession, name: String, opts: Map[String, String]): Binding = {
+  def alterOptions(spark: SparkSession, name: String, opts: Map[String, String]): Binding = ddlLock.synchronized {
     val b = lookup(name).getOrElse(
       throw new IllegalArgumentException(s"Unknown binding: $name"))
     val nb = b.copy(options = b.options ++ opts)
@@ -152,7 +159,7 @@ object TableEnv {
     * Flink: existing files are re-read under the new schema (a missing
     * parquet column reads NULL; an incompatible MODIFY surfaces at scan
     * time). Every refusal is a named error. */
-  def alterSchema(spark: SparkSession, name: String, verb: String, rest0: String): Binding = {
+  def alterSchema(spark: SparkSession, name: String, verb: String, rest0: String): Binding = ddlLock.synchronized {
     val b = lookup(name).getOrElse(
       throw new IllegalArgumentException(s"Unknown binding: $name"))
     val rest = rest0.trim
@@ -381,7 +388,7 @@ object TableEnv {
   }
 
   /** ALTER TABLE t RENAME TO t2 on a binding. */
-  def rename(spark: SparkSession, from: String, to: String): Binding = {
+  def rename(spark: SparkSession, from: String, to: String): Binding = ddlLock.synchronized {
     val b = lookup(from).getOrElse(
       throw new IllegalArgumentException(s"Unknown binding: $from"))
     val nb = b.copy(name = to.toLowerCase)
