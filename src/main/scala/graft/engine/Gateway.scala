@@ -174,13 +174,20 @@ class Gateway(root: SparkSession) {
   }
 
   def closeSession(handle: String): Unit = {
+    // ORDER MATTERS: the handle must leave `sessions` BEFORE the sessionOps
+    // purge. executeStatement registers its op (resurrecting the queue via
+    // getOrElseUpdate) and then re-checks sessions.contains — with the old
+    // order (ops purged first) a statement racing between the two removals
+    // resurrected the queue while the re-check still saw the session live,
+    // leaking the op + queue permanently.
+    val removed = sessions.remove(handle)
     // release every operation the session issued (streaming handles too —
     // the JOBS keep running per Flink semantics and stay visible/stoppable
     // via the cross-session jobs registry; only the result handles die)
     sessionOps.remove(handle).foreach { q =>
       q.forEach(h => if (operations.contains(h)) closeOperation(h))
     }
-    sessions.remove(handle).foreach { s =>
+    removed.foreach { s =>
       s.alive = false
       sessionModules.remove(s.spark)
       // purge this session's temp-view definitions and materialization
@@ -1768,7 +1775,15 @@ class Gateway(root: SparkSession) {
     // on each fetch — otherwise 512 newer statements in the same session
     // auto-close it mid-pagination and the next fetch throws
     sessionOps.get(op.session).foreach { q =>
-      if (q.remove(opHandle)) q.add(opHandle)
+      if (q.remove(opHandle)) {
+        q.add(opHandle)
+        // the remove/add pair is non-atomic: a closeSession purging the
+        // queue while the handle was detached never saw it, so it would
+        // never be closed — re-check and close on the losing side (the
+        // local `op` reference still serves this final page fine)
+        if (!sessions.contains(op.session) && operations.contains(opHandle))
+          closeOperation(opHandle)
+      }
     }
     op.result match {
       case Failed(err) =>

@@ -170,8 +170,6 @@ object TableEnv {
     require(items.nonEmpty, s"empty ALTER TABLE ${verb.toUpperCase} list")
 
     val PosRe = """(?is)^(.*?)\s+(?:(FIRST)|AFTER\s+(`[^`]+`|\w+))\s*$""".r
-    val WmItemRe = """(?is)^WATERMARK\s+FOR\s+(`[^`]+`|\w+)\s+AS\s+(.+)$""".r
-    val WmBoundRe = """(?is)^(.*?)-\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*$""".r
     val PkItemRe = """(?is)^(?:CONSTRAINT\s+[\w`]+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)(?:\s+NOT\s+ENFORCED)?\s*$""".r
     val ColItemRe = """(?s)^(`[^`]+`|\w+)\s+(.+)$""".r
 
@@ -570,12 +568,24 @@ object TableEnv {
   private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(hp)
+    // hidden/metadata markers can be a DIRECTORY component, not just the
+    // leaf (_spark_metadata/0, _spark_metadata/1.compact, .staging/part-…),
+    // so every path segment between the table root and the file counts
+    def hiddenUnderRoot(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     fs.exists(hp) && {
       val it = fs.listFiles(hp, true)
       var found = false
       while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) found = true
+        if (!hiddenUnderRoot(it.next().getPath)) found = true
       }
       found
     }
@@ -629,14 +639,13 @@ object TableEnv {
     }
   }
 
-  private val WatermarkRe =
-    """(?i)WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+[\w`]+\s*-\s*INTERVAL\s+'([^']+)'\s+(\w+)""".r
-  // WATERMARK FOR c AS SOURCE_WATERMARK() (G:467): the connector supplies the
-  // watermark. Spark has no connector watermark channel; the closest semantic
-  // is the source frontier itself — the max event time seen — which is
-  // exactly withWatermark(c, '0 seconds').
-  private val SourceWatermarkRe =
-    """(?i)WATERMARK\s+FOR\s+([\w`]+)\s+AS\s+SOURCE_WATERMARK\s*\(\s*\)""".r
+  // Shared by CREATE TABLE and ALTER TABLE: both routes go through
+  // parseWatermarkItem so the base-column check (Flink refuses
+  // WATERMARK FOR ts AS other - INTERVAL …) applies identically — the
+  // CREATE path previously matched any base column and silently
+  // watermarked the FOR column instead.
+  private val WmItemRe = """(?is)^WATERMARK\s+FOR\s+(`[^`]+`|\w+)\s+AS\s+(.+)$""".r
+  private val WmBoundRe = """(?is)^(.*?)-\s*INTERVAL\s+'([^']+)'\s+(\w+)\s*$""".r
   private val PkRe = """(?i)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
   private val MetadataRe = """(?i)(`[^`]+`|\w+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?$""".r
   private val ComputedRe = """(?i)(`[^`]+`|\w+)\s+AS\s+(.+)$""".r
@@ -666,14 +675,7 @@ object TableEnv {
         // constraint_id would otherwise match startsWith and be silently
         // dropped (r11, DdlFuzzSpec)
         case w if w.toUpperCase.matches("(?s)WATERMARK\\s+FOR\\b.*") =>
-          WatermarkRe.findFirstMatchIn(w).foreach { wm =>
-            watermark = Some((wm.group(1).replace("`", ""),
-              s"${wm.group(2)} ${FlinkDialect.unitName(wm.group(3))}"))
-          }
-          if (watermark.isEmpty)
-            SourceWatermarkRe.findFirstMatchIn(w).foreach { wm =>
-              watermark = Some((wm.group(1).replace("`", ""), "0 seconds"))
-            }
+          watermark = Some(parseWatermarkItem(w.trim, WmItemRe, WmBoundRe))
         // both forms: `PRIMARY KEY (id) NOT ENFORCED` and the named-
         // constraint `CONSTRAINT pk PRIMARY KEY (id) NOT ENFORCED` — the
         // latter otherwise fell through to the plain-column branch as a

@@ -41,10 +41,34 @@ object AvroFiles {
   // GB-scale allocation BEFORE any bounds check (avro 1.12 defaults are
   // unlimited). 512 MB is far above any legitimate single datum here; over
   // the cap avro raises its named SystemLimitException instead.
-  for (k <- Seq("org.apache.avro.limits.string.maxLength",
-      "org.apache.avro.limits.bytes.maxLength"))
-    if (System.getProperty(k) == null)
-      System.setProperty(k, (512L * 1024 * 1024).toString)
+  //
+  // avro caches these properties in SystemLimitException's STATIC INIT, so
+  // setting them here is a no-op if any other code path loaded an avro
+  // class first (test ordering, a future refactor) — and the cap would be
+  // silently disabled. Force a re-read via the package-private
+  // resetLimits() (the same hook avro's own tests use), then positively
+  // assert the cap is in effect; a silent no-op is exactly the failure
+  // mode this guard exists to prevent.
+  private val avroAllocCap = 512L * 1024 * 1024
+  locally {
+    for (k <- Seq("org.apache.avro.limits.string.maxLength",
+        "org.apache.avro.limits.bytes.maxLength"))
+      if (System.getProperty(k) == null)
+        System.setProperty(k, avroAllocCap.toString)
+    val cls = classOf[org.apache.avro.SystemLimitException]
+    val reset = cls.getDeclaredMethod("resetLimits")
+    reset.setAccessible(true)
+    reset.invoke(null)
+    val effective = math.min(
+      java.lang.Long.parseLong(
+        System.getProperty("org.apache.avro.limits.bytes.maxLength")),
+      Int.MaxValue - 8L) // avro clamps to MAX_ARRAY_VM_LIMIT
+    val capped =
+      try { org.apache.avro.SystemLimitException.checkMaxBytesLength(effective + 1); false }
+      catch { case _: org.apache.avro.SystemLimitException => true }
+    require(capped, "avro decoder allocation cap is NOT in effect — " +
+      "org.apache.avro.limits.* were read before AvroFiles could set them")
+  }
 
   // ---------------------------------------------------------- schema map --
 

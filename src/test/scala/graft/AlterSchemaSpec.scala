@@ -236,6 +236,39 @@ class AlterSchemaSpec extends SparkTestBase {
     gw.closeSession(h)
   }
 
+  test("r15 ADVICE: CREATE-path watermark base-column check; metadata-only dirs count as empty") {
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("alter_advice15")
+    // the base-column check previously applied only to ALTER; CREATE TABLE
+    // matched any base column and silently watermarked the FOR column
+    err(gw, h, "CREATE TABLE wc (id INT, ts TIMESTAMP(3), other TIMESTAMP(3), " +
+      "WATERMARK FOR ts AS other - INTERVAL '5' SECOND) " +
+      "WITH ('connector'='datagen','number-of-rows'='2')",
+      "must be based on the watermark column")
+    // an unparseable watermark expression used to be DROPPED silently at
+    // CREATE time (no watermark registered, no signal); now a named error
+    err(gw, h, "CREATE TABLE wg (id INT, ts TIMESTAMP(3), " +
+      "WATERMARK FOR ts AS some_udf(ts)) " +
+      "WITH ('connector'='datagen','number-of-rows'='2')",
+      "unsupported watermark expression")
+    ok(gw, h, "CREATE TABLE wk (id INT, ts TIMESTAMP(3), " +
+      "WATERMARK FOR ts AS ts - INTERVAL '5' SECOND) " +
+      "WITH ('connector'='datagen','number-of-rows'='2')")
+    // hasDataFiles: files under a metadata DIRECTORY (_spark_metadata/0 has
+    // leaf name "0") must not count as data — a csv table holding only
+    // streaming commit logs is still layout-mutable
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta-only")
+    java.nio.file.Files.createDirectory(dir.resolve("_spark_metadata"))
+    java.nio.file.Files.write(dir.resolve("_spark_metadata").resolve("0"),
+      "v1".getBytes)
+    ok(gw, h, s"CREATE TABLE mo (a INT, b STRING) WITH " +
+      s"('connector'='filesystem','path'='$dir','format'='csv')")
+    ok(gw, h, "ALTER TABLE mo ADD c DOUBLE") // layout change: dir is "empty"
+    ok(gw, h, "ALTER TABLE mo MODIFY a BIGINT")
+    gw.closeSession(h)
+  }
+
   test("MODIFY retype guard: reader-incompatible retypes refuse while data exists (r14)") {
     // probed matrix (tools/RetypeProbe): a retype the format's reader can't
     // convert used to succeed at ALTER time and poison every later read

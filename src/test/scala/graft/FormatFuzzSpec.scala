@@ -97,6 +97,21 @@ class FormatFuzzSpec extends SparkTestBase {
     assert(errors > 0 && decoded > 0, s"degenerate fuzz: errors=$errors decoded=$decoded")
   }
 
+  test("avro allocation caps are IN EFFECT, not just set (r15 ADVICE)") {
+    // avro caches org.apache.avro.limits.* in SystemLimitException's static
+    // init — AvroFiles now forces a re-read (resetLimits) and asserts the
+    // effective value, so the cap can't be silently disabled by class-load
+    // ordering. Verify through avro's own enforcement entry point.
+    AvroFiles.toAvroSchema(StructType.fromDDL("id BIGINT")) // ensure init ran
+    val cap = java.lang.Long.parseLong(
+      System.getProperty("org.apache.avro.limits.bytes.maxLength"))
+    assert(cap <= 512L * 1024 * 1024, s"unexpected cap $cap")
+    intercept[org.apache.avro.SystemLimitException](
+      org.apache.avro.SystemLimitException.checkMaxBytesLength(cap + 1))
+    intercept[org.apache.avro.SystemLimitException](
+      org.apache.avro.SystemLimitException.checkMaxStringLength(cap + 1))
+  }
+
   private object Results {
     def msg(e: Throwable): String =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
