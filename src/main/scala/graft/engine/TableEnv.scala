@@ -1395,9 +1395,86 @@ object TableEnv {
 
   // ---------------------------------------------------------------- sinks --
 
+  /** True iff `ckpt` already holds a committed streaming offsets log — i.e.
+    * a job started against it would RESTART from prior state, not begin
+    * fresh. Only an explicit 'checkpoint' option can hit this: the default
+    * location embeds a nanoTime-fresh job name. */
+  private def hasCommittedOffsets(spark: SparkSession, ckpt: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(ckpt, "offsets")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.exists(hp) && fs.listStatus(hp).nonEmpty
+    catch { case _: Exception => false }
+  }
+
+  /** A restarted job re-validates its checkpoint in its FIRST micro-batch
+    * (offset log replay, state-store schema check) — asynchronously, after
+    * the INSERT statement already answered "Job started". If the binding or
+    * query evolved between STOP JOB and this start (ALTER changed the state
+    * or sink shape), Spark kills the query with a raw state-store error
+    * nobody sees. Wait, bounded, for the first commit or the failure; a
+    * failure answers the INSERT itself with a NAMED, actionable error. A
+    * fresh-checkpoint start never enters this path (zero added latency). */
+  private def validateRestart(name: String, sink: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery, ckpt: String): Unit = {
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline && q.isActive &&
+        q.exception.isEmpty && q.recentProgress.isEmpty)
+      Thread.sleep(100)
+    q.exception.foreach { e =>
+      val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(12).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}").mkString(" <- ")
+      val evolved = """(?is).*(state.*(schema|store)|schema.*compatib|stateful\s+operator|offset\s+(log|seq)|checkpoint).*""".r
+        .matches(chain)
+      val why =
+        if (evolved)
+          "the query or schema evolved since the checkpoint was written (an " +
+            "ALTER TABLE between STOP JOB and this start changes the state or " +
+            "sink shape Spark must restore). Restart from a fresh checkpoint: " +
+            s"point the sink's 'checkpoint' option at a new directory (ALTER " +
+            s"TABLE $sink SET ('checkpoint'='<new dir>')) and re-run the INSERT"
+        else "the first micro-batch after the restart failed"
+      throw new IllegalStateException(
+        s"Job $name could not restart from its checkpoint ('checkpoint'='$ckpt'): " +
+          s"$why. Underlying failure: ${graft.engine.Results.rootCauseMessage(e)}")
+    }
+  }
+
+  /** Does the sink path already carry a streaming job's commit log?
+    * parquet/csv/json/orc file sinks leave `_spark_metadata`; the avro sink
+    * leaves batch-id-tagged part files. Either one makes a FRESH-checkpoint
+    * job unsafe: Spark's file sink dedups micro-batches by batch id alone,
+    * so a new job whose ids restart at 0 silently SKIPS its first batches
+    * against the old log (avro: silently overwrites the old batch-0 parts). */
+  private def usedStreamingSinkPath(spark: SparkSession, b: Binding): Boolean =
+    b.options.get("path").exists { p =>
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      try {
+        if (b.format == "avro")
+          fs.exists(root) && fs.listStatus(root)
+            .exists(_.getPath.getName.matches(""".*-batch-\d+\.avro"""))
+        else {
+          val meta = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+          fs.exists(meta) && fs.listStatus(meta).nonEmpty
+        }
+      } catch { case _: Exception => false }
+    }
+
   /** Streaming writer for a sink binding. Returns a started query name. */
   def startStreamingInsert(spark: SparkSession, b: Binding, df: DataFrame): String = {
     val name = s"${b.name}_${System.nanoTime()}"
+    val resumeCkpt = b.options.get("checkpoint")
+      .filter(p => hasCommittedOffsets(spark, p))
+    if (b.connector == "filesystem" && resumeCkpt.isEmpty && usedStreamingSinkPath(spark, b))
+      throw new IllegalStateException(
+        s"streaming INSERT into '${b.name}' would start from a FRESH checkpoint, " +
+          s"but its path '${b.options("path")}' already carries a streaming " +
+          "commit log from an earlier job. Spark's file sink dedups " +
+          "micro-batches by batch id, so this job would silently LOSE its " +
+          "first batches against the old log. Either resume the previous job " +
+          "exactly-once (set the sink's 'checkpoint' option to the previous " +
+          "job's checkpoint directory), or write to a fresh sink: ALTER TABLE " +
+          s"${b.name} SET ('path'='<new dir>', 'checkpoint'='<new dir>')")
     val w = b.connector match {
       case "print" => df.writeStream.format("console")
       case "blackhole" => df.writeStream.format("noop")
@@ -1443,6 +1520,9 @@ object TableEnv {
     }
     val q = w.queryName(name).start()
     Jobs.register(name, q)
+    // SHOW JOBS keeps the failed job visible (status FAILED) either way;
+    // the throw below additionally answers THIS statement with the reason
+    resumeCkpt.foreach(ck => validateRestart(name, b.name, q, ck))
     name
   }
 

@@ -322,6 +322,120 @@ class StreamRestartSpec extends SparkTestBase {
     assert(failures.isEmpty, s"${failures.size} of $N configs diverged (see info output)")
   }
 
+  test("gateway checkpoint-restart x schema evolution: named outcome per ALTER kind (r15)") {
+    // The one seam two proven subsystems never composed: AlterSchemaSpec
+    // pins ALTER against RUNNING jobs, the fuzz above pins restarts with a
+    // FIXED schema — but a job restarted FROM A CHECKPOINT after its
+    // binding evolved between STOP JOB and the restart hits Spark's state
+    // restore path, whose failures are raw state-store internals. Pinned
+    // outcomes: stateless sink ADD/DROP -> evolved write, NULL-fill read;
+    // stateful shape change -> NAMED restart-from-fresh-checkpoint error on
+    // the INSERT itself (job FAILED in SHOW JOBS, never a raw throw);
+    // watermark MODIFY -> resumes; fresh checkpoint over a used sink path
+    // -> named refusal (Spark would silently skip the first batches).
+    import graft.engine.{Gateway, TableEnv}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("ckpt_evo")
+    def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    def ok(s: String): String = {
+      val r = run(s)
+      assert(r.columns != Seq("error"), s"`$s` errored: ${r.rows.take(1)}")
+      r.rows.headOption.map(_.head.toString).getOrElse("")
+    }
+    def errLike(s: String, contains: String): String = {
+      val r = run(s)
+      assert(r.columns == Seq("error"), s"`$s` should refuse, got ${r.rows.take(1)}")
+      val msg = r.rows.head.head.toString
+      assert(msg.contains(contains), s"`$s` error should mention '$contains': $msg")
+      msg
+    }
+    def startJob(sql: String): String =
+      "Job (\\S+) started".r.findFirstMatchIn(ok(sql))
+        .getOrElse(fail(s"INSERT did not start a job")).group(1)
+    def count(tbl: String, pred: String = "true"): Long =
+      try run(s"SELECT count(*) AS n FROM $tbl WHERE $pred").rows.head.head.toString.toLong
+      catch { case _: Exception => -1L }
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    val runDir = s"/tmp/graft-ckptevo-${java.util.UUID.randomUUID()}"
+    ok("CREATE TABLE cr_src (k INT, ts TIMESTAMP(3), v DOUBLE, " +
+      "WATERMARK FOR ts AS ts - INTERVAL '5' SECOND) WITH " +
+      "('connector'='datagen','rows-per-second'='500')")
+    try {
+      // ---- ADD on a stateless sink: restart resumes, old rows NULL-fill --
+      ok(s"CREATE TABLE cra (k INT, v DOUBLE) WITH ('connector'='filesystem'," +
+        s"'path'='$runDir/a','format'='parquet','checkpoint'='$runDir/ca')")
+      val ja = startJob("INSERT INTO cra SELECT k, v FROM cr_src")
+      awaitTrue("cra commits")(count("cra") > 0)
+      ok(s"STOP JOB '$ja'")
+      ok("ALTER TABLE cra ADD tag STRING")
+      startJob("INSERT INTO cra SELECT k, v, 'g2' FROM cr_src") // same ckpt
+      awaitTrue("evolved rows commit")(count("cra", "tag = 'g2'") > 0)
+      assert(count("cra", "tag IS NULL") > 0, "generation-1 rows must NULL-fill")
+      // ---- DROP on a stateless sink: restart writes the narrower shape --
+      ok(s"CREATE TABLE crb (k INT, v DOUBLE) WITH ('connector'='filesystem'," +
+        s"'path'='$runDir/b','format'='parquet','checkpoint'='$runDir/cb')")
+      val jb = startJob("INSERT INTO crb SELECT k, v FROM cr_src")
+      awaitTrue("crb commits")(count("crb") > 0)
+      ok(s"STOP JOB '$jb'")
+      ok("ALTER TABLE crb DROP v")
+      startJob("INSERT INTO crb SELECT k FROM cr_src") // same ckpt
+      val before = count("crb")
+      awaitTrue("narrower rows commit")(count("crb") > before)
+      assert(run("SELECT * FROM crb").columns == Seq("k"))
+      // ---- stateful shape change: NAMED error, FAILED job, recovery ----
+      ok(s"CREATE TABLE crc (ws TIMESTAMP(3), sv DOUBLE) WITH " +
+        s"('connector'='filesystem','path'='$runDir/c','format'='parquet'," +
+        s"'checkpoint'='$runDir/cc')")
+      val agg = "SELECT window_start, SUM(v) AS sv FROM TABLE(TUMBLE(TABLE " +
+        "cr_src, DESCRIPTOR(ts), INTERVAL '10' SECOND)) " +
+        "GROUP BY window_start, window_end"
+      val jc = startJob(s"INSERT INTO crc $agg")
+      awaitTrue("crc commits closed windows")(count("crc") > 0)
+      ok(s"STOP JOB '$jc'")
+      ok("ALTER TABLE crc ADD n BIGINT")
+      // the restarted plan's agg buffer gained a field — Spark's state
+      // store would kill the job with a raw schema-compat internal; the
+      // INSERT itself must answer the named, actionable error instead
+      val msg = errLike("INSERT INTO crc SELECT window_start, SUM(v) AS sv, " +
+        "COUNT(*) AS n FROM TABLE(TUMBLE(TABLE cr_src, DESCRIPTOR(ts), " +
+        "INTERVAL '10' SECOND)) GROUP BY window_start, window_end",
+        "could not restart from its checkpoint")
+      assert(msg.contains("fresh checkpoint"), s"no recovery guidance: $msg")
+      assert(run("SHOW JOBS").rows.exists(r =>
+        r(1).toString.startsWith("crc_") && r(2).toString == "FAILED"),
+        "the failed restart must stay visible in SHOW JOBS")
+      // recovery path the error names: fresh checkpoint AND fresh path
+      ok(s"ALTER TABLE crc SET ('path'='$runDir/c2','checkpoint'='$runDir/cc2')")
+      startJob("INSERT INTO crc SELECT window_start, SUM(v) AS sv, " +
+        "COUNT(*) AS n FROM TABLE(TUMBLE(TABLE cr_src, DESCRIPTOR(ts), " +
+        "INTERVAL '10' SECOND)) GROUP BY window_start, window_end")
+      awaitTrue("evolved agg commits")(count("crc", "n IS NOT NULL") > 0)
+      // ---- watermark MODIFY: delay is plan-side, restart resumes ----
+      ok(s"CREATE TABLE crd (ws TIMESTAMP(3), sv DOUBLE) WITH " +
+        s"('connector'='filesystem','path'='$runDir/d','format'='parquet'," +
+        s"'checkpoint'='$runDir/cd')")
+      val jd = startJob(s"INSERT INTO crd $agg")
+      awaitTrue("crd commits")(count("crd") > 0)
+      ok(s"STOP JOB '$jd'")
+      ok("ALTER TABLE cr_src MODIFY WATERMARK FOR ts AS ts - INTERVAL '1' SECOND")
+      startJob(s"INSERT INTO crd $agg") // same ckpt, same query
+      val beforeD = count("crd")
+      awaitTrue("crd resumes committing")(count("crd") > beforeD)
+      // ---- fresh checkpoint over a used sink path: named refusal ----
+      ok(s"ALTER TABLE crd SET ('checkpoint'='$runDir/cd_fresh')")
+      errLike(s"INSERT INTO crd $agg", "commit log from an earlier job")
+    } finally {
+      graft.engine.Jobs.stopAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(runDir))
+      gw.closeSession(h)
+    }
+  }
+
   test("raced kills of a stateful windowed aggregation resume exactly-once from checkpoint") {
     // The fuzz above stops cleanly at batch boundaries; this test kills the
     // query WHEREVER it happens to be — racing the state-store commit, the
