@@ -158,12 +158,16 @@ class DmlFuzzSpec extends SparkTestBase {
     * computed columns mid-list, positional INSERT against an evolved
     * physical column order, safe retypes over mixed-generation files, and
     * named refusals for unsafe ones. */
-  for (variant <- Seq("parquet", "json", "partitioned"))
+  for (variant <- Seq("parquet", "json", "partitioned", "orc"))
   test(s"interleaved fuzz: ALTER evolution x DML converge with the model (220 ops, $variant)") {
     // parquet: the by-name baseline. json: the text-backed by-name path —
     // its retype whitelist differs (BIGINT→DOUBLE allowed, STRING→INT
     // data-dependent-refused). partitioned: partition-column guard rails
     // (tag undropable, directory-encoded values) under the same churn.
+    // orc (r15): the free-conversion family — retypes WITHIN
+    // numeric/string/boolean are allowed (an unparseable value reads NULL,
+    // exercised via STRING→BIGINT below), date/timestamp conversions are
+    // the refusal family.
     TableEnv.clear()
     val gw = new Gateway(spark)
     val h = gw.openSession(s"dml_evo_$variant")
@@ -184,7 +188,8 @@ class DmlFuzzSpec extends SparkTestBase {
     assert(!isErr(page(s"CREATE TABLE evo_t (id BIGINT, v BIGINT, tag STRING) $part" +
       s"WITH ('connector'='filesystem','path'='$dir','format'='$fmt')")))
 
-    val seed = Map("parquet" -> "1414", "json" -> "1415", "partitioned" -> "1416")(variant)
+    val seed = Map("parquet" -> "1414", "json" -> "1415",
+      "partitioned" -> "1416", "orc" -> "1417")(variant)
     val rnd = new Random(sys.env.getOrElse("EVO_FUZZ_SEED", seed).toLong)
     var colSeq = 0
     var opLog = List.empty[String]
@@ -322,7 +327,20 @@ class DmlFuzzSpec extends SparkTestBase {
             applyModify(c)
         }
       } else if (op < 62) { // ALTER MODIFY safe retype: INT -> BIGINT|DOUBLE
-        schema.find(c => c.typ == "INT" && c.computedMul.isEmpty) match {
+        val orcStrings =
+          if (variant == "orc")
+            schema.filter(c => c.typ == "STRING" && c.computedMul.isEmpty
+              && c.name != "tag") // keep one STRING col for UPDATE coverage
+          else Vector.empty
+        if (orcStrings.nonEmpty && rnd.nextBoolean()) {
+          // orc-only: STRING->BIGINT is within orc's free-conversion family;
+          // the generator's strings are never numeric, so every existing
+          // value reads NULL after the retype (probed r14, RetypeProbe)
+          val c = orcStrings(rnd.nextInt(orcStrings.size))
+          exec(s"ALTER TABLE evo_t MODIFY ${c.name} BIGINT")
+          schema = schema.map(x => if (x.name == c.name) x.copy(typ = "BIGINT") else x)
+          rows.foreach(r => if (r.contains(c.name)) r(c.name) = null)
+        } else schema.find(c => c.typ == "INT" && c.computedMul.isEmpty) match {
           case Some(c) =>
             val to = if (rnd.nextBoolean()) "BIGINT" else "DOUBLE"
             exec(s"ALTER TABLE evo_t MODIFY ${c.name} $to")
@@ -337,14 +355,24 @@ class DmlFuzzSpec extends SparkTestBase {
         }
       } else if (op < 66) { // unsafe retype attempt: named refusal, model unchanged
         if (rows.nonEmpty) {
-          // json re-parses text: BIGINT->DOUBLE is ALLOWED there, so the
-          // only universally-unsafe pair is STRING->INT (data-dependent)
-          val target = schema.find(c => c.typ == "STRING" && c.computedMul.isEmpty)
-            .orElse(if (variant == "json") None
-              else schema.find(c => c.typ == "BIGINT" && c.computedMul.isEmpty))
-          target.foreach { c =>
-            val to = if (c.typ == "STRING") "INT" else "DOUBLE"
-            execErr(s"ALTER TABLE evo_t MODIFY ${c.name} $to", "cannot convert")
+          if (variant == "orc") {
+            // orc converts freely within numeric/string/boolean — its
+            // refusal family is date/timestamp conversions over data
+            val cands = physical.filterNot(_.name == "id")
+            if (cands.nonEmpty) {
+              val c = cands(rnd.nextInt(cands.size))
+              execErr(s"ALTER TABLE evo_t MODIFY ${c.name} DATE", "cannot convert")
+            }
+          } else {
+            // json re-parses text: BIGINT->DOUBLE is ALLOWED there, so the
+            // only universally-unsafe pair is STRING->INT (data-dependent)
+            val target = schema.find(c => c.typ == "STRING" && c.computedMul.isEmpty)
+              .orElse(if (variant == "json") None
+                else schema.find(c => c.typ == "BIGINT" && c.computedMul.isEmpty))
+            target.foreach { c =>
+              val to = if (c.typ == "STRING") "INT" else "DOUBLE"
+              execErr(s"ALTER TABLE evo_t MODIFY ${c.name} $to", "cannot convert")
+            }
           }
         }
       } else if (op < 72) { // UPDATE a random physical column
