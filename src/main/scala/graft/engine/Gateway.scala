@@ -630,7 +630,13 @@ class Gateway(root: SparkSession) {
     // needed catalog-view definitions, or the view's materialization
     // below fails its analysis and the view is unreadable outside its
     // creating session (r12 review finding)
-    val defs = TableEnv.catalogViews
+    val catDefs = TableEnv.catalogViews
+    // the session's own TEMPORARY views join the reachability closure: a
+    // statement reaches a binding through a temp-view body too, and the
+    // binding must be re-materialized here even if it was re-created since
+    // this session last named it (r15 fuzz find). Shadow wins on a name
+    // collision, matching resolution order.
+    val defs = catDefs ++ TableEnv.scopeViews(viewScope(spark))
     def namedIn(text: String): Set[String] = defs.keySet.filter(n =>
       ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(n) + "(?![\\w`])").r
         .findFirstIn(text).isDefined)

@@ -134,6 +134,18 @@ object TableEnv {
     viewDefs.iterator.collect { case (("", n), (sql, _)) =>
       n -> viewMatTexts.getOrElse(("", n), sql) }.toMap
 
+  /** One session's TEMPORARY view definitions (materialization text), for
+    * the gateway's reachability closure: a statement can reach a binding
+    * THROUGH a temp view's body ("SELECT * FROM ns_y" where ns_y is
+    * `AS SELECT * FROM base`), and the base must be (re-)materialized in
+    * that session even though the statement never names it (r15
+    * NamespaceFuzzSpec find — a base table re-created after a DROP was
+    * unreachable through temp views in every other session). */
+  def scopeViews(scope: String): Map[String, String] =
+    if (scope.isEmpty) Map.empty
+    else viewDefs.iterator.collect { case ((s, n), (sql, _)) if s == scope =>
+      n -> viewMatTexts.getOrElse((s, n), sql) }.toMap
+
   // The ALTER verbs below are read-modify-write on the shared registry:
   // two concurrent alters of one table would otherwise both read the same
   // base and the second put would silently DROP the first edit (a lost

@@ -41,22 +41,54 @@ class NamespaceFuzzSpec extends SparkTestBase {
     def isErr(r: gw.Page) = r.columns == Seq("error")
 
     val names = Vector("ns_x", "ns_y", "ns_z", "ns_w")
+    // base-table pool for STAR VIEWS (r15: view schema capture folded into
+    // the model). Kept OUTSIDE the collision pool so the inner name of a
+    // captured view body always resolves to a table (never a shadow) — the
+    // capture semantics under test are: creation-time column capture,
+    // unrelated ALTER ADD not growing the view, a read error BY NAME when a
+    // captured column is dropped (or the base is gone), OR REPLACE
+    // re-capture, and shadow/un-shadow with captured text.
+    val baseNames = Vector("ns_base1", "ns_base2")
     val rnd = new Random(seed)
     var counter = 1 // unique row count per created object version
 
+    // a view definition: a self-contained VALUES body, or a star-capture
+    // over a base table (captured = column list at creation time)
+    sealed trait VDef
+    case class ValuesV(rows: Int) extends VDef
+    case class StarV(base: String, captured: Vector[String]) extends VDef
+
     // reference model
     val tables = mutable.Map.empty[String, (Boolean, Int)] // name -> (temporary, rows)
-    val views  = mutable.Map.empty[String, Int]            // name -> rows
-    val temps  = mutable.Map.empty[(Int, String), Int]     // (session, name) -> rows
+    val tcols  = mutable.Map.empty[String, Vector[String]] // base name -> ADDed columns
+    val views  = mutable.Map.empty[String, VDef]           // name -> definition
+    val temps  = mutable.Map.empty[(Int, String), VDef]    // (session, name) -> definition
     val plains = mutable.Set.empty[(Int, String)]          // connector-less temp tables (0 rows)
+
+    def baseCols(b: String): Vector[String] = "id" +: tcols.getOrElse(b, Vector())
 
     def valuesBody(c: Int): String =
       "SELECT v FROM (VALUES " + (1 to c).map(i => s"($i)").mkString(",") + ") AS t(v)"
 
-    def expectedCount(s: Int, n: String): Option[Int] =
-      temps.get((s, n))
-        .orElse(if (plains((s, n))) Some(0) else None)
-        .orElse(views.get(n)).orElse(tables.get(n).map(_._2))
+    // a star view reads iff its base is alive AND still carries every
+    // captured column; its count tracks the base's CURRENT rows, its
+    // columns stay the CAPTURED list
+    def resolve(d: VDef): Option[(Int, Option[Vector[String]])] = d match {
+      case ValuesV(c) => Some((c, None))
+      case StarV(b, cap) => tables.get(b) match {
+        case Some((_, c)) if cap.forall(baseCols(b).contains) => Some((c, Some(cap)))
+        case _ => None
+      }
+    }
+
+    // None covers both "name unknown" and "known but broken star view" —
+    // both read as an error page
+    def expectedCount(s: Int, n: String): Option[(Int, Option[Vector[String]])] =
+      temps.get((s, n)).map(resolve)
+        .orElse(if (plains((s, n))) Some(Some((0, None))) else None)
+        .orElse(views.get(n).map(resolve))
+        .orElse(tables.get(n).map(t => Some((t._2, None))))
+        .flatten
 
     var opLog = List.empty[String]
     def probe(s: Int, n: String, ctx: String): Unit = {
@@ -65,8 +97,16 @@ class NamespaceFuzzSpec extends SparkTestBase {
         s"recent ops:\n${opLog.filter(_.contains(n)).take(10).mkString("\n")}"
       expectedCount(s, n) match {
         case None => assert(isErr(r), s"$ctx: session $s sees dead name $n: ${r.rows} $detail")
-        case Some(c) => assert(!isErr(r) && r.rows.head.head.toString.toLong == c,
-          s"$ctx: session $s name $n expected $c got ${r.rows} $detail")
+        case Some((c, capOpt)) =>
+          assert(!isErr(r) && r.rows.head.head.toString.toLong == c,
+            s"$ctx: session $s name $n expected $c got ${r.rows} $detail")
+          capOpt.foreach { cap =>
+            // captured views answer SELECT * with the CAPTURED columns,
+            // whatever the base evolved into since
+            val star = run(hs(s), s"SELECT * FROM $n")
+            assert(!isErr(star) && star.columns == cap,
+              s"$ctx: session $s star view $n columns ${star.columns} != captured $cap $detail")
+          }
       }
     }
     (1 to soak(300)).foreach { step =>
@@ -86,7 +126,36 @@ class NamespaceFuzzSpec extends SparkTestBase {
         if (!isErr(r)) onOk
       }
 
-      if (op < 18) { // CREATE [TEMPORARY] TABLE ... WITH [IF NOT EXISTS]
+      // base-table evolution (r15): the star-view capture surface. Runs as
+      // its own family so every step has a chance to evolve a base under
+      // whatever views captured it.
+      if (rnd.nextInt(100) < 12) {
+        val b = baseNames(rnd.nextInt(baseNames.size))
+        rnd.nextInt(4) match {
+          case 0 => // (re-)CREATE the base with a fresh row count
+            exec(s"CREATE TABLE $b (id BIGINT) WITH " +
+              s"('connector'='datagen','number-of-rows'='$c')",
+              expectErr = tables.contains(b),
+              onOk = { tables(b) = (false, c); tcols(b) = Vector() })
+          case 1 => // ALTER ADD — captured views must NOT grow
+            exec(s"ALTER TABLE $b ADD a$c BIGINT",
+              expectErr = !tables.contains(b),
+              onOk = tcols(b) = tcols.getOrElse(b, Vector()) :+ s"a$c")
+          case 2 => // ALTER DROP an added column — views that captured it
+            // keep their definition and ERROR at read (modeled in resolve)
+            tcols.getOrElse(b, Vector()) match {
+              case cols if cols.nonEmpty =>
+                val victim = cols(rnd.nextInt(cols.size))
+                exec(s"ALTER TABLE $b DROP $victim", expectErr = false,
+                  onOk = tcols(b) = cols.filterNot(_ == victim))
+              case _ =>
+                exec(s"ALTER TABLE $b DROP a0", expectErr = true, onOk = ())
+            }
+          case _ => // DROP the base out from under its views
+            exec(s"DROP TABLE $b", expectErr = !tables.contains(b),
+              onOk = { tables -= b; tcols -= b })
+        }
+      } else if (op < 18) { // CREATE [TEMPORARY] TABLE ... WITH [IF NOT EXISTS]
         val temp = rnd.nextInt(4) == 0
         val ine = rnd.nextInt(3) == 0
         // the TEMPORARY form also conflicts with this session's local
@@ -121,21 +190,41 @@ class NamespaceFuzzSpec extends SparkTestBase {
       } else if (op < 49) { // CREATE [OR REPLACE] VIEW / IF NOT EXISTS
         val orRepl = rnd.nextInt(3) == 0
         val ine = !orRepl && rnd.nextInt(3) == 0
+        // ~40% of views are STAR CAPTURES over a base table; the base may
+        // be dead (body fails to resolve -> named error, nothing created)
+        val star = rnd.nextInt(10) < 4
+        val base = baseNames(rnd.nextInt(baseNames.size))
+        val (body, mkDef) =
+          if (star) (s"SELECT * FROM $base",
+            () => StarV(base, baseCols(base)): VDef)
+          else (valuesBody(c), () => ValuesV(c): VDef)
         val sql = s"CREATE ${if (orRepl) "OR REPLACE " else ""}VIEW " +
-          s"${if (ine) "IF NOT EXISTS " else ""}$n AS ${valuesBody(c)}"
+          s"${if (ine) "IF NOT EXISTS " else ""}$n AS $body"
         if (tables.contains(n))
           exec(sql, expectErr = !ine, onOk = ())
         else {
           val exists = views.contains(n) || temps.contains((s, n)) || plains((s, n))
-          exec(sql, expectErr = exists && !orRepl && !ine,
-            onOk = if (!exists || orRepl) views(n) = c)
+          // the body only EVALUATES when the statement neither refuses the
+          // conflict nor no-ops on IF NOT EXISTS; a dead base then errors
+          val bodyEval = !exists || orRepl
+          val baseDead = star && !tables.contains(base)
+          exec(sql, expectErr = (exists && !orRepl && !ine) || (bodyEval && baseDead),
+            onOk = if (bodyEval && !baseDead) views(n) = mkDef())
         }
       } else if (op < 63) { // CREATE [OR REPLACE] TEMPORARY VIEW
         val orRepl = rnd.nextInt(3) == 0
-        val sql = s"CREATE ${if (orRepl) "OR REPLACE " else ""}TEMPORARY VIEW $n AS ${valuesBody(c)}"
+        val star = rnd.nextInt(10) < 4
+        val base = baseNames(rnd.nextInt(baseNames.size))
+        val (body, mkDef) =
+          if (star) (s"SELECT * FROM $base",
+            () => StarV(base, baseCols(base)): VDef)
+          else (valuesBody(c), () => ValuesV(c): VDef)
+        val sql = s"CREATE ${if (orRepl) "OR REPLACE " else ""}TEMPORARY VIEW $n AS $body"
         val exists = temps.contains((s, n)) || plains((s, n))
-        exec(sql, expectErr = exists && !orRepl,
-          onOk = if (!exists || orRepl) { temps((s, n)) = c; plains -= ((s, n)) })
+        val bodyEval = !exists || orRepl
+        val baseDead = star && !tables.contains(base)
+        exec(sql, expectErr = (exists && !orRepl) || (bodyEval && baseDead),
+          onOk = if (bodyEval && !baseDead) { temps((s, n)) = mkDef(); plains -= ((s, n)) })
       } else if (op < 73) { // DROP VIEW [IF EXISTS]
         val ifEx = rnd.nextInt(3) == 0
         val sql = s"DROP VIEW ${if (ifEx) "IF EXISTS " else ""}$n"
@@ -186,7 +275,7 @@ class NamespaceFuzzSpec extends SparkTestBase {
       }
 
       if (step % 30 == 0)
-        for (si <- 0 until 3; nm <- names) probe(si, nm, s"sweep@$step")
+        for (si <- 0 until 3; nm <- names ++ baseNames) probe(si, nm, s"sweep@$step")
     }
 
     // terminal invariants: the engine's registries mirror the model exactly
