@@ -944,6 +944,34 @@ class Gateway(root: SparkSession) {
         val stmts = FlinkDialect.split(inner)
           .filterNot(_.trim.equalsIgnoreCase("END"))
           .filter(_.trim.nonEmpty)
+        // Flink compiles a statement set as ONE job — all-or-nothing. Pre-
+        // compile every INSERT member (analysis only, nothing runs) before
+        // executing any: a member that an earlier ALTER invalidated (a
+        // dropped source column, a changed sink arity) previously failed
+        // MID-SET, leaving earlier members' jobs running or batch writes
+        // committed while the statement answered an error (r15).
+        stmts.zipWithIndex.foreach { case (s0, i) =>
+          val s = s0.stripSuffix(";")
+          try s match {
+            case InsertIntoRe(target, select)
+                if TableEnv.lookup(target.replace("`", "")).isDefined =>
+              TableEnv.alignInsert(TableEnv.lookup(target.replace("`", "")).get,
+                spark.sql(FlinkDialect.rewrite(select))).schema
+            case InsertOverwriteRe(target, select)
+                if TableEnv.lookup(target.replace("`", "")).isDefined =>
+              TableEnv.alignInsert(TableEnv.lookup(target.replace("`", "")).get,
+                spark.sql(FlinkDialect.rewrite(select))).schema
+            case InsertColsRe(_, _, _, body) =>
+              spark.sql(FlinkDialect.rewrite(body)).schema
+            case _ => ()
+          } catch {
+            // the root cause is EMBEDDED, not chained: the gateway surfaces
+            // the root of the chain, which would hide the member context
+            case e: Exception => throw new IllegalArgumentException(
+              s"statement set member ${i + 1} of ${stmts.size} failed to " +
+                s"compile: ${Results.rootCauseMessage(e)} — no member was executed")
+          }
+        }
         val handles = stmts.map(s => route(spark, s.stripSuffix(";")))
         Statement(s"Statement set: ${handles.size} inserts submitted")
       case UpdateRe(target, rest) if TableEnv.lookup(target.replace("`", "")).isDefined =>

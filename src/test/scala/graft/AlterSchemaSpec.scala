@@ -451,6 +451,48 @@ class AlterSchemaSpec extends SparkTestBase {
     gw.closeSession(h); gw.closeSession(h2)
   }
 
+  test("STATEMENT SET members evolving between EXECUTEs: invalid member fails the WHOLE set, nothing runs (r15)") {
+    // Flink compiles a statement set as one job — all-or-nothing. Before
+    // r15 an ALTER that invalidated member 2 between two EXECUTEs failed
+    // MID-SET: member 1's write had already committed while the statement
+    // answered an error. Pinned: per-member compile error names the member,
+    // earlier members run nothing, and a set recompiled against further
+    // evolution succeeds.
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("ss_evolve")
+    def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    val d = java.nio.file.Files.createTempDirectory("graft-ssevo").toString
+    ok(gw, h, "CREATE TABLE se_src (id BIGINT, v DOUBLE) WITH " +
+      "('connector'='datagen','number-of-rows'='100')")
+    ok(gw, h, s"CREATE TABLE se_a (id BIGINT) WITH ('connector'='filesystem'," +
+      s"'path'='$d/a','format'='parquet')")
+    ok(gw, h, s"CREATE TABLE se_b (id BIGINT, v DOUBLE) WITH ('connector'='filesystem'," +
+      s"'path'='$d/b','format'='parquet')")
+    def count(t: String): Long =
+      run(s"SELECT count(*) AS n FROM $t").rows.head.head.toString.toLong
+    val set = "BEGIN STATEMENT SET; INSERT INTO se_a SELECT id FROM se_src; " +
+      "INSERT INTO se_b SELECT id, v FROM se_src; END"
+    ok(gw, h, set)
+    assert(count("se_a") == 100 && count("se_b") == 100)
+    // evolve the SOURCE so member 2 no longer compiles (v gone)
+    ok(gw, h, "ALTER TABLE se_src DROP v")
+    err(gw, h, set, "member 2 of 2 failed to compile")
+    err(gw, h, set, "no member was executed")
+    assert(count("se_a") == 100, "member 1 must NOT have run in a failed set")
+    assert(count("se_b") == 100)
+    // evolve the SINK arity so a member is invalid the other way round
+    ok(gw, h, "ALTER TABLE se_a ADD tag STRING")
+    err(gw, h, "BEGIN STATEMENT SET; INSERT INTO se_a SELECT id FROM se_src; END",
+      "member 1 of 1 failed to compile")
+    assert(count("se_a") == 100)
+    // a set recompiled against the evolved bindings runs both members
+    ok(gw, h, "BEGIN STATEMENT SET; INSERT INTO se_a SELECT id, 'g2' FROM se_src; " +
+      "INSERT INTO se_b SELECT id, CAST(id AS DOUBLE) FROM se_src; END")
+    assert(count("se_a") == 200 && count("se_b") == 200)
+    gw.closeSession(h)
+  }
+
   test("STATEMENT SET with streaming inserts: jobs run, post-ALTER sets see the evolved schema (r14)") {
     TableEnv.clear()
     val gw = new Gateway(spark)

@@ -708,6 +708,63 @@ class ConcurrencySpec extends SparkTestBase {
     assert(gw.liveOperationCount == 0)
   }
 
+  test("byte-cap enforcement walk stays bounded under adversarial concurrency (r15)") {
+    // enforceSessionBytes (plus the liveness touch's queue remove) walks
+    // the session FIFO on EVERY batch fetch. Two sessions interleaving
+    // large cached-page fetches at the 512-handle cap is the worst case
+    // the r14 verdict left unmeasured. The walk is O(handles) — ~512
+    // queue entries and registry lookups per fetch, tens of microseconds —
+    // so assert a generous per-fetch ceiling: a regression to
+    // O(handles^2) or a lock convoy blows through it by 100x, while
+    // ordinary host stalls stay well under it.
+    val gw = new Gateway(spark)
+    val hs = Seq(gw.openSession("walk_a"), gw.openSession("walk_b"))
+    val bigs = hs.map { h =>
+      val op = gw.executeStatement(h,
+        "SELECT id, repeat('x', 4096) AS pad FROM range(2000)")
+      assert(gw.fetchResults(op, 0).rows.size == gw.pageSize)
+      assert(gw.fetchResults(op, 1).rows.nonEmpty) // both pages cached
+      h -> op
+    }
+    // fill each FIFO to just under the 512-handle cap (no eviction of the
+    // big handle — its fetches below also keep touching it to the tail)
+    hs.foreach { h =>
+      (1 to gw.maxOpsPerSession - 8).foreach(i =>
+        gw.executeStatement(h, s"SELECT $i AS x"))
+    }
+    val perFetch = 3000
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val nanos = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    bigs.foreach { case (_, op) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          val t0 = System.nanoTime()
+          (0 until perFetch).foreach { i =>
+            assert(gw.fetchResults(op, i % 2).rows.nonEmpty)
+          }
+          nanos.add(System.nanoTime() - t0)
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS),
+      "walk threads did not finish")
+    val worstMeanMs = {
+      var w = 0.0
+      nanos.forEach(n => w = math.max(w, n / 1e6 / perFetch))
+      w
+    }
+    info(f"byte-cap walk: worst thread mean $worstMeanMs%.3f ms/fetch at " +
+      s"${gw.maxOpsPerSession} handles x 2 sessions")
+    assert(worstMeanMs < 20.0,
+      f"per-fetch enforcement walk degenerated: $worstMeanMs%.3f ms/fetch")
+    hs.foreach(gw.closeSession)
+    assert(gw.liveOperationCount == 0)
+  }
+
   test("fetchResults is a liveness touch: an actively-paged result survives churn (r14)") {
     // retention used to evict strictly by issuance order, so a large batch
     // result a client was still token-paging got auto-closed once
