@@ -577,30 +577,46 @@ object TableEnv {
   /** Any committed data file under `path` (Hadoop FS — works for hdfs:// /
     * s3a:// paths too, not just local dirs)? Metadata (`_spark_metadata`,
     * `_SUCCESS`) and hidden files don't count. */
+  // hidden/metadata markers can be a DIRECTORY component, not just the
+  // leaf (_spark_metadata/0, _spark_metadata/1.compact, .staging/part-…),
+  // so every path segment between the table root and the file counts
+  private def hiddenUnder(root: org.apache.hadoop.fs.Path,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    var cur = p
+    while (cur != null && cur != root) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      cur = cur.getParent
+    }
+    false
+  }
+
   private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(hp)
-    // hidden/metadata markers can be a DIRECTORY component, not just the
-    // leaf (_spark_metadata/0, _spark_metadata/1.compact, .staging/part-…),
-    // so every path segment between the table root and the file counts
-    def hiddenUnderRoot(p: org.apache.hadoop.fs.Path): Boolean = {
-      var cur = p
-      while (cur != null && cur != root) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) return true
-        cur = cur.getParent
-      }
-      false
-    }
     fs.exists(hp) && {
       val it = fs.listFiles(hp, true)
       var found = false
       while (!found && it.hasNext) {
-        if (!hiddenUnderRoot(it.next().getPath)) found = true
+        if (!hiddenUnder(root, it.next().getPath)) found = true
       }
       found
     }
+  }
+
+  /** Recursive listing of committed (non-hidden) data files under `root`. */
+  private def dataFileStatuses(fs: org.apache.hadoop.fs.FileSystem,
+      root0: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val root = fs.makeQualified(root0)
+    if (!fs.exists(root)) return Nil
+    val out = ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (!hiddenUnder(root, st.getPath)) out += st
+    }
+    out.toSeq
   }
 
   def mapType(t0: String): String = {
@@ -1472,11 +1488,64 @@ object TableEnv {
       } catch { case _: Exception => false }
     }
 
+  /** Highest numeric log-entry id in a metadata-log dir ("9", "9.compact"),
+    * -1 when absent/empty. */
+  private def latestLogId(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long =
+    try {
+      if (!fs.exists(dir)) -1L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .flatMap(n => "^(\\d+)".r.findFirstIn(n)).map(_.toLong)
+        .foldLeft(-1L)(math.max)
+    } catch { case _: Exception => -1L }
+
   /** Streaming writer for a sink binding. Returns a started query name. */
   def startStreamingInsert(spark: SparkSession, b: Binding, df: DataFrame): String = {
     val name = s"${b.name}_${System.nanoTime()}"
     val resumeCkpt = b.options.get("checkpoint")
       .filter(p => hasCommittedOffsets(spark, p))
+    // file sinks dedup micro-batches by BATCH ID against the sink's own
+    // commit log — two divergence cases around that key are silent data
+    // loss, so both are handled here (avro is exempt: its sink is
+    // batch-id-tagged files, and its reads list the directory):
+    if (b.connector == "filesystem" && b.format != "avro") {
+      val path = new org.apache.hadoop.fs.Path(b.options("path"))
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val logPath = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+      resumeCkpt.foreach { ck =>
+        // (1) RESUME after the sink log advanced past the checkpoint (a
+        // batch INSERT committed to the log, or a foreign job wrote it):
+        // the resumed job's next batches would be SKIPPED as "already
+        // committed" — refuse by name instead
+        val sinkLatest = latestLogId(fs, logPath)
+        val ckptLatest = latestLogId(fs,
+          new org.apache.hadoop.fs.Path(ck, "offsets"))
+        if (sinkLatest > ckptLatest) throw new IllegalStateException(
+          s"cannot resume job on '${b.name}' from checkpoint '$ck': the " +
+            s"sink's commit log at $logPath advanced to batch $sinkLatest " +
+            s"while the checkpoint stops at $ckptLatest (a batch INSERT or " +
+            "another job wrote this sink since) — Spark would silently SKIP " +
+            "the resumed job's first batches. Restart from a fresh " +
+            "checkpoint into a fresh path (ALTER TABLE " +
+            s"${b.name} SET ('path'='<new>','checkpoint'='<new>'))")
+      }
+      if (resumeCkpt.isEmpty && !fs.exists(logPath)) {
+        // (2) FRESH start into a dir holding plain batch-written data: the
+        // new job's commit log becomes the read index and HIDES every
+        // pre-existing file. No log-side reconciliation is safe here —
+        // seeding a below-zero batch id gets purged by the log's own
+        // compaction cleanup (delayed loss), and any id >= 0 makes the job
+        // skip its first batches — so refuse by name.
+        val existing = dataFileStatuses(fs, path)
+        if (existing.nonEmpty) throw new IllegalStateException(
+          s"streaming INSERT into '${b.name}' would create a streaming " +
+            s"commit log over a directory already holding ${existing.size} " +
+            "batch-written data files — log-aware reads would then HIDE " +
+            "those files (silent loss). Stream to a fresh path (ALTER TABLE " +
+            s"${b.name} SET ('path'='<new dir>')), or INSERT OVERWRITE the " +
+            "old rows through the stream's own sink afterwards")
+      }
+    }
     if (b.connector == "filesystem" && resumeCkpt.isEmpty && usedStreamingSinkPath(spark, b))
       throw new IllegalStateException(
         s"streaming INSERT into '${b.name}' would start from a FRESH checkpoint, " +
@@ -1662,10 +1731,48 @@ object TableEnv {
       spark.catalog.refreshTable(bucketTableName(b))
       rebind(spark, b)
     case "filesystem" =>
+      val path = new org.apache.hadoop.fs.Path(b.options("path"))
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val logPath = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+      def hasSinkLog =
+        try fs.exists(logPath) && fs.listStatus(logPath).nonEmpty
+        catch { case _: Exception => false }
+      // A dir a STREAMING job wrote carries a FileStreamSink commit log, and
+      // Spark's batch reads over such a dir are LOG-AWARE: they read only
+      // the files the log lists. A plain batch append would write files no
+      // read ever sees — silent data loss (r15 probe). Overwrite resets the
+      // dir, so drop the stale log with it; append commits the new files to
+      // the log as the next batch so log-aware readers see them.
+      val appendingToLog = !overwrite && hasSinkLog
+      if (overwrite && hasSinkLog) fs.delete(logPath, true)
+      val before: Set[String] =
+        if (appendingToLog) dataFileStatuses(fs, path).map(_.getPath.toString).toSet
+        else Set.empty
       val w = df.write.format(b.format).options(formatOptions(b, forWrite = true))
         .mode(if (overwrite) "overwrite" else "append")
       (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
         .save(b.options("path"))
+      if (appendingToLog) {
+        import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
+        val added = dataFileStatuses(fs, path)
+          .filterNot(st => before(st.getPath.toString))
+        if (added.nonEmpty) {
+          val log = new FileStreamSinkLog(
+            FileStreamSinkLog.VERSION, spark, logPath.toString)
+          val entries = added.map(st => SinkFileStatus(st)).toArray
+          // a concurrent streaming writer may claim the same batch id —
+          // add() refuses an existing id, so walk forward a few slots
+          var id = log.getLatestBatchId().getOrElse(-1L) + 1
+          var committed = false
+          var tries = 0
+          while (!committed && tries < 16) {
+            committed = log.add(id, entries)
+            if (!committed) { id += 1; tries += 1 }
+          }
+          require(committed, s"could not commit batch-appended files to " +
+            s"'${b.name}'s streaming sink log at $logPath after 16 attempts")
+        }
+      }
       // the binding's session view captured the directory's FILE LISTING
       // when it was created (InMemoryFileIndex is fixed at load()) — rebind
       // so the freshly written files are visible to subsequent SELECTs

@@ -436,6 +436,82 @@ class StreamRestartSpec extends SparkTestBase {
     }
   }
 
+  test("file sink batch/streaming mixing: appends commit to the sink log, divergent resumes refuse (r15)") {
+    // Spark's file sink dedups micro-batches by batch id against the
+    // sink's OWN commit log, and batch reads over a logged dir are
+    // log-aware. Three silent-loss seams around that key, all found by
+    // code audit this round and now handled:
+    //   (a) a batch INSERT INTO a streaming-written dir used to write
+    //       files NO read ever saw — it now commits them to the sink log
+    //       as the next batch;
+    //   (b) resuming a streaming job after the sink log advanced past its
+    //       checkpoint (that batch INSERT, or a foreign job) would
+    //       silently SKIP the resumed job's first batches — named refusal;
+    //   (c) a fresh streaming job over a dir holding plain batch data
+    //       would HIDE those files behind its new log — named refusal.
+    import graft.engine.{Gateway, TableEnv}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("mix")
+    def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    def ok(s: String): String = {
+      val r = run(s)
+      assert(r.columns != Seq("error"), s"`$s` errored: ${r.rows.take(1)}")
+      r.rows.headOption.map(_.head.toString).getOrElse("")
+    }
+    def errLike(s: String, contains: String): Unit = {
+      val r = run(s)
+      assert(r.columns == Seq("error"), s"`$s` should refuse, got ${r.rows.take(1)}")
+      assert(r.rows.head.head.toString.contains(contains),
+        s"`$s` error should mention '$contains': ${r.rows.head.head}")
+    }
+    def count(pred: String = "true"): Long =
+      try run(s"SELECT count(*) AS n FROM mx_a WHERE $pred").rows.head.head.toString.toLong
+      catch { case _: Exception => -1L }
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    val runDir = s"/tmp/graft-mix-${java.util.UUID.randomUUID()}"
+    ok("CREATE TABLE mx_src (k INT, v DOUBLE) WITH " +
+      "('connector'='datagen','rows-per-second'='500')")
+    ok(s"CREATE TABLE mx_a (k INT, v DOUBLE) WITH ('connector'='filesystem'," +
+      s"'path'='$runDir/a','format'='parquet','checkpoint'='$runDir/ca')")
+    try {
+      val j = "Job (\\S+) started".r.findFirstMatchIn(
+        ok("INSERT INTO mx_a SELECT k, v FROM mx_src")).get.group(1)
+      awaitTrue("stream commits")(count() > 0)
+      ok(s"STOP JOB '$j'")
+      val c1 = count()
+      // (a) the batch append is VISIBLE through the log-aware read
+      ok("INSERT INTO mx_a VALUES (-1, 1.5), (-2, 2.5)")
+      assert(count("k < 0") == 2, "batch-appended rows invisible behind the sink log")
+      assert(count() == c1 + 2)
+      // (b) resuming past the diverged log refuses by name
+      errLike("INSERT INTO mx_a SELECT k, v FROM mx_src",
+        "would silently SKIP")
+      // OVERWRITE resets the dir AND drops the stale log…
+      ok("INSERT OVERWRITE mx_a SELECT CAST(-7 AS INT), CAST(0.5 AS DOUBLE)")
+      assert(count() == 1 && count("k = -7") == 1)
+      // …(c) so a fresh streaming job over the now-unlogged batch data
+      // refuses rather than hiding it behind a new log
+      ok(s"ALTER TABLE mx_a SET ('checkpoint'='$runDir/cb')")
+      errLike("INSERT INTO mx_a SELECT k, v FROM mx_src",
+        "would create a streaming commit log over a directory already holding")
+      // the named recovery: a fresh path streams fine
+      ok(s"ALTER TABLE mx_a SET ('path'='$runDir/a2')")
+      val j2 = "Job (\\S+) started".r.findFirstMatchIn(
+        ok("INSERT INTO mx_a SELECT k, v FROM mx_src")).get.group(1)
+      awaitTrue("fresh-path stream commits")(count() > 0)
+      ok(s"STOP JOB '$j2'")
+    } finally {
+      graft.engine.Jobs.stopAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(runDir))
+      gw.closeSession(h)
+    }
+  }
+
   test("raced kills of a stateful windowed aggregation resume exactly-once from checkpoint") {
     // The fuzz above stops cleanly at batch boundaries; this test kills the
     // query WHEREVER it happens to be — racing the state-store commit, the
