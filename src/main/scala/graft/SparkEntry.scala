@@ -19,7 +19,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    Relational.oracle ++ Joins.oracle ++ SetsAndSubqueries.oracle ++
+  def oracleSql: Map[String, String] = {
+    val m = Relational.oracle ++ Joins.oracle ++ SetsAndSubqueries.oracle ++
       Aggregates.oracle ++ OverWindows.oracle ++ WindowTVFs.oracle ++ Funcs.oracle ++ Funcs2.oracle ++ PipelineQueries.oracle ++ DialectQueries.oracle ++ CepQueries.oracle ++ MiscQueries.oracle ++ StreamParityQueries.oracle
+    // the kernel-identity cut variant must produce byte-for-byte what the
+    // substring-identity cut produces on this single-byte corpus — same
+    // oracle, verbatim
+    m + ("q_cut_spans_kernel" -> m("q_cut_spans"))
+  }
 }

@@ -356,11 +356,26 @@ object Dedup {
     * (doc_id, pos, gram) with 1-based `pos`. Kernel path: O(n) rolling-hash
     * gram identity over UTF-8 BYTES; substring path: literal k-char grams
     * over CHARACTERS (the oracle-parity, unicode-safe identity). */
+  /** The 128-bit kernel gram identity: two INDEPENDENT polynomial families
+    * (different multipliers — the seed argument only post-mixes one family,
+    * so seeded variants share every collision). Joint collisions are
+    * ~2^-128-rare, safe even for the DESTRUCTIVE cut operator at corpus
+    * scale where a single 64-bit family would collide for certain
+    * (birthday at ~2^32 distinct grams). Emitted as BINARY(16) per window:
+    * binary elements keep array_distinct's hash fast path (struct arrays
+    * fall into pairwise O(n^2)) and the shuffle key stays 16 bytes for any
+    * gram size k. */
+  private def gramPair(textCol: String, k: Int) =
+    graft.functions.RollingHashes.rolling_hashes128(col(textCol), k)
+
   private def gramPositions(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, useKernel: Boolean): DataFrame = {
+      k: Int, useKernel: Boolean, pair: Boolean = false): DataFrame = {
     val grams =
-      if (useKernel)
+      if (useKernel && pair)
+        df.select(col(idCol).as("doc_id"),
+          posexplode(gramPair(textCol, k)).as(Seq("pos0", "gram")))
+      else if (useKernel)
         df.select(col(idCol).as("doc_id"),
           posexplode(rolling_hashes(col(textCol), k, 0L)).as(Seq("pos0", "gram")))
       else
@@ -377,8 +392,11 @@ object Dedup {
     * within-doc repeats never reach the shuffle. */
   private def docGramsDistinct(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, useKernel: Boolean): DataFrame =
-    if (useKernel)
+      k: Int, useKernel: Boolean, pair: Boolean = false): DataFrame =
+    if (useKernel && pair)
+      df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(gramPair(textCol, k))).as("gram"))
+    else if (useKernel)
       df.select(col(idCol).as("doc_id"),
         explode(array_distinct(rolling_hashes(col(textCol), k, 0L))).as("gram"))
     else
@@ -463,16 +481,24 @@ object Dedup {
     * offsets — on any document containing a multi-byte character every
     * position after it is shifted, so cuts land on the wrong characters
     * document-wide (not merely splitting one character at a window
-    * boundary). */
+    * boundary).
+    *
+    * Kernel mode uses the two-family 128-bit gram identity (r15): a single
+    * 64-bit rolling hash WILL collide at corpus scale (birthday at ~2^32
+    * distinct grams), and a collision here cuts a non-duplicated region —
+    * destructive, unlike the coverage statistic above. The pair costs one
+    * extra O(n) kernel pass and 8 shuffle bytes/row, and is still ~5x
+    * cheaper end-to-end than the 20-char substring identity (measured at
+    * sf10: 22 s vs 105 s bounded). */
   def cutDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minDocs: Int = 2, useKernel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = gramPositions(df, idCol, textCol, k, useKernel)
+    val pos = gramPositions(df, idCol, textCol, k, useKernel, pair = useKernel)
     // per-gram doc count + owner, over the map-side-distinct doc grams —
     // one exchange (the widest stream, every gram occurrence, is shuffled
     // once, and within-doc repeats never reach it)
-    val gramStats = docGramsDistinct(df, idCol, textCol, k, useKernel)
+    val gramStats = docGramsDistinct(df, idCol, textCol, k, useKernel, pair = useKernel)
       .groupBy("gram")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
       .filter(col("n_docs") >= minDocs)

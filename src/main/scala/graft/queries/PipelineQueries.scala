@@ -713,6 +713,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the scale path of the same operator (r15): the two-family 128-bit
+    // rolling-hash gram identity — ~5x cheaper than shuffling 20-char
+    // substrings and collision-safe for a destructive cut. Byte positions:
+    // identical output on this single-byte corpus, so it shares
+    // q_cut_spans' oracle verbatim.
+    "q_cut_spans_kernel" -> { (s, dir) =>
+      Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 20, useKernel = true)
+        .orderBy(col("doc_id"))
+    },
+
     // end-to-end corpus pipeline: quality gate → repetition filter → exact
     // dedup keeper, with the FIRST failing stage as the reject reason — the
     // composition a real training-data run chains these operators into

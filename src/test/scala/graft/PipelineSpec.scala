@@ -1057,6 +1057,32 @@ class PipelineSpec extends SparkTestBase {
     assert(out(3).getAs[String]("clean_text") == "totally unrelated!!")
   }
 
+  test("cut spans kernel pair identity == substring identity on single-byte text (r15)") {
+    // the scale path: the two-family 128-bit rolling-hash identity must cut
+    // EXACTLY what the exact-substring identity cuts (byte == char on this
+    // corpus); collisions would show as extra cuts, a broken second family
+    // (e.g. a seed-only variant, which shares every collision) would show
+    // as nothing-diverges-ever, so also assert the two hash families really
+    // differ on the same input
+    // deterministic subset — a bare limit() picks DIFFERENT rows for each
+    // of the operator's several self-references
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 400)
+    val bySub = Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 20)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val byKernel = Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 20,
+        useKernel = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // NOTE: assert's clue evaluates eagerly — keep it total
+    val firstDiff = bySub.zip(byKernel).indexWhere { case (a, b) => a != b }
+    assert(bySub == byKernel,
+      s"sizes ${bySub.size}/${byKernel.size}, first divergence at row $firstDiff: " +
+        (if (firstDiff >= 0) s"sub=${bySub(firstDiff)} ker=${byKernel(firstDiff)}" else ""))
+    val h1 = graft.functions.RollingHashes.compute("abcdefghij".getBytes, 4, 0L)
+    val h2 = graft.functions.RollingHashes.compute("abcdefghij".getBytes, 4, 0L,
+      graft.functions.RollingHashes.B2)
+    assert(h1.toSeq != h2.toSeq, "the two polynomial families must be independent")
+  }
+
   test("cut spans: removed_chars equals coverage dup_chars for non-owner docs") {
     // on the real corpus, a doc that owns none of its duplicated grams must
     // have removed_chars == the coverage operator's dup_chars; owners have
