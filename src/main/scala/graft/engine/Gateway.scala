@@ -25,6 +25,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 class Gateway(root: SparkSession) {
 
+  // binding re-materializations (rename/ALTER/DML rebinds) must not clobber
+  // a session's temp-view/temp-table shadow — install this gateway's shadow
+  // knowledge into the shared TableEnv (see TableEnv.shadowProbe)
+  TableEnv.shadowProbe = (sess, name) => locallyShadowed(sess, name)
+
   final class Session(val handle: String, val spark: SparkSession) {
     var alive = true
   }
@@ -955,8 +960,13 @@ class Gateway(root: SparkSession) {
           try s match {
             case InsertIntoRe(target, select)
                 if TableEnv.lookup(target.replace("`", "")).isDefined =>
-              TableEnv.alignInsert(TableEnv.lookup(target.replace("`", "")).get,
-                spark.sql(FlinkDialect.rewrite(select))).schema
+              val b = TableEnv.lookup(target.replace("`", "")).get
+              val df = TableEnv.alignInsert(b, spark.sql(FlinkDialect.rewrite(select)))
+              // a STREAMING member's deterministic start preconditions
+              // (sink-log divergence, used-sink refusals) run here too, so
+              // a member that would refuse at start fails the whole set
+              // before any sibling job starts
+              if (df.isStreaming) TableEnv.streamingSinkPreflight(spark, b)
             case InsertOverwriteRe(target, select)
                 if TableEnv.lookup(target.replace("`", "")).isDefined =>
               TableEnv.alignInsert(TableEnv.lookup(target.replace("`", "")).get,
@@ -972,7 +982,36 @@ class Gateway(root: SparkSession) {
                 s"compile: ${Results.rootCauseMessage(e)} — no member was executed")
           }
         }
-        val handles = stmts.map(s => route(spark, s.stripSuffix(";")))
+        // runtime failures past the pre-compile (e.g. a restarted member's
+        // state schema turning out incompatible) still fail the whole set:
+        // streaming jobs already started by EARLIER members are stopped, so
+        // the set never half-runs (batch members that already wrote are
+        // named — a committed batch write is not silently revocable)
+        val started = scala.collection.mutable.ArrayBuffer.empty[String]
+        var batchDone = 0
+        val handles = stmts.zipWithIndex.map { case (s0, i) =>
+          try {
+            val r = route(spark, s0.stripSuffix(";"))
+            r match {
+              case Statement(m) =>
+                "Job (\\S+) started".r.findFirstMatchIn(m)
+                  .foreach(j => started += j.group(1))
+                if (m.startsWith("Inserted") || m.startsWith("Overwrote")) batchDone += 1
+              case _ => ()
+            }
+            r
+          } catch {
+            case e: Exception =>
+              started.foreach(Jobs.stop)
+              throw new IllegalArgumentException(
+                s"statement set member ${i + 1} of ${stmts.size} failed at " +
+                  s"start: ${Results.rootCauseMessage(e)}. The " +
+                  s"${started.size} streaming job(s) earlier members started " +
+                  "were stopped" +
+                  (if (batchDone > 0) s"; $batchDone earlier batch INSERT(s) " +
+                    "had already committed and were NOT rolled back" else ""))
+          }
+        }
         Statement(s"Statement set: ${handles.size} inserts submitted")
       case UpdateRe(target, rest) if TableEnv.lookup(target.replace("`", "")).isDefined =>
         // batch UPDATE (corpus F:192): filesystem rewrites via directory
@@ -1136,15 +1175,21 @@ class Gateway(root: SparkSession) {
           // capture the view's output columns at CREATE time (Flink stores
           // the EXPANDED query): `SELECT *` must not grow columns when the
           // underlying table later evolves. The wrap only applies when the
-          // body resolves and its column names are unambiguous.
-          val matSql = (try {
+          // body's column names are unambiguous — but a body that does not
+          // RESOLVE fails the CREATE itself (Flink validates view bodies).
+          // Previously the resolution failure was swallowed with the
+          // capture, so a CREATE whose materialization a local shadow
+          // suppressed (throughShadow below) registered an unvalidated,
+          // capture-less catalog definition over e.g. a dropped table
+          // (r15 soak NamespaceFuzzSpec find at 3x depth).
+          val matSql = {
             val cols = spark.sql(FlinkDialect.rewrite(select)).columns.toSeq
             val distinct = cols.map(_.toLowerCase).distinct.size == cols.size
             if (cols.nonEmpty && distinct)
               Some("SELECT " + cols.map(c => s"`${c.replace("`", "``")}`")
                 .mkString(", ") + s" FROM (\n${select.trim}\n) __graft_view_body")
             else None
-          } catch { case _: Exception => None })
+          }
           if (!throughShadow)
             spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$viewName` AS " +
               FlinkDialect.rewrite(matSql.getOrElse(select)))
@@ -1395,11 +1440,16 @@ class Gateway(root: SparkSession) {
         // temporary-table relations have no SQL body, so their DataFrames
         // were saved above.
         Seq(toN, fromN).foreach { nm =>
-          TableEnv.viewDefExact(nm, viewScope(spark)).foreach { case (sql, _) =>
-            try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$nm` AS " +
-              FlinkDialect.rewrite(sql))
-            catch { case _: Exception => () }
-          }
+          // restore from the MATERIALIZATION text (the schema-captured wrap
+          // when one exists) — restoring from the raw body re-expanded a
+          // star view's `*` against the evolved base, silently growing the
+          // shadow's captured schema (r15 soak find)
+          if (TableEnv.viewDefExact(nm, viewScope(spark)).isDefined)
+            TableEnv.viewMatSql(nm, viewScope(spark)).foreach { sql =>
+              try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$nm` AS " +
+                FlinkDialect.rewrite(sql))
+              catch { case _: Exception => () }
+            }
         }
         renPlainShadows.foreach { case (nm, df) =>
           try df.createOrReplaceTempView(nm) catch { case _: Exception => () }

@@ -429,9 +429,21 @@ object TableEnv {
     }
   }
 
+  /** Gateway-installed probe: does `spark`'s session hold a local object
+    * (temporary view or plain temporary table) SHADOWING `name`? Every
+    * rebind consults it — a binding re-materialization must never clobber
+    * a session shadow's materialization (r15 soak find: ALTER TABLE ns_x
+    * RENAME TO ns_z in a session holding temp view ns_z replaced the
+    * shadow's captured view with the renamed table's). Default: no shadows
+    * (direct TableEnv callers without a gateway). The latest-constructed
+    * gateway owns the probe; sessions belong to the gateway that opened
+    * them, so serial gateway use (the test/deployment pattern) is exact. */
+  @volatile var shadowProbe: (SparkSession, String) => Boolean = (_, _) => false
+
   /** Re-materialize a binding's session view after a definition change. */
   private def rebind(spark: SparkSession, b: Binding): Unit =
-    materializeDF(spark, b).foreach(_.createOrReplaceTempView(b.name))
+    if (!shadowProbe(spark, b.name))
+      materializeDF(spark, b).foreach(_.createOrReplaceTempView(b.name))
 
   // ------------------------------------------------------------- parsing --
 
@@ -1499,15 +1511,18 @@ object TableEnv {
         .foldLeft(-1L)(math.max)
     } catch { case _: Exception => -1L }
 
-  /** Streaming writer for a sink binding. Returns a started query name. */
-  def startStreamingInsert(spark: SparkSession, b: Binding, df: DataFrame): String = {
-    val name = s"${b.name}_${System.nanoTime()}"
+  /** Deterministic start-time preconditions for a streaming write to `b`,
+    * shared by startStreamingInsert and the statement-set pre-compile (so a
+    * set member that would refuse fails the WHOLE set before any sibling
+    * starts). Returns the resume checkpoint when the start would RESUME.
+    *
+    * File sinks dedup micro-batches by BATCH ID against the sink's own
+    * commit log — two divergence cases around that key are silent data
+    * loss, so both refuse by name (avro is exempt: its sink is
+    * batch-id-tagged files, and its reads list the directory). */
+  private[engine] def streamingSinkPreflight(spark: SparkSession, b: Binding): Option[String] = {
     val resumeCkpt = b.options.get("checkpoint")
       .filter(p => hasCommittedOffsets(spark, p))
-    // file sinks dedup micro-batches by BATCH ID against the sink's own
-    // commit log — two divergence cases around that key are silent data
-    // loss, so both are handled here (avro is exempt: its sink is
-    // batch-id-tagged files, and its reads list the directory):
     if (b.connector == "filesystem" && b.format != "avro") {
       val path = new org.apache.hadoop.fs.Path(b.options("path"))
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1556,6 +1571,13 @@ object TableEnv {
           "exactly-once (set the sink's 'checkpoint' option to the previous " +
           "job's checkpoint directory), or write to a fresh sink: ALTER TABLE " +
           s"${b.name} SET ('path'='<new dir>', 'checkpoint'='<new dir>')")
+    resumeCkpt
+  }
+
+  /** Streaming writer for a sink binding. Returns a started query name. */
+  def startStreamingInsert(spark: SparkSession, b: Binding, df: DataFrame): String = {
+    val name = s"${b.name}_${System.nanoTime()}"
+    val resumeCkpt = streamingSinkPreflight(spark, b)
     val w = b.connector match {
       case "print" => df.writeStream.format("console")
       case "blackhole" => df.writeStream.format("noop")

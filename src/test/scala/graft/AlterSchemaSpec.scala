@@ -490,6 +490,50 @@ class AlterSchemaSpec extends SparkTestBase {
     ok(gw, h, "BEGIN STATEMENT SET; INSERT INTO se_a SELECT id, 'g2' FROM se_src; " +
       "INSERT INTO se_b SELECT id, CAST(id AS DOUBLE) FROM se_src; END")
     assert(count("se_a") == 200 && count("se_b") == 200)
+
+    // STREAMING members: a member whose start-time preflight would refuse
+    // (sink log diverged from its checkpoint) fails the WHOLE set at
+    // pre-compile — no sibling job starts
+    ok(gw, h, "CREATE TABLE se_live (id BIGINT, v DOUBLE) WITH " +
+      "('connector'='datagen','rows-per-second'='500')")
+    ok(gw, h, s"CREATE TABLE se_s1 (id BIGINT) WITH ('connector'='filesystem'," +
+      s"'path'='$d/s1','format'='parquet','checkpoint'='$d/c1')")
+    ok(gw, h, s"CREATE TABLE se_s2 (id BIGINT) WITH ('connector'='filesystem'," +
+      s"'path'='$d/s2','format'='parquet','checkpoint'='$d/c2')")
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    val j2 = "Job (\\S+) started".r.findFirstMatchIn(
+      run("INSERT INTO se_s2 SELECT id FROM se_live").rows.head.head.toString)
+      .get.group(1)
+    try {
+      awaitTrue("se_s2 commits")(
+        (try count("se_s2") catch { case _: Exception => -1L }) > 0)
+      ok(gw, h, s"STOP JOB '$j2'")
+      ok(gw, h, "INSERT INTO se_s2 VALUES (-1)") // diverges s2's sink log
+      def runningJobs() = run("SHOW JOBS").rows.count(r =>
+        r(1).toString.startsWith("se_s") && r(2).toString == "RUNNING")
+      val before = runningJobs()
+      err(gw, h, "BEGIN STATEMENT SET; INSERT INTO se_s1 SELECT id FROM se_live; " +
+        "INSERT INTO se_s2 SELECT id FROM se_live; END",
+        "member 2 of 2 failed to compile")
+      assert(runningJobs() == before,
+        "a refused set must not leave sibling streaming jobs running")
+      // runtime failure PAST the pre-compile: member 2's jdbc write fails at
+      // execution — member 1's already-started streaming job is stopped and
+      // the error names the member
+      ok(gw, h, "CREATE TABLE se_bad (id BIGINT) WITH ('connector'='jdbc'," +
+        "'url'='jdbc:graftnosuch://nowhere/d','table-name'='t')")
+      // the bad member must fail SYNCHRONOUSLY at route time, so it is a
+      // batch write (a streaming jdbc member fails async in its own job)
+      err(gw, h, "BEGIN STATEMENT SET; INSERT INTO se_s1 SELECT id FROM se_live; " +
+        "INSERT INTO se_bad VALUES (1); END",
+        "member 2 of 2 failed at start")
+      assert(runningJobs() == before,
+        "the failing member must stop its earlier siblings' jobs")
+    } finally graft.engine.Jobs.stopAll()
     gw.closeSession(h)
   }
 
