@@ -1456,10 +1456,19 @@ object TableEnv {
     * fresh-checkpoint start never enters this path (zero added latency). */
   private def validateRestart(name: String, sink: String,
       q: org.apache.spark.sql.streaming.StreamingQuery, ckpt: String): Unit = {
-    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    // the state restore validates inside batch 0, which can crunch for
+    // minutes on a loaded host — wait while the query is actively working
+    // (a 60 s budget returned "Job started" just before the named failure
+    // under full-suite load); a query that goes IDLE with no data has
+    // nothing left to validate against and exits early as healthy
+    val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+    var idleTicks = 0
     while (System.nanoTime() < deadline && q.isActive &&
-        q.exception.isEmpty && q.recentProgress.isEmpty)
+        q.exception.isEmpty && q.recentProgress.isEmpty && idleTicks < 5) {
+      val st = q.status
+      idleTicks = if (!st.isTriggerActive && !st.isDataAvailable) idleTicks + 1 else 0
       Thread.sleep(100)
+    }
     q.exception.foreach { e =>
       val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
         .take(12).map(c => s"${c.getClass.getSimpleName}: ${c.getMessage}").mkString(" <- ")
