@@ -26,9 +26,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 class Gateway(root: SparkSession) {
 
   // binding re-materializations (rename/ALTER/DML rebinds) must not clobber
-  // a session's temp-view/temp-table shadow — install this gateway's shadow
-  // knowledge into the shared TableEnv (see TableEnv.shadowProbe)
-  TableEnv.shadowProbe = (sess, name) => locallyShadowed(sess, name)
+  // a session's temp-view/temp-table shadow — shadow knowledge (scope map +
+  // plain-relation registry) lives in the shared TableEnv, keyed per session
+  // SparkSession, so it is exact across CONCURRENT gateway instances (r15
+  // ADVICE: the per-gateway probe hook meant the latest-constructed gateway
+  // owned it, reintroducing the clobber across instances)
 
   final class Session(val handle: String, val spark: SparkSession) {
     var alive = true
@@ -198,11 +200,10 @@ class Gateway(root: SparkSession) {
       // purge this session's temp-view definitions and materialization
       // cache with its scope — the UUID is unreachable after removal, so
       // without this a long-lived gateway accumulates dead entries forever
-      viewScopes.remove(s.spark).foreach { scope =>
-        TableEnv.dropScope(scope)
+      TableEnv.releaseScope(s.spark).foreach { scope =>
+        TableEnv.dropScope(scope) // purges view defs + plain relations
         materializedViews.keys.filter(_._1 == scope)
           .foreach(materializedViews.remove)
-        plainRelations.keys.filter(_._1 == scope).foreach(plainRelations.remove)
       }
     }
     metaCache.invalidatePrefix(s"$handle::")
@@ -605,12 +606,10 @@ class Gateway(root: SparkSession) {
   }
 
   /** TEMPORARY-view definition scope: a UUID per session SparkSession
-    * OBJECT (reference equality, the [[sessionModules]] precedent —
-    * identityHashCode alone can collide and would silently fuse two
-    * sessions' temp-view namespaces). Entries drop in closeSession. */
-  private val viewScopes = TrieMap.empty[SparkSession, String]
+    * OBJECT — held in the SHARED TableEnv map so concurrent gateways see
+    * one consistent scope per session. Entries drop in closeSession. */
   private def viewScope(spark: SparkSession): String =
-    viewScopes.getOrElseUpdate(spark, UUID.randomUUID().toString)
+    TableEnv.sessionScope(spark)
   /** The temp-view scope id of an open session — introspection for the
     * close-purges-definitions contract (ConcurrencySpec). */
   def viewScopeOf(handle: String): String = viewScope(session(handle).spark)
@@ -710,20 +709,56 @@ class Gateway(root: SparkSession) {
   private val materializedViews = TrieMap.empty[(String, String), String]
 
   /** (session scope, name) of connector-less CREATE TEMPORARY TABLE
-    * relations — session objects with no SQL definition, so viewDefs can't
-    * carry them. shadowed() consults this set too: like a temporary view,
-    * a temporary table SHADOWS the shared object of its name, and the
-    * per-reference binding refresh must not clobber it (a filesystem
-    * binding re-materializes on EVERY reference). Purged on closeSession
-    * and by DROP TEMPORARY TABLE. */
-  private val plainRelations = TrieMap.empty[(String, String), Unit]
+    * relations — the SHARED TableEnv registry (instance-independent shadow
+    * knowledge): like a temporary view, a temporary table SHADOWS the
+    * shared object of its name, and the per-reference binding refresh must
+    * not clobber it (a filesystem binding re-materializes on EVERY
+    * reference). Purged with the scope (closeSession → dropScope) and by
+    * DROP TEMPORARY TABLE. */
+  private def plainRelations = TableEnv.plainRelations
 
   /** Does `sess` hold a session-local object (temp-view definition or
     * plain temporary-table relation) shadowing `name`? Sweeps that kill a
     * shared object's materializations must spare these. */
   private def locallyShadowed(sess: SparkSession, name: String): Boolean =
-    TableEnv.viewDefExact(name, viewScope(sess)).isDefined ||
-      plainRelations.contains((viewScope(sess), name.toLowerCase))
+    TableEnv.locallyShadowed(sess, name)
+
+  /** Column-list / VALUES INSERT alignment (reference corpus F:176-177):
+    * unnamed columns receive NULL; everything realigns to the declared
+    * schema by name and type before the write — the parquet writer records
+    * the frame's column NAMES, so an unaligned col1/col2 VALUES frame would
+    * corrupt the table for later reads. Shared by the execute route AND the
+    * statement-set pre-compile, so a set member with a bad column list or
+    * arity fails the WHOLE set before any sibling runs (r15 ADVICE: the
+    * pre-compile analyzed only the SELECT body for this form). */
+  private def alignColsInsert(spark: SparkSession, b: TableEnv.Binding,
+      colList: String, body: String): DataFrame = {
+    val df0 = spark.sql(FlinkDialect.rewrite(body))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
+    import org.apache.spark.sql.functions.{col, lit}
+    val declared = Option(colList).map(_.split(",").toSeq
+      .map(_.trim.replace("`", "")).filter(_.nonEmpty)).getOrElse(Nil)
+    if (declared.isEmpty) TableEnv.alignInsert(b, df0)
+    else {
+      require(df0.columns.length == declared.length,
+        s"INSERT into ${b.name}: ${df0.columns.length} values for " +
+          s"${declared.length} named columns")
+      // a column name outside the schema (or listed twice) would
+      // silently discard its value through the byName mapping
+      val schemaNames = schema.map(_.name.toLowerCase).toSet
+      val unknown = declared.filterNot(d => schemaNames(d.toLowerCase))
+      require(unknown.isEmpty,
+        s"INSERT into ${b.name}: unknown column(s) ${unknown.mkString(", ")}")
+      require(declared.map(_.toLowerCase).distinct.size == declared.size,
+        s"INSERT into ${b.name}: duplicate column in the column list")
+      val byName = declared.map(_.toLowerCase).zip(df0.columns).toMap
+      df0.select(schema.map { f =>
+        byName.get(f.name.toLowerCase)
+          .map(c => col(c).cast(f.dataType).as(f.name))
+          .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      }: _*)
+    }
+  }
 
   /** Namespace-claiming DDL — serialized under one lock: every claim is a
     * check-then-act over TWO registries (bindings + view definitions), so
@@ -971,6 +1006,20 @@ class Gateway(root: SparkSession) {
                 if TableEnv.lookup(target.replace("`", "")).isDefined =>
               TableEnv.alignInsert(TableEnv.lookup(target.replace("`", "")).get,
                 spark.sql(FlinkDialect.rewrite(select))).schema
+            case InsertColsRe(mode, target, colList, body)
+                if TableEnv.lookup(target.replace("`", "")).isDefined =>
+              // full column-list validation (arity, unknown/duplicate
+              // names) + streaming preflight, exactly as the execute route
+              // runs them — this form could previously fail MID-SET after
+              // earlier batch members committed (r15 ADVICE)
+              val b = TableEnv.lookup(target.replace("`", "")).get
+              val df = alignColsInsert(spark, b, colList, body)
+              if (df.isStreaming) {
+                if (mode.equalsIgnoreCase("OVERWRITE"))
+                  throw new IllegalArgumentException(
+                    "INSERT OVERWRITE cannot take a streaming source")
+                TableEnv.streamingSinkPreflight(spark, b)
+              }
             case InsertColsRe(_, _, _, body) =>
               spark.sql(FlinkDialect.rewrite(body)).schema
             case _ => ()
@@ -1083,32 +1132,7 @@ class Gateway(root: SparkSession) {
         // records the frame's column NAMES, so an unaligned col1/col2
         // VALUES frame would corrupt the table for later reads.
         val b = TableEnv.lookup(target.replace("`", "")).get
-        val df0 = spark.sql(FlinkDialect.rewrite(body))
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(b.schemaDdl)
-        import org.apache.spark.sql.functions.{col, lit}
-        val declared = Option(colList).map(_.split(",").toSeq
-          .map(_.trim.replace("`", "")).filter(_.nonEmpty)).getOrElse(Nil)
-        val aligned =
-          if (declared.isEmpty) TableEnv.alignInsert(b, df0)
-          else {
-            require(df0.columns.length == declared.length,
-              s"INSERT into ${b.name}: ${df0.columns.length} values for " +
-                s"${declared.length} named columns")
-            // a column name outside the schema (or listed twice) would
-            // silently discard its value through the byName mapping
-            val schemaNames = schema.map(_.name.toLowerCase).toSet
-            val unknown = declared.filterNot(d => schemaNames(d.toLowerCase))
-            require(unknown.isEmpty,
-              s"INSERT into ${b.name}: unknown column(s) ${unknown.mkString(", ")}")
-            require(declared.map(_.toLowerCase).distinct.size == declared.size,
-              s"INSERT into ${b.name}: duplicate column in the column list")
-            val byName = declared.map(_.toLowerCase).zip(df0.columns).toMap
-            df0.select(schema.map { f =>
-              byName.get(f.name.toLowerCase)
-                .map(c => col(c).cast(f.dataType).as(f.name))
-                .getOrElse(lit(null).cast(f.dataType).as(f.name))
-            }: _*)
-          }
+        val aligned = alignColsInsert(spark, b, colList, body)
         if (aligned.isStreaming) {
           // the no-column-list form starts a streaming job for streaming
           // sources — this form must too (valid Flink SQL either way)

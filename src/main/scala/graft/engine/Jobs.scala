@@ -18,10 +18,29 @@ object Jobs {
 
   private val active = TrieMap.empty[String, StreamingQuery]
   private val history = TrieMap.empty[String, JobInfo]
+  /** job name → the file-sink path it writes (filesystem sinks only).
+    * Batch DML into the same path must refuse while the writer is live:
+    * Spark's file sink dedups micro-batches by batch id against the sink's
+    * own commit log, so a batch append that bumps the log makes the RUNNING
+    * stream silently skip its next micro-batches (r15 ADVICE, medium). */
+  private val sinkPaths = TrieMap.empty[String, String]
 
-  def register(name: String, q: StreamingQuery): Unit = {
+  private def normalizePath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toString
+
+  def register(name: String, q: StreamingQuery,
+      sinkPath: Option[String] = None): Unit = {
     active.put(name, q)
+    sinkPath.foreach(p => sinkPaths.put(name, normalizePath(p)))
     history.put(name, JobInfo(name, q.id.toString, "RUNNING", System.currentTimeMillis()))
+  }
+
+  /** The name of a LIVE streaming job writing `path`, if any. A stopped,
+    * finished, or failed job no longer claims its path. */
+  def activeWriterOf(path: String): Option[String] = {
+    val target = normalizePath(path)
+    sinkPaths.collectFirst { case (n, p) if p == target &&
+      active.get(n).exists(q => q.isActive && q.exception.isEmpty) => n }
   }
 
   def list(): Seq[JobInfo] =
@@ -116,6 +135,7 @@ object Jobs {
         q.stop()
         history.get(n).foreach(i => history.put(n, i.copy(status = "CANCELED")))
         active.remove(n)
+        sinkPaths.remove(n)
         true
       case None => false
     }
@@ -124,6 +144,8 @@ object Jobs {
   def get(nameOrId: String): Option[StreamingQuery] =
     active.collectFirst { case (n, q) if n == nameOrId || q.id.toString == nameOrId => q }
 
-  def stopAll(): Unit = { active.values.foreach(_.stop()); active.clear() }
+  def stopAll(): Unit = {
+    active.values.foreach(_.stop()); active.clear(); sinkPaths.clear()
+  }
   def clearHistory(): Unit = { stopAll(); history.clear() }
 }

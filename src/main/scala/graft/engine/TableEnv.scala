@@ -126,6 +126,7 @@ object TableEnv {
     if (scope.nonEmpty) {
       viewDefs.keys.filter(_._1 == scope).foreach(viewDefs.remove)
       viewMatTexts.keys.filter(_._1 == scope).foreach(viewMatTexts.remove)
+      plainRelations.keys.filter(_._1 == scope).foreach(plainRelations.remove)
     }
   /** Shared (catalog) view definitions: name → SQL text. Gateway sessions
     * other than the creator materialize these lazily on first reference
@@ -429,20 +430,45 @@ object TableEnv {
     }
   }
 
-  /** Gateway-installed probe: does `spark`'s session hold a local object
-    * (temporary view or plain temporary table) SHADOWING `name`? Every
-    * rebind consults it — a binding re-materialization must never clobber
-    * a session shadow's materialization (r15 soak find: ALTER TABLE ns_x
-    * RENAME TO ns_z in a session holding temp view ns_z replaced the
-    * shadow's captured view with the renamed table's). Default: no shadows
-    * (direct TableEnv callers without a gateway). The latest-constructed
-    * gateway owns the probe; sessions belong to the gateway that opened
-    * them, so serial gateway use (the test/deployment pattern) is exact. */
-  @volatile var shadowProbe: (SparkSession, String) => Boolean = (_, _) => false
+  /** Session SparkSession → temp-view scope id, SHARED across gateway
+    * instances. Until r15 this knowledge lived per-gateway behind a
+    * process-global probe hook the latest-constructed gateway owned — with
+    * two LIVE gateways a rebind in the older gateway's session missed its
+    * own shadows and could clobber them (r15 ADVICE). Keying the scope map
+    * and the plain-relation registry here makes shadow knowledge
+    * instance-independent: any gateway (and any direct TableEnv caller)
+    * consults the same state. Keyed by SparkSession OBJECT identity (the
+    * sessionModules precedent — identityHashCode alone can collide). */
+  private val sessionScopes = TrieMap.empty[SparkSession, String]
+  def sessionScope(spark: SparkSession): String =
+    sessionScopes.getOrElseUpdate(spark, java.util.UUID.randomUUID().toString)
+  /** Drop a closing session's scope mapping; returns the scope it had. */
+  def releaseScope(spark: SparkSession): Option[String] = sessionScopes.remove(spark)
+
+  /** (scope, lowercase name) of connector-less CREATE TEMPORARY TABLE
+    * relations — session objects with no SQL definition, so viewDefs can't
+    * carry them. Shadow checks consult this set too: like a temporary view,
+    * a temporary table SHADOWS the shared object of its name, and the
+    * per-reference binding refresh must not clobber it. Purged with the
+    * scope in [[dropScope]] and by DROP TEMPORARY TABLE. */
+  private[engine] val plainRelations = TrieMap.empty[(String, String), Unit]
+
+  /** Does `spark`'s session hold a local object (temporary view or plain
+    * temporary table) SHADOWING `name`? Every rebind consults it — a
+    * binding re-materialization must never clobber a session shadow's
+    * materialization (r15 soak find: ALTER TABLE ns_x RENAME TO ns_z in a
+    * session holding temp view ns_z replaced the shadow's captured view
+    * with the renamed table's). Read-only scope lookup: a session that
+    * never ran scoped DDL has no scope and therefore no shadows. */
+  def locallyShadowed(spark: SparkSession, name: String): Boolean =
+    sessionScopes.get(spark).exists { scope =>
+      viewDefExact(name, scope).isDefined ||
+        plainRelations.contains((scope, name.toLowerCase))
+    }
 
   /** Re-materialize a binding's session view after a definition change. */
   private def rebind(spark: SparkSession, b: Binding): Unit =
-    if (!shadowProbe(spark, b.name))
+    if (!locallyShadowed(spark, b.name))
       materializeDF(spark, b).foreach(_.createOrReplaceTempView(b.name))
 
   // ------------------------------------------------------------- parsing --
@@ -1454,19 +1480,36 @@ object TableEnv {
     * nobody sees. Wait, bounded, for the first commit or the failure; a
     * failure answers the INSERT itself with a NAMED, actionable error. A
     * fresh-checkpoint start never enters this path (zero added latency). */
-  private def validateRestart(name: String, sink: String,
+  private def validateRestart(spark: SparkSession, name: String, sink: String,
       q: org.apache.spark.sql.streaming.StreamingQuery, ckpt: String): Unit = {
     // the state restore validates inside batch 0, which can crunch for
     // minutes on a loaded host — wait while the query is actively working
     // (a 60 s budget returned "Job started" just before the named failure
-    // under full-suite load); a query that goes IDLE with no data has
-    // nothing left to validate against and exits early as healthy
+    // under full-suite load). IDLE is only conclusive once a batch has
+    // COMMITTED since the restart: checkpoint/state-store validation runs
+    // inside the first executed batch, so a query that merely looks idle
+    // during initialization (trigger inactive, no data yet — routinely
+    // >500 ms) has validated NOTHING and could still die later with the raw
+    // async state-store error this path exists to surface (r15 ADVICE). A
+    // genuinely data-less resume (nothing to replay, no new data) holds a
+    // longer bounded idle budget before being released as
+    // inconclusive-but-running.
+    val commitsDir = new org.apache.hadoop.fs.Path(ckpt, "commits")
+    val cfs = commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val commits0 = latestLogId(cfs, commitsDir)
+    def committedSince(): Boolean = latestLogId(cfs, commitsDir) > commits0
     val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+    val idleBudget = 5
+    val inconclusiveIdleBudget = 150 // 15 s: data may just be slow to arrive
     var idleTicks = 0
+    var validated = false
     while (System.nanoTime() < deadline && q.isActive &&
-        q.exception.isEmpty && q.recentProgress.isEmpty && idleTicks < 5) {
+        q.exception.isEmpty && q.recentProgress.isEmpty &&
+        (idleTicks < idleBudget ||
+          (!validated && idleTicks < inconclusiveIdleBudget))) {
       val st = q.status
       idleTicks = if (!st.isTriggerActive && !st.isDataAvailable) idleTicks + 1 else 0
+      if (!validated && idleTicks >= idleBudget) validated = committedSince()
       Thread.sleep(100)
     }
     q.exception.foreach { e =>
@@ -1570,6 +1613,38 @@ object TableEnv {
             "old rows through the stream's own sink afterwards")
       }
     }
+    if (b.connector == "filesystem" && b.format == "avro") {
+      // The avro sink is batch-id-TAGGED part files (no _spark_metadata), so
+      // it shares the hazard class of the log cases above in file-name form:
+      // a resumed job's batch ids restart after its checkpoint's last batch,
+      // and each micro-batch OVERWRITES the part of its id. If the sink dir
+      // holds parts with ids BEYOND the checkpoint (a batch INSERT is
+      // untagged and safe, but a foreign job's tagged parts are not), the
+      // resumed job would silently overwrite that foreign data — refuse by
+      // name. O(one dir listing); parts live flat at the sink root.
+      val root = new org.apache.hadoop.fs.Path(b.options("path"))
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      resumeCkpt.foreach { ck =>
+        val partRe = """.*-batch-(\d+)\.avro""".r
+        val maxPart =
+          try {
+            if (!fs.exists(root)) -1L
+            else fs.listStatus(root).map(_.getPath.getName)
+              .collect { case partRe(id) => id.toLong }
+              .foldLeft(-1L)(math.max)
+          } catch { case _: Exception => -1L }
+        val ckptLatest = latestLogId(fs,
+          new org.apache.hadoop.fs.Path(ck, "offsets"))
+        if (maxPart > ckptLatest) throw new IllegalStateException(
+          s"cannot resume job on '${b.name}' from checkpoint '$ck': the avro " +
+            s"sink at '${b.options("path")}' holds batch-tagged parts up to " +
+            s"batch $maxPart while the checkpoint stops at $ckptLatest " +
+            "(another job wrote this sink since) — the resumed job's " +
+            "micro-batches would silently OVERWRITE those parts. Restart " +
+            "from a fresh checkpoint into a fresh path (ALTER TABLE " +
+            s"${b.name} SET ('path'='<new>','checkpoint'='<new>'))")
+      }
+    }
     if (b.connector == "filesystem" && resumeCkpt.isEmpty && usedStreamingSinkPath(spark, b))
       throw new IllegalStateException(
         s"streaming INSERT into '${b.name}' would start from a FRESH checkpoint, " +
@@ -1631,10 +1706,11 @@ object TableEnv {
       case c => throw new IllegalArgumentException(s"connector '$c' is not stream-writable")
     }
     val q = w.queryName(name).start()
-    Jobs.register(name, q)
+    Jobs.register(name, q,
+      sinkPath = if (b.connector == "filesystem") b.options.get("path") else None)
     // SHOW JOBS keeps the failed job visible (status FAILED) either way;
     // the throw below additionally answers THIS statement with the reason
-    resumeCkpt.foreach(ck => validateRestart(name, b.name, q, ck))
+    resumeCkpt.foreach(ck => validateRestart(spark, name, b.name, q, ck))
     name
   }
 
@@ -1774,35 +1850,75 @@ object TableEnv {
       // read ever sees — silent data loss (r15 probe). Overwrite resets the
       // dir, so drop the stale log with it; append commits the new files to
       // the log as the next batch so log-aware readers see them.
+      //
+      // Neither is safe while a streaming job is ACTIVELY writing the same
+      // path: the file sink treats batchId <= latest-in-log as already
+      // committed, so a batch append that advances the log makes the RUNNING
+      // stream silently SKIP its next micro-batches, and an overwrite
+      // deletes the log out from under it — refuse by name (r15 ADVICE; the
+      // preflight refusals only cover stopped/resumed jobs).
+      if (hasSinkLog) Jobs.activeWriterOf(b.options("path")).foreach { job =>
+        throw new IllegalStateException(
+          s"batch INSERT into '${b.name}' refused: streaming job '$job' is " +
+            s"actively writing '${b.options("path")}'. Spark's file sink " +
+            "dedups micro-batches by batch id against the sink's commit " +
+            "log, so " +
+            (if (overwrite) "an OVERWRITE deleting that log"
+             else "a batch append advancing that log") +
+            " would make the running stream silently LOSE its next " +
+            s"micro-batches. STOP JOB '$job' first, or INSERT through the " +
+            "stream's own source instead")
+      }
       val appendingToLog = !overwrite && hasSinkLog
       if (overwrite && hasSinkLog) fs.delete(logPath, true)
-      val before: Set[String] =
-        if (appendingToLog) dataFileStatuses(fs, path).map(_.getPath.toString).toSet
-        else Set.empty
-      val w = df.write.format(b.format).options(formatOptions(b, forWrite = true))
-        .mode(if (overwrite) "overwrite" else "append")
-      (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
-        .save(b.options("path"))
       if (appendingToLog) {
         import org.apache.spark.sql.execution.streaming.sinks.{FileStreamSinkLog, SinkFileStatus}
-        val added = dataFileStatuses(fs, path)
-          .filterNot(st => before(st.getPath.toString))
-        if (added.nonEmpty) {
-          val log = new FileStreamSinkLog(
-            FileStreamSinkLog.VERSION, spark, logPath.toString)
-          val entries = added.map(st => SinkFileStatus(st)).toArray
-          // a concurrent streaming writer may claim the same batch id —
-          // add() refuses an existing id, so walk forward a few slots
-          var id = log.getLatestBatchId().getOrElse(-1L) + 1
-          var committed = false
-          var tries = 0
-          while (!committed && tries < 16) {
-            committed = log.add(id, entries)
-            if (!committed) { id += 1; tries += 1 }
+        // Stage the write in a hidden dir INSIDE the sink (same filesystem,
+        // so the moves are metadata renames), then move exactly the written
+        // files into place and commit those names to the sink log —
+        // O(written files) driver work. The pre-r16 implementation diffed
+        // two full recursive listings of the sink dir, which on a long-lived
+        // 100x-scale streaming sink (millions of files) turned a rare-but-
+        // legal batch append into a driver stall (r15 verdict #3).
+        val staging = new org.apache.hadoop.fs.Path(path,
+          s".graft-batch-staging-${java.util.UUID.randomUUID()}")
+        try {
+          val w = df.write.format(b.format)
+            .options(formatOptions(b, forWrite = true)).mode("overwrite")
+          (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
+            .save(staging.toString)
+          val stagingQ = fs.makeQualified(staging)
+          val moved = dataFileStatuses(fs, staging).map { st =>
+            // preserve partition subdirs: move by staging-relative path
+            val rel = stagingQ.toUri.relativize(st.getPath.toUri).getPath
+            val dest = new org.apache.hadoop.fs.Path(path, rel)
+            Option(dest.getParent).foreach(fs.mkdirs)
+            require(fs.rename(st.getPath, dest),
+              s"could not move staged batch file ${st.getPath} to $dest")
+            fs.getFileStatus(dest)
           }
-          require(committed, s"could not commit batch-appended files to " +
-            s"'${b.name}'s streaming sink log at $logPath after 16 attempts")
-        }
+          if (moved.nonEmpty) {
+            val log = new FileStreamSinkLog(
+              FileStreamSinkLog.VERSION, spark, logPath.toString)
+            val entries = moved.map(st => SinkFileStatus(st)).toArray
+            // a FOREIGN-process writer may still claim the same batch id —
+            // add() refuses an existing id, so walk forward a few slots
+            var id = log.getLatestBatchId().getOrElse(-1L) + 1
+            var committed = false
+            var tries = 0
+            while (!committed && tries < 16) {
+              committed = log.add(id, entries)
+              if (!committed) { id += 1; tries += 1 }
+            }
+            require(committed, s"could not commit batch-appended files to " +
+              s"'${b.name}'s streaming sink log at $logPath after 16 attempts")
+          }
+        } finally fs.delete(staging, true)
+      } else {
+        val w = df.write.format(b.format).options(formatOptions(b, forWrite = true))
+          .mode(if (overwrite) "overwrite" else "append")
+        (if (b.partitionedBy.nonEmpty) w.partitionBy(b.partitionedBy: _*) else w)
+          .save(b.options("path"))
       }
       // the binding's session view captured the directory's FILE LISTING
       // when it was created (InMemoryFileIndex is fixed at load()) — rebind

@@ -313,31 +313,106 @@ object Multimodal {
   def perceptualHash(payload: Column): Column =
     graft.functions.HashExprs.phash64(payload)
 
+  /** The (id, ph, band, bucket) exploded frame behind the phash blocking:
+    * the 64-bit phash cut into `bands` equal slices of 64/`bands` bits. */
+  private def phashBanded(df: DataFrame, idCol: String, payloadCol: String,
+      bands: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands) — 1, 2, 4, 8, 16, 32 or 64")
+    val bandBits = 64 / bands
+    val h = df.select(col(idCol).as("id"), perceptualHash(col(payloadCol)).as("ph"))
+    def slice(b: Int): Column =
+      if (bandBits == 64) col("ph") // one band = the whole hash (mask would overflow)
+      else shiftrightunsigned(col("ph"), b * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1))
+    h.select(col("id"), col("ph"),
+      posexplode(array((0 until bands).map(slice): _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Band count for a corpus of ~`approxRows` payloads — the multi-index-
+    * hashing sizing rule, with the caveat that the hash is FIXED at 64 bits
+    * so selectivity and guaranteed recall fight over the same bits:
+    *
+    *  - cost: each band's expected candidate pairs ≈ n² / 2^bandBits, so
+    *    keeping candidates ~linear in n needs bandBits ≥ log2(n) — the
+    *    r13 census measured exactly this going wrong (4×16-bit bands =
+    *    65,536 buckets/band → 13B candidates at sf100, OOM at the fourth
+    *    decade);
+    *  - recall: a pair within hamming h is GUARANTEED a clean band iff
+    *    h < bands (pigeonhole). Above bands-1 the blocking is probabilistic,
+    *    the same dial as the MinHash bands.
+    *
+    * This picks the SMALLEST power-of-two band width ≥ log2(n) (so the
+    * most bands selectivity affords): ≤65k rows → 4×16, ≤4B rows → 2×32,
+    * beyond → 1×64 (exact-hash blocking). When the returned band count is
+    * ≤ `maxHamming`, recall at that radius is probabilistic — callers
+    * wanting guaranteed recall at h ≥ 2 on large corpora need a longer
+    * perceptual hash, not a different banding of this one. */
+  def phashBandsFor(approxRows: Long, maxHamming: Int = 8): Int = {
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(approxRows, 2L) - 1)
+    val bandBits = Seq(16, 32, 64).find(_ >= log2n).getOrElse(64)
+    64 / bandBits
+  }
+
+  /** Per-band blocking cost/degradation report — run this BEFORE the pair
+    * join to size `bands`/`maxBucket` on a real corpus (one shuffle, tiny
+    * output): for each band, the bucket count, the largest bucket, how many
+    * buckets exceed `maxBucket`, the exact pairs the ≤cap buckets will
+    * emit, and the pairs the >cap buckets DEGRADE to star edges (the skew
+    * guard keeps connectivity — every member still pairs with the bucket
+    * representative — but drops pair completeness; with undersized bands
+    * EVERY bucket goes over cap and this column is where that stops being
+    * silent, r15 verdict). */
+  def phashBandingStats(
+      df: DataFrame, idCol: String, payloadCol: String,
+      bands: Int = 4, maxBucket: Int = 10000): DataFrame =
+    phashBanded(df, idCol, payloadCol, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket_n"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("oversized_buckets"),
+        // n*(n-1) is even, so >>1 is the exact integer half (long `/` would
+        // go through double and lose exactness past 2^53 pairs)
+        sum(when(col("n") <= maxBucket, shiftright(col("n") * (col("n") - 1), 1))
+          .otherwise(0L)).as("exact_pairs"),
+        sum(when(col("n") > maxBucket,
+            shiftright(col("n") * (col("n") - 1), 1) - (col("n") - 1))
+          .otherwise(0L)).as("degraded_pairs"))
+      .orderBy(col("band"))
+
   /** Near-duplicate payload pairs by perceptual hash: the 64-bit phash is
-    * cut into four 16-bit bands; a candidate pair must agree exactly on at
-    * least one band, then candidates are verified by full hamming distance
-    * ≤ `maxHamming`. Banding recall: pairs at hamming ≤ 3 are GUARANTEED a
-    * clean band (pigeonhole over 4 bands); above that, blocking is
-    * probabilistic like any LSH — e.g. 4 differing bits landing one per
-    * band hide the pair (the bound is a recall/cost dial, same trade as the
-    * MinHash bands). The band bucket is the blocking key — one shuffle, no
-    * all-pairs; `maxBucket` is the skew guard shared with the MinHash join
+    * cut into `bands` equal slices (64/`bands` bits each); a candidate pair
+    * must agree exactly on at least one band, then candidates are verified
+    * by full hamming distance ≤ `maxHamming`.
+    *
+    * Banding recall: pairs at hamming < `bands` are GUARANTEED a clean band
+    * (pigeonhole); above that, blocking is probabilistic like any LSH —
+    * e.g. with 4 bands, 4 differing bits landing one per band hide the pair
+    * (the bound is a recall/cost dial, same trade as the MinHash bands).
+    *
+    * Banding COST is the other side of the dial and scales with the corpus:
+    * each band's expected candidates ≈ n²/2^(64/bands), so the 4×16-bit
+    * default stops being viable around n ≈ 10⁶ (the r13 census: 13B
+    * candidates at sf100) — size `bands` with [[phashBandsFor]] and check
+    * the plan with [[phashBandingStats]] before running corpus-scale jobs.
+    *
+    * The band bucket is the blocking key — one shuffle, no all-pairs;
+    * `maxBucket` is the skew guard shared with the MinHash join
     * ([[graft.pipeline.Dedup.bandedPairs]]): oversized buckets degrade to
     * star edges against the bucket representative, never to zero pairs or a
-    * quadratic task. The default cap is high enough that healthy corpora
-    * never hit it, so the cap-free SQL oracle stays exact at test scale. */
+    * quadratic task ([[phashBandingStats]] counts what that degradation
+    * costs). The default cap is high enough that healthy corpora never hit
+    * it, so the cap-free SQL oracle stays exact at test scale. */
   def phashNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int = 8, maxBucket: Int = 10000): DataFrame = {
-    val h = df.select(col(idCol).as("id"), perceptualHash(col(payloadCol)).as("ph"))
-    val banded = h.select(col("id"), col("ph"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("ph"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band", "bucket")))
-    graft.pipeline.Dedup.bandedPairs(banded, maxBucket, carry = Seq("ph"))
+      maxHamming: Int = 8, maxBucket: Int = 10000, bands: Int = 4): DataFrame =
+    graft.pipeline.Dedup.bandedPairs(
+        phashBanded(df, idCol, payloadCol, bands), maxBucket, carry = Seq("ph"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-  }
 }

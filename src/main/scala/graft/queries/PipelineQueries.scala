@@ -706,6 +706,30 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // the corpus-scale banding of the same operator (r16): 2 bands x 32
+    // bits — 2^32 buckets per band keeps candidates ~linear in n past the
+    // ~10^6 rows where the 16-bit default goes quadratic (the r13 census:
+    // 13B candidates / OOM at sf100). Recall is guaranteed at hamming < 2
+    // and probabilistic above (the multi-index-hashing trade on a fixed
+    // 64-bit hash); the oracle mirrors the banding exactly.
+    "q_multimodal_phash_pairs_wide" -> { (s, dir) =>
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      Multimodal.phashNearDupPairs(withBin, "doc_id", "payload",
+          maxHamming = 8, bands = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // the sizing report behind the banding knob: per band, bucket census +
+    // the exact pairs the <=cap buckets emit + the pairs the skew guard
+    // would degrade to star edges — the numbers that size bands/maxBucket
+    // BEFORE a corpus-scale pair run (and the surface where over-cap
+    // degradation stops being silent, r15 verdict)
+    "q_multimodal_phash_stats" -> { (s, dir) =>
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      Multimodal.phashBandingStats(withBin, "doc_id", "payload",
+        bands = 4, maxBucket = 10000)
+    },
+
     // the REMOVE step of substring dedup (Lee et al. 2022): min-id owner
     // keeps each duplicated 20-char region, every other doc has it cut out
     "q_cut_spans" -> { (s, dir) =>
@@ -1326,6 +1350,81 @@ object PipelineQueries {
         |FROM cand
         |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the 2x32-bit banding: bucket 0 = the low word, bucket 1 = the high
+    // word (phash_lo/phash_hi are already the unsigned 32-bit halves)
+    "q_multimodal_phash_pairs_wide" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, n, text, UNNEST(generate_series(0, n-1)) AS i FROM d WHERE n > 0),
+        |sb AS (SELECT doc_id, (i*65)//n AS seg,
+        |         unicode(substring(text, CAST(i+1 AS INT), 1)) AS byte FROM p),
+        |seg AS (SELECT doc_id, seg, SUM(byte) AS segsum FROM sb GROUP BY doc_id, seg),
+        |bits AS (
+        |  SELECT ids.doc_id, bb.b AS bit,
+        |    CASE WHEN COALESCE(s1.segsum, 0) > COALESCE(s2.segsum, 0) THEN 1 ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM d) ids
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS b) bb
+        |  LEFT JOIN seg s1 ON s1.doc_id = ids.doc_id AND s1.seg = bb.b
+        |  LEFT JOIN seg s2 ON s2.doc_id = ids.doc_id AND s2.seg = bb.b + 1),
+        |h AS (SELECT doc_id,
+        |    SUM(CASE WHEN bit >= 32 AND v = 1 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS phash_hi,
+        |    SUM(CASE WHEN bit < 32 AND v = 1 THEN (1::BIGINT << bit) ELSE 0 END) AS phash_lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, phash_hi, phash_lo, UNNEST(generate_series(0, 1)) AS band FROM h),
+        |bb2 AS (SELECT doc_id, phash_hi, phash_lo, band,
+        |    CASE band WHEN 0 THEN phash_lo ELSE phash_hi END AS bucket
+        |  FROM bands),
+        |counted AS (SELECT doc_id, phash_hi, phash_lo, band, bucket,
+        |    COUNT(*) OVER (PARTITION BY band, bucket) AS bn,
+        |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS rep
+        |  FROM bb2),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |         a.phash_hi AS ha, a.phash_lo AS la, b2.phash_hi AS hb, b2.phash_lo AS lb
+        |  FROM counted a JOIN counted b2
+        |    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |  WHERE a.bn <= 10000
+        |  UNION ALL
+        |  SELECT c.rep, c.doc_id, hr.phash_hi, hr.phash_lo, c.phash_hi, c.phash_lo
+        |  FROM counted c JOIN h hr ON hr.doc_id = c.rep
+        |  WHERE c.bn > 10000 AND c.rep < c.doc_id)
+        |SELECT DISTINCT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the banding census: bucket sizes per band at the 4x16 default
+    "q_multimodal_phash_stats" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, n, text, UNNEST(generate_series(0, n-1)) AS i FROM d WHERE n > 0),
+        |sb AS (SELECT doc_id, (i*65)//n AS seg,
+        |         unicode(substring(text, CAST(i+1 AS INT), 1)) AS byte FROM p),
+        |seg AS (SELECT doc_id, seg, SUM(byte) AS segsum FROM sb GROUP BY doc_id, seg),
+        |bits AS (
+        |  SELECT ids.doc_id, bb.b AS bit,
+        |    CASE WHEN COALESCE(s1.segsum, 0) > COALESCE(s2.segsum, 0) THEN 1 ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM d) ids
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS b) bb
+        |  LEFT JOIN seg s1 ON s1.doc_id = ids.doc_id AND s1.seg = bb.b
+        |  LEFT JOIN seg s2 ON s2.doc_id = ids.doc_id AND s2.seg = bb.b + 1),
+        |h AS (SELECT doc_id,
+        |    SUM(CASE WHEN bit >= 32 AND v = 1 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS phash_hi,
+        |    SUM(CASE WHEN bit < 32 AND v = 1 THEN (1::BIGINT << bit) ELSE 0 END) AS phash_lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, phash_hi, phash_lo, UNNEST(generate_series(0, 3)) AS band FROM h),
+        |bb2 AS (SELECT doc_id, band,
+        |    CASE band WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536
+        |              WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS bucket
+        |  FROM bands),
+        |bc AS (SELECT band, bucket, COUNT(*) AS n FROM bb2 GROUP BY band, bucket)
+        |SELECT CAST(band AS INT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+        |  CAST(SUM(CASE WHEN n > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS oversized_buckets,
+        |  CAST(SUM(CASE WHEN n <= 10000 THEN n*(n-1)//2 ELSE 0 END) AS BIGINT) AS exact_pairs,
+        |  CAST(SUM(CASE WHEN n > 10000 THEN n*(n-1)//2 - (n-1) ELSE 0 END) AS BIGINT) AS degraded_pairs
+        |FROM bc GROUP BY band ORDER BY band""".stripMargin,
 
     "q_cut_spans" ->
       """WITH p AS (SELECT doc_id, text, UNNEST(generate_series(1, length(text)-19)) AS pos

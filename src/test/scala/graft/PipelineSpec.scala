@@ -1120,6 +1120,57 @@ class PipelineSpec extends SparkTestBase {
     assert(allPairs == 50L * 49 / 2)
   }
 
+  test("phash banding knob: sizing rule, wider-band selectivity, stats census, recall floor (r16)") {
+    import graft.pipeline.Multimodal
+    // the sizing rule: smallest power-of-two band width >= log2(n) — the
+    // most bands (best recall) that keep expected candidates ~linear
+    assert(Multimodal.phashBandsFor(1000L) == 4)
+    assert(Multimodal.phashBandsFor(65536L) == 4) // log2 = 16 exactly
+    assert(Multimodal.phashBandsFor(65537L) == 2) // past 2^16: 32-bit bands
+    assert(Multimodal.phashBandsFor(1L << 32) == 2)
+    assert(Multimodal.phashBandsFor((1L << 32) + 1) == 1) // exact-hash blocking
+    val docs = Tables.load(spark, sfDir, "documents")
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    def candTotal(bands: Int): Long =
+      Multimodal.phashBandingStats(withBin, "doc_id", "payload", bands = bands)
+        .collect()
+        .map(r => r.getAs[Long]("exact_pairs") + r.getAs[Long]("degraded_pairs")).sum
+    // wider bands are strictly more selective on the census corpus — the
+    // dial the r13 census needed (4x16 bands: 13B candidates at sf100)
+    val (c4, c2, c1) = (candTotal(4), candTotal(2), candTotal(1))
+    assert(c2 < c4, s"2x32 banding must cut candidates vs 4x16 ($c2 !< $c4)")
+    assert(c1 <= c2, s"1x64 (exact-hash) must be the most selective ($c1 !<= $c2)")
+    // refinement containment: agreeing on a 32-bit band implies agreeing on
+    // both of its 16-bit halves, so wide-band VERIFIED pairs are a subset
+    // of the default banding's (no skew cap in play at this scale)
+    def pairSet(bands: Int): Set[(Long, Long)] =
+      Multimodal.phashNearDupPairs(withBin, "doc_id", "payload",
+          maxHamming = 8, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (p4, p2) = (pairSet(4), pairSet(2))
+    assert(p2.subsetOf(p4), s"wide-band pairs must refine the default's: ${(p2 -- p4).take(3)}")
+    // recall floor: hamming < bands is GUARANTEED a clean band — exact
+    // duplicates (hamming 0) must pair under EVERY banding, including 1x64
+    val planted = Seq(
+      (9000001L, "an exactly duplicated payload body for the recall floor"),
+      (9000002L, "an exactly duplicated payload body for the recall floor"),
+      (9000003L, "some completely unrelated other content ............. !")
+    ).toDF("doc_id", "text")
+    Seq(1, 2, 4, 8).foreach { bands =>
+      val pairs = Multimodal.phashNearDupPairs(
+          Multimodal.withBinaryPayload(planted, "text"), "doc_id", "payload",
+          maxHamming = 0, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.contains((9000001L, 9000002L)),
+        s"exact dup must survive bands=$bands: ${pairs.toSeq}")
+    }
+    // invalid band counts refuse by name
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashBandingStats(withBin, "doc_id", "payload", bands = 3)
+    }
+    assert(e.getMessage.contains("divide 64"))
+  }
+
   test("int8 quantization round-trips within scale/2 per component") {
     val e = Tables.load(spark, sfDir, "embeddings").limit(50)
     val out = Similarity.quantizeInt8(e, "vec_id", "embedding")
