@@ -50,9 +50,32 @@ object Bench {
     // real measurement): failures rank as +inf; if BOTH passes fail, report
     // the SLOWER of the two failed attempts so the anomaly stays maximally
     // visible in the total instead of reporting ~0.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    //
+    // FORCING (r16, VERDICT item 1): the headline per-query numbers force
+    // full evaluation with count + bit_xor(xxhash64(<every column>)) — the
+    // SweepScale reduction — because a bare count() lets Catalyst
+    // join-ELIMINATE whole subtrees: the spans gates' final left join
+    // against a unique-keyed aggregate was pruned entirely, so their
+    // "timings" measured a no-op (r15 sweep finding; Bench had the same
+    // flaw). A bare-count() pass per query is still taken and emitted as
+    // "legacy_total" so the BASELINE.md series (recorded under count()
+    // forcing since round 1) keeps a like-for-like continuation.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        forced: Boolean): (Double, Boolean) = {
+      import org.apache.spark.sql.functions.{count, expr, lit}
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try {
+        val df = fn(spark, sfDir)
+        if (forced)
+          // bit_xor, not sum: xxhash64 spans the full long range, so an
+          // ANSI sum overflows after two rows; xor is order-independent
+          df.agg(count(lit(1)).as("n"),
+            expr(df.columns.map(c => s"cast(`$c` as string)")
+              .mkString("bit_xor(xxhash64(", ", ", "))")).as("h"))
+            .collect()
+        else df.count()
+        true
+      } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     // ---- host-noise stamp (r13, VERDICT item 2): the r12 artifact recorded
@@ -83,12 +106,12 @@ object Bench {
     // and keep the min of all three — best-of-3 on outliers only.
     var reruns = 0
     val raw = SparkEntry.queries.map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = timeOnce(fn)
+      val a = timeOnce(fn, forced = true)
+      val b = timeOnce(fn, forced = true)
       var passes = Vector(a, b)
       if (a._2 && b._2) {
         val (lo, hi) = (math.min(a._1, b._1), math.max(a._1, b._1))
-        if (hi > lo * 1.5 && hi - lo > 0.2) { reruns += 1; passes :+= timeOnce(fn) }
+        if (hi > lo * 1.5 && hi - lo > 0.2) { reruns += 1; passes :+= timeOnce(fn, forced = true) }
       }
       name -> passes
     }
@@ -106,7 +129,8 @@ object Bench {
     val stallMode = loadBefore > 1.0 || loadMid > 1.0 || reruns * 8 > raw.size
     val withExtra =
       if (stallMode)
-        raw.map { case (name, ps) => name -> (ps :+ timeOnce(SparkEntry.queries(name))) }
+        raw.map { case (name, ps) =>
+          name -> (ps :+ timeOnce(SparkEntry.queries(name), forced = true)) }
       else raw
     def okTimes(ps: Vector[(Double, Boolean)]): Vector[Double] = {
       val oks = ps.filter(_._2).map(_._1)
@@ -119,6 +143,15 @@ object Bench {
       val ts = okTimes(ps).sorted
       ts((ts.size - 1) / 2)
     }.sum
+    // ---- legacy bare-count() pass: the cross-round continuity series.
+    // Same best-of-2 + stall-mode extra pass; reported only as a total.
+    val legacyTotal = SparkEntry.queries.map { case (name, fn) =>
+      val a = timeOnce(fn, forced = false)
+      val b = timeOnce(fn, forced = false)
+      val ps = if (stallMode) Vector(a, b, timeOnce(fn, forced = false))
+        else Vector(a, b)
+      okTimes(ps).min
+    }.sum
     val loadAfter = loadAvg(); val spinAfter = spin()
     val noiseJson = String.format(java.util.Locale.ROOT,
       """"noise":{"load_before":%.2f,"load_after":%.2f,"spin_before_sec":%.3f,"spin_after_sec":%.3f,"outlier_reruns":%d,"stall_mode":%b,"median_total":%.2f}""",
@@ -129,9 +162,12 @@ object Bench {
     def jsonLine(qs: Seq[(String, Double)], omitted: Int): String = {
       val entries = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
       val omit = if (omitted > 0) s""","omitted":$omitted,"full":"bench_out.json"""" else ""
+      // value/queries = xxhash64-forced full evaluation (honest per-query
+      // numbers); legacy_total = the bare-count() forcing every BASELINE
+      // round used (join-eliminates some gates — continuity series only)
       String.format(java.util.Locale.ROOT,
-        """{"metric":"total","value":%.2f,"unit":"sec",%s,"queries":{%s}%s,"sf":"%s"}""",
-        Double.box(total), noiseJson, entries, omit, sfDir)
+        """{"metric":"total","value":%.2f,"unit":"sec","forcing":"count+bit_xor(xxhash64(*))","legacy_total":%.2f,%s,"queries":{%s}%s,"sf":"%s"}""",
+        Double.box(total), Double.box(legacyTotal), noiseJson, entries, omit, sfDir)
     }
     val full = jsonLine(results.toSeq, 0)
     // The harness that captures our stdout keeps only a bounded tail (observed
