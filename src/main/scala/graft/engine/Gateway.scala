@@ -177,6 +177,7 @@ class Gateway(root: SparkSession) {
     try s.sql("CREATE OR REPLACE TEMPORARY VIEW dual AS SELECT 1 AS dummy")
     catch { case _: Exception => () }
     sessions.put(handle, new Session(handle, s))
+    TableEnv.registerSession(s) // cross-instance invalidation sweeps reach it
     handle
   }
 
@@ -1272,9 +1273,9 @@ class Gateway(root: SparkSession) {
         if (b.distribution.isDefined)
           try spark.sql(s"DROP TABLE IF EXISTS ${TableEnv.bucketTableName(b)}")
           catch { case _: Exception => () }
-        sessions.values.foreach { sess =>
-          if (!locallyShadowed(sess.spark, n))
-            try sess.spark.catalog.dropTempView(n)
+        TableEnv.openSessionSparks.foreach { sp =>
+          if (!locallyShadowed(sp, n))
+            try sp.catalog.dropTempView(n)
             catch { case _: Exception => () }
         }
         // the caller may itself hold a temporary-view shadow of the name —
@@ -1374,9 +1375,9 @@ class Gateway(root: SparkSession) {
           // cluster object), sparing sessions whose own temporary shadow
           // owns the name; forget the materialization-cache entries so a
           // later re-CREATE re-materializes everywhere
-          sessions.values.foreach { sess =>
-            if (!locallyShadowed(sess.spark, n))
-              try sess.spark.catalog.dropTempView(n)
+          TableEnv.openSessionSparks.foreach { sp =>
+            if (!locallyShadowed(sp, n))
+              try sp.catalog.dropTempView(n)
               catch { case _: Exception => () }
           }
           materializedViews.keys.filter(_._2 == n.toLowerCase)
@@ -1401,11 +1402,11 @@ class Gateway(root: SparkSession) {
         // materializations (sparing shadows) so their next reference
         // re-materializes with the new options instead of serving
         // pre-ALTER semantics forever (r12 review finding; the same
-        // stale-ghost class as DROP/RENAME)
-        sessions.values.foreach { sess =>
-          if ((sess.spark ne spark) &&
-              !locallyShadowed(sess.spark, b.name))
-            try sess.spark.catalog.dropTempView(b.name)
+        // stale-ghost class as DROP/RENAME). ALL live sessions, across
+        // gateway instances (r16).
+        TableEnv.openSessionSparks.foreach { sp =>
+          if ((sp ne spark) && !locallyShadowed(sp, b.name))
+            try sp.catalog.dropTempView(b.name)
             catch { case _: Exception => () }
         }
         Statement(s"Table ${b.name} options updated (${opts.keys.mkString(", ")})")
@@ -1422,9 +1423,9 @@ class Gateway(root: SparkSession) {
         val b = TableEnv.alterSchema(spark, tn, verb, rest)
         // rebind only materialized HERE — drop the other sessions' stale
         // materializations (sparing shadows), same class as ALTER SET
-        sessions.values.foreach { sess =>
-          if ((sess.spark ne spark) && !locallyShadowed(sess.spark, b.name))
-            try sess.spark.catalog.dropTempView(b.name)
+        TableEnv.openSessionSparks.foreach { sp =>
+          if ((sp ne spark) && !locallyShadowed(sp, b.name))
+            try sp.catalog.dropTempView(b.name)
             catch { case _: Exception => () }
         }
         Statement(s"Table ${b.name} schema altered (${verb.toUpperCase})")
@@ -1450,10 +1451,9 @@ class Gateway(root: SparkSession) {
         // the old name must die in EVERY session, not just this one —
         // a stale materialization elsewhere is a readable ghost of a
         // cluster object that no longer exists (same class as DROP TABLE)
-        sessions.values.foreach { sess =>
-          if ((sess.spark ne spark) &&
-              !locallyShadowed(sess.spark, fromN))
-            try sess.spark.catalog.dropTempView(fromN)
+        TableEnv.openSessionSparks.foreach { sp =>
+          if ((sp ne spark) && !locallyShadowed(sp, fromN))
+            try sp.catalog.dropTempView(fromN)
             catch { case _: Exception => () }
         }
         // rename rebinds the NEW name and drops the OLD name here — local

@@ -145,7 +145,17 @@ object Jobs {
     active.collectFirst { case (n, q) if n == nameOrId || q.id.toString == nameOrId => q }
 
   def stopAll(): Unit = {
-    active.values.foreach(_.stop()); active.clear(); sinkPaths.clear()
+    // mirror stop(): a stopped-but-still-listed job must not read RUNNING
+    // (Jobs.list falls back to the registration-time status once the query
+    // leaves `active`, which said RUNNING forever)
+    active.foreach { case (n, q) =>
+      q.stop()
+      history.get(n).foreach { i =>
+        val st = if (q.exception.isDefined) "FAILED" else "CANCELED"
+        history.put(n, i.copy(status = st))
+      }
+    }
+    active.clear(); sinkPaths.clear()
   }
   def clearHistory(): Unit = { stopAll(); history.clear() }
 }

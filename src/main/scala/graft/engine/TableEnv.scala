@@ -443,7 +443,19 @@ object TableEnv {
   def sessionScope(spark: SparkSession): String =
     sessionScopes.getOrElseUpdate(spark, java.util.UUID.randomUUID().toString)
   /** Drop a closing session's scope mapping; returns the scope it had. */
-  def releaseScope(spark: SparkSession): Option[String] = sessionScopes.remove(spark)
+  def releaseScope(spark: SparkSession): Option[String] = {
+    liveSessions.remove(spark)
+    sessionScopes.remove(spark)
+  }
+
+  /** Open gateway sessions, ACROSS gateway instances. The cross-session
+    * invalidation sweeps (DROP/RENAME/ALTER killing stale materializations,
+    * sparing shadows) must reach every live session — iterating only the
+    * executing gateway's own session map left the other instance serving
+    * pre-ALTER ghosts (r16 find, exposed by the two-gateway spec). */
+  private val liveSessions = TrieMap.empty[SparkSession, Unit]
+  def registerSession(spark: SparkSession): Unit = liveSessions.put(spark, ())
+  def openSessionSparks: Iterable[SparkSession] = liveSessions.keys
 
   /** (scope, lowercase name) of connector-less CREATE TEMPORARY TABLE
     * relations — session objects with no SQL definition, so viewDefs can't
@@ -1482,34 +1494,43 @@ object TableEnv {
     * fresh-checkpoint start never enters this path (zero added latency). */
   private def validateRestart(spark: SparkSession, name: String, sink: String,
       q: org.apache.spark.sql.streaming.StreamingQuery, ckpt: String): Unit = {
-    // the state restore validates inside batch 0, which can crunch for
-    // minutes on a loaded host — wait while the query is actively working
-    // (a 60 s budget returned "Job started" just before the named failure
-    // under full-suite load). IDLE is only conclusive once a batch has
-    // COMMITTED since the restart: checkpoint/state-store validation runs
-    // inside the first executed batch, so a query that merely looks idle
-    // during initialization (trigger inactive, no data yet — routinely
-    // >500 ms) has validated NOTHING and could still die later with the raw
-    // async state-store error this path exists to surface (r15 ADVICE). A
-    // genuinely data-less resume (nothing to replay, no new data) holds a
-    // longer bounded idle budget before being released as
-    // inconclusive-but-running.
+    // the state restore validates inside the first EXECUTED batch, which
+    // can crunch for minutes on a loaded host — wait while the query is
+    // actively working (a 60 s budget returned "Job started" just before
+    // the named failure under full-suite load). The conclusive "validated"
+    // signal is the checkpoint's COMMITS log advancing: a batch ran end to
+    // end through the restored state. Neither a 500 ms idle status (the
+    // pre-r16 heuristic — fires during slow initialization with nothing
+    // validated, r15 ADVICE) nor recentProgress (Spark emits one no-data
+    // progress EVENT per idle interval without executing anything —
+    // measured: an idle resume reports batchId n+1 progress while the
+    // commits log never moves) proves anything ran. A genuinely data-less
+    // resume (nothing to replay, no new data) therefore holds a bounded
+    // idle budget and is then released as inconclusive-but-running rather
+    // than claimed healthy.
+    // Signals are the checkpoint LOGS, not StreamingQueryStatus flags: a
+    // continuous-trigger query reports isTriggerActive ~always (each empty
+    // trigger is "active"), so a status-based idle detector never fires.
+    //  - offsets advancing (or offsets > commits at entry: an uncommitted
+    //    replay) = a batch is CONSTRUCTED and executing → wait the full
+    //    budget for its commit or failure;
+    //  - nothing constructed within the soft budget = inconclusive; release
+    //    with the job running (never a long stall on a data-less resume).
     val commitsDir = new org.apache.hadoop.fs.Path(ckpt, "commits")
+    val offsetsDir = new org.apache.hadoop.fs.Path(ckpt, "offsets")
     val cfs = commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
     val commits0 = latestLogId(cfs, commitsDir)
+    val offsets0 = latestLogId(cfs, offsetsDir)
     def committedSince(): Boolean = latestLogId(cfs, commitsDir) > commits0
     val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
-    val idleBudget = 5
-    val inconclusiveIdleBudget = 150 // 15 s: data may just be slow to arrive
-    var idleTicks = 0
+    val softDeadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var constructed = offsets0 > commits0 // pending replay counts as working
     var validated = false
     while (System.nanoTime() < deadline && q.isActive &&
-        q.exception.isEmpty && q.recentProgress.isEmpty &&
-        (idleTicks < idleBudget ||
-          (!validated && idleTicks < inconclusiveIdleBudget))) {
-      val st = q.status
-      idleTicks = if (!st.isTriggerActive && !st.isDataAvailable) idleTicks + 1 else 0
-      if (!validated && idleTicks >= idleBudget) validated = committedSince()
+        q.exception.isEmpty && !validated &&
+        (constructed || System.nanoTime() < softDeadline)) {
+      validated = committedSince()
+      if (!constructed) constructed = latestLogId(cfs, offsetsDir) > offsets0
       Thread.sleep(100)
     }
     q.exception.foreach { e =>
@@ -1856,8 +1877,11 @@ object TableEnv {
       // committed, so a batch append that advances the log makes the RUNNING
       // stream silently SKIP its next micro-batches, and an overwrite
       // deletes the log out from under it — refuse by name (r15 ADVICE; the
-      // preflight refusals only cover stopped/resumed jobs).
-      if (hasSinkLog) Jobs.activeWriterOf(b.options("path")).foreach { job =>
+      // preflight refusals only cover stopped/resumed jobs). The refusal
+      // deliberately does NOT require the log to exist yet: a just-started
+      // writer commits its log momentarily, which would then hide a plain
+      // append's files just the same.
+      Jobs.activeWriterOf(b.options("path")).foreach { job =>
         throw new IllegalStateException(
           s"batch INSERT into '${b.name}' refused: streaming job '$job' is " +
             s"actively writing '${b.options("path")}'. Spark's file sink " +

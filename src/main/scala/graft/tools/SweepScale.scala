@@ -10,6 +10,21 @@ import org.apache.spark.sql.SparkSession
   * index, bucketed digests) keyed by their input dir; mixing decades in one
   * JVM would cross-contaminate them.
   *
+  * r16 changes (VERDICT items 2+6):
+  *  - FULL gates force complete evaluation with the same
+  *    count+bit_xor(xxhash64(*)) reduction the bounded variants use — a
+  *    bare count() let Catalyst join-eliminate whole subtrees (the spans
+  *    gates timed a no-op in every pre-r16 sweep) and skip trailing global
+  *    sorts. Both decades of a round now share one forcing, so decade
+  *    ratios stay internally consistent; pre-r16 sweep artifacts used
+  *    count() and are not directly comparable.
+  *  - SELF-ATTRIBUTING flags: when a gate's single-pass decade ratio vs the
+  *    reference decade exceeds the flag threshold (12x for 10x data), the
+  *    sweep re-runs that gate once and records BOTH passes — one-off host
+  *    stalls attribute themselves in the artifact instead of needing a
+  *    manual best-of-2 AggProbe session afterwards (every r15 >15x flag
+  *    collapsed to 1.6-4.3x under exactly this treatment).
+  *
   * Usage:
   *   SPARK_GRAFT_SF_DIR=target/sf10f  runMain graft.tools.SweepScale out10.json
   *   SPARK_GRAFT_SF_DIR=target/sf100f runMain graft.tools.SweepScale out100.json skip=out10.json
@@ -19,12 +34,14 @@ import org.apache.spark.sql.SparkSession
 object SweepScale {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("sweep_out.json")
+    // tolerate extra fields after "rows" (r16: flagged entries carry
+    // "passes"/"ratio1" evidence)
     val skipRef: Map[String, (Double, Long)] = args.find(_.startsWith("skip="))
       .map(_.stripPrefix("skip="))
       .map { p =>
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)), "UTF-8")
-        """"([^"]+)":\{"sec":([0-9.]+),"rows":(\d+)\}""".r.findAllMatchIn(txt)
+        """"([^"]+)":\{"sec":([0-9.]+),"rows":(\d+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toLong)).toMap
       }.getOrElse(Map.empty)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf10f")
@@ -56,41 +73,58 @@ object SweepScale {
       } finally stream.close()
       println(f"[sweep] warmed ${bytes / 1e9}%.1f GB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    // entry: (best sec, rows, all passes — singleton unless flag-rerun)
+    val results =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long, Seq[Double])]
     val skipped = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val flagRatio = 12.0 // ~linear decade growth is 2-10x; beyond reads as a stall
+    def forcedOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      // bit_xor, not sum: xxhash64 spans the full long range, so an ANSI
+      // sum overflows after two rows; xor is overflow-free and still
+      // order-independent
+      val row = df.agg(count(lit(1)).as("n"),
+        expr(df.columns.map(c => s"cast(`$c` as string)")
+          .mkString("bit_xor(xxhash64(", ", ", "))")).as("h"))
+        .collect()(0)
+      ((System.nanoTime() - t0) / 1e9, row.getLong(0))
+    }
+    // measure once; if the decade ratio vs the reference decade flags, take
+    // ONE more pass and keep the min — both passes land in the artifact
+    def measure(label: String, refName: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try {
+        val (s1, rows) = forcedOnce(fn)
+        val ref = skipRef.get(refName).map(_._1).filter(_ > 0.05)
+        val flagged = ref.exists(r => s1 / r > flagRatio)
+        val passes = if (flagged) {
+          println(f"[sweep] FLAG $label: $s1%.2f s is ${s1 / ref.get}%.1fx the " +
+            f"reference decade — taking a second pass")
+          val (s2, _) = forcedOnce(fn)
+          Seq(s1, s2)
+        } else Seq(s1)
+        val best = passes.min
+        results(label) = (best, rows, passes)
+        println(f"[sweep] $label%-36s $best%8.2f s  $rows%12d rows" +
+          (if (passes.size > 1) f"  (passes ${passes.map(p => f"$p%.2f").mkString("/")})" else ""))
+      } catch {
+        case e: Exception =>
+          skipped(label) = s"ERROR ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString
+          println(s"[sweep] FAIL $label: ${skipped(label)}")
+      }
     // Bounded-output variant (r15, VERDICT item 3): the skipped gates are
     // exactly the stateful/explosive operators whose scale behavior matters
     // most (CEP, session windows, top-N, LAG/LEAD, phash pairs). Run the
-    // SAME operator but reduce its output to one row — count + a sum of
-    // xxhash64 over every column (cast to string so any type hashes) forces
-    // the full per-row computation that a bare count() would let Catalyst
-    // prune, without the multi-GB row dump that made the full gate
-    // disk-bound. Recorded as `<gate>__agg`; rows = the operator's own
-    // output cardinality, so per-output-row cost still composes.
-    def runBounded(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try {
-        import org.apache.spark.sql.functions._
-        val t0 = System.nanoTime()
-        val df = fn(spark, sfDir)
-        // bit_xor, not sum: xxhash64 spans the full long range, so an ANSI
-        // sum overflows after two rows; xor is overflow-free and still
-        // order-independent
-        val row = df.agg(count(lit(1)).as("n"),
-          expr(df.columns.map(c => s"cast(`$c` as string)")
-            .mkString("bit_xor(xxhash64(", ", ", "))")).as("h"))
-          .collect()(0)
-        val sec = (System.nanoTime() - t0) / 1e9
-        results(name + "__agg") = (sec, row.getLong(0))
-        println(f"[sweep] ${name + "__agg"}%-36s $sec%8.2f s  ${row.getLong(0)}%12d rows (bounded)")
-      } catch {
-        case e: Exception =>
-          skipped(name + "__agg") = s"ERROR ${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString
-          println(s"[sweep] FAIL ${name}__agg: ${skipped(name + "__agg")}")
-      }
+    // SAME operator but reduce its output to one row — the forced reduction
+    // without the multi-GB row dump that made the full gate disk-bound.
+    // Recorded as `<gate>__agg`; rows = the operator's own output
+    // cardinality, so per-output-row cost still composes.
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       skipRef.get(name) match {
-        case Some((sec, rows)) if rows > 3000000L =>
+        case Some((_, rows)) if rows > 3000000L =>
           skipped(name) = s"output-explosive at reference decade ($rows rows)"
           println(s"[sweep] SKIP $name: ${skipped(name)} -> bounded variant")
           // the __agg variant's own reference-decade timing gates it: only
@@ -99,32 +133,27 @@ object SweepScale {
             case Some((asec, _)) if asec > 120.0 =>
               skipped(name + "__agg") = f"bounded variant already $asec%.1f s at reference decade"
               println(s"[sweep] SKIP ${name}__agg: ${skipped(name + "__agg")}")
-            case _ => runBounded(name, fn)
+            case _ => measure(name + "__agg", name + "__agg", fn)
           }
         case Some((sec, _)) if sec > 120.0 =>
           skipped(name) = f"already $sec%.1f s at reference decade"
           println(s"[sweep] SKIP $name: ${skipped(name)}")
         case _ =>
-          try {
-            val t0 = System.nanoTime()
-            val rows = fn(spark, sfDir).count()
-            val sec = (System.nanoTime() - t0) / 1e9
-            results(name) = (sec, rows)
-            println(f"[sweep] $name%-36s $sec%8.2f s  $rows%12d rows")
-            // reference decade: measure the bounded variant alongside any
-            // output-explosive full gate so the next decade has its anchor
-            if (rows > 3000000L) runBounded(name, fn)
-          } catch {
-            case e: Exception =>
-              skipped(name) = s"ERROR ${e.getClass.getSimpleName}: " +
-                Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString
-              println(s"[sweep] FAIL $name: ${skipped(name)}")
-          }
+          measure(name, name, fn)
+          // reference decade: an output-explosive full gate's bounded
+          // anchor for the next decade. Full and bounded are the SAME
+          // measurement under the unified forcing (neither dumps rows), so
+          // alias instead of re-running.
+          results.get(name).filter(_._2 > 3000000L)
+            .foreach(r => results(name + "__agg") = r)
       }
     }
     val json = "{" +
-      results.map { case (n, (s, r)) =>
-        "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"rows\":" + r + "}"
+      results.map { case (n, (s, r, passes)) =>
+        val extra = if (passes.size > 1)
+          ",\"passes\":[" + passes.map(p => f"$p%.3f").mkString(",") + "]"
+        else ""
+        "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"rows\":" + r + extra + "}"
       }.mkString(",") + "}"
     java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
     if (skipped.nonEmpty) {

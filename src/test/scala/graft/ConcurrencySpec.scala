@@ -472,6 +472,64 @@ class ConcurrencySpec extends SparkTestBase {
     gw.closeSession(a); gw.closeSession(b)
   }
 
+  test("two LIVE gateways: session shadows stay exact across instances (r16)") {
+    // Pre-r16, shadow knowledge (which sessions hold a temp view / plain
+    // temp table over a shared name) lived per-gateway behind a process-
+    // global probe the LATEST-constructed gateway owned: with two live
+    // gateways, a rebind in the older gateway's session missed its own
+    // shadows and clobbered them — the exact bug the probe fixed,
+    // reintroduced across instances (r15 ADVICE). Shadow state now lives in
+    // the shared TableEnv, keyed per session, so the scenarios below are
+    // exact whichever instance triggers the rebind.
+    import graft.engine.TableEnv
+    TableEnv.clear()
+    val gwA = new Gateway(spark)
+    val a = gwA.openSession("twin_a")
+    def runA(s: String) = gwA.fetchResults(gwA.executeStatement(a, s), 0)
+    // session A shadows a shared binding name with a TEMP VIEW, and holds a
+    // plain temporary table the rename scenario below targets
+    assert(runA("CREATE TABLE twin_t (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='3')").columns != Seq("error"))
+    assert(runA("CREATE TEMPORARY VIEW twin_t AS SELECT 42 AS id").columns != Seq("error"))
+    assert(runA("CREATE TEMPORARY TABLE twin_plain (x INT)").columns != Seq("error"))
+    assert(runA("CREATE TABLE twin_src (id BIGINT) WITH " +
+      "('connector'='datagen','number-of-rows'='5')").columns != Seq("error"))
+    assert(runA("SELECT id FROM twin_t").rows == Seq(Seq(42)))
+    // the SECOND live gateway — pre-r16 its construction stole the probe,
+    // so every shadow consult below would have answered from ITS (empty)
+    // registries
+    val gwB = new Gateway(spark)
+    val b = gwB.openSession("twin_b")
+    def runB(s: String) = gwB.fetchResults(gwB.executeStatement(b, s), 0)
+    // B's session sees the shared binding, not A's shadow
+    assert(runB("SELECT count(*) AS n FROM twin_t").rows == Seq(Seq(3L)))
+    // (1) an ALTER in gateway A's OWN session re-materializes the binding
+    // per reference — A's temp-view shadow must keep winning there
+    assert(runA("ALTER TABLE twin_t SET ('number-of-rows'='9')").columns != Seq("error"))
+    assert(runA("SELECT id FROM twin_t").rows == Seq(Seq(42)),
+      "gateway A's shadow clobbered by a rebind after a second gateway went live")
+    assert(runB("SELECT count(*) AS n FROM twin_t").rows == Seq(Seq(9L)),
+      "the ALTER must still propagate to the other gateway's session")
+    // (2) the r15 soak scenario across instances: RENAME onto a name
+    // session A shadows with a PLAIN temp table, executed in A — the
+    // rebind of the new name must spare A's shadow
+    assert(runA("ALTER TABLE twin_src RENAME TO twin_plain").columns != Seq("error"))
+    assert(runA("SELECT count(*) AS n FROM twin_plain").rows == Seq(Seq(0L)),
+      "rename rebind clobbered A's plain temp-table shadow (cross-instance probe loss)")
+    assert(runB("SELECT count(*) AS n FROM twin_plain").rows == Seq(Seq(5L)),
+      "the renamed binding must materialize in the other gateway's session")
+    // (3) and the mirror: a shadow held in the NEWEST gateway's session
+    // survives a rebind triggered from the OLDEST (pre-r16 this direction
+    // happened to work — both must)
+    assert(runB("CREATE TEMPORARY VIEW twin_plain AS SELECT 7 AS y").columns != Seq("error"))
+    assert(runA("ALTER TABLE twin_plain SET ('number-of-rows'='6')").columns != Seq("error"))
+    assert(runB("SELECT y FROM twin_plain").rows == Seq(Seq(7)),
+      "gateway B's shadow clobbered by a rebind from gateway A")
+    assert(runA("SELECT count(*) AS n FROM twin_plain").rows == Seq(Seq(0L)),
+      "A's plain temp table must still shadow after the SET")
+    gwA.closeSession(a); gwB.closeSession(b)
+  }
+
   test("driver memory ceiling under adversarial paging: 6 concurrent large batch ops, interleaved token walks (r13)") {
     // NotebookLifecycleSpec proves ONE paged SELECT materializes one page
     // at a time; this holds SIX large batch operations open AT ONCE and

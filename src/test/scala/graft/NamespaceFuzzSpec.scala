@@ -31,14 +31,25 @@ import graft.engine.{Gateway, Jobs, TableEnv}
   */
 class NamespaceFuzzSpec extends SparkTestBase {
 
-  // a 10-seed sweep (3000 ops) converged in r12; three pinned for runtime
-  for (seed <- Seq(420012L, 987654L, 333L))
-  test(s"model fuzz: 300 random DDL ops across 3 sessions converge with the reference model (seed $seed)") {
+  // a 10-seed sweep (3000 ops) converged in r12; three pinned for runtime.
+  // The fourth instance (r16) routes the SAME model through TWO LIVE
+  // gateway instances (sessions 0-1 on gateway A, session 2 on gateway B):
+  // the modeled semantics are cluster/session-level, so any divergence the
+  // split topology introduces is a cross-instance exactness bug (the r15
+  // ADVICE class — per-gateway shadow knowledge / invalidation sweeps).
+  for ((seed, split) <- Seq((420012L, false), (987654L, false), (333L, false),
+    (20260816L, true)))
+  test(s"model fuzz: 300 random DDL ops across 3 sessions" +
+      (if (split) " on TWO LIVE GATEWAYS" else "") +
+      s" converge with the reference model (seed $seed)") {
     TableEnv.clear()
-    val gw = new Gateway(spark)
-    val hs = Vector(gw.openSession("ns_a"), gw.openSession("ns_b"), gw.openSession("ns_c"))
-    def run(h: String, s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
-    def isErr(r: gw.Page) = r.columns == Seq("error")
+    val gwA = new Gateway(spark)
+    val gwB = if (split) new Gateway(spark) else gwA
+    val gws = Vector(gwA, gwA, gwB)
+    val hs = Vector(gwA.openSession("ns_a"), gwA.openSession("ns_b"),
+      gwB.openSession("ns_c"))
+    def run(i: Int, s: String) = gws(i).fetchResults(gws(i).executeStatement(hs(i), s), 0)
+    def isErr(r: Gateway#Page) = r.columns == Seq("error")
 
     val names = Vector("ns_x", "ns_y", "ns_z", "ns_w")
     // base-table pool for STAR VIEWS (r15: view schema capture folded into
@@ -92,7 +103,7 @@ class NamespaceFuzzSpec extends SparkTestBase {
 
     var opLog = List.empty[String]
     def probe(s: Int, n: String, ctx: String): Unit = {
-      val r = run(hs(s), s"SELECT count(*) AS c FROM $n")
+      val r = run(s, s"SELECT count(*) AS c FROM $n")
       def detail = s"(model: T=${tables.get(n)} V=${views.get(n)} L=${temps.get((s, n))} P=${plains((s, n))})\n" +
         s"recent ops:\n${opLog.filter(_.contains(n)).take(10).mkString("\n")}"
       expectedCount(s, n) match {
@@ -103,7 +114,7 @@ class NamespaceFuzzSpec extends SparkTestBase {
           capOpt.foreach { cap =>
             // captured views answer SELECT * with the CAPTURED columns,
             // whatever the base evolved into since
-            val star = run(hs(s), s"SELECT * FROM $n")
+            val star = run(s, s"SELECT * FROM $n")
             assert(!isErr(star) && star.columns == cap,
               s"$ctx: session $s star view $n columns ${star.columns} != captured $cap $detail")
           }
@@ -118,7 +129,7 @@ class NamespaceFuzzSpec extends SparkTestBase {
 
       def exec(sql: String, expectErr: Boolean, onOk: => Unit): Unit = {
         opLog = s"[$step s$s] $sql" :: opLog
-        val r = run(hs(s), sql)
+        val r = run(s, sql)
         assert(isErr(r) == expectErr,
           s"step $step session $s: `$sql` expected " +
             s"${if (expectErr) "ERROR" else "success"}, got ${r.rows}\n" +
@@ -283,7 +294,7 @@ class NamespaceFuzzSpec extends SparkTestBase {
       s"registry drift: ${TableEnv.bindings.keySet} vs ${tables.keySet}")
     assert(TableEnv.catalogViews.keySet == views.keySet.map(_.toLowerCase),
       s"catalog-view drift: ${TableEnv.catalogViews.keySet} vs ${views.keySet}")
-    hs.foreach(gw.closeSession)
+    hs.zipWithIndex.foreach { case (h, i) => gws(i).closeSession(h) }
   }
 
   test("concurrent namespace races: contended names never corrupt, errors stay named") {

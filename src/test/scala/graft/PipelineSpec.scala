@@ -1083,6 +1083,31 @@ class PipelineSpec extends SparkTestBase {
     assert(h1.toSeq != h2.toSeq, "the two polynomial families must be independent")
   }
 
+  test("cut spans kernel == substring identity at realistic k (50, 100) (r16)") {
+    // Lee et al. 2022 dedups at ~50-token granularity; the k=20 parity pin
+    // above exercises dense overlaps, this one pins the kernel at the span
+    // lengths a production corpus run would use — the window arithmetic
+    // (rolling pop/push over 50/100-byte windows, island merging at larger
+    // k) must agree with the literal-substring identity exactly.
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 400)
+    Seq(50, 100).foreach { k =>
+      val bySub = Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = k)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val byKernel = Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = k,
+          useKernel = true)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val firstDiff = bySub.zip(byKernel).indexWhere { case (a, b) => a != b }
+      assert(bySub == byKernel,
+        s"k=$k: sizes ${bySub.size}/${byKernel.size}, first divergence at row " +
+          s"$firstDiff: " +
+          (if (firstDiff >= 0) s"sub=${bySub(firstDiff)} ker=${byKernel(firstDiff)}" else ""))
+      // the cut must be non-trivial at this k on the corpus, or the parity
+      // pin proves nothing (documents plants cross-doc duplicated spans)
+      assert(bySub.exists(r => r(2).asInstanceOf[Long] > 0L),
+        s"k=$k: corpus subset cut nothing — parity vacuous")
+    }
+  }
+
   test("cut spans: removed_chars equals coverage dup_chars for non-owner docs") {
     // on the real corpus, a doc that owns none of its duplicated grams must
     // have removed_chars == the coverage operator's dup_chars; owners have

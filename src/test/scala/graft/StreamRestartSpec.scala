@@ -512,6 +512,233 @@ class StreamRestartSpec extends SparkTestBase {
     }
   }
 
+  test("live-writer guard + avro resume divergence + bounded inconclusive resume (r16)") {
+    // Three r15-verdict/advice seams around the batch/streaming mixing key:
+    //   (d) a batch INSERT into a path a streaming job is ACTIVELY writing
+    //       refuses by name (committing to the live sink log would make the
+    //       stream silently skip its next micro-batches; overwrite would
+    //       delete the log out from under it) — and the claim is released
+    //       the moment the job stops;
+    //   (e) the avro sink (batch-id-tagged parts, no _spark_metadata) gets
+    //       the same resume-divergence refusal as the logged formats: parts
+    //       beyond the checkpoint's last batch mean a foreign job wrote the
+    //       sink, and the resumed job's batches would overwrite them;
+    //   (f) a resume with NOTHING to validate against (no replay, no new
+    //       data) is INCONCLUSIVE, not healthy: it holds a bounded idle
+    //       budget (so a slow source still gets validated) and then
+    //       releases the statement with the job running — never a 240 s
+    //       stall, never a false early "healthy" at 500 ms.
+    import graft.engine.{Gateway, TableEnv, Jobs}
+    TableEnv.clear()
+    val gw = new Gateway(spark)
+    val h = gw.openSession("r16mix")
+    def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    def ok(s: String): String = {
+      val r = run(s)
+      assert(r.columns != Seq("error"), s"`$s` errored: ${r.rows.take(1)}")
+      r.rows.headOption.map(_.head.toString).getOrElse("")
+    }
+    def errLike(s: String, contains: String): Unit = {
+      val r = run(s)
+      assert(r.columns == Seq("error"), s"`$s` should refuse, got ${r.rows.take(1)}")
+      assert(r.rows.head.head.toString.contains(contains),
+        s"`$s` error should mention '$contains': ${r.rows.head.head}")
+    }
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    val runDir = s"/tmp/graft-r16mix-${java.util.UUID.randomUUID()}"
+    val noData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    try {
+      // ---- (d) live-writer refusal + release-on-stop --------------------
+      ok("CREATE TABLE lw_src (k INT, v DOUBLE) WITH " +
+        "('connector'='datagen','rows-per-second'='500')")
+      ok(s"CREATE TABLE lw_t (k INT, v DOUBLE) WITH ('connector'='filesystem'," +
+        s"'path'='$runDir/lw','format'='parquet','checkpoint'='$runDir/lwc')")
+      val j = "Job (\\S+) started".r.findFirstMatchIn(
+        ok("INSERT INTO lw_t SELECT k, v FROM lw_src")).get.group(1)
+      // refuse IMMEDIATELY (before the first commit necessarily lands: the
+      // guard must not depend on the sink log existing yet)...
+      errLike("INSERT INTO lw_t VALUES (-1, 1.5)", "actively writing")
+      // ...and keep refusing once it does, overwrite included
+      awaitTrue("first commit")(
+        run("SELECT count(*) AS n FROM lw_t").rows.head.head.toString.toLong > 0)
+      errLike("INSERT INTO lw_t VALUES (-1, 1.5)", "actively writing")
+      errLike("INSERT OVERWRITE lw_t SELECT CAST(1 AS INT), CAST(1.0 AS DOUBLE)",
+        "actively writing")
+      ok(s"STOP JOB '$j'")
+      val c1 = run("SELECT count(*) AS n FROM lw_t").rows.head.head.toString.toLong
+      ok("INSERT INTO lw_t VALUES (-1, 1.5)") // stop releases the claim
+      assert(run("SELECT count(*) AS n FROM lw_t WHERE k = -1")
+        .rows.head.head.toString.toLong == 1)
+      assert(run("SELECT count(*) AS n FROM lw_t").rows.head.head.toString.toLong == c1 + 1)
+      // ---- (e) avro resume divergence ------------------------------------
+      ok(s"CREATE TABLE av_t (k INT, v DOUBLE) WITH ('connector'='filesystem'," +
+        s"'path'='$runDir/av','format'='avro','checkpoint'='$runDir/avc')")
+      val ja = "Job (\\S+) started".r.findFirstMatchIn(
+        ok("INSERT INTO av_t SELECT k, v FROM lw_src")).get.group(1)
+      awaitTrue("avro batch-0 part")(
+        new java.io.File(s"$runDir/av").listFiles() != null &&
+          new java.io.File(s"$runDir/av").listFiles()
+            .exists(_.getName.matches(""".*-batch-\d+\.avro""")))
+      ok(s"STOP JOB '$ja'")
+      // a FOREIGN job's tagged part beyond our checkpoint's batches
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$runDir/av/foreign-batch-99.avro"),
+        Array.emptyByteArray)
+      errLike("INSERT INTO av_t SELECT k, v FROM lw_src",
+        "would silently OVERWRITE")
+      // recovery path the error names: fresh path + checkpoint streams fine
+      ok(s"ALTER TABLE av_t SET ('path'='$runDir/av2','checkpoint'='$runDir/avc2')")
+      val ja2 = "Job (\\S+) started".r.findFirstMatchIn(
+        ok("INSERT INTO av_t SELECT k, v FROM lw_src")).get.group(1)
+      ok(s"STOP JOB '$ja2'")
+      // ---- (f) inconclusive idle resume is bounded, not a stall ---------
+      val srcDir = s"$runDir/fsrc"
+      import spark.implicits._
+      // without this, Spark appends a no-data batch after every data batch
+      // and RE-RUNS it at restart — a real validated batch, so the resume
+      // is conclusive in ~0.1 s and never exercises the idle path
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(srcDir)
+      TableEnv.createTable(spark, s"CREATE TABLE fidle_src (k INT, v DOUBLE) " +
+        s"WITH ('connector'='filesystem','path'='$srcDir','format'='parquet')")
+      TableEnv.createTable(spark, s"CREATE TABLE fidle_t (k INT, v DOUBLE) " +
+        s"WITH ('connector'='filesystem','path'='$runDir/fidle'," +
+        s"'format'='parquet','checkpoint'='$runDir/fidlec')")
+      val srcB = TableEnv.lookup("fidle_src").get
+      val sinkB = TableEnv.lookup("fidle_t").get
+      val j1 = TableEnv.startStreamingInsert(spark, sinkB,
+        TableEnv.streamDF(spark, srcB))
+      awaitTrue("file-source rows commit")(
+        try spark.read.parquet(s"$runDir/fidle").count() == 3
+        catch { case _: Exception => false })
+      Jobs.stop(j1)
+      def logMax(sub: String): Long = {
+        val f = new java.io.File(s"$runDir/fidlec/$sub")
+        Option(f.listFiles()).map(_.map(_.getName)
+          .flatMap(n => "^(\\d+)".r.findFirstIn(n)).map(_.toLong))
+          .filter(_.nonEmpty).map(_.max).getOrElse(-1L)
+      }
+      assert(logMax("offsets") == logMax("commits"),
+        "precondition: run 1 must stop fully committed")
+      val commitsBefore = logMax("commits")
+      // Resume with no new files: nothing replays, nothing arrives, the
+      // commits log never advances (Spark DOES emit a no-data progress
+      // EVENT for batch n+1 — measured — which is why progress events must
+      // not count as validation). The old 500 ms idle exit claimed
+      // "healthy" with the state store never touched; the fix holds a
+      // ~15 s inconclusive budget keyed on the COMMITS log, then releases
+      // the statement with the job running — never a 240 s stall.
+      val t0 = System.nanoTime()
+      val j2 = TableEnv.startStreamingInsert(spark, sinkB,
+        TableEnv.streamDF(spark, srcB))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val q2 = Jobs.get(j2).get
+      assert(q2.isActive && q2.exception.isEmpty,
+        s"idle resume must stay healthy: ${q2.exception}")
+      assert(sec < 120, f"inconclusive resume must be bounded, took $sec%.1f s")
+      assert(sec > 4, f"idle-with-nothing-validated must NOT be released at " +
+        f"500 ms (r15 ADVICE) — returned in $sec%.1f s")
+      assert(logMax("commits") == commitsBefore,
+        "precondition violated: no batch should have committed on this resume")
+      Jobs.stop(j2)
+    } finally {
+      noData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      graft.engine.Jobs.stopAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(runDir))
+      gw.closeSession(h)
+    }
+  }
+
+  test("statement set: a member's restart refusal fails the set by index with siblings stopped (r16)") {
+    // The full stop/ALTER/re-set choreography the r15 verdict asked for:
+    // a statement set whose SECOND member must refuse at start — its
+    // checkpoint resume diverged (the stateful agg shape changed under it)
+    // — answers a named per-member error, and the streaming job its healthy
+    // FIRST member already started is stopped: the set never half-runs.
+    import graft.engine.{Gateway, TableEnv, Jobs}
+    TableEnv.clear()
+    Jobs.clearHistory() // suite-order independence: SHOW JOBS is global
+    val gw = new Gateway(spark)
+    val h = gw.openSession("r16set")
+    def run(s: String) = gw.fetchResults(gw.executeStatement(h, s), 0)
+    def ok(s: String): String = {
+      val r = run(s)
+      assert(r.columns != Seq("error"), s"`$s` errored: ${r.rows.take(1)}")
+      r.rows.headOption.map(_.head.toString).getOrElse("")
+    }
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    def count(tbl: String, pred: String = "true"): Long =
+      try run(s"SELECT count(*) AS n FROM $tbl WHERE $pred").rows.head.head.toString.toLong
+      catch { case _: Exception => -1L }
+    val runDir = s"/tmp/graft-r16set-${java.util.UUID.randomUUID()}"
+    ok("CREATE TABLE ss_src (k INT, ts TIMESTAMP(3), v DOUBLE, " +
+      "WATERMARK FOR ts AS ts - INTERVAL '5' SECOND) WITH " +
+      "('connector'='datagen','rows-per-second'='500')")
+    ok(s"CREATE TABLE ss_a (k INT, v DOUBLE) WITH ('connector'='filesystem'," +
+      s"'path'='$runDir/a','format'='parquet','checkpoint'='$runDir/ca')")
+    ok(s"CREATE TABLE ss_b (ws TIMESTAMP(3), sv DOUBLE) WITH " +
+      s"('connector'='filesystem','path'='$runDir/b','format'='parquet'," +
+      s"'checkpoint'='$runDir/cb')")
+    val agg = "SELECT window_start, SUM(v) AS sv FROM TABLE(TUMBLE(TABLE " +
+      "ss_src, DESCRIPTOR(ts), INTERVAL '10' SECOND)) " +
+      "GROUP BY window_start, window_end"
+    try {
+      // seed ss_b's checkpoint with the ORIGINAL agg shape, then stop
+      val jb = "Job (\\S+) started".r.findFirstMatchIn(
+        ok(s"INSERT INTO ss_b $agg")).get.group(1)
+      awaitTrue("ss_b commits closed windows")(count("ss_b") > 0)
+      ok(s"STOP JOB '$jb'")
+      // evolve the sink AND the query's stateful shape under the checkpoint
+      ok("ALTER TABLE ss_b ADD n BIGINT")
+      val evolvedAgg = "SELECT window_start, SUM(v) AS sv, COUNT(*) AS n " +
+        "FROM TABLE(TUMBLE(TABLE ss_src, DESCRIPTOR(ts), INTERVAL '10' " +
+        "SECOND)) GROUP BY window_start, window_end"
+      // the set: member 1 is healthy and STARTS; member 2's restart must
+      // answer the named refusal — the whole set fails by member index and
+      // member 1's job is stopped
+      val r = run("BEGIN STATEMENT SET; " +
+        "INSERT INTO ss_a SELECT k, v FROM ss_src; " +
+        s"INSERT INTO ss_b $evolvedAgg; END")
+      assert(r.columns == Seq("error"), s"the set must fail: ${r.rows.take(1)}")
+      val msg = r.rows.head.head.toString
+      assert(msg.contains("member 2 of 2"), s"must name the failing member: $msg")
+      assert(msg.contains("could not restart from its checkpoint"),
+        s"must carry the restart refusal: $msg")
+      assert(msg.contains("streaming job(s) earlier members started were stopped"),
+        s"must report sibling cleanup: $msg")
+      awaitTrue("no job left RUNNING")(
+        run("SHOW JOBS").rows.forall(_.apply(2).toString != "RUNNING"))
+      // member 2's failed job stays visible (FAILED) — the SHOW JOBS
+      // contract of the single-statement restart path holds inside sets too
+      assert(run("SHOW JOBS").rows.exists(row =>
+        row(1).toString.startsWith("ss_b_") && row(2).toString == "FAILED"),
+        "the refused member's job must stay visible as FAILED")
+      // recovery: fresh checkpoint + path for ss_b, the SAME set runs whole
+      ok(s"ALTER TABLE ss_b SET ('path'='$runDir/b2','checkpoint'='$runDir/cb2')")
+      ok("BEGIN STATEMENT SET; " +
+        "INSERT INTO ss_a SELECT k, v FROM ss_src; " +
+        s"INSERT INTO ss_b $evolvedAgg; END")
+      awaitTrue("both members commit")(
+        count("ss_a") > 0 && count("ss_b", "n IS NOT NULL") > 0)
+    } finally {
+      graft.engine.Jobs.stopAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(runDir))
+      gw.closeSession(h)
+    }
+  }
+
   test("raced kills of a stateful windowed aggregation resume exactly-once from checkpoint") {
     // The fuzz above stops cleanly at batch boundaries; this test kills the
     // query WHEREVER it happens to be — racing the state-store commit, the
