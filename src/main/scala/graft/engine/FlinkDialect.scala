@@ -375,10 +375,14 @@ object FlinkDialect {
       else "CAST(NULL AS BOOLEAN)")
 
     // COLLECT(x) → MULTISET as element→count map (SURVEY §1.2 convention;
-    // F:269). Single-pass kernel over the collected list — linear per group,
-    // not O(distinct × n) like a filter-per-distinct lambda.
+    // F:269). Direct one-pass aggregate whose BUFFER is the count map —
+    // O(distinct values per group) memory. The pre-r16 rewrite through
+    // `multiset_from_array(collect_list(x))` buffered every group element
+    // first, which is O(group size) memory and OOM'd a 50M-element group
+    // at the sf100 sweep (COLLECT exists precisely for low-cardinality
+    // columns over huge groups — it must not cost group-size memory).
     s = """(?i)(?<![\w_])COLLECT\s*\(([^()]+)\)""".r.replaceAllIn(s, m =>
-      Regex.quoteReplacement(s"multiset_from_array(collect_list(${m.group(1).trim}))"))
+      Regex.quoteReplacement(s"multiset_agg(${m.group(1).trim})"))
 
     // JSON aggregates/constructors (G:431). Aggregation order is
     // nondeterministic in any parallel engine, so the rewrites sort elements

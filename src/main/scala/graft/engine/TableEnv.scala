@@ -1594,6 +1594,20 @@ object TableEnv {
     * loss, so both refuse by name (avro is exempt: its sink is
     * batch-id-tagged files, and its reads list the directory). */
   private[engine] def streamingSinkPreflight(spark: SparkSession, b: Binding): Option[String] = {
+    // Bucketed (DISTRIBUTED BY) bindings read through a Spark bucketed
+    // catalog table whose zero-Exchange join contract depends on every
+    // file carrying bucket metadata. Spark's streaming file sink cannot
+    // produce bucketed files, so a streaming INSERT would drop plain parts
+    // into the bucketed table's directory — silently WRONG join results on
+    // the next co-located read. Refuse by name (r16); batch INSERT writes
+    // through saveAsTable and keeps the contract.
+    if (b.connector == "filesystem" && b.distribution.isDefined)
+      throw new IllegalArgumentException(
+        s"'${b.name}': streaming INSERT into a DISTRIBUTED BY table is not " +
+          "supported — the streaming file sink cannot produce bucketed " +
+          "files, and plain parts inside a bucketed table's directory " +
+          "would corrupt its zero-shuffle join contract. Use a batch " +
+          "INSERT, or drop DISTRIBUTED BY from the sink")
     val resumeCkpt = b.options.get("checkpoint")
       .filter(p => hasCommittedOffsets(spark, p))
     if (b.connector == "filesystem" && b.format != "avro") {

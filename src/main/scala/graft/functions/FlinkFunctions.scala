@@ -182,6 +182,10 @@ object FlinkFunctions {
     }
     // COLLECT(x) multiset kernel (single-pass element→count)
     shim("multiset_from_array")(args => MultisetFromArray(args.head))
+    // COLLECT(x) as a DIRECT aggregate: buffer = element→count map,
+    // O(distinct) memory — the collect_list intermediate OOM'd at sf100
+    // (r16). The analyzer wraps a bare AggregateFunction in Complete mode.
+    shim("multiset_agg")(args => MultisetAgg(args.head))
     // Flink collection-function names over generic element types: SQL UDFs
     // can't be generic, so these register the native Catalyst builders
     // under the Flink name (G:455)

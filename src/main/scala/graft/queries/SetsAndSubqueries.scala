@@ -89,11 +89,21 @@ object SetsAndSubqueries {
     },
 
     // VALUES inline relation joined to a real table
+    // Pre-aggregate the fact side BEFORE the outer join (r16 plan fix): the
+    // 3-row VALUES is the PRESERVED side of the LEFT JOIN, so the build
+    // side would have to be orders — no broadcast possible — and the
+    // fallback shuffle join has exactly 3 keys, landing a 50M-row sort on
+    // 3 tasks at sf100 (measured 144 s). Map-side partial aggregation
+    // reduces orders to ~3 rows before any join; same result by
+    // construction (COUNT over the join's matches == the per-key counts,
+    // COALESCE supplies the unmatched-code zero).
     "q_values_inline" -> { (s, dir) => sql(s, dir,
-      """SELECT v.code, v.label, COUNT(o_orderkey) AS n
+      """SELECT v.code, v.label, COALESCE(agg.n, 0) AS n
         |FROM VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending') AS v(code, label)
-        |LEFT JOIN orders ON o_orderstatus = v.code
-        |GROUP BY v.code, v.label ORDER BY v.code""".stripMargin)
+        |LEFT JOIN (SELECT o_orderstatus, COUNT(o_orderkey) AS n
+        |           FROM orders GROUP BY o_orderstatus) agg
+        |  ON agg.o_orderstatus = v.code
+        |ORDER BY v.code""".stripMargin)
     },
 
     // CASE WHEN buckets + DISTINCT

@@ -44,6 +44,19 @@ object SweepScale {
         """"([^"]+)":\{"sec":([0-9.]+),"rows":(\d+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toLong)).toMap
       }.getOrElse(Map.empty)
+    // exclude=a,b,c: gates KNOWN env-bounded at this decade (the spans
+    // family's gram shuffle is linear in corpus bytes by design and needs
+    // cluster scratch — at sf100 it fills the sandbox's local disk, and a
+    // disk-full KILLS the SparkContext, cascading spurious failures into
+    // every later gate (measured r16). A named skip keeps the artifact
+    // honest; the bound itself is documented in PLANS.md.
+    val exclude: Set[String] = args.find(_.startsWith("exclude="))
+      .map(_.stripPrefix("exclude=").split(",").map(_.trim).toSet)
+      .getOrElse(Set.empty)
+    // only=a,b: measure just these gates (a catch-up run after a JVM
+    // casualty — merge the partial artifacts afterwards)
+    val only: Option[Set[String]] = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").map(_.trim).toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf10f")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -77,6 +90,35 @@ object SweepScale {
     val results =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long, Seq[Double])]
     val skipped = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // incremental persistence (r16): a gate that OOMs the local JVM kills
+    // the SparkContext in local mode (executor == driver), and everything
+    // after it fails spuriously — persist after every gate so a death
+    // preserves the artifact up to the killer, which the next run excludes
+    def persist(): Unit = {
+      val json = "{" +
+        results.map { case (n, (s, r, passes)) =>
+          val extra = if (passes.size > 1)
+            ",\"passes\":[" + passes.map(p => f"$p%.3f").mkString(",") + "]"
+          else ""
+          "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"rows\":" + r + extra + "}"
+        }.mkString(",") + "}"
+      java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
+      if (skipped.nonEmpty) {
+        val sj = "{" + skipped.map { case (n, why) =>
+          "\"" + n + "\":\"" + why.replace("\"", "'") + "\"" }.mkString(",") + "}"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out.replace(".json", "_skipped.json")),
+          sj.getBytes("UTF-8"))
+      }
+    }
+    def bailIfDead(after: String): Unit =
+      if (spark.sparkContext.isStopped) {
+        persist()
+        println(s"[sweep] ABORT: SparkContext died at/after '$after' (local-" +
+          "mode JVM casualty — likely executor OOM or disk-full). Artifact " +
+          s"persisted through the last completed gate; re-run with exclude=$after,…")
+        sys.exit(1)
+      }
     val flagRatio = 12.0 // ~linear decade growth is 2-10x; beyond reads as a stall
     def forcedOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       import org.apache.spark.sql.functions._
@@ -114,7 +156,7 @@ object SweepScale {
           skipped(label) = s"ERROR ${e.getClass.getSimpleName}: " +
             Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString
           println(s"[sweep] FAIL $label: ${skipped(label)}")
-      }
+      } finally { persist(); bailIfDead(label) }
     // Bounded-output variant (r15, VERDICT item 3): the skipped gates are
     // exactly the stateful/explosive operators whose scale behavior matters
     // most (CEP, session windows, top-N, LAG/LEAD, phash pairs). Run the
@@ -122,8 +164,15 @@ object SweepScale {
     // without the multi-GB row dump that made the full gate disk-bound.
     // Recorded as `<gate>__agg`; rows = the operator's own output
     // cardinality, so per-output-row cost still composes.
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      skipRef.get(name) match {
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      if (exclude(name)) {
+        skipped(name) = "excluded: env-bounded at this decade (shuffle " +
+          "scratch beyond local disk; linear-by-design — needs cluster " +
+          "scratch, not a different plan; see PLANS.md)"
+        println(s"[sweep] SKIP $name: ${skipped(name)}")
+      } else skipRef.get(name) match {
         case Some((_, rows)) if rows > 3000000L =>
           skipped(name) = s"output-explosive at reference decade ($rows rows)"
           println(s"[sweep] SKIP $name: ${skipped(name)} -> bounded variant")
@@ -148,21 +197,7 @@ object SweepScale {
             .foreach(r => results(name + "__agg") = r)
       }
     }
-    val json = "{" +
-      results.map { case (n, (s, r, passes)) =>
-        val extra = if (passes.size > 1)
-          ",\"passes\":[" + passes.map(p => f"$p%.3f").mkString(",") + "]"
-        else ""
-        "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"rows\":" + r + extra + "}"
-      }.mkString(",") + "}"
-    java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
-    if (skipped.nonEmpty) {
-      val sj = "{" + skipped.map { case (n, why) =>
-        "\"" + n + "\":\"" + why.replace("\"", "'") + "\"" }.mkString(",") + "}"
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(out.replace(".json", "_skipped.json")),
-        sj.getBytes("UTF-8"))
-    }
+    persist()
     println(s"[sweep] wrote $out (${results.size} gates, ${skipped.size} skipped)")
     spark.stop()
   }

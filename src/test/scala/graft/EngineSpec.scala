@@ -623,6 +623,37 @@ class EngineSpec extends SparkTestBase {
     val secs = (System.nanoTime() - t0) / 1e9
     assert(big.size == 10000 && big.values.sum == 100000)
     assert(secs < 10.0, s"multiset over 10k distinct took ${secs}s") // O(d*n) took minutes
+    // r16: COLLECT is a DIRECT aggregate (buffer = count map, O(distinct)
+    // memory) — the old collect_list intermediate was O(group size) and
+    // OOM'd a 50M-element group at the sf100 sweep. Pin agreement with the
+    // kernel-over-collected-array path on strings AND ints (the int case
+    // exercises the typed buffer serialization), nulls skipped both ways.
+    spark.sql("SELECT explode(array('b', 'a', null, 'b', 'c', null, 'a', 'b')) AS x")
+      .createOrReplaceTempView("ms_nulls")
+    val direct = spark.sql("SELECT multiset_agg(x) AS m FROM ms_nulls")
+      .head().getMap[String, Int](0)
+    val viaList = spark.sql(
+      "SELECT multiset_from_array(collect_list(x)) AS m FROM ms_nulls")
+      .head().getMap[String, Int](0)
+    assert(direct == viaList && direct == Map("b" -> 3, "a" -> 2, "c" -> 1))
+    spark.range(200000).selectExpr("cast(id % 3 as int) AS k", "id % 7 AS g")
+      .createOrReplaceTempView("ms_int")
+    val ints = spark.sql(
+      "SELECT g, multiset_agg(k) AS m, multiset_from_array(collect_list(k)) AS m2 " +
+        "FROM ms_int GROUP BY g")
+      .collect()
+    ints.foreach { r =>
+      assert(r.getMap[Int, Int](1) == r.getMap[Int, Int](2),
+        s"direct vs collected multiset diverged for group ${r.get(0)}")
+    }
+    // group-size independence: 2M rows, 3 distinct values, ONE group — the
+    // buffer holds 3 entries whatever the group size
+    val t1 = System.nanoTime()
+    val mono = FlinkDialect.sql(spark,
+      "SELECT COLLECT(x) AS m FROM (SELECT cast(id % 3 AS string) AS x " +
+        "FROM range(2000000))").head().getMap[String, Int](0)
+    assert(mono == Map("0" -> 666667, "1" -> 666667, "2" -> 666666))
+    assert((System.nanoTime() - t1) / 1e9 < 30.0)
   }
 
   test("subscripts: computed index, chained, call base, map key, constructors") {
@@ -927,6 +958,19 @@ class EngineSpec extends SparkTestBase {
     assert(delPage.rows.head.head.toString.contains("deleted"), s"DELETE failed: ${delPage.rows}")
     assert(spark.catalog.tableExists(TableEnv.bucketTableName(TableEnv.lookup("bt1").get)))
     assert(TableEnv.batchDF(spark, TableEnv.lookup("bt1").get).count() == 1000)
+    // a STREAMING INSERT into a bucketed binding refuses by name (r16):
+    // the streaming file sink cannot produce bucketed files, and plain
+    // parts inside the table's directory would silently corrupt the
+    // zero-shuffle join contract asserted above
+    gw2.executeStatement(h, "CREATE TABLE bstream (id BIGINT, v DOUBLE) WITH " +
+      "('connector'='datagen','rows-per-second'='10')")
+    val refuse = gw2.fetchResults(gw2.executeStatement(h,
+      "INSERT INTO bt1 SELECT id, v FROM bstream"), 0)
+    assert(refuse.columns == Seq("error") &&
+      refuse.rows.head.head.toString.contains("DISTRIBUTED BY"),
+      s"streaming INSERT into a bucketed sink must refuse: ${refuse.rows}")
+    assert(TableEnv.batchDF(spark, TableEnv.lookup("bt1").get).count() == 1000,
+      "the refused INSERT must not have written anything")
     // an identifier containing 'distributed' must NOT trip the clause
     gw2.executeStatement(h,
       """CREATE TABLE nodist (id BIGINT, distributed_day STRING)
