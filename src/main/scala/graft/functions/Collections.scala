@@ -89,6 +89,25 @@ case class MultisetAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "multiset_agg"
 
+  // MAP-typed elements refuse by name (collect_set's own restriction, for
+  // the same reason: map equality/hashing is undefined — two equal maps
+  // can differ in entry order, so counts would silently split). Arrays and
+  // structs are fine: buffer keys and deserialized keys both flow through
+  // copyValue/UnsafeRow.get, so equality stays representation-consistent.
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case ArrayType(et, _) => containsMap(et)
+    case StructType(fields) => fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (containsMap(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "multiset_agg (COLLECT) does not support MAP-typed elements — map " +
+          "equality is undefined for counting; collect distinct keys/values instead")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
   override def createAggregationBuffer(): scala.collection.mutable.LinkedHashMap[Any, Long] =
     scala.collection.mutable.LinkedHashMap.empty
 

@@ -654,6 +654,18 @@ class EngineSpec extends SparkTestBase {
         "FROM range(2000000))").head().getMap[String, Int](0)
     assert(mono == Map("0" -> 666667, "1" -> 666667, "2" -> 666666))
     assert((System.nanoTime() - t1) / 1e9 < 30.0)
+    // ARRAY elements count (representation-consistent equality); MAP
+    // elements refuse by name (map equality is undefined for counting —
+    // collect_set's own restriction)
+    val arrMs = spark.sql(
+      "SELECT multiset_agg(a) AS m FROM (SELECT array(id % 2, 1L) AS a " +
+        "FROM range(6))").head().getMap[Seq[Long], Int](0)
+    assert(arrMs == Map(Seq(0L, 1L) -> 3, Seq(1L, 1L) -> 3), s"got $arrMs")
+    val mapErr = intercept[Exception] {
+      spark.sql("SELECT multiset_agg(map('k', id)) FROM range(3)").collect()
+    }
+    assert(mapErr.getMessage.contains("multiset_agg") ||
+      mapErr.getMessage.toLowerCase.contains("map"), mapErr.getMessage)
   }
 
   test("subscripts: computed index, chained, call base, map key, constructors") {
