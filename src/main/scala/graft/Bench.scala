@@ -144,12 +144,20 @@ object Bench {
       ts((ts.size - 1) / 2)
     }.sum
     // ---- legacy bare-count() pass: the cross-round continuity series.
-    // Same best-of-2 + stall-mode extra pass; reported only as a total.
+    // Same best-of-2 + the SAME >1.5x-disagreement outlier-rerun rule the
+    // forced headline applies (every historical BASELINE recording used
+    // it; without it a bursty host computes the continuity series with a
+    // weaker estimator than the rounds it claims continuity with — r16
+    // ADVICE) + stall-mode extra pass; reported only as a total.
     val legacyTotal = SparkEntry.queries.map { case (name, fn) =>
       val a = timeOnce(fn, forced = false)
       val b = timeOnce(fn, forced = false)
-      val ps = if (stallMode) Vector(a, b, timeOnce(fn, forced = false))
-        else Vector(a, b)
+      var ps = Vector(a, b)
+      if (a._2 && b._2) {
+        val (lo, hi) = (math.min(a._1, b._1), math.max(a._1, b._1))
+        if (hi > lo * 1.5 && hi - lo > 0.2) ps :+= timeOnce(fn, forced = false)
+      }
+      if (stallMode) ps :+= timeOnce(fn, forced = false)
       okTimes(ps).min
     }.sum
     val loadAfter = loadAvg(); val spinAfter = spin()

@@ -25,8 +25,26 @@ object Jobs {
     * stream silently skip its next micro-batches (r15 ADVICE, medium). */
   private val sinkPaths = TrieMap.empty[String, String]
 
-  private def normalizePath(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toString
+  /** Filesystem-QUALIFIED form of `p`, so two spellings of the same
+    * directory ('file:/tmp/x' vs '/tmp/x' vs a relative path) compare
+    * equal. An unqualified `Path.toString` kept the spelling, so a
+    * registration under one spelling and an `activeWriterOf` probe under
+    * the other silently missed — reintroducing the micro-batch-skip the
+    * live-writer guard exists to prevent (r16 ADVICE). Qualification uses
+    * the active session's Hadoop conf (the same conf the staging/append
+    * code resolves against); a scheme whose filesystem can't be
+    * instantiated falls back to the unqualified form on BOTH sides, so
+    * matching stays consistent. */
+  private def normalizePath(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    try {
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      path.getFileSystem(conf).makeQualified(path).toString
+    } catch { case _: Exception => path.toString }
+  }
 
   def register(name: String, q: StreamingQuery,
       sinkPath: Option[String] = None): Unit = {

@@ -63,7 +63,16 @@ object TableEnv {
   def bindings: Map[String, Binding] = registry.toMap
   def lookup(name: String): Option[Binding] = registry.get(name.toLowerCase)
   def drop(name: String): Boolean = registry.remove(name.toLowerCase).isDefined
-  def clear(): Unit = { registry.clear(); viewDefs.clear(); viewMatTexts.clear() }
+  /** Full reset — including the r16 SHARED registries (liveSessions,
+    * sessionScopes, plainRelations). Clearing only the binding/view maps
+    * left a gateway discarded without closeSession pinning its
+    * SparkSessions in liveSessions forever: every later DROP/RENAME/ALTER
+    * sweep iterated the dead sessions and the process leaked them (r16
+    * ADVICE). */
+  def clear(): Unit = {
+    registry.clear(); viewDefs.clear(); viewMatTexts.clear()
+    liveSessions.clear(); sessionScopes.clear(); plainRelations.clear()
+  }
 
   // ------------------------------------------------- views + ALTER TABLE --
 
@@ -455,7 +464,18 @@ object TableEnv {
     * pre-ALTER ghosts (r16 find, exposed by the two-gateway spec). */
   private val liveSessions = TrieMap.empty[SparkSession, Unit]
   def registerSession(spark: SparkSession): Unit = liveSessions.put(spark, ())
-  def openSessionSparks: Iterable[SparkSession] = liveSessions.keys
+  /** Live sessions only: a session whose SparkContext has STOPPED can never
+    * serve again, so it is evicted on sight (liveSessions + scope map +
+    * that scope's view/relation keys) — a crashed-or-stopped context whose
+    * gateway never called closeSession would otherwise pin the session and
+    * grow every future invalidation sweep (r16 ADVICE). */
+  def openSessionSparks: Iterable[SparkSession] =
+    liveSessions.keys.filter { s =>
+      val stopped =
+        try s.sparkContext.isStopped catch { case _: Exception => true }
+      if (stopped) releaseScope(s).foreach(dropScope)
+      !stopped
+    }
 
   /** (scope, lowercase name) of connector-less CREATE TEMPORARY TABLE
     * relations — session objects with no SQL definition, so viewDefs can't

@@ -405,6 +405,44 @@ object Dedup {
           explode(array_distinct(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
             i => call_function("substring", col(textCol), i, lit(k))))).as("gram"))
 
+  /** Gram-sliced K-pass execution for the spans family (r17, verdict #1).
+    *
+    * The spans operators' one wide exchange carries EVERY gram occurrence
+    * of the corpus — linear in corpus bytes by design, but the shuffle's
+    * scratch footprint is that whole stream at once, which at the fourth
+    * decade exceeds a single node's local disk (the r16 sweep's named
+    * skips; on a real cluster the same pressure is per-node scratch).
+    * `passes > 1` trades wall-clock for scratch: pass i keeps only grams
+    * with pmod(xxhash64(gram), passes) = i — a NARROW filter applied
+    * before the exchange, so each pass recomputes the gram stream (cheap,
+    * map-side) but shuffles only ~1/K of it — and appends the pass's
+    * surviving positions to `scratchDir` as parquet. The downstream
+    * per-doc assembly then runs once over the union.
+    *
+    * Correctness is structural: gram slices are disjoint and exhaustive,
+    * and every per-gram decision (cross-doc count, min-id owner) depends
+    * only on rows of the SAME gram, so the union of per-slice survivors
+    * equals the single-pass result exactly (PipelineSpec pins K-pass ==
+    * single-pass for both operators and both gram identities). Each pass
+    * runs as its own job whose shuffle files become unreachable once its
+    * parquet lands; the explicit GC nudge lets the ContextCleaner drop
+    * them before the next pass claims scratch. */
+  private def slicedPositions(
+      spark: org.apache.spark.sql.SparkSession,
+      passes: Int, scratchDir: Option[String],
+      slice: Option[Column] => DataFrame): DataFrame =
+    if (passes <= 1) slice(None)
+    else {
+      val dir = scratchDir.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-spans-kpass-").toString)
+      (0 until passes).foreach { i =>
+        slice(Some(pmod(xxhash64(col("gram")), lit(passes)) === lit(i)))
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
+        System.gc() // release pass i's now-unreachable shuffle files
+      }
+      spark.read.parquet(dir)
+    }
+
   /** Total text length in the same unit the gram walk uses — BYTES for the
     * kernel path, CHARACTERS for the substring path. Mixing units would let
     * coverage/removal exceed the reported length on non-ASCII text. */
@@ -432,17 +470,32 @@ object Dedup {
     * to the literal substring — the oracle-parity path (a hash collision
     * could in principle merge two distinct grams); PipelineSpec pins both
     * paths equal on the corpus.
+    *
+    * `passes > 1` bounds the gram shuffle's scratch to ~1/K of the corpus
+    * per job at the cost of K gram-stream recomputations — identical
+    * results by construction (see [[slicedPositions]]).
     */
   def duplicatedSpanCoverage(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 20, minDocs: Int = 2, useKernel: Boolean = true): DataFrame = {
+      k: Int = 20, minDocs: Int = 2, useKernel: Boolean = true,
+      passes: Int = 1, scratchDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = gramPositions(df, idCol, textCol, k, useKernel)
-    val dupGrams = docGramsDistinct(df, idCol, textCol, k, useKernel).groupBy("gram")
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select("gram")
-    val dupPos = pos.join(dupGrams, Seq("gram"), "left_semi")
+    // `passes > 1`: scratch-bounded K-pass over disjoint gram slices (the
+    // per-gram doc count only needs rows of the same gram — see
+    // [[slicedPositions]]); the default single pass is the plain plan.
+    def dupPosSlice(sliceFilter: Option[Column]): DataFrame = {
+      val pos0 = gramPositions(df, idCol, textCol, k, useKernel)
+      val grams0 = docGramsDistinct(df, idCol, textCol, k, useKernel)
+      val pos = sliceFilter.map(pos0.filter).getOrElse(pos0)
+      val grams = sliceFilter.map(grams0.filter).getOrElse(grams0)
+      val dupGrams = grams.groupBy("gram")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= minDocs)
+        .select("gram")
+      pos.join(dupGrams, Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+    }
+    val dupPos = slicedPositions(df.sparkSession, passes, scratchDir, dupPosSlice)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val perDoc = dupPos
       .withColumn("delta", col("pos") - lag(col("pos"), 1).over(w))
@@ -489,24 +542,37 @@ object Dedup {
     * destructive, unlike the coverage statistic above. The pair costs one
     * extra O(n) kernel pass and 8 shuffle bytes/row, and is still ~5x
     * cheaper end-to-end than the 20-char substring identity (measured at
-    * sf10: 22 s vs 105 s bounded). */
+    * sf10: 22 s vs 105 s bounded).
+    *
+    * `passes > 1` bounds the gram shuffle's scratch to ~1/K of the corpus
+    * per job at the cost of K gram-stream recomputations — identical
+    * results by construction (see [[slicedPositions]]). */
   def cutDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 20, minDocs: Int = 2, useKernel: Boolean = false): DataFrame = {
+      k: Int = 20, minDocs: Int = 2, useKernel: Boolean = false,
+      passes: Int = 1, scratchDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = gramPositions(df, idCol, textCol, k, useKernel, pair = useKernel)
-    // per-gram doc count + owner, over the map-side-distinct doc grams —
-    // one exchange (the widest stream, every gram occurrence, is shuffled
-    // once, and within-doc repeats never reach it)
-    val gramStats = docGramsDistinct(df, idCol, textCol, k, useKernel, pair = useKernel)
-      .groupBy("gram")
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("gram"), col("owner"))
-    // windows to cut: duplicated occurrences in non-owner docs
-    val rm = pos.join(gramStats, Seq("gram"))
-      .filter(col("doc_id") =!= col("owner"))
-      .select(col("doc_id"), col("pos"))
+    // windows to cut: duplicated occurrences in non-owner docs. Per-gram
+    // doc count + owner come from the map-side-distinct doc grams — one
+    // exchange (the widest stream, every gram occurrence, is shuffled
+    // once, and within-doc repeats never reach it). `passes > 1` slices
+    // that exchange by gram hash into K scratch-bounded jobs (the min-id
+    // owner of a gram only needs rows of the SAME gram — see
+    // [[slicedPositions]]).
+    def rmSlice(sliceFilter: Option[Column]): DataFrame = {
+      val pos0 = gramPositions(df, idCol, textCol, k, useKernel, pair = useKernel)
+      val grams0 = docGramsDistinct(df, idCol, textCol, k, useKernel, pair = useKernel)
+      val pos = sliceFilter.map(pos0.filter).getOrElse(pos0)
+      val grams = sliceFilter.map(grams0.filter).getOrElse(grams0)
+      val gramStats = grams.groupBy("gram")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+        .filter(col("n_docs") >= minDocs)
+        .select(col("gram"), col("owner"))
+      pos.join(gramStats, Seq("gram"))
+        .filter(col("doc_id") =!= col("owner"))
+        .select(col("doc_id"), col("pos"))
+    }
+    val rm = slicedPositions(df.sparkSession, passes, scratchDir, rmSlice)
     // merge overlapping/adjacent [pos, pos+k) windows: gaps-and-islands
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val islands = rm

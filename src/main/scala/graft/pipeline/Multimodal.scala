@@ -344,14 +344,25 @@ object Multimodal {
     *
     * This picks the SMALLEST power-of-two band width ≥ log2(n) (so the
     * most bands selectivity affords): ≤65k rows → 4×16, ≤4B rows → 2×32,
-    * beyond → 1×64 (exact-hash blocking). When the returned band count is
-    * ≤ `maxHamming`, recall at that radius is probabilistic — callers
-    * wanting guaranteed recall at h ≥ 2 on large corpora need a longer
-    * perceptual hash, not a different banding of this one. */
+    * beyond → 1×64 (exact-hash blocking) — then trims pointless extra
+    * bands when `maxHamming` is small: recall at radius h is guaranteed
+    * iff h < bands, so the CHEAPEST banding keeping the guarantee is the
+    * smallest valid count > `maxHamming` (e.g. maxHamming=1 on a small
+    * corpus → 2×32, half the shuffle width of 4×16 with the same
+    * guarantee; maxHamming=0 → exact-hash blocking). When the guarantee
+    * is unattainable (maxHamming ≥ the bands selectivity affords — every
+    * corpus past ~65k rows at the default radius 8), the most bands
+    * selectivity affords maximizes the now-probabilistic recall and wins —
+    * callers wanting guaranteed recall at h ≥ 2 on large corpora need a
+    * longer perceptual hash, not a different banding of this one. */
   def phashBandsFor(approxRows: Long, maxHamming: Int = 8): Int = {
     val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(approxRows, 2L) - 1)
     val bandBits = Seq(16, 32, 64).find(_ >= log2n).getOrElse(64)
-    64 / bandBits
+    val selectivityBands = 64 / bandBits
+    Seq(1, 2, 4).find(_ > maxHamming) match {
+      case Some(recallBands) => math.min(selectivityBands, recallBands)
+      case None => selectivityBands
+    }
   }
 
   /** Per-band blocking cost/degradation report — run this BEFORE the pair
@@ -394,10 +405,15 @@ object Multimodal {
     * (the bound is a recall/cost dial, same trade as the MinHash bands).
     *
     * Banding COST is the other side of the dial and scales with the corpus:
-    * each band's expected candidates ≈ n²/2^(64/bands), so the 4×16-bit
-    * default stops being viable around n ≈ 10⁶ (the r13 census: 13B
-    * candidates at sf100) — size `bands` with [[phashBandsFor]] and check
-    * the plan with [[phashBandingStats]] before running corpus-scale jobs.
+    * each band's expected candidates ≈ n²/2^(64/bands), so a 4×16-bit
+    * banding stops being viable around n ≈ 10⁶ (the r13 census: 13B
+    * candidates at sf100; the r16 fourth-decade A/B: 4×16 OOMs a 96 GB
+    * heap where 2×32 completes 1.32B pairs in 450 s). `bands` therefore
+    * DEFAULTS to AUTO: one count of `df` feeds [[phashBandsFor]], so a
+    * caller who never reads this doc gets the sizing rule, not the
+    * quadratic configuration (r16 verdict). Pass `bands` explicitly to pin
+    * a banding (e.g. for an oracle mirror), and check the plan with
+    * [[phashBandingStats]] before corpus-scale jobs.
     *
     * The band bucket is the blocking key — one shuffle, no all-pairs;
     * `maxBucket` is the skew guard shared with the MinHash join
@@ -406,13 +422,21 @@ object Multimodal {
     * quadratic task ([[phashBandingStats]] counts what that degradation
     * costs). The default cap is high enough that healthy corpora never hit
     * it, so the cap-free SQL oracle stays exact at test scale. */
+  /** Sentinel for [[phashNearDupPairs]]' `bands`: auto-size via
+    * [[phashBandsFor]] from one count of the input. */
+  val AutoBands: Int = -1
+
   def phashNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int = 8, maxBucket: Int = 10000, bands: Int = 4): DataFrame =
+      maxHamming: Int = 8, maxBucket: Int = 10000,
+      bands: Int = AutoBands): DataFrame = {
+    val b =
+      if (bands == AutoBands) phashBandsFor(df.count(), maxHamming) else bands
     graft.pipeline.Dedup.bandedPairs(
-        phashBanded(df, idCol, payloadCol, bands), maxBucket, carry = Seq("ph"))
+        phashBanded(df, idCol, payloadCol, b), maxBucket, carry = Seq("ph"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
 }

@@ -699,7 +699,11 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // phash near-dup pairs: 16-bit band blocking + hamming verify
+    // phash near-dup pairs: band blocking + hamming verify. Bands are left
+    // on the AUTO default (r17): phashBandsFor picks 4x16 for any corpus
+    // <= 65k rows — exactly the banding the DuckDB oracle mirrors at
+    // verify scale — and 2x32 past ~10^6 rows, where 4x16 is the
+    // proven-OOM configuration (the r16 fourth-decade A/B).
     "q_multimodal_phash_pairs" -> { (s, dir) =>
       val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
       Multimodal.phashNearDupPairs(withBin, "doc_id", "payload", maxHamming = 8)

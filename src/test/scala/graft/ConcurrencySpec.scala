@@ -843,4 +843,22 @@ class ConcurrencySpec extends SparkTestBase {
     gw.closeSession(h)
     assert(gw.liveOperationCount == 0)
   }
+
+  test("TableEnv.clear resets the shared session registries (r16 ADVICE)") {
+    // clear() pre-r17 reset only the binding/view maps: a gateway discarded
+    // WITHOUT closeSession pinned its SparkSessions in the shared
+    // liveSessions registry forever — every later DROP/RENAME/ALTER
+    // invalidation sweep iterated the dead sessions, and a long-lived
+    // process leaked them.
+    import graft.engine.TableEnv
+    val s2 = spark.newSession()
+    TableEnv.registerSession(s2)
+    val scope = TableEnv.sessionScope(s2)
+    assert(TableEnv.openSessionSparks.exists(_ eq s2))
+    TableEnv.clear()
+    assert(!TableEnv.openSessionSparks.exists(_ eq s2),
+      "clear() must evict registered sessions")
+    assert(TableEnv.sessionScope(s2) != scope,
+      "clear() must reset session scopes (a retained scope would leak its keys)")
+  }
 }

@@ -1108,6 +1108,42 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("spans K-pass (scratch-bounded): identical to single-pass, kernel == substring (r17)") {
+    // passes > 1 slices the gram shuffle by gram hash into K scratch-bounded
+    // jobs (the fourth-decade path: the single-pass shuffle's scratch
+    // exceeds a node's local disk at sf100 — r16 named skips). Gram slices
+    // are disjoint and per-gram decisions depend only on same-gram rows, so
+    // the union must equal the single-pass result EXACTLY — pinned here for
+    // both operators and both gram identities, plus kernel == substring ON
+    // the K-pass path itself.
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 400)
+    val scratch = java.nio.file.Files.createTempDirectory("kpass-spec-").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    Seq(false, true).foreach { kern =>
+      val cov1 = rows(Dedup.duplicatedSpanCoverage(docs, "doc_id", "text",
+        k = 20, useKernel = kern))
+      val covK = rows(Dedup.duplicatedSpanCoverage(docs, "doc_id", "text",
+        k = 20, useKernel = kern, passes = 3,
+        scratchDir = Some(s"$scratch/cov-$kern")))
+      assert(covK == cov1, s"coverage K-pass diverged (kernel=$kern)")
+      val cut1 = rows(Dedup.cutDuplicatedSpans(docs, "doc_id", "text",
+        k = 20, useKernel = kern))
+      val cutK = rows(Dedup.cutDuplicatedSpans(docs, "doc_id", "text",
+        k = 20, useKernel = kern, passes = 3,
+        scratchDir = Some(s"$scratch/cut-$kern")))
+      assert(cutK == cut1, s"cut K-pass diverged (kernel=$kern)")
+    }
+    // kernel == substring directly on the K-pass results (the r16 verdict's
+    // done-criterion for the fourth-decade variant)
+    val kSub = rows(Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 20,
+      useKernel = false, passes = 2, scratchDir = Some(s"$scratch/p-sub")))
+    val kKer = rows(Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 20,
+      useKernel = true, passes = 2, scratchDir = Some(s"$scratch/p-ker")))
+    assert(kSub == kKer, "K-pass kernel identity must match substring identity")
+    assert(kSub.exists(r => r(2).asInstanceOf[Long] > 0L), "parity vacuous: nothing cut")
+  }
+
   test("cut spans: removed_chars equals coverage dup_chars for non-owner docs") {
     // on the real corpus, a doc that owns none of its duplicated grams must
     // have removed_chars == the coverage operator's dup_chars; owners have
@@ -1154,6 +1190,14 @@ class PipelineSpec extends SparkTestBase {
     assert(Multimodal.phashBandsFor(65537L) == 2) // past 2^16: 32-bit bands
     assert(Multimodal.phashBandsFor(1L << 32) == 2)
     assert(Multimodal.phashBandsFor((1L << 32) + 1) == 1) // exact-hash blocking
+    // maxHamming participates (r17, was a declared-but-dead parameter): the
+    // CHEAPEST banding keeping the h < bands recall guarantee wins when
+    // selectivity affords it; selectivity still caps from above
+    assert(Multimodal.phashBandsFor(1000L, maxHamming = 0) == 1) // exact blocking suffices
+    assert(Multimodal.phashBandsFor(1000L, maxHamming = 1) == 2)
+    assert(Multimodal.phashBandsFor(1000L, maxHamming = 3) == 4)
+    assert(Multimodal.phashBandsFor(1L << 32, maxHamming = 3) == 2) // selectivity caps
+    assert(Multimodal.phashBandsFor((1L << 32) + 1, maxHamming = 1) == 1)
     val docs = Tables.load(spark, sfDir, "documents")
     val withBin = Multimodal.withBinaryPayload(docs, "text")
     def candTotal(bands: Int): Long =
@@ -1194,6 +1238,15 @@ class PipelineSpec extends SparkTestBase {
       Multimodal.phashBandingStats(withBin, "doc_id", "payload", bands = 3)
     }
     assert(e.getMessage.contains("divide 64"))
+    // AUTO default (r17): leaving `bands` unset applies the sizing rule —
+    // on this corpus that IS the 4x16 banding, so the default-call pairs
+    // equal the explicit ones (a caller who never reads the scaladoc gets
+    // phashBandsFor, not the proven-OOM-at-corpus-scale fixed default)
+    val autoPairs = Multimodal.phashNearDupPairs(withBin, "doc_id", "payload",
+        maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Multimodal.phashBandsFor(docs.count(), 8) == 4)
+    assert(autoPairs == p4, "auto banding must equal the sizing-rule banding")
   }
 
   test("int8 quantization round-trips within scale/2 per component") {

@@ -568,6 +568,14 @@ class StreamRestartSpec extends SparkTestBase {
       errLike("INSERT INTO lw_t VALUES (-1, 1.5)", "actively writing")
       errLike("INSERT OVERWRITE lw_t SELECT CAST(1 AS INT), CAST(1.0 AS DOUBLE)",
         "actively writing")
+      // the guard matches across path SPELLINGS: a SECOND binding naming
+      // the same directory with an explicit scheme must refuse too — the
+      // pre-r17 comparison was over unqualified strings, so 'file:/x' vs
+      // '/x' silently missed and reintroduced the exact micro-batch skip
+      // the guard exists to prevent (r16 ADVICE)
+      ok(s"CREATE TABLE lw_alias (k INT, v DOUBLE) WITH " +
+        s"('connector'='filesystem','path'='file:$runDir/lw','format'='parquet')")
+      errLike("INSERT INTO lw_alias VALUES (-2, 2.5)", "actively writing")
       ok(s"STOP JOB '$j'")
       val c1 = run("SELECT count(*) AS n FROM lw_t").rows.head.head.toString.toLong
       ok("INSERT INTO lw_t VALUES (-1, 1.5)") // stop releases the claim
