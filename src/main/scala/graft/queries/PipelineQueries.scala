@@ -20,6 +20,16 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Scratch-bounded K-pass knob for the spans gates (r17): the gram
+    * shuffle is linear in corpus bytes by design, but at the fourth decade
+    * its single-exchange scratch exceeds this sandbox's local disk — the
+    * sweep sets SPARK_GRAFT_SPANS_PASSES to slice the exchange into K
+    * disjoint gram-hash passes (identical results, pinned in
+    * PipelineSpec). Unset = 1 = the plain single-pass plan, which is what
+    * the driver's verify/bench runs and the oracle mirrors. */
+  private def spansPasses: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SPANS_PASSES", "1").toInt
+
   /** Oracle contract for a hash/seed-dependent ANN top-k result (r12,
     * closing the last two rows-only gates with the q_sim_recall recipe):
     * the engine-chosen rows reach the driver ONLY through per-query
@@ -655,7 +665,7 @@ object PipelineQueries {
     // Kernel path (rolling-hash gram identity); substring parity in spec.
     "q_dedup_spans" -> { (s, dir) =>
       Dedup.duplicatedSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
-          k = 20, minDocs = 2)
+          k = 20, minDocs = 2, passes = spansPasses)
         .orderBy(col("doc_id"))
     },
 
@@ -737,7 +747,8 @@ object PipelineQueries {
     // the REMOVE step of substring dedup (Lee et al. 2022): min-id owner
     // keeps each duplicated 20-char region, every other doc has it cut out
     "q_cut_spans" -> { (s, dir) =>
-      Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 20)
+      Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 20, passes = spansPasses)
         .orderBy(col("doc_id"))
     },
 
@@ -748,7 +759,7 @@ object PipelineQueries {
     // q_cut_spans' oracle verbatim.
     "q_cut_spans_kernel" -> { (s, dir) =>
       Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
-          k = 20, useKernel = true)
+          k = 20, useKernel = true, passes = spansPasses)
         .orderBy(col("doc_id"))
     },
 

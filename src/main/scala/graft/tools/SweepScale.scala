@@ -90,6 +90,18 @@ object SweepScale {
     val results =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long, Seq[Double])]
     val skipped = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Per-gate environment stamp (r16 verdict #4: sf100 artifacts mixed
+    // 8 GB and 96 GB readings across catch-up runs with nothing in the
+    // artifact saying so). heap_gb = this JVM's -Xmx; spans_passes = the
+    // K-pass knob when set. Stamped on EVERY gate so merged partial
+    // artifacts stay per-gate-attributed.
+    val heapGb = math.round(Runtime.getRuntime.maxMemory / 1e8) / 10.0
+    val spansPasses = sys.env.get("SPARK_GRAFT_SPANS_PASSES").map(_.toInt)
+    def envStamp(name: String): String =
+      ",\"heap_gb\":" + heapGb +
+        (if (spansPasses.isDefined && name.contains("spans"))
+           ",\"spans_passes\":" + spansPasses.get
+         else "")
     // incremental persistence (r16): a gate that OOMs the local JVM kills
     // the SparkContext in local mode (executor == driver), and everything
     // after it fails spuriously — persist after every gate so a death
@@ -100,7 +112,8 @@ object SweepScale {
           val extra = if (passes.size > 1)
             ",\"passes\":[" + passes.map(p => f"$p%.3f").mkString(",") + "]"
           else ""
-          "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"rows\":" + r + extra + "}"
+          "\"" + n + "\":{\"sec\":" + f"$s%.3f" + ",\"rows\":" + r + extra +
+            envStamp(n) + "}"
         }.mkString(",") + "}"
       java.nio.file.Files.write(java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
       if (skipped.nonEmpty) {
@@ -119,6 +132,23 @@ object SweepScale {
           s"persisted through the last completed gate; re-run with exclude=$after,…")
         sys.exit(1)
       }
+    // K-pass spans gates materialize their position unions in temp dirs
+    // (Dedup.slicedPositions' caller-unmanaged default); at sf100 those
+    // parquet unions are GBs per gate and a multi-gate sweep would
+    // accumulate them — purge between gates (the union is consumed within
+    // the gate's own forced evaluation)
+    def purgeSpansScratch(): Unit = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft-spans-kpass-"))
+        .foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(d)
+        }
+    }
     val flagRatio = 12.0 // ~linear decade growth is 2-10x; beyond reads as a stall
     def forcedOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       import org.apache.spark.sql.functions._
@@ -140,7 +170,12 @@ object SweepScale {
       try {
         val (s1, rows) = forcedOnce(fn)
         val ref = skipRef.get(refName).map(_._1).filter(_ > 0.05)
-        val flagged = ref.exists(r => s1 / r > flagRatio)
+        // K-pass spans gates EXPECT a super-linear decade ratio vs a
+        // single-pass reference decade: the knob deliberately trades
+        // wall-clock (K gram-stream recomputations) for shuffle scratch —
+        // the stamp attributes it, a stall re-run would just double the cost
+        val kPassSpans = spansPasses.exists(_ > 1) && label.contains("spans")
+        val flagged = ref.exists(r => s1 / r > flagRatio) && !kPassSpans
         val passes = if (flagged) {
           println(f"[sweep] FLAG $label: $s1%.2f s is ${s1 / ref.get}%.1fx the " +
             f"reference decade — taking a second pass")
@@ -156,7 +191,7 @@ object SweepScale {
           skipped(label) = s"ERROR ${e.getClass.getSimpleName}: " +
             Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString
           println(s"[sweep] FAIL $label: ${skipped(label)}")
-      } finally { persist(); bailIfDead(label) }
+      } finally { purgeSpansScratch(); persist(); bailIfDead(label) }
     // Bounded-output variant (r15, VERDICT item 3): the skipped gates are
     // exactly the stateful/explosive operators whose scale behavior matters
     // most (CEP, session windows, top-N, LAG/LEAD, phash pairs). Run the

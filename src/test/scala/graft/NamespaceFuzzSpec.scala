@@ -371,6 +371,110 @@ class NamespaceFuzzSpec extends SparkTestBase {
     gw.closeSession(h)
   }
 
+  test("session churn races scope release against cross-instance invalidation sweeps (r17)") {
+    // The r16 split-topology fuzz holds its sessions STATIC. This variant
+    // CLOSES one gateway's sessions mid-run while the OTHER gateway storms
+    // namespace DDL: every ALTER/DROP/RENAME sweeps EVERY live session of
+    // every instance (TableEnv.openSessionSparks), so each sweep races the
+    // closing sessions' releaseScope/dropScope. Invariants under ANY
+    // interleaving:
+    //   (1) no internal error, no worker crash;
+    //   (2) a LIVE churned-in session always reads its OWN temp-view shadow
+    //       (count 1, its VALUES body) whatever the storm does to the
+    //       shared name — a sweep must never clobber a shadow, and a scope
+    //       release must never take another session's shadow with it;
+    //   (3) closed sessions leave nothing behind: after the storm the
+    //       shared live-session registry is EMPTY (the r16 ADVICE leak
+    //       class — pinned sessions would grow every later sweep).
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    for (seed <- Seq(9101L, 9102L, 9103L)) {
+      TableEnv.clear()
+      val gwA = new Gateway(spark)
+      val gwB = new Gateway(spark)
+      val internal = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val internalMarkers = Seq("MatchError", "NullPointerException",
+        "IndexOutOfBounds", "ClassCastException", "ConcurrentModification",
+        "StackOverflow", "NoSuchElementException")
+      def exec(gw: Gateway, h: String, sql: String, tag: String): Option[String] = {
+        val r = gw.fetchResults(gw.executeStatement(h, sql), 0)
+        if (r.columns == Seq("error")) {
+          val msg = r.rows.headOption.flatMap(_.headOption)
+            .map(String.valueOf(_)).getOrElse("")
+          if (msg.isEmpty || internalMarkers.exists(msg.contains))
+            internal.add(s"$tag `$sql` -> $msg")
+          None
+        } else Some(r.rows.headOption.flatMap(_.headOption)
+          .map(String.valueOf(_)).getOrElse(""))
+      }
+      val pool = Executors.newFixedThreadPool(3)
+      val start = new CountDownLatch(1)
+      // storm thread: gateway A churns the shared namespace — each op's
+      // invalidation sweep iterates the live sessions of BOTH gateways
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          start.await()
+          val h = gwA.openSession("churn_storm")
+          val rnd = new Random(seed)
+          try (1 to 60).foreach { i =>
+            val sql = rnd.nextInt(6) match {
+              case 0 => s"CREATE OR REPLACE VIEW churn_x AS SELECT $i AS v"
+              case 1 => "DROP VIEW IF EXISTS churn_x"
+              case 2 => "CREATE TABLE IF NOT EXISTS churn_t (id BIGINT) WITH " +
+                "('connector'='datagen','number-of-rows'='2')"
+              case 3 => "ALTER TABLE churn_t RENAME TO churn_u"
+              case 4 => "ALTER TABLE churn_u RENAME TO churn_t"
+              case _ => "DROP TABLE IF EXISTS churn_t"
+            }
+            exec(gwA, h, sql, s"storm@$i")
+          } finally gwA.closeSession(h)
+        } catch { case e: Throwable => failures.add(s"storm crashed: $e") }
+      })
+      // churn threads: gateway B opens a session, shadows the contended
+      // name, reads its OWN shadow under fire, closes — repeatedly
+      (0 until 2).foreach { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            start.await()
+            val rnd = new Random(seed * 31 + t)
+            (1 to 12).foreach { round =>
+              val h = gwB.openSession(s"churn_$t")
+              try {
+                exec(gwB, h, "CREATE TEMPORARY VIEW churn_x AS SELECT 42 AS v",
+                  s"churn$t@$round")
+                (1 to 4).foreach { p =>
+                  if (rnd.nextInt(2) == 0) Thread.sleep(rnd.nextInt(4).toLong)
+                  exec(gwB, h, "SELECT count(*) AS c FROM churn_x",
+                    s"churn$t@$round probe$p").foreach { c =>
+                    if (c != "1") failures.add(
+                      s"churn$t@$round probe$p: shadow returned count $c, not 1")
+                  }
+                }
+              } finally gwB.closeSession(h)
+            }
+          } catch { case e: Throwable => failures.add(s"churn$t crashed: $e") }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(300, TimeUnit.SECONDS),
+        s"seed $seed: churn workers did not finish")
+      assert(failures.isEmpty,
+        s"seed $seed: ${failures.toArray.mkString("; ")}")
+      assert(internal.isEmpty,
+        s"seed $seed: internal errors:\n${internal.toArray.mkString("\n")}")
+      // (3) every session closed -> the shared registry must be empty
+      assert(TableEnv.openSessionSparks.isEmpty,
+        s"seed $seed: closed sessions leaked in the live-session registry")
+      // cleanup for the next seed
+      val h = gwA.openSession("churn_cleanup")
+      Seq("DROP VIEW IF EXISTS churn_x", "DROP TABLE IF EXISTS churn_t",
+        "DROP TABLE IF EXISTS churn_u").foreach(s =>
+        gwA.fetchResults(gwA.executeStatement(h, s), 0))
+      gwA.closeSession(h)
+    }
+  }
+
   test("namespace storm against live streaming writers: jobs keep committing, errors stay named") {
     // Composition of the two r12 campaigns: the DDL race storm runs over a
     // name pool that INCLUDES the source and sink bindings of RUNNING

@@ -1,8 +1,10 @@
 #!/bin/bash
 # Run a graft tool class directly against the compiled classes + Spark jars,
 # skipping sbt startup. Usage: tools/runclass.sh graft.tools.ScaleUp args...
+# Heap defaults to 64g (the r17 uniform-sweep heap — SweepScale stamps the
+# actual -Xmx into every gate entry); override with GRAFT_XMX=8g etc.
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-exec java -Xmx48g -XX:+UseG1GC \
+exec java -Xmx"${GRAFT_XMX:-64g}" -XX:+UseG1GC \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
