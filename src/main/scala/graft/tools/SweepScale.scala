@@ -59,12 +59,20 @@ object SweepScale {
       .map(_.stripPrefix("only=").split(",").map(_.trim).toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf10f")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_MEM_FRACTION (r17): A/B knob for the uniform-heap
+    // finding — at a 64 GB heap the wide-shuffle gates ran ~2x slower than
+    // at 8 GB (giant in-memory sort/aggregate runs vs spill-merge of small
+    // runs). Capping spark.memory.fraction at a big heap emulates the
+    // small-heap execution-memory budget without its OOM exposure; the
+    // probe attributes the mechanism instead of leaving it a hypothesis.
+    val memFraction = sys.env.get("SPARK_GRAFT_MEM_FRACTION")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    memFraction.foreach(f => builder.config("spark.memory.fraction", f))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Tables.registerAll(spark, sfDir)
     graft.functions.FlinkFunctions.registerAll(spark)
@@ -101,7 +109,8 @@ object SweepScale {
       ",\"heap_gb\":" + heapGb +
         (if (spansPasses.isDefined && name.contains("spans"))
            ",\"spans_passes\":" + spansPasses.get
-         else "")
+         else "") +
+        memFraction.map(f => ",\"mem_fraction\":" + f).getOrElse("")
     // incremental persistence (r16): a gate that OOMs the local JVM kills
     // the SparkContext in local mode (executor == driver), and everything
     // after it fails spuriously — persist after every gate so a death

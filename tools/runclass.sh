@@ -4,7 +4,8 @@
 # Heap defaults to 64g (the r17 uniform-sweep heap — SweepScale stamps the
 # actual -Xmx into every gate entry); override with GRAFT_XMX=8g etc.
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-exec java -Xmx"${GRAFT_XMX:-64g}" -XX:+UseG1GC \
+# GRAFT_JVM_OPTS: extra JVM flags (r17 heap-curve probes, e.g. -Xmn2g)
+exec java -Xmx"${GRAFT_XMX:-64g}" -XX:+UseG1GC ${GRAFT_JVM_OPTS:-} \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
