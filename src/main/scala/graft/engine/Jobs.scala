@@ -23,41 +23,52 @@ object Jobs {
     * Spark's file sink dedups micro-batches by batch id against the sink's
     * own commit log, so a batch append that bumps the log makes the RUNNING
     * stream silently skip its next micro-batches (r15 ADVICE, medium). */
-  private val sinkPaths = TrieMap.empty[String, String]
+  private val sinkPaths = TrieMap.empty[String, Set[String]]
 
-  /** Filesystem-QUALIFIED form of `p`, so two spellings of the same
-    * directory ('file:/tmp/x' vs '/tmp/x' vs a relative path) compare
-    * equal. An unqualified `Path.toString` kept the spelling, so a
-    * registration under one spelling and an `activeWriterOf` probe under
-    * the other silently missed — reintroducing the micro-batch-skip the
-    * live-writer guard exists to prevent (r16 ADVICE). Qualification uses
-    * the active session's Hadoop conf (the same conf the staging/append
-    * code resolves against); a scheme whose filesystem can't be
-    * instantiated falls back to the unqualified form on BOTH sides, so
-    * matching stays consistent. */
-  private def normalizePath(p: String): String = {
+  /** Every spelling of `p` this registry matches on: the raw `Path` form
+    * plus, when the scheme's filesystem can be instantiated, the
+    * filesystem-QUALIFIED form — so 'file:/tmp/x', '/tmp/x', and a
+    * relative path compare equal (r16 ADVICE: an unqualified
+    * `Path.toString` kept the spelling, so a registration under one
+    * spelling and an `activeWriterOf` probe under the other silently
+    * missed — reintroducing the micro-batch-skip the live-writer guard
+    * exists to prevent). Qualification uses the active session's Hadoop
+    * conf (the same conf the staging/append code resolves against).
+    *
+    * Both sides match on SET INTERSECTION of their spellings (r17
+    * verdict): `register()` and `activeWriterOf()` run at different times
+    * on different threads, so one side can qualify while the other falls
+    * back (no active session during shutdown, transient FS init failure).
+    * A qualified-or-nothing form on each side silently missed in exactly
+    * that window; keeping the raw form in BOTH sets makes a one-sided
+    * qualification failure still intersect on the spelling it was given. */
+  private[graft] def pathForms(p: String): Set[String] = {
     val path = new org.apache.hadoop.fs.Path(p)
-    try {
-      val conf = org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        .map(_.sessionState.newHadoopConf())
-        .getOrElse(new org.apache.hadoop.conf.Configuration())
-      path.getFileSystem(conf).makeQualified(path).toString
-    } catch { case _: Exception => path.toString }
+    val qualified =
+      try {
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .map(_.sessionState.newHadoopConf())
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        Some(path.getFileSystem(conf).makeQualified(path).toString)
+      } catch { case _: Exception => None }
+    Set(path.toString) ++ qualified
   }
 
   def register(name: String, q: StreamingQuery,
       sinkPath: Option[String] = None): Unit = {
     active.put(name, q)
-    sinkPath.foreach(p => sinkPaths.put(name, normalizePath(p)))
+    sinkPath.foreach(p => sinkPaths.put(name, pathForms(p)))
     history.put(name, JobInfo(name, q.id.toString, "RUNNING", System.currentTimeMillis()))
   }
 
   /** The name of a LIVE streaming job writing `path`, if any. A stopped,
-    * finished, or failed job no longer claims its path. */
+    * finished, or failed job no longer claims its path. Matching is on
+    * intersection of spelling SETS (see [[pathForms]]) so a one-sided
+    * qualification fallback cannot reopen the guard's hole. */
   def activeWriterOf(path: String): Option[String] = {
-    val target = normalizePath(path)
-    sinkPaths.collectFirst { case (n, p) if p == target &&
+    val target = pathForms(path)
+    sinkPaths.collectFirst { case (n, ps) if (ps & target).nonEmpty &&
       active.get(n).exists(q => q.isActive && q.exception.isEmpty) => n }
   }
 

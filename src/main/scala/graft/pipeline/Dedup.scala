@@ -405,6 +405,39 @@ object Dedup {
           explode(array_distinct(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
             i => call_function("substring", col(textCol), i, lit(k))))).as("gram"))
 
+  /** Per-occurrence shuffle-weight stream for the size-aware K-pass census
+    * (one row per gram occurrence, `w` ≈ its shuffle bytes: gram payload +
+    * key/position overhead). The kernel identities carry fixed-width grams
+    * so weight reduces to occurrence count; the substring identity pays the
+    * gram's own bytes. */
+  private def gramShuffleWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, useKernel: Boolean, pair: Boolean = false): DataFrame = {
+    val w = if (useKernel) lit(if (pair) 32L else 24L)
+            else octet_length(col("gram")).cast("long") + lit(16L)
+    gramPositions(df, idCol, textCol, k, useKernel, pair).select(col("gram"), w.as("w"))
+  }
+
+  /** Greedy LPT assignment of gram-hash buckets to `passes` slices:
+    * heaviest bucket first, always into the currently-lightest slice —
+    * within 4/3 of the optimal makespan (Graham 1969), which for scratch
+    * budgeting means no pass carries much more than its fair share even
+    * when the census is skewed. Deterministic (stable index tie-break) so
+    * the same census always yields the same slicing. */
+  private[graft] def assignBuckets(weights: Seq[Long], passes: Int): Array[Int] = {
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    val assign = new Array[Int](weights.length)
+    val load = new Array[Long](passes)
+    weights.zipWithIndex.sortBy { case (w, i) => (-w, i) }.foreach { case (w, i) =>
+      var s = 0
+      var j = 1
+      while (j < passes) { if (load(j) < load(s)) s = j; j += 1 }
+      assign(i) = s
+      load(s) += w
+    }
+    assign
+  }
+
   /** Gram-sliced K-pass execution for the spans family (r17, verdict #1).
     *
     * The spans operators' one wide exchange carries EVERY gram occurrence
@@ -413,34 +446,81 @@ object Dedup {
     * decade exceeds a single node's local disk (the r16 sweep's named
     * skips; on a real cluster the same pressure is per-node scratch).
     * `passes > 1` trades wall-clock for scratch: pass i keeps only grams
-    * with pmod(xxhash64(gram), passes) = i — a NARROW filter applied
-    * before the exchange, so each pass recomputes the gram stream (cheap,
-    * map-side) but shuffles only ~1/K of it — and appends the pass's
-    * surviving positions to `scratchDir` as parquet. The downstream
-    * per-doc assembly then runs once over the union.
+    * of its hash slice — a NARROW filter applied before the exchange, so
+    * each pass recomputes the gram stream (cheap, map-side) but shuffles
+    * only ~1/K of it. The downstream per-doc assembly then runs once over
+    * the union of the passes' surviving positions.
     *
-    * Correctness is structural: gram slices are disjoint and exhaustive,
-    * and every per-gram decision (cross-doc count, min-id owner) depends
-    * only on rows of the SAME gram, so the union of per-slice survivors
-    * equals the single-pass result exactly (PipelineSpec pins K-pass ==
-    * single-pass for both operators and both gram identities). Each pass
-    * runs as its own job whose shuffle files become unreachable once its
-    * parquet lands; the explicit GC nudge lets the ContextCleaner drop
-    * them before the next pass claims scratch. */
+    * Slicing is `pmod(xxhash64(gram), K) = i` by default; with a `census`
+    * (r18, the size-aware knob) the gram space is first split into
+    * K×16 hash buckets, the census measures each bucket's shuffle weight
+    * in one map-side-combined aggregate (B rows to the driver, nothing
+    * else), and buckets are LPT-packed into K slices — so a skewed gram
+    * distribution can't unbalance per-pass scratch the way trusting hash
+    * uniformity over K coarse slices can. The census costs one extra
+    * gram-stream recomputation (~1/K of the K-pass total).
+    *
+    * Pass materialization (r18, closing the r17 scratch-lifecycle seam):
+    *  - default (`scratchDir` = None): each pass persists at
+    *    `StorageLevel.DISK_ONLY` and is materialized eagerly, so the
+    *    pass's shuffle files release before the next pass claims scratch.
+    *    DataFrame persistence stores compressed columnar batches (a
+    *    parquet-like footprint, not raw rows) in the EXECUTORS' own local
+    *    dirs — per-node-correct on a real cluster, where the pre-r18
+    *    driver-local temp directory would have made the union read
+    *    partial, and lifecycle-managed: the ContextCleaner drops the
+    *    blocks once the returned plan is unreferenced, so nothing
+    *    accumulates across invocations (the r17 leaked-scratch seam).
+    *  - explicit `scratchDir`: pass results append there as parquet; the
+    *    caller owns the path's lifecycle and, on a multi-node cluster,
+    *    must point it at a SHARED filesystem (every executor task-commits
+    *    to it and the union read needs all of it).
+    *
+    * Correctness is structural either way: gram slices are disjoint and
+    * exhaustive, and every per-gram decision (cross-doc count, min-id
+    * owner) depends only on rows of the SAME gram, so the union of
+    * per-slice survivors equals the single-pass result exactly
+    * (PipelineSpec pins K-pass == single-pass for both operators, both
+    * gram identities, and both slicing modes). */
   private def slicedPositions(
       spark: org.apache.spark.sql.SparkSession,
       passes: Int, scratchDir: Option[String],
-      slice: Option[Column] => DataFrame): DataFrame =
+      slice: Option[Column] => DataFrame,
+      census: Option[() => DataFrame] = None): DataFrame =
     if (passes <= 1) slice(None)
     else {
-      val dir = scratchDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft-spans-kpass-").toString)
-      (0 until passes).foreach { i =>
-        slice(Some(pmod(xxhash64(col("gram")), lit(passes)) === lit(i)))
-          .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
-        System.gc() // release pass i's now-unreachable shuffle files
+      val filters: Seq[Column] = census match {
+        case Some(cs) =>
+          val b = passes * 16
+          val bucketOf = pmod(xxhash64(col("gram")), lit(b))
+          val weights = Array.fill(b)(0L)
+          cs().groupBy(bucketOf.cast("int").as("bucket"))
+            .agg(sum(col("w")).as("w")).collect()
+            .foreach(r => weights(r.getInt(0)) = r.getLong(1))
+          val assign = assignBuckets(weights.toSeq, passes)
+          (0 until passes).map { p =>
+            val buckets = assign.zipWithIndex.collect { case (s, i) if s == p => i.toLong }
+            if (buckets.isEmpty) lit(false) else bucketOf.isin(buckets: _*)
+          }
+        case None =>
+          (0 until passes).map(i => pmod(xxhash64(col("gram")), lit(passes)) === lit(i))
       }
-      spark.read.parquet(dir)
+      scratchDir match {
+        case Some(dir) =>
+          filters.zipWithIndex.foreach { case (f, i) =>
+            slice(Some(f)).write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
+            System.gc() // release pass i's now-unreachable shuffle files
+          }
+          spark.read.parquet(dir)
+        case None =>
+          filters.map { f =>
+            val pass = slice(Some(f))
+              .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+            pass.count() // materialize NOW: this pass's job runs alone
+            System.gc() // release this pass's now-unreachable shuffle files
+            pass
+          }.reduce(_ union _)
+      }
     }
 
   /** Total text length in the same unit the gram walk uses — BYTES for the
@@ -473,12 +553,15 @@ object Dedup {
     *
     * `passes > 1` bounds the gram shuffle's scratch to ~1/K of the corpus
     * per job at the cost of K gram-stream recomputations — identical
-    * results by construction (see [[slicedPositions]]).
+    * results by construction (see [[slicedPositions]]); `sizeAware` adds
+    * a one-pass byte census so skewed gram distributions can't unbalance
+    * per-pass scratch.
     */
   def duplicatedSpanCoverage(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minDocs: Int = 2, useKernel: Boolean = true,
-      passes: Int = 1, scratchDir: Option[String] = None): DataFrame = {
+      passes: Int = 1, scratchDir: Option[String] = None,
+      sizeAware: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // `passes > 1`: scratch-bounded K-pass over disjoint gram slices (the
     // per-gram doc count only needs rows of the same gram — see
@@ -495,7 +578,8 @@ object Dedup {
       pos.join(dupGrams, Seq("gram"), "left_semi")
         .select(col("doc_id"), col("pos"))
     }
-    val dupPos = slicedPositions(df.sparkSession, passes, scratchDir, dupPosSlice)
+    val dupPos = slicedPositions(df.sparkSession, passes, scratchDir, dupPosSlice,
+      census = if (sizeAware) Some(() => gramShuffleWeights(df, idCol, textCol, k, useKernel)) else None)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val perDoc = dupPos
       .withColumn("delta", col("pos") - lag(col("pos"), 1).over(w))
@@ -546,11 +630,14 @@ object Dedup {
     *
     * `passes > 1` bounds the gram shuffle's scratch to ~1/K of the corpus
     * per job at the cost of K gram-stream recomputations — identical
-    * results by construction (see [[slicedPositions]]). */
+    * results by construction (see [[slicedPositions]]); `sizeAware` adds
+    * a one-pass byte census so skewed gram distributions can't unbalance
+    * per-pass scratch. */
   def cutDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minDocs: Int = 2, useKernel: Boolean = false,
-      passes: Int = 1, scratchDir: Option[String] = None): DataFrame = {
+      passes: Int = 1, scratchDir: Option[String] = None,
+      sizeAware: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // windows to cut: duplicated occurrences in non-owner docs. Per-gram
     // doc count + owner come from the map-side-distinct doc grams — one
@@ -572,7 +659,10 @@ object Dedup {
         .filter(col("doc_id") =!= col("owner"))
         .select(col("doc_id"), col("pos"))
     }
-    val rm = slicedPositions(df.sparkSession, passes, scratchDir, rmSlice)
+    val rm = slicedPositions(df.sparkSession, passes, scratchDir, rmSlice,
+      census = if (sizeAware)
+        Some(() => gramShuffleWeights(df, idCol, textCol, k, useKernel, pair = useKernel))
+      else None)
     // merge overlapping/adjacent [pos, pos+k) windows: gaps-and-islands
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val islands = rm

@@ -409,9 +409,13 @@ object Multimodal {
     * banding stops being viable around n ≈ 10⁶ (the r13 census: 13B
     * candidates at sf100; the r16 fourth-decade A/B: 4×16 OOMs a 96 GB
     * heap where 2×32 completes 1.32B pairs in 450 s). `bands` therefore
-    * DEFAULTS to AUTO: one count of `df` feeds [[phashBandsFor]], so a
+    * DEFAULTS to AUTO: the input's row count feeds [[phashBandsFor]], so a
     * caller who never reads this doc gets the sizing rule, not the
-    * quadratic configuration (r16 verdict). Pass `bands` explicitly to pin
+    * quadratic configuration (r16 verdict). The count comes from
+    * `approxRows` / optimizer statistics when available and a `count()`
+    * action only as the fallback — pass `approxRows` when `df` is an
+    * expensive computed pipeline (a decode `mapPartitions`) so auto sizing
+    * never executes it twice (r17 verdict). Pass `bands` explicitly to pin
     * a banding (e.g. for an oracle mirror), and check the plan with
     * [[phashBandingStats]] before corpus-scale jobs.
     *
@@ -423,15 +427,32 @@ object Multimodal {
     * costs). The default cap is high enough that healthy corpora never hit
     * it, so the cap-free SQL oracle stays exact at test scale. */
   /** Sentinel for [[phashNearDupPairs]]' `bands`: auto-size via
-    * [[phashBandsFor]] from one count of the input. */
+    * [[phashBandsFor]] from the input's row count. */
   val AutoBands: Int = -1
+
+  /** Row count for AUTO banding WITHOUT re-executing the input (r17
+    * verdict: `df.count()` on an opaque computed pipeline — e.g. a
+    * mapPartitions decode — cannot prune through the lambda, so the corpus
+    * was decoded TWICE at scale). Resolution order:
+    *  1. caller-supplied `approxRows` (> 0) — the sizing rule only needs
+    *     the decade, so any honest estimate works;
+    *  2. the optimizer's row-count statistic when Catalyst can derive one
+    *     (local relations, ANALYZEd tables, aggregates with known output);
+    *  3. one `count()` — the only remaining case pays the extra action,
+    *     which for a plain parquet scan prunes to footer metadata. */
+  private def autoBandRows(df: DataFrame, approxRows: Long): Long =
+    if (approxRows > 0) approxRows
+    else df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.longValue).filter(_ > 0)
+      .getOrElse(df.count())
 
   def phashNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 8, maxBucket: Int = 10000,
-      bands: Int = AutoBands): DataFrame = {
+      bands: Int = AutoBands, approxRows: Long = -1L): DataFrame = {
     val b =
-      if (bands == AutoBands) phashBandsFor(df.count(), maxHamming) else bands
+      if (bands == AutoBands) phashBandsFor(autoBandRows(df, approxRows), maxHamming)
+      else bands
     graft.pipeline.Dedup.bandedPairs(
         phashBanded(df, idCol, payloadCol, b), maxBucket, carry = Seq("ph"))
       .select(col("id_a"), col("id_b"),

@@ -30,6 +30,14 @@ object PipelineQueries {
   private def spansPasses: Int =
     sys.env.getOrElse("SPARK_GRAFT_SPANS_PASSES", "1").toInt
 
+  /** SPARK_GRAFT_SPANS_SIZED=1 (r18): byte-budgeted K-pass slicing — an
+    * extra one-pass gram-byte census LPT-packs hash buckets into passes,
+    * so a skewed gram distribution can't unbalance per-pass scratch.
+    * Identical results either way (pinned in PipelineSpec); only
+    * meaningful when SPARK_GRAFT_SPANS_PASSES > 1. */
+  private def spansSized: Boolean =
+    sys.env.get("SPARK_GRAFT_SPANS_SIZED").exists(_ == "1")
+
   /** Oracle contract for a hash/seed-dependent ANN top-k result (r12,
     * closing the last two rows-only gates with the q_sim_recall recipe):
     * the engine-chosen rows reach the driver ONLY through per-query
@@ -665,7 +673,7 @@ object PipelineQueries {
     // Kernel path (rolling-hash gram identity); substring parity in spec.
     "q_dedup_spans" -> { (s, dir) =>
       Dedup.duplicatedSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
-          k = 20, minDocs = 2, passes = spansPasses)
+          k = 20, minDocs = 2, passes = spansPasses, sizeAware = spansSized)
         .orderBy(col("doc_id"))
     },
 
@@ -748,7 +756,7 @@ object PipelineQueries {
     // keeps each duplicated 20-char region, every other doc has it cut out
     "q_cut_spans" -> { (s, dir) =>
       Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
-          k = 20, passes = spansPasses)
+          k = 20, passes = spansPasses, sizeAware = spansSized)
         .orderBy(col("doc_id"))
     },
 
@@ -759,7 +767,7 @@ object PipelineQueries {
     // q_cut_spans' oracle verbatim.
     "q_cut_spans_kernel" -> { (s, dir) =>
       Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
-          k = 20, useKernel = true, passes = spansPasses)
+          k = 20, useKernel = true, passes = spansPasses, sizeAware = spansSized)
         .orderBy(col("doc_id"))
     },
 

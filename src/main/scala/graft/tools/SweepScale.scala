@@ -32,6 +32,53 @@ import org.apache.spark.sql.SparkSession
   * it output-explosive (>3M rows) or already slow (>120 s) — those are the
   * disk-bound CEP/top-N/extraction gates the sweep deliberately bounds. */
 object SweepScale {
+
+  /** Per-table comparison of two digest.json payloads (tools/CorpusDigest):
+    * one message per mismatching or missing table; empty = match. `h2`
+    * participates only when both sides carry it (v1 digests don't). */
+  def compareDigests(expected: String, actual: String): Seq[String] = {
+    def parse(s: String): Map[String, Map[String, Long]] =
+      """"([A-Za-z0-9_]+)":\{([^}]*)\}""".r.findAllMatchIn(s).map { m =>
+        m.group(1) -> """"(\w+)":(-?\d+)""".r.findAllMatchIn(m.group(2))
+          .map(f => f.group(1) -> f.group(2).toLong).toMap
+      }.toMap
+    val e = parse(expected)
+    val a = parse(actual)
+    e.keys.toSeq.sorted.flatMap { t =>
+      a.get(t) match {
+        case None => Seq(s"table $t: missing from actual digest")
+        case Some(av) =>
+          Seq("rows", "h", "h2").flatMap { k =>
+            (e(t).get(k), av.get(k)) match {
+              case (Some(x), Some(y)) if x != y =>
+                Some(s"table $t: $k $y != expected $x")
+              case _ => None
+            }
+          }
+      }
+    }
+  }
+
+  /** Tables whose parquet part files no longer match the file fingerprint
+    * recorded in their digest entry — i.e. the corpus was regenerated
+    * WITHOUT re-digesting, so the digest certifies nothing (the stale-
+    * digest hazard of a fingerprint stored inside the directory it
+    * certifies). v1 digests carry no fingerprint and can't be checked. */
+  def staleTables(digestJson: String, dir: String): Seq[String] =
+    """"([A-Za-z0-9_]+)":\{([^}]*)\}""".r.findAllMatchIn(digestJson).flatMap { m =>
+      val t = m.group(1)
+      val f = """"(\w+)":(-?\d+)""".r.findAllMatchIn(m.group(2))
+        .map(x => x.group(1) -> x.group(2).toLong).toMap
+      (f.get("files"), f.get("bytes")) match {
+        case (Some(fn), Some(fb)) =>
+          val (an, ab) = CorpusDigest.fileStats(new java.io.File(dir, t + ".parquet"))
+          if (an != fn || ab != fb)
+            Some(s"table $t: files/bytes now $an/$ab, digested at $fn/$fb")
+          else None
+        case _ => None
+      }
+    }.toSeq
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("sweep_out.json")
     // tolerate extra fields after "rows" (r16: flagged entries carry
@@ -65,13 +112,50 @@ object SweepScale {
     // runs). Capping spark.memory.fraction at a big heap emulates the
     // small-heap execution-memory budget without its OOM exposure; the
     // probe attributes the mechanism instead of leaving it a hypothesis.
-    val memFraction = sys.env.get("SPARK_GRAFT_MEM_FRACTION")
+    // parsed ONCE, failing fast: the value feeds both the Spark config and
+    // the per-gate JSON stamp — a non-numeric env value previously reached
+    // the artifact verbatim and broke downstream parsing of the whole
+    // sweep file (r17 ADVICE)
+    val memFraction: Option[Double] = sys.env.get("SPARK_GRAFT_MEM_FRACTION").map { f =>
+      try f.toDouble catch {
+        case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_MEM_FRACTION must be numeric, got '$f'")
+      }
+    }
+    // digest=<expected.json> (r18, verdict #6): decade ratios only mean
+    // something when both decades and both rounds read the SAME corpus —
+    // refuse by name when the target dir's content digest mismatches the
+    // recorded one (or is stale: corpus regenerated without re-digesting).
+    val digestPath = java.nio.file.Paths.get(sfDir, "digest.json")
+    args.find(_.startsWith("digest=")).map(_.stripPrefix("digest=")) match {
+      case Some(ep) =>
+        require(java.nio.file.Files.exists(digestPath),
+          s"corpus $sfDir has no digest.json — run graft.tools.CorpusDigest '$sfDir' first")
+        val actual = new String(
+          java.nio.file.Files.readAllBytes(digestPath), "UTF-8")
+        val stale = staleTables(actual, sfDir)
+        require(stale.isEmpty, s"digest.json in $sfDir is STALE (corpus " +
+          s"regenerated without re-digesting): ${stale.mkString("; ")} — " +
+          s"re-run graft.tools.CorpusDigest '$sfDir'")
+        val expected = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(ep)), "UTF-8")
+        val mismatches = compareDigests(expected, actual)
+        require(mismatches.isEmpty, s"corpus $sfDir does NOT match the " +
+          s"recorded digest $ep: ${mismatches.mkString("; ")} — a sweep " +
+          "would compare decade ratios across different corpora")
+        println(s"[sweep] corpus digest OK vs $ep")
+      case None =>
+        println(if (java.nio.file.Files.exists(digestPath))
+          "[sweep] corpus has digest.json (pass digest=<expected.json> to enforce identity)"
+        else
+          "[sweep] corpus has NO digest.json — cross-round identity unchecked")
+    }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    memFraction.foreach(f => builder.config("spark.memory.fraction", f))
+    memFraction.foreach(f => builder.config("spark.memory.fraction", f.toString))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Tables.registerAll(spark, sfDir)
@@ -141,12 +225,14 @@ object SweepScale {
           s"persisted through the last completed gate; re-run with exclude=$after,…")
         sys.exit(1)
       }
-    // K-pass spans gates materialize their position unions in temp dirs
-    // (Dedup.slicedPositions' caller-unmanaged default); at sf100 those
-    // parquet unions are GBs per gate and a multi-gate sweep would
-    // accumulate them — purge between gates (the union is consumed within
-    // the gate's own forced evaluation)
+    // K-pass spans gates persist their position unions DISK_ONLY (r18:
+    // Dedup.slicedPositions' default — ContextCleaner-managed block-manager
+    // scratch, no temp dirs); at sf100 those unions are GBs per gate, so
+    // nudge a GC between gates to let the cleaner drop the now-unreferenced
+    // blocks before the next gate claims disk. The tmpdir purge stays for
+    // pre-r18 runs' leftover parquet scratch (the old default).
     def purgeSpansScratch(): Unit = {
+      System.gc()
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
       Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("graft-spans-kpass-"))
@@ -165,9 +251,23 @@ object SweepScale {
       val df = fn(spark, sfDir)
       // bit_xor, not sum: xxhash64 spans the full long range, so an ANSI
       // sum overflows after two rows; xor is overflow-free and still
-      // order-independent
+      // order-independent.
+      // r18 (verdict #7 A/B, tools/ForcingProbe): hash columns NATIVELY —
+      // the r16-r17 cast-to-string fold paid Java double/long formatting
+      // per output cell, a cost that scales with OUTPUT rows, not corpus
+      // bytes (q_corpus_repetition at sf100: 30.7 s cast vs 25.8 s native;
+      // a per-column arithmetic fold is WORSE, 54.9 s — it defeats
+      // aggregate fusion). Forcing strength is unchanged: every column is
+      // fully evaluated into the hash. Map-typed columns keep the string
+      // cast (xxhash64 refuses MapType — map equality has no canonical
+      // order). Both r18 decades use this fold, so decade ratios stay
+      // internally consistent; pre-r18 artifacts used the cast fold.
+      def forceRepr(c: String): String =
+        if (df.schema(c).dataType.catalogString.contains("map<"))
+          s"cast(`$c` as string)"
+        else s"`$c`"
       val row = df.agg(count(lit(1)).as("n"),
-        expr(df.columns.map(c => s"cast(`$c` as string)")
+        expr(df.columns.map(forceRepr)
           .mkString("bit_xor(xxhash64(", ", ", "))")).as("h"))
         .collect()(0)
       ((System.nanoTime() - t0) / 1e9, row.getLong(0))
@@ -212,9 +312,9 @@ object SweepScale {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       if (exclude(name)) {
-        skipped(name) = "excluded: env-bounded at this decade (shuffle " +
-          "scratch beyond local disk; linear-by-design — needs cluster " +
-          "scratch, not a different plan; see PLANS.md)"
+        skipped(name) = "excluded by name from this run (measured " +
+          "separately at different settings and merged via the per-gate " +
+          "env stamps, or env-bounded at this decade; see PLANS.md)"
         println(s"[sweep] SKIP $name: ${skipped(name)}")
       } else skipRef.get(name) match {
         case Some((_, rows)) if rows > 3000000L =>

@@ -475,6 +475,140 @@ class NamespaceFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("session churn x TableEnv.clear(): full reset races eviction sweeps and scope release (r18)") {
+    // r17 made clear() reset the SHARED registries and openSessionSparks
+    // evict stopped sessions on sight; the r17 churn fuzz never crossed
+    // those paths. This variant adds a RESET thread that, mid-storm, walks
+    // the eviction path (openSessionSparks) and fires TableEnv.clear() —
+    // racing the storm's invalidation sweeps and the churn sessions' scope
+    // releases. Invariants under ANY interleaving:
+    //   (1) no internal error, no worker crash — a sweep iterating maps
+    //       that clear() is wiping must degrade to a named error, never
+    //       throw through;
+    //   (2) a churned-in session's shadow probe reads 1 UNLESS a clear()
+    //       fired after the shadow was created (clear wipes scopes BY
+    //       CONTRACT; a wrong read with no intervening clear is a bug);
+    //   (3) after the storm, with every session closed and a final clear,
+    //       the shared live-session registry is empty.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    for (seed <- Seq(8201L, 8202L, 8203L)) {
+      TableEnv.clear()
+      val gwA = new Gateway(spark)
+      val gwB = new Gateway(spark)
+      val internal = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val clears = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val internalMarkers = Seq("MatchError", "NullPointerException",
+        "IndexOutOfBounds", "ClassCastException", "ConcurrentModification",
+        "StackOverflow", "NoSuchElementException")
+      def exec(gw: Gateway, h: String, sql: String, tag: String): Option[String] = {
+        val r = gw.fetchResults(gw.executeStatement(h, sql), 0)
+        if (r.columns == Seq("error")) {
+          val msg = r.rows.headOption.flatMap(_.headOption)
+            .map(String.valueOf(_)).getOrElse("")
+          if (msg.isEmpty || internalMarkers.exists(msg.contains))
+            internal.add(s"$tag `$sql` -> $msg")
+          None
+        } else Some(r.rows.headOption.flatMap(_.headOption)
+          .map(String.valueOf(_)).getOrElse(""))
+      }
+      val pool = Executors.newFixedThreadPool(4)
+      val start = new CountDownLatch(1)
+      val stormDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // storm thread: gateway A churns the shared namespace (each op's
+      // invalidation sweep walks openSessionSparks — the eviction path)
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          start.await()
+          val rnd = new Random(seed)
+          (1 to 5).foreach { batch =>
+            // RE-OPEN per batch: a clear() may have dropped this session's
+            // registration mid-run; fresh handles keep the storm stormy
+            val h = gwA.openSession(s"clrstorm_$batch")
+            try (1 to 12).foreach { i =>
+              val sql = rnd.nextInt(6) match {
+                case 0 => s"CREATE OR REPLACE VIEW clr_x AS SELECT $i AS v"
+                case 1 => "DROP VIEW IF EXISTS clr_x"
+                case 2 => "CREATE TABLE IF NOT EXISTS clr_t (id BIGINT) WITH " +
+                  "('connector'='datagen','number-of-rows'='2')"
+                case 3 => "ALTER TABLE clr_t RENAME TO clr_u"
+                case 4 => "ALTER TABLE clr_u RENAME TO clr_t"
+                case _ => "DROP TABLE IF EXISTS clr_t"
+              }
+              exec(gwA, h, sql, s"storm@$batch.$i")
+            } finally gwA.closeSession(h)
+          }
+        } catch { case e: Throwable => failures.add(s"storm crashed: $e") }
+        finally stormDone.set(true)
+      })
+      // reset thread: walks the eviction path, then fires the full reset
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          start.await()
+          val rnd = new Random(seed * 17)
+          while (!stormDone.get()) {
+            Thread.sleep((2 + rnd.nextInt(10)).toLong)
+            TableEnv.openSessionSparks.size: Unit // eviction-path walk
+            if (rnd.nextInt(3) == 0) {
+              clears.add(Long.box(System.nanoTime()))
+              TableEnv.clear()
+            }
+          }
+        } catch { case e: Throwable => failures.add(s"reset crashed: $e") }
+      })
+      // churn threads: open, shadow, probe own shadow under fire, close
+      (0 until 2).foreach { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            start.await()
+            val rnd = new Random(seed * 31 + t)
+            (1 to 10).foreach { round =>
+              val h = gwB.openSession(s"clrchurn_$t")
+              try {
+                val createdAt = System.nanoTime()
+                exec(gwB, h, "CREATE TEMPORARY VIEW clr_x AS SELECT 42 AS v",
+                  s"churn$t@$round")
+                (1 to 3).foreach { pn =>
+                  if (rnd.nextInt(2) == 0) Thread.sleep(rnd.nextInt(4).toLong)
+                  val got = exec(gwB, h, "SELECT count(*) AS c FROM clr_x",
+                    s"churn$t@$round probe$pn")
+                  val probedAt = System.nanoTime()
+                  got.foreach { c =>
+                    if (c != "1") {
+                      // legitimate ONLY if a clear() landed since creation
+                      val cleared = clears.toArray(Array.empty[java.lang.Long])
+                        .exists(ts => ts >= createdAt && ts <= probedAt)
+                      if (!cleared) failures.add(
+                        s"churn$t@$round probe$pn: shadow read $c with no intervening clear")
+                    }
+                  }
+                }
+              } finally gwB.closeSession(h)
+            }
+          } catch { case e: Throwable => failures.add(s"churn$t crashed: $e") }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(300, TimeUnit.SECONDS),
+        s"seed $seed: clear-race workers did not finish")
+      assert(failures.isEmpty,
+        s"seed $seed: ${failures.toArray.mkString("; ")}")
+      assert(internal.isEmpty,
+        s"seed $seed: internal errors:\n${internal.toArray.mkString("\n")}")
+      // (3) everything closed + a final reset -> registry empty
+      TableEnv.clear()
+      assert(TableEnv.openSessionSparks.isEmpty,
+        s"seed $seed: sessions survived close + clear")
+      val h = gwA.openSession("clr_cleanup")
+      Seq("DROP VIEW IF EXISTS clr_x", "DROP TABLE IF EXISTS clr_t",
+        "DROP TABLE IF EXISTS clr_u").foreach(s =>
+        gwA.fetchResults(gwA.executeStatement(h, s), 0))
+      gwA.closeSession(h)
+      TableEnv.clear()
+    }
+  }
+
   test("namespace storm against live streaming writers: jobs keep committing, errors stay named") {
     // Composition of the two r12 campaigns: the DDL race storm runs over a
     // name pool that INCLUDES the source and sink bindings of RUNNING

@@ -811,4 +811,31 @@ class StreamRestartSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
     }
   }
+
+  test("live-writer guard: spelling-SET match survives one-sided qualification fallback (r18)") {
+    // r17 fixed the guard to compare filesystem-QUALIFIED paths, but
+    // qualification runs independently on the register and probe sides
+    // (different times, different threads) — one side can qualify while the
+    // other falls back (no active session during shutdown, transient FS
+    // init failure), and a qualified-vs-raw comparison silently misses
+    // again. r18: both sides carry the SET {raw, qualified} and match on
+    // intersection, so a one-sided fallback still matches on the raw
+    // spelling both were given.
+    import graft.engine.Jobs
+    val forms = Jobs.pathForms("/tmp/graft-guard-sets")
+    assert(forms.contains("/tmp/graft-guard-sets"), "raw spelling must stay in the set")
+    assert(forms.exists(_.startsWith("file:")), "qualified spelling must join the set")
+    // one-sided fallback simulations: a side that could NOT qualify carries
+    // only the raw form — intersection with the other side's full set must
+    // stay non-empty in both directions
+    assert((forms & Set("/tmp/graft-guard-sets")).nonEmpty,
+      "register qualified + probe fell back: must still match")
+    assert((Jobs.pathForms("file:/tmp/graft-guard-sets") & forms).nonEmpty,
+      "spelled with scheme vs without: must still match")
+    // a scheme with no loadable filesystem: qualification fails, the raw
+    // form alone still matches a same-spelling probe (never an exception)
+    val bogus = Jobs.pathForms("nosuchfs12345://bucket/dir")
+    assert(bogus == Set("nosuchfs12345://bucket/dir"))
+    assert((bogus & Jobs.pathForms("nosuchfs12345://bucket/dir")).nonEmpty)
+  }
 }
