@@ -464,13 +464,18 @@ object Dedup {
     *  - default (`scratchDir` = None): each pass persists at
     *    `StorageLevel.DISK_ONLY` and is materialized eagerly, so the
     *    pass's shuffle files release before the next pass claims scratch.
-    *    DataFrame persistence stores compressed columnar batches (a
-    *    parquet-like footprint, not raw rows) in the EXECUTORS' own local
-    *    dirs — per-node-correct on a real cluster, where the pre-r18
-    *    driver-local temp directory would have made the union read
-    *    partial, and lifecycle-managed: the ContextCleaner drops the
-    *    blocks once the returned plan is unreferenced, so nothing
-    *    accumulates across invocations (the r17 leaked-scratch seam).
+    *    DataFrame persistence stores columnar batches in the EXECUTORS'
+    *    own local dirs — per-node-correct on a real cluster, where the
+    *    pre-r18 driver-local temp directory would have made the union
+    *    read partial — and the blocks die with the application (nothing
+    *    leaks to the filesystem, the r17 seam). Within a long-lived
+    *    session, release them after consuming the result via
+    *    [[releaseSpansScratch]]: Dataset persistence is CacheManager-
+    *    registered (strong reference), so unlike RDD persistence the
+    *    ContextCleaner never drops it on its own. Positions don't
+    *    delta-compress in arrival order, so enable `spark.rdd.compress`
+    *    for fourth-decade runs — it shrinks this scratch ~4x for one
+    *    lz4 pass over data that is written once and read once.
     *  - explicit `scratchDir`: pass results append there as parquet; the
     *    caller owns the path's lifecycle and, on a multi-node cluster,
     *    must point it at a SHARED filesystem (every executor task-commits
@@ -516,11 +521,42 @@ object Dedup {
           filters.map { f =>
             val pass = slice(Some(f))
               .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+            kpassSlices.synchronized {
+              kpassSlices.getOrElseUpdate(spark, scala.collection.mutable.Buffer.empty) += pass
+            }
             pass.count() // materialize NOW: this pass's job runs alone
             System.gc() // release this pass's now-unreachable shuffle files
             pass
           }.reduce(_ union _)
       }
+    }
+
+  /** Persisted K-pass slices per session, for [[releaseSpansScratch]].
+    * Dataset.persist registers the plan in the session's CacheManager,
+    * which holds a STRONG reference — unlike RDD persistence, cached
+    * DataFrames are never dropped by the ContextCleaner, so without an
+    * explicit release the slices' disk blocks live until session end
+    * (measured r18: 40 GB of block-manager scratch survived its gate). */
+  private val kpassSlices =
+    scala.collection.mutable.Map.empty[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Buffer[DataFrame]]
+
+  /** Release the block-manager scratch of every default-mode K-pass run
+    * of `spark` whose result has been consumed — the cleanup handle for
+    * [[duplicatedSpanCoverage]]/[[cutDuplicatedSpans]] with `passes > 1`
+    * and no explicit `scratchDir`. Call it after the returned DataFrame's
+    * terminal action (calling earlier just forces the next action to
+    * recompute the slices). Returns the number of slices released. A
+    * long-lived session that K-passes many corpora and never calls this
+    * keeps each run's scratch on executor disk until the session ends —
+    * bounded by app lifetime (nothing leaks to the filesystem), but at
+    * ~10s of GB per fourth-decade run the release is worth one line. */
+  def releaseSpansScratch(spark: org.apache.spark.sql.SparkSession): Int =
+    kpassSlices.synchronized {
+      kpassSlices.remove(spark).map { slices =>
+        slices.foreach(_.unpersist(blocking = true))
+        slices.size
+      }.getOrElse(0)
     }
 
   /** Total text length in the same unit the gram walk uses — BYTES for the

@@ -38,6 +38,18 @@ object PipelineQueries {
   private def spansSized: Boolean =
     sys.env.get("SPARK_GRAFT_SPANS_SIZED").exists(_ == "1")
 
+  /** SPARK_GRAFT_SPANS_SCRATCH=<dir> (r18): route the K-pass position
+    * union through explicit PARQUET scratch under <dir>/<gate> instead of
+    * the default block-manager persistence. Parquet's delta+snappy
+    * encodes the position stream several times smaller than lz4 over
+    * columnar long batches (measured r18: the kernel cut gate's K=4
+    * persist scratch overflowed a 60 GB disk that its parquet scratch
+    * fits with room), so this is the right mode for fourth-decade runs
+    * on one node; the CALLER owns the dir's lifecycle (the sweep purges
+    * it between gates). */
+  private def spansScratch(gate: String): Option[String] =
+    sys.env.get("SPARK_GRAFT_SPANS_SCRATCH").map(d => s"$d/$gate")
+
   /** Oracle contract for a hash/seed-dependent ANN top-k result (r12,
     * closing the last two rows-only gates with the q_sim_recall recipe):
     * the engine-chosen rows reach the driver ONLY through per-query
@@ -673,7 +685,8 @@ object PipelineQueries {
     // Kernel path (rolling-hash gram identity); substring parity in spec.
     "q_dedup_spans" -> { (s, dir) =>
       Dedup.duplicatedSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
-          k = 20, minDocs = 2, passes = spansPasses, sizeAware = spansSized)
+          k = 20, minDocs = 2, passes = spansPasses, sizeAware = spansSized,
+          scratchDir = spansScratch("q_dedup_spans"))
         .orderBy(col("doc_id"))
     },
 
@@ -756,7 +769,8 @@ object PipelineQueries {
     // keeps each duplicated 20-char region, every other doc has it cut out
     "q_cut_spans" -> { (s, dir) =>
       Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
-          k = 20, passes = spansPasses, sizeAware = spansSized)
+          k = 20, passes = spansPasses, sizeAware = spansSized,
+          scratchDir = spansScratch("q_cut_spans"))
         .orderBy(col("doc_id"))
     },
 
@@ -767,7 +781,8 @@ object PipelineQueries {
     // q_cut_spans' oracle verbatim.
     "q_cut_spans_kernel" -> { (s, dir) =>
       Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
-          k = 20, useKernel = true, passes = spansPasses, sizeAware = spansSized)
+          k = 20, useKernel = true, passes = spansPasses, sizeAware = spansSized,
+          scratchDir = spansScratch("q_cut_spans_kernel"))
         .orderBy(col("doc_id"))
     },
 

@@ -155,6 +155,11 @@ object SweepScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // K-pass position slices don't delta-compress in arrival order, so
+      // uncompressed DISK_ONLY scratch ran 40 GB for one sf100 spans gate
+      // (measured r18); lz4 on write-once/read-once blocks is the right
+      // trade at every decade this sweep runs
+      .config("spark.rdd.compress", "true")
     memFraction.foreach(f => builder.config("spark.memory.fraction", f.toString))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -226,12 +231,23 @@ object SweepScale {
         sys.exit(1)
       }
     // K-pass spans gates persist their position unions DISK_ONLY (r18:
-    // Dedup.slicedPositions' default — ContextCleaner-managed block-manager
-    // scratch, no temp dirs); at sf100 those unions are GBs per gate, so
-    // nudge a GC between gates to let the cleaner drop the now-unreferenced
-    // blocks before the next gate claims disk. The tmpdir purge stays for
-    // pre-r18 runs' leftover parquet scratch (the old default).
+    // Dedup.slicedPositions' default — block-manager scratch, no temp
+    // dirs); at sf100 those unions are 10s of GB per gate and Dataset
+    // persistence is CacheManager-pinned (the ContextCleaner never drops
+    // it), so release explicitly between gates. The tmpdir purge stays
+    // for pre-r18 runs' leftover parquet scratch (the old default).
     def purgeSpansScratch(): Unit = {
+      val released = graft.pipeline.Dedup.releaseSpansScratch(spark)
+      if (released > 0) println(s"[sweep] released $released K-pass scratch slices")
+      // explicit SPARK_GRAFT_SPANS_SCRATCH parquet scratch: caller-owned —
+      // this run is the caller, purge between gates
+      sys.env.get("SPARK_GRAFT_SPANS_SCRATCH").foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty).foreach(rm)
+      }
       System.gc()
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
       Option(tmp.listFiles()).getOrElse(Array.empty)
@@ -288,8 +304,16 @@ object SweepScale {
         val passes = if (flagged) {
           println(f"[sweep] FLAG $label: $s1%.2f s is ${s1 / ref.get}%.1fx the " +
             f"reference decade — taking a second pass")
-          val (s2, _) = forcedOnce(fn)
-          Seq(s1, s2)
+          // a failed CONFIRMATION pass must not discard the completed
+          // measurement (r18: the 64 GB phash census's flag rerun OOM'd
+          // after a clean 250 s first pass and the gate recorded as FAIL)
+          try { val (s2, _) = forcedOnce(fn); Seq(s1, s2) }
+          catch {
+            case e: Exception =>
+              println(s"[sweep] flag-rerun of $label failed " +
+                s"(${e.getClass.getSimpleName}) — keeping the completed first pass")
+              Seq(s1)
+          }
         } else Seq(s1)
         val best = passes.min
         results(label) = (best, rows, passes)

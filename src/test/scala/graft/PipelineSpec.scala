@@ -1272,11 +1272,15 @@ class PipelineSpec extends SparkTestBase {
     // (executors task-commit per-node, the union read goes partial) and
     // leaked GBs per invocation. r18 default: eagerly-materialized
     // DISK_ONLY persistence — block-manager scratch, per-executor-correct,
-    // ContextCleaner-owned lifecycle. Pins: (a) the default path creates
-    // NO graft-spans-kpass temp dir; (b) default K-pass == single-pass;
-    // (c) size-aware (census + LPT bucket packing) K-pass == single-pass
-    // for both operators.
+    // released via the explicit releaseSpansScratch handle (Dataset
+    // persistence is CacheManager-pinned; the ContextCleaner never drops
+    // it — measured r18: 40 GB survived its gate). Pins: (a) the default
+    // path creates NO graft-spans-kpass temp dir; (b) default K-pass ==
+    // single-pass; (c) size-aware (census + LPT bucket packing) K-pass ==
+    // single-pass for both operators; (d) the release handle reports the
+    // slices it dropped and goes quiet once drained.
     val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 400)
+    Dedup.releaseSpansScratch(spark): Unit // drain any earlier test's slices
     def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
       df.orderBy("doc_id").collect().map(_.toSeq).toSeq
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
@@ -1303,6 +1307,11 @@ class PipelineSpec extends SparkTestBase {
       k = 20, useKernel = false)), "default K-pass cut diverged (substring identity)")
     assert(kpassDirs() == dirsBefore, "no temp scratch dirs after any default K-pass")
     assert(cut1.exists(r => r(2).asInstanceOf[Long] > 0L), "parity vacuous: nothing cut")
+    // (d) scratch lifecycle: the runs above persisted 3+3+3+2 slices in
+    // this session; the release handle drops them all, then goes quiet
+    assert(Dedup.releaseSpansScratch(spark) == 11,
+      "release handle must drop every persisted K-pass slice of this session")
+    assert(Dedup.releaseSpansScratch(spark) == 0, "second release must be a no-op")
   }
 
   test("assignBuckets: LPT isolates heavy buckets, balances the rest, deterministic") {
