@@ -472,10 +472,21 @@ object Dedup {
     *    session, release them after consuming the result via
     *    [[releaseSpansScratch]]: Dataset persistence is CacheManager-
     *    registered (strong reference), so unlike RDD persistence the
-    *    ContextCleaner never drops it on its own. Positions don't
-    *    delta-compress in arrival order, so enable `spark.rdd.compress`
-    *    for fourth-decade runs — it shrinks this scratch ~4x for one
-    *    lz4 pass over data that is written once and read once.
+    *    ContextCleaner never drops it on its own.
+    *
+    *    SIZE the persist scratch from measurement, not hope: position
+    *    rows do not delta-compress in columnar long batches, and even
+    *    with `spark.rdd.compress` (one lz4 pass) the r18 fourth-decade
+    *    sweep measured the K=4 kernel-cut persist scratch OVERFLOWING
+    *    60 GB of free disk where the same pass results as parquet
+    *    (delta + snappy) ran ~2 GB — a >10x encoding gap parquet wins.
+    *    Persist stays the DEFAULT because it is the cluster-correct
+    *    posture (per-executor blocks, no shared-FS requirement), but a
+    *    single-node decade run should pass `scratchDir` exactly the way
+    *    `tools/SweepScale` does. With `sizeAware=true` the census is
+    *    already in hand, so a run whose estimated gram-shuffle bytes
+    *    exceed `spark.graft.kpass.persistScratchWarnBytes` (default
+    *    64 GiB; 0 disables) warns by name before the first pass runs.
     *  - explicit `scratchDir`: pass results append there as parquet; the
     *    caller owns the path's lifecycle and, on a multi-node cluster,
     *    must point it at a SHARED filesystem (every executor task-commits
@@ -502,6 +513,26 @@ object Dedup {
           cs().groupBy(bucketOf.cast("int").as("bucket"))
             .agg(sum(col("w")).as("w")).collect()
             .foreach(r => weights(r.getInt(0)) = r.getLong(1))
+          // the census is in hand: warn BEFORE the first pass when the
+          // persist-mode scratch estimate blows the configured budget
+          // (r19, verdict #3 — the measured r18 gap is persist >10x
+          // parquet for position batches; overflowing executor scratch
+          // mid-gate is far costlier than this one comparison)
+          if (scratchDir.isEmpty) {
+            val budget = spark.conf.getOption("spark.graft.kpass.persistScratchWarnBytes")
+              .map(_.toLong).getOrElse(64L << 30)
+            val total = weights.sum
+            if (budget > 0 && total > budget) {
+              val msg = f"K-pass persist scratch estimate ${total / 1e9}%.1f GB " +
+                f"(gram-shuffle census) exceeds budget ${budget / 1e9}%.1f GB " +
+                "(spark.graft.kpass.persistScratchWarnBytes): DISK_ONLY persistence " +
+                "of position batches measured >10x the size of parquet scratch " +
+                "(r18: 60 GB overflow vs ~2 GB parquet at the fourth decade) — " +
+                "single-node runs at this scale should pass scratchDir"
+              lastScratchWarning = Some(msg)
+              println(s"[graft-kpass] WARN $msg")
+            } else lastScratchWarning = None
+          }
           val assign = assignBuckets(weights.toSeq, passes)
           (0 until passes).map { p =>
             val buckets = assign.zipWithIndex.collect { case (s, i) if s == p => i.toLong }
@@ -522,6 +553,7 @@ object Dedup {
             val pass = slice(Some(f))
               .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
             kpassSlices.synchronized {
+              pruneStoppedSessions()
               kpassSlices.getOrElseUpdate(spark, scala.collection.mutable.Buffer.empty) += pass
             }
             pass.count() // materialize NOW: this pass's job runs alone
@@ -536,10 +568,41 @@ object Dedup {
     * which holds a STRONG reference — unlike RDD persistence, cached
     * DataFrames are never dropped by the ContextCleaner, so without an
     * explicit release the slices' disk blocks live until session end
-    * (measured r18: 40 GB of block-manager scratch survived its gate). */
+    * (measured r18: 40 GB of block-manager scratch survived its gate).
+    * Entries whose session's SparkContext has STOPPED are pruned on every
+    * map access (r19, verdict #2 — the r17 `openSessionSparks` precedent):
+    * a stopped context's disk blocks are already gone, so the entry pins
+    * only dead session objects and stale plans, and a gateway-style driver
+    * that churns sessions through K-pass runs without calling the release
+    * handle must not accumulate them for JVM lifetime. */
   private val kpassSlices =
     scala.collection.mutable.Map.empty[org.apache.spark.sql.SparkSession,
       scala.collection.mutable.Buffer[DataFrame]]
+
+  /** Stopped-session predicate behind the [[kpassSlices]] eviction.
+    * Overridable ONLY by tests: the suite JVM shares ONE SparkContext
+    * across every suite, so a spec cannot stop a real context to walk the
+    * eviction without killing its co-residents — production always runs
+    * the default (the real `isStopped`, with a defensive true on a context
+    * that throws — same posture as `TableEnv.openSessionSparks`). */
+  @volatile private[graft] var kpassSessionStopped:
+      org.apache.spark.sql.SparkSession => Boolean =
+    s => try s.sparkContext.isStopped catch { case _: Throwable => true }
+
+  /** Sessions currently holding K-pass scratch (test observability). */
+  private[graft] def kpassScratchSessions: Seq[org.apache.spark.sql.SparkSession] =
+    kpassSlices.synchronized { kpassSlices.keys.toSeq }
+
+  /** Drop map entries of stopped sessions. Call ONLY while synchronized on
+    * [[kpassSlices]]. No unpersist: stopping the context already destroyed
+    * the block manager (unpersist on a stopped session would throw). */
+  private def pruneStoppedSessions(): Unit =
+    kpassSlices.keysIterator.filter(kpassSessionStopped).toList
+      .foreach(kpassSlices -= _)
+
+  /** Last census-driven persist-scratch warning (None when the estimate is
+    * under budget) — test observability for the sizing guard above. */
+  @volatile private[graft] var lastScratchWarning: Option[String] = None
 
   /** Release the block-manager scratch of every default-mode K-pass run
     * of `spark` whose result has been consumed — the cleanup handle for
@@ -553,10 +616,13 @@ object Dedup {
     * ~10s of GB per fourth-decade run the release is worth one line. */
   def releaseSpansScratch(spark: org.apache.spark.sql.SparkSession): Int =
     kpassSlices.synchronized {
-      kpassSlices.remove(spark).map { slices =>
-        slices.foreach(_.unpersist(blocking = true))
+      val released = kpassSlices.remove(spark).map { slices =>
+        if (!kpassSessionStopped(spark))
+          slices.foreach(_.unpersist(blocking = true))
         slices.size
       }.getOrElse(0)
+      pruneStoppedSessions()
+      released
     }
 
   /** Total text length in the same unit the gram walk uses — BYTES for the

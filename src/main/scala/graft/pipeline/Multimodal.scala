@@ -436,15 +436,29 @@ object Multimodal {
     * was decoded TWICE at scale). Resolution order:
     *  1. caller-supplied `approxRows` (> 0) — the sizing rule only needs
     *     the decade, so any honest estimate works;
-    *  2. the optimizer's row-count statistic when Catalyst can derive one
-    *     (local relations, ANALYZEd tables, aggregates with known output);
-    *  3. one `count()` — the only remaining case pays the extra action,
-    *     which for a plain parquet scan prunes to footer metadata. */
-  private def autoBandRows(df: DataFrame, approxRows: Long): Long =
+    *  2. the optimizer's row-count statistic, but ONLY when it is exact by
+    *     construction — a plan of row-preserving projections over
+    *     LocalRelation/Range leaves. CBO statistics from a stale ANALYZE
+    *     can be off by a decade, which would silently shift the chosen
+    *     banding (and its recall) between runs of the SAME corpus
+    *     (r18 ADVICE) — reproducible sizing for such inputs comes from
+    *     `approxRows` or an explicit `bands`;
+    *  3. one `count()` — pays the extra action, which for a plain parquet
+    *     scan prunes to footer metadata. */
+  private def autoBandRows(df: DataFrame, approxRows: Long): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def exactCardinality(p: LogicalPlan): Boolean = p match {
+      case _: LocalRelation | _: Range => true
+      case pr: Project => exactCardinality(pr.child)
+      case _ => false
+    }
     if (approxRows > 0) approxRows
-    else df.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.longValue).filter(_ > 0)
-      .getOrElse(df.count())
+    else {
+      val plan = df.queryExecution.optimizedPlan
+      (if (exactCardinality(plan)) plan.stats.rowCount.map(_.longValue).filter(_ > 0)
+       else None).getOrElse(df.count())
+    }
+  }
 
   def phashNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,

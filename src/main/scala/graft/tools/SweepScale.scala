@@ -56,7 +56,10 @@ object SweepScale {
             }
           }
       }
-    }
+    } ++
+      // symmetric: a corpus that GAINED a table is not the expected corpus
+      // either (r18 ADVICE — iterating only expected keys let that pass)
+      (a.keySet -- e.keySet).toSeq.sorted.map(t => s"table $t: unexpected in actual digest")
   }
 
   /** Tables whose parquet part files no longer match the file fingerprint
@@ -307,9 +310,15 @@ object SweepScale {
           // a failed CONFIRMATION pass must not discard the completed
           // measurement (r18: the 64 GB phash census's flag rerun OOM'd
           // after a clean 250 s first pass and the gate recorded as FAIL)
+          // Throwable, not Exception: the motivating r18 failure WAS an
+          // OutOfMemoryError (an Error, which escaped the old handler and
+          // killed the sweep with the clean first pass in hand). Catching
+          // it HERE is sound: the rerun's partial state is a discarded
+          // DataFrame action, and the sweep's next gates get the same
+          // heap they'd have had without the rerun (r18 ADVICE).
           try { val (s2, _) = forcedOnce(fn); Seq(s1, s2) }
           catch {
-            case e: Exception =>
+            case e: Throwable =>
               println(s"[sweep] flag-rerun of $label failed " +
                 s"(${e.getClass.getSimpleName}) — keeping the completed first pass")
               Seq(s1)

@@ -497,7 +497,11 @@ class NamespaceFuzzSpec extends SparkTestBase {
       val gwB = new Gateway(spark)
       val internal = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      val clears = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      // clear() INTERVALS [start, end]: a point timestamp taken before the
+      // call misses the clear that STARTS before a shadow's creation but
+      // wipes it after (start < createdAt <= end) — a rare false failure
+      // under contention (r18 ADVICE)
+      val clears = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
       val internalMarkers = Seq("MatchError", "NullPointerException",
         "IndexOutOfBounds", "ClassCastException", "ConcurrentModification",
         "StackOverflow", "NoSuchElementException")
@@ -550,8 +554,9 @@ class NamespaceFuzzSpec extends SparkTestBase {
             Thread.sleep((2 + rnd.nextInt(10)).toLong)
             TableEnv.openSessionSparks.size: Unit // eviction-path walk
             if (rnd.nextInt(3) == 0) {
-              clears.add(Long.box(System.nanoTime()))
+              val t0 = System.nanoTime()
               TableEnv.clear()
+              clears.add((t0, System.nanoTime()))
             }
           }
         } catch { case e: Throwable => failures.add(s"reset crashed: $e") }
@@ -575,9 +580,12 @@ class NamespaceFuzzSpec extends SparkTestBase {
                   val probedAt = System.nanoTime()
                   got.foreach { c =>
                     if (c != "1") {
-                      // legitimate ONLY if a clear() landed since creation
-                      val cleared = clears.toArray(Array.empty[java.lang.Long])
-                        .exists(ts => ts >= createdAt && ts <= probedAt)
+                      // legitimate ONLY if a clear()'s [start, end] interval
+                      // overlaps [createdAt, probedAt] — interval overlap,
+                      // not point containment, so a clear in flight across
+                      // the creation boundary still counts
+                      val cleared = clears.toArray(Array.empty[(Long, Long)])
+                        .exists { case (s0, e0) => s0 <= probedAt && e0 >= createdAt }
                       if (!cleared) failures.add(
                         s"churn$t@$round probe$pn: shadow read $c with no intervening clear")
                     }

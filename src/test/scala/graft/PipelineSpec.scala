@@ -1314,6 +1314,147 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.releaseSpansScratch(spark) == 0, "second release must be a no-op")
   }
 
+  test("kpassSlices evicts stopped sessions; release handle unchanged for live ones (r19 verdict #2)") {
+    // The scratch map is keyed by SparkSession with strong references and
+    // (pre-r19) removed entries only via releaseSpansScratch — a gateway
+    // that churns sessions through K-pass runs without the release handle
+    // pinned each dead session + its cached slice plans in the companion
+    // object for JVM lifetime (the r16 openSessionSparks shape). Eviction
+    // now fires on every map access via the kpassSessionStopped predicate;
+    // the suite JVM shares ONE SparkContext so the probe overrides the
+    // predicate rather than genuinely stopping a context (the default IS
+    // the real isStopped — also pinned here).
+    val docs2 = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 200)
+    Dedup.releaseSpansScratch(spark): Unit
+    val s2 = spark.newSession()
+    val defaultPred = Dedup.kpassSessionStopped
+    assert(!defaultPred(spark), "default predicate: a live session is not stopped")
+    try {
+      val docsS2 = Tables.load(s2, sfDir, "documents").filter(col("doc_id") < 200)
+      // live path: entry registered, release handle drops it (count = passes)
+      Dedup.duplicatedSpanCoverage(docsS2, "doc_id", "text", k = 20, passes = 2)
+        .collect(): Unit
+      assert(Dedup.kpassScratchSessions.exists(_ eq s2), "K-pass run must register its session")
+      assert(Dedup.releaseSpansScratch(s2) == 2, "live-session release must drop both slices")
+      assert(!Dedup.kpassScratchSessions.exists(_ eq s2))
+      // stopped path A: a K-pass run in ANOTHER session prunes the dead entry
+      Dedup.duplicatedSpanCoverage(docsS2, "doc_id", "text", k = 20, passes = 2)
+        .collect(): Unit
+      assert(Dedup.kpassScratchSessions.exists(_ eq s2))
+      Dedup.kpassSessionStopped = s => s eq s2 // simulate: s2's context stopped
+      Dedup.duplicatedSpanCoverage(docs2, "doc_id", "text", k = 20, passes = 2)
+        .collect(): Unit
+      assert(!Dedup.kpassScratchSessions.exists(_ eq s2),
+        "registration access must evict the stopped session's entry")
+      assert(Dedup.kpassScratchSessions.exists(_ eq spark), "live session stays registered")
+      assert(Dedup.releaseSpansScratch(s2) == 0, "evicted entry: release is a no-op")
+      assert(Dedup.releaseSpansScratch(spark) == 2)
+      // stopped path B: release handle on a stopped session with a live
+      // entry removes it WITHOUT unpersist (the block manager died with
+      // the context; unpersist would throw)
+      Dedup.kpassSessionStopped = defaultPred
+      Dedup.duplicatedSpanCoverage(docsS2, "doc_id", "text", k = 20, passes = 2)
+        .collect(): Unit
+      Dedup.kpassSessionStopped = s => s eq s2
+      assert(Dedup.releaseSpansScratch(s2) == 2,
+        "stopped-session release must still report and drop the entry")
+      assert(!Dedup.kpassScratchSessions.exists(_ eq s2))
+    } finally {
+      Dedup.kpassSessionStopped = defaultPred
+      Dedup.releaseSpansScratch(spark): Unit
+      Dedup.releaseSpansScratch(s2): Unit
+    }
+  }
+
+  test("size-aware K-pass warns when the persist-scratch estimate blows the budget (r19 verdict #3)") {
+    // The r18 sweep measured DISK_ONLY position batches >10x the size of
+    // parquet scratch (60 GB overflow vs ~2 GB at the fourth decade) — the
+    // census is already in hand under sizeAware, so a persist-mode run
+    // whose gram-shuffle estimate exceeds the configured budget must say
+    // so BEFORE the first pass, by name, recommending scratchDir.
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 200)
+    val key = "spark.graft.kpass.persistScratchWarnBytes"
+    Dedup.releaseSpansScratch(spark): Unit
+    try {
+      spark.conf.set(key, "1") // any census total exceeds 1 byte
+      Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 20,
+        passes = 2, sizeAware = true).collect(): Unit
+      val warn = Dedup.lastScratchWarning
+      assert(warn.isDefined, "tiny budget must fire the scratch warning")
+      assert(warn.get.contains("scratchDir") && warn.get.contains(key),
+        s"warning must name the knob and the remedy: $warn")
+      Dedup.releaseSpansScratch(spark): Unit
+      // default budget (64 GiB): the test corpus is far under it
+      spark.conf.unset(key)
+      Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 20,
+        passes = 2, sizeAware = true).collect(): Unit
+      assert(Dedup.lastScratchWarning.isEmpty, "default budget must stay quiet at test scale")
+      Dedup.releaseSpansScratch(spark): Unit
+      // caller-owned parquet scratch: the persist estimate does not apply
+      spark.conf.set(key, "1")
+      val dir = java.nio.file.Files.createTempDirectory("graft-warn-probe").toString
+      Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 20,
+        passes = 2, sizeAware = true, scratchDir = Some(dir)).collect(): Unit
+      assert(Dedup.lastScratchWarning.isEmpty,
+        "parquet-scratch mode must not fire the persist warning")
+    } finally {
+      spark.conf.unset(key)
+      Dedup.releaseSpansScratch(spark): Unit
+    }
+  }
+
+  test("K-pass lifecycle race: releaseSpansScratch + clear() against in-flight runs (r19 verdict #6)") {
+    // The release handle unpersists CacheManager-pinned slices; a release
+    // landing between a pass's materialization and the union read forces
+    // recompute-from-source, never wrong rows — raced here for 3 seeds
+    // against concurrent K-pass runs and mid-run TableEnv.clear() (the
+    // slices buffer is synchronized; release-during-union-read had no
+    // concurrency coverage before this pin).
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 250)
+    val expected = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 20)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    Seq(9101, 9102, 9103).foreach { seed =>
+      Dedup.releaseSpansScratch(spark): Unit
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          (1 to 3).foreach { i =>
+            val got = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text",
+              k = 20, passes = 2).orderBy("doc_id").collect().map(_.toSeq).toSeq
+            if (got != expected)
+              failures.add(s"seed $seed run $i: K-pass diverged under release race")
+          }
+        } catch { case e: Throwable => failures.add(s"seed $seed runner: $e") }
+        finally done.set(true)
+      })
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          val rnd = new scala.util.Random(seed)
+          while (!done.get()) {
+            Thread.sleep((1 + rnd.nextInt(20)).toLong)
+            Dedup.releaseSpansScratch(spark): Unit
+          }
+        } catch { case e: Throwable => failures.add(s"seed $seed releaser: $e") }
+      })
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          val rnd = new scala.util.Random(seed * 7)
+          while (!done.get()) {
+            Thread.sleep((5 + rnd.nextInt(40)).toLong)
+            graft.engine.TableEnv.clear()
+          }
+        } catch { case e: Throwable => failures.add(s"seed $seed clearer: $e") }
+      })
+      pool.shutdown()
+      assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS),
+        s"seed $seed: race workers did not finish")
+      assert(failures.isEmpty, s"${failures.toArray.mkString("; ")}")
+      Dedup.releaseSpansScratch(spark): Unit
+    }
+  }
+
   test("assignBuckets: LPT isolates heavy buckets, balances the rest, deterministic") {
     val skew = Seq(1000L, 1L, 1L, 1L, 500L, 499L, 1L, 1L)
     val a = Dedup.assignBuckets(skew, 3)
