@@ -74,6 +74,40 @@ object HashKernels {
     out
   }
 
+  /** 128-bit perceptual hash — [[phash]] with 129 segments instead of 65, so
+    * twice the adjacent-segment comparisons vote bits. The point is BANDING
+    * HEADROOM at corpus scale, not extra precision per byte: a fixed 64-bit
+    * hash past ~10⁶ rows affords only 2×32 banding, whose measured recall is
+    * 51% at radius 2 and single-digit percent past radius 4 (the r18 recall
+    * curve); 128 bits afford 4×32 bands at the SAME per-band selectivity
+    * (2^32 buckets, candidates ~linear in n to ~4B rows) with pigeonhole
+    * containment to radius 3 and the 4-band probabilistic tail above —
+    * the recall profile the 64-bit hash only offers below 65k rows.
+    *
+    * Two measured properties (tools/PhashRecallProbe, planted-edit probe):
+    * SCATTERED byte-value edits flip about as many bits here as on the
+    * 64-bit hash (each edit perturbs ~1 segment at either granularity —
+    * median d128 == d64 at 1..16 planted edits), so genuine near-dups stay
+    * within the same radii; while STRUCTURAL collisions between unrelated
+    * docs of similar byte statistics, which the coarse hash parks at
+    * hamming 4-8, land at ~50-70 bits here — the fine granularity
+    * separates near-duplicate signal from distribution-level correlation.
+    * Word layout: result(0) = bits 0..63, result(1) = bits 64..127. */
+  def phash128(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](2)
+    val n = bytes.length
+    if (n == 0) return out
+    val sums = new Array[Long](129)
+    var i = 0
+    while (i < n) { sums(((i.toLong * 129L) / n).toInt) += (bytes(i) & 0xff).toLong; i += 1 }
+    var b = 0
+    while (b < 128) {
+      if (sums(b) > sums(b + 1)) out(b >> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    out
+  }
+
   /** MinHash signature: for every char k-gram rolling hash, track the min of
     * fmix64(h ^ seed_j) per hash family j — one pass over the text. */
   def minhash(bytes: Array[Byte], k: Int, n: Int): Array[Long] = {
@@ -296,6 +330,21 @@ case class PHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `phash128(payload)` over BINARY → ARRAY<BIGINT>[2] — see
+  * [[HashKernels.phash128]] (word 0 = bits 0..63, word 1 = bits 64..127). */
+case class PHash128(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "phash128"
+  override def nullSafeEval(b: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      HashKernels.phash128(b.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.HashKernels.phash128($c));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MinHashSig(str: Expression, k: Expression, n: Expression) extends TernaryExpression {
   override def first: Expression = str
   override def second: Expression = k
@@ -317,6 +366,7 @@ case class MinHashSig(str: Expression, k: Expression, n: Expression) extends Ter
 object HashExprs {
   def simhash64(c: Column): Column = Shims.column(SimHash64(Shims.expression(c)))
   def phash64(c: Column): Column = Shims.column(PHash64(Shims.expression(c)))
+  def phash128(c: Column): Column = Shims.column(PHash128(Shims.expression(c)))
   def minhash_sig(c: Column, k: Int, n: Int): Column =
     Shims.column(MinHashSig(Shims.expression(c), Literal(k), Literal(n)))
   def vec_dot(a: Column, b: Column): Column =

@@ -377,7 +377,17 @@ object Multimodal {
   def phashBandingStats(
       df: DataFrame, idCol: String, payloadCol: String,
       bands: Int = 4, maxBucket: Int = 10000): DataFrame =
-    phashBanded(df, idCol, payloadCol, bands)
+    bandingStats(phashBanded(df, idCol, payloadCol, bands), maxBucket)
+
+  /** [[phashBandingStats]] for the 128-bit hash — same census, same
+    * degradation accounting, over [[phash128Banded]]'s blocking frame. */
+  def phash128BandingStats(
+      df: DataFrame, idCol: String, payloadCol: String,
+      bands: Int = 4, maxBucket: Int = 10000): DataFrame =
+    bandingStats(phash128Banded(df, idCol, payloadCol, bands), maxBucket)
+
+  private def bandingStats(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("band"))
@@ -471,6 +481,96 @@ object Multimodal {
         phashBanded(df, idCol, payloadCol, b), maxBucket, carry = Seq("ph"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ------------------------------------------------------- 128-bit phash --
+  // The r18 recall curve made the 64-bit cliff concrete: past ~10^6 rows
+  // AUTO banding must pick 2x32 (selectivity), whose measured recall is 51%
+  // at radius 2 and single-digit percent past radius 4. The fix is not a
+  // different banding of the same 64 bits — it's MORE bits: 128 bits afford
+  // 4x32 bands at the same 2^32-bucket selectivity, with pigeonhole
+  // containment to radius 3 and a 4-band probabilistic tail above, i.e. the
+  // recall profile the 64-bit hash only offers below 65k rows (r18 verdict).
+
+  /** 128-bit perceptual hash as ARRAY<BIGINT>[word0 = bits 0..63, word1 =
+    * bits 64..127] — see [[graft.functions.HashKernels.phash128]]. Radii
+    * transfer from the 64-bit hash for genuine near-dups (scattered edits
+    * flip ~the same bit count at either granularity — measured), while
+    * unrelated-doc structural collisions move from hamming 4-8 out to
+    * ~50-70, so a radius that was noisy on 64 bits is clean here. */
+  def perceptualHash128(payload: Column): Column =
+    graft.functions.HashExprs.phash128(payload)
+
+  /** The (id, w0, w1, band, bucket) frame behind the 128-bit blocking: the
+    * hash cut into `bands` equal slices. Slices must be word-aligned
+    * (bandBits ≤ 64 dividing 64) so a band never straddles the two words. */
+  private def phash128Banded(df: DataFrame, idCol: String, payloadCol: String,
+      bands: Int): DataFrame = {
+    require(bands >= 2 && 128 % bands == 0 && 64 % (128 / bands) == 0,
+      s"bands must divide 128 into word-aligned slices of <= 64 bits " +
+        s"(got $bands) — 2, 4, 8, 16, 32, 64 or 128")
+    val bandBits = 128 / bands
+    val h = df.select(col(idCol).as("id"),
+        perceptualHash128(col(payloadCol)).as("ph128"))
+      .select(col("id"),
+        element_at(col("ph128"), 1).as("w0"),
+        element_at(col("ph128"), 2).as("w1"))
+    def slice(b: Int): Column = {
+      val word = if (b * bandBits < 64) col("w0") else col("w1")
+      val off = (b * bandBits) % 64
+      if (bandBits == 64) word
+      else shiftrightunsigned(word, off).bitwiseAND(lit((1L << bandBits) - 1))
+    }
+    h.select(col("id"), col("w0"), col("w1"),
+      posexplode(array((0 until bands).map(slice): _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Band count for a ~`approxRows` corpus on the 128-bit hash — the
+    * [[phashBandsFor]] sizing rule with twice the bits to spend: the
+    * smallest power-of-two band width ≥ log2(n) keeps per-band candidates
+    * ~linear in n (≤65k rows → 8×16, ≤4B rows → 4×32, beyond → 2×64), then
+    * `maxHamming` trims pointless extra bands exactly as in the 64-bit
+    * rule (guaranteed recall at radius h needs only h+1 bands). The
+    * headline vs 64 bits: at corpus scale selectivity now affords FOUR
+    * bands, so containment holds to radius 3 (vs 1) and the probabilistic
+    * tail above it is the 4-band curve (measured ~0.90 at radius 4, ~0.35
+    * at radius 8 on the 64-bit 4×16 banding — same band count, same
+    * shape), not the 2-band collapse. */
+  def phashBandsFor128(approxRows: Long, maxHamming: Int = 16): Int = {
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(approxRows, 2L) - 1)
+    val bandBits = Seq(16, 32, 64).find(_ >= log2n).getOrElse(64)
+    val selectivityBands = 128 / bandBits
+    Seq(2, 4, 8).find(_ > maxHamming) match {
+      case Some(recallBands) => math.min(selectivityBands, recallBands)
+      case None => selectivityBands
+    }
+  }
+
+  /** [[phashNearDupPairs]] on the 128-bit hash: band blocking (exact
+    * agreement on ≥1 band) then full 128-bit hamming ≤ `maxHamming`.
+    * Identical shuffle economics — one exchange on (band, bucket), skew
+    * guard via `maxBucket`, no all-pairs path — but corpus-scale AUTO
+    * banding is 4×32 instead of 2×32, so recall survives the radii where
+    * the 64-bit operator's drops to single digits (r18 measured curve):
+    * planted 8-edit near-dups measure ~0.98 end-to-end here vs ~0.62 for
+    * the 64-bit operator at its defaults (spec pin). `maxHamming` defaults
+    * to 16 — double the 64-bit margin at the same candidate economics,
+    * affordable because the fine hash parks unrelated-doc collisions at
+    * ~50-70 bits (see [[perceptualHash128]]). */
+  def phash128NearDupPairs(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 16, maxBucket: Int = 10000,
+      bands: Int = AutoBands, approxRows: Long = -1L): DataFrame = {
+    val b =
+      if (bands == AutoBands) phashBandsFor128(autoBandRows(df, approxRows), maxHamming)
+      else bands
+    graft.pipeline.Dedup.bandedPairs(
+        phash128Banded(df, idCol, payloadCol, b), maxBucket, carry = Seq("w0", "w1"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("w0_a").bitwiseXOR(col("w0_b"))) +
+          bit_count(col("w1_a").bitwiseXOR(col("w1_b")))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -765,6 +765,43 @@ object PipelineQueries {
         bands = 4, maxBucket = 10000)
     },
 
+    // the 128-bit perceptual hash (r18 verdict: the 64-bit recall cliff is
+    // a bit-budget problem, not a banding problem), split into four
+    // unsigned 32-bit words so the oracle never touches the sign bit
+    "q_multimodal_phash128" -> { (s, dir) =>
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      withBin.select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          Multimodal.perceptualHash128(col("payload")).as("ph"))
+        .select(col("doc_id"), col("n_bytes"),
+          element_at(col("ph"), 1).bitwiseAND(lit(0xffffffffL)).as("phash_w0"),
+          shiftrightunsigned(element_at(col("ph"), 1), 32).as("phash_w1"),
+          element_at(col("ph"), 2).bitwiseAND(lit(0xffffffffL)).as("phash_w2"),
+          shiftrightunsigned(element_at(col("ph"), 2), 32).as("phash_w3"))
+        .orderBy(col("doc_id"))
+    },
+
+    // 128-bit near-dup pairs on the AUTO banding (8x16 at any corpus
+    // <= 65k rows — the oracle mirrors it). maxHamming = 16 because the
+    // finer segments double measured radii vs the 64-bit hash.
+    "q_multimodal_phash128_pairs" -> { (s, dir) =>
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      Multimodal.phash128NearDupPairs(withBin, "doc_id", "payload", maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // the corpus-scale banding of the same operator: 4 bands x 32 bits —
+    // the configuration AUTO picks past ~65k rows, with 2^32 buckets per
+    // band (candidates ~linear in n to ~4B rows) AND pigeonhole
+    // containment to radius 3, where the 64-bit hash at the same
+    // selectivity only affords 2 bands / radius 1 (the r18 recall cliff)
+    "q_multimodal_phash128_pairs_wide" -> { (s, dir) =>
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      Multimodal.phash128NearDupPairs(withBin, "doc_id", "payload",
+          maxHamming = 16, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // the REMOVE step of substring dedup (Lee et al. 2022): min-id owner
     // keeps each duplicated 20-char region, every other doc has it cut out
     "q_cut_spans" -> { (s, dir) =>
@@ -1463,6 +1500,133 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN n <= 10000 THEN n*(n-1)//2 ELSE 0 END) AS BIGINT) AS exact_pairs,
         |  CAST(SUM(CASE WHEN n > 10000 THEN n*(n-1)//2 - (n-1) ELSE 0 END) AS BIGINT) AS degraded_pairs
         |FROM bc GROUP BY band ORDER BY band""".stripMargin,
+
+    // 128-bit phash: 129 length-proportional segments, bits 0..127, four
+    // unsigned 32-bit words (w0 = bits 0..31 .. w3 = bits 96..127).
+    // Byte-vs-codepoint: see the q_multimodal_phash ASCII-only note above.
+    "q_multimodal_phash128" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, n, text, UNNEST(generate_series(0, n-1)) AS i FROM d WHERE n > 0),
+        |sb AS (SELECT doc_id, (i*129)//n AS seg,
+        |         unicode(substring(text, CAST(i+1 AS INT), 1)) AS byte FROM p),
+        |seg AS (SELECT doc_id, seg, SUM(byte) AS segsum FROM sb GROUP BY doc_id, seg),
+        |bits AS (
+        |  SELECT ids.doc_id, bb.b AS bit,
+        |    CASE WHEN COALESCE(s1.segsum, 0) > COALESCE(s2.segsum, 0) THEN 1 ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM d) ids
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 127)) AS b) bb
+        |  LEFT JOIN seg s1 ON s1.doc_id = ids.doc_id AND s1.seg = bb.b
+        |  LEFT JOIN seg s2 ON s2.doc_id = ids.doc_id AND s2.seg = bb.b + 1),
+        |h AS (SELECT doc_id,
+        |    SUM(CASE WHEN bit < 32 AND v = 1 THEN (1::BIGINT << bit) ELSE 0 END) AS w0,
+        |    SUM(CASE WHEN bit >= 32 AND bit < 64 AND v = 1 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS w1,
+        |    SUM(CASE WHEN bit >= 64 AND bit < 96 AND v = 1 THEN (1::BIGINT << (bit - 64)) ELSE 0 END) AS w2,
+        |    SUM(CASE WHEN bit >= 96 AND v = 1 THEN (1::BIGINT << (bit - 96)) ELSE 0 END) AS w3
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(h.w0, 0) AS BIGINT) AS phash_w0,
+        |  CAST(COALESCE(h.w1, 0) AS BIGINT) AS phash_w1,
+        |  CAST(COALESCE(h.w2, 0) AS BIGINT) AS phash_w2,
+        |  CAST(COALESCE(h.w3, 0) AS BIGINT) AS phash_w3
+        |FROM d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the 8x16 AUTO banding (any corpus <= 65k rows); bands 0..7 are the
+    // 16-bit slices of the four words low-half-first
+    "q_multimodal_phash128_pairs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, n, text, UNNEST(generate_series(0, n-1)) AS i FROM d WHERE n > 0),
+        |sb AS (SELECT doc_id, (i*129)//n AS seg,
+        |         unicode(substring(text, CAST(i+1 AS INT), 1)) AS byte FROM p),
+        |seg AS (SELECT doc_id, seg, SUM(byte) AS segsum FROM sb GROUP BY doc_id, seg),
+        |bits AS (
+        |  SELECT ids.doc_id, bb.b AS bit,
+        |    CASE WHEN COALESCE(s1.segsum, 0) > COALESCE(s2.segsum, 0) THEN 1 ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM d) ids
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 127)) AS b) bb
+        |  LEFT JOIN seg s1 ON s1.doc_id = ids.doc_id AND s1.seg = bb.b
+        |  LEFT JOIN seg s2 ON s2.doc_id = ids.doc_id AND s2.seg = bb.b + 1),
+        |h AS (SELECT doc_id,
+        |    SUM(CASE WHEN bit < 32 AND v = 1 THEN (1::BIGINT << bit) ELSE 0 END) AS w0,
+        |    SUM(CASE WHEN bit >= 32 AND bit < 64 AND v = 1 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS w1,
+        |    SUM(CASE WHEN bit >= 64 AND bit < 96 AND v = 1 THEN (1::BIGINT << (bit - 64)) ELSE 0 END) AS w2,
+        |    SUM(CASE WHEN bit >= 96 AND v = 1 THEN (1::BIGINT << (bit - 96)) ELSE 0 END) AS w3
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, w0, w1, w2, w3, UNNEST(generate_series(0, 7)) AS band FROM h),
+        |bb2 AS (SELECT doc_id, w0, w1, w2, w3, band,
+        |    CASE band WHEN 0 THEN w0 % 65536 WHEN 1 THEN w0 // 65536
+        |              WHEN 2 THEN w1 % 65536 WHEN 3 THEN w1 // 65536
+        |              WHEN 4 THEN w2 % 65536 WHEN 5 THEN w2 // 65536
+        |              WHEN 6 THEN w3 % 65536 ELSE w3 // 65536 END AS bucket
+        |  FROM bands),
+        |counted AS (SELECT doc_id, w0, w1, w2, w3, band, bucket,
+        |    COUNT(*) OVER (PARTITION BY band, bucket) AS bn,
+        |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS rep
+        |  FROM bb2),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |         a.w0 AS a0, a.w1 AS a1, a.w2 AS a2, a.w3 AS a3,
+        |         b2.w0 AS b0, b2.w1 AS b1, b2.w2 AS b2w, b2.w3 AS b3
+        |  FROM counted a JOIN counted b2
+        |    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |  WHERE a.bn <= 10000
+        |  UNION ALL
+        |  SELECT c.rep, c.doc_id, hr.w0, hr.w1, hr.w2, hr.w3, c.w0, c.w1, c.w2, c.w3
+        |  FROM counted c JOIN h hr ON hr.doc_id = c.rep
+        |  WHERE c.bn > 10000 AND c.rep < c.doc_id)
+        |SELECT DISTINCT id_a, id_b,
+        |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        |     + bit_count(xor(a2, b2w)) + bit_count(xor(a3, b3)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        |    + bit_count(xor(a2, b2w)) + bit_count(xor(a3, b3)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the 4x32 corpus-scale banding: band b's bucket IS word b
+    "q_multimodal_phash128_pairs_wide" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, n, text, UNNEST(generate_series(0, n-1)) AS i FROM d WHERE n > 0),
+        |sb AS (SELECT doc_id, (i*129)//n AS seg,
+        |         unicode(substring(text, CAST(i+1 AS INT), 1)) AS byte FROM p),
+        |seg AS (SELECT doc_id, seg, SUM(byte) AS segsum FROM sb GROUP BY doc_id, seg),
+        |bits AS (
+        |  SELECT ids.doc_id, bb.b AS bit,
+        |    CASE WHEN COALESCE(s1.segsum, 0) > COALESCE(s2.segsum, 0) THEN 1 ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM d) ids
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 127)) AS b) bb
+        |  LEFT JOIN seg s1 ON s1.doc_id = ids.doc_id AND s1.seg = bb.b
+        |  LEFT JOIN seg s2 ON s2.doc_id = ids.doc_id AND s2.seg = bb.b + 1),
+        |h AS (SELECT doc_id,
+        |    SUM(CASE WHEN bit < 32 AND v = 1 THEN (1::BIGINT << bit) ELSE 0 END) AS w0,
+        |    SUM(CASE WHEN bit >= 32 AND bit < 64 AND v = 1 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS w1,
+        |    SUM(CASE WHEN bit >= 64 AND bit < 96 AND v = 1 THEN (1::BIGINT << (bit - 64)) ELSE 0 END) AS w2,
+        |    SUM(CASE WHEN bit >= 96 AND v = 1 THEN (1::BIGINT << (bit - 96)) ELSE 0 END) AS w3
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, w0, w1, w2, w3, UNNEST(generate_series(0, 3)) AS band FROM h),
+        |bb2 AS (SELECT doc_id, w0, w1, w2, w3, band,
+        |    CASE band WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END AS bucket
+        |  FROM bands),
+        |counted AS (SELECT doc_id, w0, w1, w2, w3, band, bucket,
+        |    COUNT(*) OVER (PARTITION BY band, bucket) AS bn,
+        |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS rep
+        |  FROM bb2),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |         a.w0 AS a0, a.w1 AS a1, a.w2 AS a2, a.w3 AS a3,
+        |         b2.w0 AS b0, b2.w1 AS b1, b2.w2 AS b2w, b2.w3 AS b3
+        |  FROM counted a JOIN counted b2
+        |    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |  WHERE a.bn <= 10000
+        |  UNION ALL
+        |  SELECT c.rep, c.doc_id, hr.w0, hr.w1, hr.w2, hr.w3, c.w0, c.w1, c.w2, c.w3
+        |  FROM counted c JOIN h hr ON hr.doc_id = c.rep
+        |  WHERE c.bn > 10000 AND c.rep < c.doc_id)
+        |SELECT DISTINCT id_a, id_b,
+        |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        |     + bit_count(xor(a2, b2w)) + bit_count(xor(a3, b3)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        |    + bit_count(xor(a2, b2w)) + bit_count(xor(a3, b3)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cut_spans" ->
       """WITH p AS (SELECT doc_id, text, UNNEST(generate_series(1, length(text)-19)) AS pos
