@@ -368,24 +368,6 @@ object Dedup {
   private def gramPair(textCol: String, k: Int) =
     graft.functions.RollingHashes.rolling_hashes128(col(textCol), k)
 
-  private def gramPositions(
-      df: DataFrame, idCol: String, textCol: String,
-      k: Int, useKernel: Boolean, pair: Boolean = false): DataFrame = {
-    val grams =
-      if (useKernel && pair)
-        df.select(col(idCol).as("doc_id"),
-          posexplode(gramPair(textCol, k)).as(Seq("pos0", "gram")))
-      else if (useKernel)
-        df.select(col(idCol).as("doc_id"),
-          posexplode(rolling_hashes(col(textCol), k, 0L)).as(Seq("pos0", "gram")))
-      else
-        df.filter(length(col(textCol)) >= k)
-          .select(col(idCol).as("doc_id"),
-            posexplode(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
-              i => call_function("substring", col(textCol), i, lit(k)))).as(Seq("pos0", "gram")))
-    grams.select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
-  }
-
   /** One row per DISTINCT (doc, gram) with the dedup done map-side (narrow,
     * per-doc array) — so downstream per-gram aggregates count documents with
     * a plain count() over ONE exchange, no countDistinct Expand, and
@@ -405,17 +387,19 @@ object Dedup {
           explode(array_distinct(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
             i => call_function("substring", col(textCol), i, lit(k))))).as("gram"))
 
-  /** Per-occurrence shuffle-weight stream for the size-aware K-pass census
-    * (one row per gram occurrence, `w` ≈ its shuffle bytes: gram payload +
-    * key/position overhead). The kernel identities carry fixed-width grams
-    * so weight reduces to occurrence count; the substring identity pays the
-    * gram's own bytes. */
+  /** Shuffle-weight stream for the size-aware K-pass census — one row per
+    * DISTINCT (doc, gram), mirroring what the r19 span plans actually
+    * shuffle (the per-doc distinct gram stream; positions never leave their
+    * document — see [[graft.functions.SpanKernels]]). `w` ≈ the row's
+    * shuffle bytes: gram payload + key overhead. The kernel identities
+    * carry fixed-width grams so weight reduces to row count; the substring
+    * identity pays the gram's own bytes. */
   private def gramShuffleWeights(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, useKernel: Boolean, pair: Boolean = false): DataFrame = {
     val w = if (useKernel) lit(if (pair) 32L else 24L)
             else octet_length(col("gram")).cast("long") + lit(16L)
-    gramPositions(df, idCol, textCol, k, useKernel, pair).select(col("gram"), w.as("w"))
+    docGramsDistinct(df, idCol, textCol, k, useKernel, pair).select(col("gram"), w.as("w"))
   }
 
   /** Greedy LPT assignment of gram-hash buckets to `passes` slices:
@@ -639,14 +623,16 @@ object Dedup {
     * documents; per document we report how many characters lie under at
     * least one duplicated window.
     *
-    * Shape (all linear, no all-pairs): one pass per doc emits (gram, pos)
-    * via the O(n) rolling-hash kernel; one shuffle groups by gram to find
-    * cross-document grams; a semi join (same key — the exchange is reused)
-    * keeps duplicated positions; covered chars then come from a per-doc
-    * window sum — consecutive sorted positions p_{i-1}, p_i add
+    * Shape (all linear, no all-pairs; r19): ONE shuffle of the per-doc
+    * DISTINCT gram stream finds cross-document grams via a window over the
+    * gram key; each doc's duplicated-gram set returns over one narrow
+    * doc_id shuffle; a single doc-local kernel pass (SpanKernels)
+    * re-derives the positions with the same O(n) rolling-hash walk and
+    * folds them — consecutive positions p_{i-1}, p_i add
     * min(k, p_i − p_{i-1}) chars (k for the first), which equals the exact
     * union length of the overlapping [p, p+k) intervals without building
-    * islands. Per-doc state is bounded by document length.
+    * islands. Positions never cross the cluster (the pre-r19 plan shuffled
+    * every gram occurrence); per-doc state is bounded by document length.
     *
     * `useKernel=false` switches gram identity from the 64-bit rolling hash
     * to the literal substring — the oracle-parity path (a hash collision
@@ -665,37 +651,40 @@ object Dedup {
       passes: Int = 1, scratchDir: Option[String] = None,
       sizeAware: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r19 shape (guide §8 — decide with small rows, move big rows once):
+    // the per-doc DISTINCT gram stream shuffles ONCE; a window over the
+    // gram key attaches the cross-doc count in place (no second exchange,
+    // no position stream at all); each doc's duplicated-gram SET then comes
+    // home via one narrow doc_id shuffle and a single doc-local kernel pass
+    // re-derives the positions and folds them into the coverage stats
+    // (SpanKernels — the islands window, per-position semi join and lag()
+    // re-assembly of the pre-r19 plan all collapse into it).
     // `passes > 1`: scratch-bounded K-pass over disjoint gram slices (the
     // per-gram doc count only needs rows of the same gram — see
     // [[slicedPositions]]); the default single pass is the plain plan.
-    def dupPosSlice(sliceFilter: Option[Column]): DataFrame = {
-      val pos0 = gramPositions(df, idCol, textCol, k, useKernel)
+    def dupGramSlice(sliceFilter: Option[Column]): DataFrame = {
       val grams0 = docGramsDistinct(df, idCol, textCol, k, useKernel)
-      val pos = sliceFilter.map(pos0.filter).getOrElse(pos0)
       val grams = sliceFilter.map(grams0.filter).getOrElse(grams0)
-      val dupGrams = grams.groupBy("gram")
-        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("gram")
+      grams.withColumn("n_docs", count(lit(1)).over(w))
         .filter(col("n_docs") >= minDocs)
-        .select("gram")
-      pos.join(dupGrams, Seq("gram"), "left_semi")
-        .select(col("doc_id"), col("pos"))
+        .select(col("doc_id"), col("gram"))
     }
-    val dupPos = slicedPositions(df.sparkSession, passes, scratchDir, dupPosSlice,
+    val dupDocGrams = slicedPositions(df.sparkSession, passes, scratchDir, dupGramSlice,
       census = if (sizeAware) Some(() => gramShuffleWeights(df, idCol, textCol, k, useKernel)) else None)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val perDoc = dupPos
-      .withColumn("delta", col("pos") - lag(col("pos"), 1).over(w))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dup_grams"),
-        sum(when(col("delta").isNull, k).otherwise(least(col("delta"), lit(k)))).as("dup_chars"))
+    val perDoc = dupDocGrams.groupBy("doc_id")
+      .agg(collect_list(col("gram")).as("__gs"))
+    val s = graft.functions.SpanKernels.span_coverage(col("__text"), col("__gs"), k)
     df.select(col(idCol).as("doc_id"),
-        lenInGramUnits(textCol, useKernel).cast("long").as("n_chars"))
+        lenInGramUnits(textCol, useKernel).cast("long").as("n_chars"),
+        col(textCol).as("__text"))
       .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("__s", s)
       .select(col("doc_id"), col("n_chars"),
-        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
-        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+        coalesce(col("__s").getField("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+        round(coalesce(col("__s").getField("dup_chars"), lit(0L)).cast("double") /
           greatest(col("n_chars"), lit(1L)), 6).as("dup_frac"),
-        coalesce(col("n_dup_grams"), lit(0L)).cast("long").as("n_dup_grams"))
+        coalesce(col("__s").getField("n_dup_grams"), lit(0L)).cast("long").as("n_dup_grams"))
   }
 
   /** The REMOVE step of exact substring dedup (Lee et al. 2022): cut, from
@@ -706,12 +695,13 @@ object Dedup {
     * into maximal spans before slicing. Returns
     * (doc_id, n_chars, removed_chars, clean_text).
     *
-    * Shape: the same gram shuffle as [[duplicatedSpanCoverage]] but the
-    * per-gram aggregate also carries min(doc_id) as the owner; cut windows
-    * merge via the classic gaps-and-islands (one per-doc sort), the kept
-    * complement segments come from one lag() over the islands, and the
-    * final text is rebuilt per doc from bounded arrays — no driver state,
-    * per-doc memory bounded by document size.
+    * Shape: the same single gram shuffle as [[duplicatedSpanCoverage]] but
+    * the per-gram window also carries min(doc_id) as the owner; each
+    * non-owner doc's cut-gram set returns over one narrow doc_id shuffle
+    * and a doc-local kernel pass (SpanKernels.cut_spans) re-derives the
+    * positions, merges overlapping windows into maximal spans and rebuilds
+    * the text in one walk — no position shuffle, no driver state, per-doc
+    * memory bounded by document size.
     *
     * Positions are CHARACTER-based (substring-path gram identity) so the
     * slicing is unicode-safe; pass `useKernel=true` ONLY for corpora whose
@@ -741,67 +731,42 @@ object Dedup {
       passes: Int = 1, scratchDir: Option[String] = None,
       sizeAware: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // windows to cut: duplicated occurrences in non-owner docs. Per-gram
-    // doc count + owner come from the map-side-distinct doc grams — one
-    // exchange (the widest stream, every gram occurrence, is shuffled
-    // once, and within-doc repeats never reach it). `passes > 1` slices
-    // that exchange by gram hash into K scratch-bounded jobs (the min-id
-    // owner of a gram only needs rows of the SAME gram — see
+    // r19 shape (guide §8 — decide with small rows, move big rows once):
+    // per-gram doc count + min-id owner attach to the map-side-distinct
+    // doc-gram stream via ONE window over its single exchange (the pre-r19
+    // plan shuffled every gram OCCURRENCE as well, then re-assembled the
+    // verdicts through two per-doc windows, an islands aggregate and a
+    // rebuild join — and its heads/tails union evaluated that whole
+    // pipeline twice). Each non-owner doc's cut-gram SET comes home via
+    // one narrow doc_id shuffle; a single doc-local kernel pass
+    // (SpanKernels.cut_spans) re-derives the positions, merges islands and
+    // rebuilds the text — positions never cross the cluster. `passes > 1`
+    // slices the gram exchange by gram hash into K scratch-bounded jobs
+    // (the min-id owner of a gram only needs rows of the SAME gram — see
     // [[slicedPositions]]).
-    def rmSlice(sliceFilter: Option[Column]): DataFrame = {
-      val pos0 = gramPositions(df, idCol, textCol, k, useKernel, pair = useKernel)
+    def rmGramSlice(sliceFilter: Option[Column]): DataFrame = {
       val grams0 = docGramsDistinct(df, idCol, textCol, k, useKernel, pair = useKernel)
-      val pos = sliceFilter.map(pos0.filter).getOrElse(pos0)
       val grams = sliceFilter.map(grams0.filter).getOrElse(grams0)
-      val gramStats = grams.groupBy("gram")
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
-        .filter(col("n_docs") >= minDocs)
-        .select(col("gram"), col("owner"))
-      pos.join(gramStats, Seq("gram"))
-        .filter(col("doc_id") =!= col("owner"))
-        .select(col("doc_id"), col("pos"))
+      val w = Window.partitionBy("gram")
+      grams.withColumn("n_docs", count(lit(1)).over(w))
+        .withColumn("owner", min(col("doc_id")).over(w))
+        .filter(col("n_docs") >= minDocs && col("doc_id") =!= col("owner"))
+        .select(col("doc_id"), col("gram"))
     }
-    val rm = slicedPositions(df.sparkSession, passes, scratchDir, rmSlice,
+    val rmGrams = slicedPositions(df.sparkSession, passes, scratchDir, rmGramSlice,
       census = if (sizeAware)
         Some(() => gramShuffleWeights(df, idCol, textCol, k, useKernel, pair = useKernel))
       else None)
-    // merge overlapping/adjacent [pos, pos+k) windows: gaps-and-islands
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val islands = rm
-      .withColumn("newIsl",
-        when(lag(col("pos"), 1).over(wDoc).isNull
-          || col("pos") - lag(col("pos"), 1).over(wDoc) > k, 1).otherwise(0))
-      .withColumn("isl", sum(col("newIsl")).over(wDoc))
-      .groupBy("doc_id", "isl")
-      .agg(min(col("pos")).as("rm_start"), (max(col("pos")) + k).as("rm_end"))
-    // kept complement segments: [prev rm_end, rm_start) per island, plus the
-    // tail [last rm_end, len+1) — emitted as (seg_start, seg_len) pairs
-    val wIsl = Window.partitionBy("doc_id").orderBy("rm_start")
-    val heads = islands
-      .withColumn("seg_start", coalesce(lag(col("rm_end"), 1).over(wIsl), lit(1)))
-      .select(col("doc_id"), col("seg_start"), (col("rm_start") - col("seg_start")).as("seg_len"))
-    val tails = islands.groupBy("doc_id")
-      .agg(max(col("rm_end")).as("seg_start"),
-        sum(col("rm_end") - col("rm_start")).as("removed_chars"))
-    val segments = heads.select(col("doc_id"), col("seg_start"), col("seg_len"))
-      .union(tails.select(col("doc_id"), col("seg_start"), lit(Int.MaxValue).cast("long").as("seg_len")))
-      .filter(col("seg_len") > 0)
-    val rebuilt = segments
-      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")), Seq("doc_id"))
-      .select(col("doc_id"), col("seg_start"),
-        call_function("substring", col("__text"), col("seg_start").cast("int"),
-          col("seg_len").cast("int")).as("piece"))
-      .groupBy("doc_id")
-      .agg(concat_ws("",
-        transform(array_sort(collect_list(struct(col("seg_start"), col("piece")))),
-          s => s.getField("piece"))).as("cut_text"))
+    val perDoc = rmGrams.groupBy("doc_id")
+      .agg(collect_list(col("gram")).as("__gs"))
+    val s = graft.functions.SpanKernels.cut_spans(col("__orig"), col("__gs"), k)
     df.select(col(idCol).as("doc_id"),
         lenInGramUnits(textCol, useKernel).cast("long").as("n_chars"),
         col(textCol).as("__orig"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .join(tails.select(col("doc_id"), col("removed_chars")), Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("__s", s)
       .select(col("doc_id"), col("n_chars"),
-        coalesce(col("removed_chars"), lit(0L)).cast("long").as("removed_chars"),
-        coalesce(col("cut_text"), col("__orig")).as("clean_text"))
+        coalesce(col("__s").getField("removed_chars"), lit(0L)).cast("long").as("removed_chars"),
+        coalesce(col("__s").getField("clean_text"), col("__orig")).as("clean_text"))
   }
 }
