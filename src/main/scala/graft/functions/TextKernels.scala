@@ -78,6 +78,81 @@ object TextKernels {
     new GenericArrayData(if (kept == nGrams) out else out.take(kept))
   }
 
+  /** All k-CHARACTER grams of `s` (code-point windows, unicode-safe) —
+    * element-for-element what the interpreted lambda
+    * `transform(sequence(1, length(s) - (k-1)), i -> substring(s, i, k))`
+    * produces, including the degenerate `length(s) < k` case (where the
+    * sequence DESCENDS 1, 0, …, len-k+1 and substring's zero/negative
+    * position semantics apply — delegated to `substringSQL`, the exact
+    * routine the Substring expression calls, so the corner stays
+    * byte-identical); insertion-ordered dedup when `distinct` (== a
+    * wrapping `array_distinct`). The lambda formulation is a
+    * HigherOrderFunction — interpreted per POSITION, which made char-gram
+    * enumeration the dominant cost of the substring-identity span/Jaccard
+    * operators; this kernel is one offsets walk plus zero-copy slices. */
+  def charNgrams(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    // byte offset of each character start, plus the terminal offset
+    var n = 0
+    var i = 0
+    while (i < bytes.length) { i += UTF8String.numBytesForFirstByte(bytes(i)); n += 1 }
+    val nGrams = n - k + 1
+    if (nGrams >= 1) {
+      val offsets = new Array[Int](n + 1)
+      i = 0
+      var c = 0
+      while (i < bytes.length) {
+        offsets(c) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      offsets(n) = bytes.length
+      val out = new Array[Any](nGrams)
+      val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+      var kept = 0
+      var g = 0
+      while (g < nGrams) {
+        val gram = UTF8String.fromBytes(bytes, offsets(g), offsets(g + k) - offsets(g))
+        if (seen == null || seen.add(gram)) { out(kept) = gram; kept += 1 }
+        g += 1
+      }
+      new GenericArrayData(if (kept == nGrams) out else out.take(kept))
+    } else {
+      // length(s) < k: sequence(1, n-k+1) descends 1 .. n-k+1
+      val out = new Array[Any](1 - (nGrams - 1))
+      val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+      var kept = 0
+      var p = 1
+      while (p >= nGrams) {
+        val gram = s.substringSQL(p, k)
+        if (seen == null || seen.add(gram)) { out(kept) = gram; kept += 1 }
+        p -= 1
+      }
+      new GenericArrayData(out.take(kept))
+    }
+  }
+
+  /** Count of the most frequent element of a string array — the value the
+    * interpreted `aggregate(array_sort(arr), …)` run-length fold computes
+    * (that HigherOrderFunction walked an expression tree per ELEMENT; this
+    * is one hash-count pass). 0 on an empty array, like the fold's zero. */
+  def maxFreq(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val prev = counts.get(s)
+      val c = if (prev == null) 1 else prev + 1
+      counts.put(s, c)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   /** Per-document term frequencies in ONE pass, no shuffle: all tokens of a
     * document live in its row, so `explode(word_counts(text))` yields the
     * same (term, tf) rows as `explode(tokens) → groupBy(doc, term)` WITHOUT
@@ -108,6 +183,84 @@ object TextKernels {
       k += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+object LangKernel {
+  private val ZH = UTF8String.fromString("zh")
+  private val UND = UTF8String.fromString("und")
+
+  /** One-pass language-ID kernel: per-language marker-token hit counts
+    * (whitespace tokens, ASCII-case-insensitive compare against the
+    * lowercase marker words) plus a han-script presence check, replacing
+    * the interpreted `split(lower(text)) → filter(isin…) per language →
+    * regexp_extract_all` pipeline (one interpreted lambda pass per language
+    * plus a full match materialization just to count). Semantics pinned to
+    * the column formulation (PipelineSpec): tokens are maximal runs of
+    * non-[ \t\n\x0B\f\r] (Java `\s`), markers are ASCII so only A-Z folding
+    * can make a token equal one, ties keep the EARLIEST declared language,
+    * zero hits → "und", any U+4E00..U+9FFF codepoint → "zh". */
+  def langId(s: UTF8String, markers: Array[Array[UTF8String]],
+      langs: Array[UTF8String]): UTF8String = {
+    val bytes = s.getBytes
+    val scores = new Array[Int](markers.length)
+    var han = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r') {
+        i += 1
+      } else {
+        val start = i
+        while (i < bytes.length && {
+          val c = bytes(i)
+          !(c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r')
+        }) {
+          val c = bytes(i)
+          // han check on the raw codepoints (3-byte UTF-8 leads 0xE4-0xE9
+          // cover U+4000-U+9FFF; decode only those)
+          if (!han && (c & 0xff) >= 0xe4 && (c & 0xff) <= 0xe9 && i + 2 < bytes.length) {
+            val cp = ((c & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+            if (cp >= 0x4e00 && cp <= 0x9fff) han = true
+          }
+          i += 1
+        }
+        // ASCII-case-insensitive compare of token [start,i) vs each marker
+        val tlen = i - start
+        var l = 0
+        while (l < markers.length) {
+          val ws = markers(l)
+          var m = 0
+          var hit = false
+          while (!hit && m < ws.length) {
+            val w = ws(m).getBytes
+            if (w.length == tlen) {
+              var j = 0
+              var eq = true
+              while (eq && j < tlen) {
+                val a = bytes(start + j)
+                val al = if (a >= 'A' && a <= 'Z') (a + 32).toByte else a
+                if (al != w(j)) eq = false
+                j += 1
+              }
+              hit = eq
+            }
+            m += 1
+          }
+          if (hit) scores(l) += 1
+          l += 1
+        }
+      }
+    }
+    if (han) return ZH
+    var best = -1
+    var bestScore = 0
+    var l = 0
+    while (l < scores.length) {
+      if (scores(l) > bestScore) { bestScore = scores(l); best = l }
+      l += 1
+    }
+    if (best < 0) UND else langs(best)
   }
 }
 
@@ -232,6 +385,53 @@ case class WordCounts(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Codegen'd `char_ngrams(text, k[, distinct])` — see TextKernels. */
+case class CharNgrams(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(k >= 1, s"char_ngrams: k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.charNgrams(s.asInstanceOf[UTF8String], k, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charNgrams($c, $k, $distinct)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Codegen'd `max_freq(arr)`: count of the most frequent element. */
+case class MaxFreq(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "max_freq"
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.maxFreq(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.maxFreq($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Codegen'd `lang_id(text)` — see LangKernel. `langs`/`markers` are
+  * parallel: markers(i) are the (lowercase ASCII) marker words of langs(i). */
+case class LangId(child: Expression, langs: Seq[String], markers: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(langs.length == markers.length, "lang_id: langs/markers must be parallel")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  @transient private lazy val markerArr: Array[Array[UTF8String]] =
+    markers.map(_.map(w => UTF8String.fromString(w.toLowerCase)).toArray).toArray
+  @transient private lazy val langArr: Array[UTF8String] =
+    langs.map(UTF8String.fromString).toArray
+  override def nullSafeEval(s: Any): Any =
+    LangKernel.langId(s.asInstanceOf[UTF8String], markerArr, langArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("markers", markerArr,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    val l = ctx.addReferenceObj("langs", langArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangKernel.langId($c, $m, $l)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   def word_ngrams(text: Column, n: Int, distinct: Boolean = false): Column =
     Shims.column(WordNgrams(Shims.expression(text), n, distinct))
@@ -239,4 +439,10 @@ object TextExprs {
     Shims.column(QualityStats(Shims.expression(text), stops))
   def word_counts(text: Column): Column =
     Shims.column(WordCounts(Shims.expression(text)))
+  def char_ngrams(text: Column, k: Int, distinct: Boolean = false): Column =
+    Shims.column(CharNgrams(Shims.expression(text), k, distinct))
+  def max_freq(arr: Column): Column =
+    Shims.column(MaxFreq(Shims.expression(arr)))
+  def lang_id(text: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
+    Shims.column(LangId(Shims.expression(text), langs, markers))
 }

@@ -35,9 +35,14 @@ object CorpusFilters {
   private[pipeline] def splitWords(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
 
-  /** Count of the most frequent element: sort the array, then a single
-    * left fold tracks the current run length and the best run — O(n log n)
-    * per document vs the quadratic per-distinct-element rescan. */
+  /** Count of the most frequent element — interpreted fold formulation,
+    * kept as the parity baseline for the [[graft.functions.TextExprs.max_freq]]
+    * codegen kernel (PipelineSpec pins kernel == fold): `aggregate` is a
+    * HigherOrderFunction, interpreted per element, which made this the
+    * dominant per-gram cost of [[repetitionStats]]. Production paths use
+    * the kernel. Sort the array, then a single left fold tracks the current
+    * run length and the best run — O(n log n) per document vs the quadratic
+    * per-distinct-element rescan. */
   def maxRunCount(arr: Column): Column =
     aggregate(array_sort(arr),
       struct(lit(0).as("best"), lit(0).as("run"), lit("").as("prev")),
@@ -67,7 +72,8 @@ object CorpusFilters {
     }
     val g2 = wordGrams(col(textCol), 2)
     val topFrac = when(size(g2) <= 0, lit(0.0))
-      .otherwise(round(maxRunCount(g2).cast("double") / size(g2), 6))
+      .otherwise(round(graft.functions.TextExprs.max_freq(g2).cast("double")
+        / size(g2), 6))
     df.select(col(idCol),
       size(words).cast("bigint").as("n_words"),
       dupFrac(lines).as("dup_line_frac"),

@@ -382,10 +382,14 @@ object Dedup {
       df.select(col(idCol).as("doc_id"),
         explode(array_distinct(rolling_hashes(col(textCol), k, 0L))).as("gram"))
     else
+      // char_ngrams kernel == the array_distinct(transform(sequence…,
+      // substring…)) lambda (pinned in PipelineSpec) — the lambda is a
+      // HigherOrderFunction, interpreted per POSITION, and dominated the
+      // substring-identity gates (r19; numbers in OPTIMIZATION_r19.md)
       df.filter(length(col(textCol)) >= k)
         .select(col(idCol).as("doc_id"),
-          explode(array_distinct(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
-            i => call_function("substring", col(textCol), i, lit(k))))).as("gram"))
+          explode(graft.functions.TextExprs.char_ngrams(col(textCol), k,
+            distinct = true)).as("gram"))
 
   /** Shuffle-weight stream for the size-aware K-pass census — one row per
     * DISTINCT (doc, gram), mirroring what the r19 span plans actually

@@ -137,8 +137,19 @@ object TextAnalysis {
 
   /** Language-ID: argmax of marker-word hits (ties broken by declaration
     * order), 'und' (undetermined) when nothing matches — plus a han-script
-    * check for zh. Pure projection; scoring is exact integer counts. */
-  def languageId(text: Column): Column = {
+    * check for zh. Pure projection; scoring is exact integer counts.
+    * One-pass codegen kernel (r19): the column formulation below —
+    * `split(lower(text))` + one interpreted `filter(isin…)` lambda pass per
+    * language + `regexp_extract_all` materializing every han match just to
+    * test presence — re-scanned each document ~6 times; PipelineSpec pins
+    * kernel == column formulation. */
+  def languageId(text: Column): Column =
+    graft.functions.TextExprs.lang_id(text,
+      LangMarkers.map(_._1), LangMarkers.map(_._2))
+
+  /** The pre-r19 column formulation, kept as the kernel's parity baseline
+    * (spec-only; see [[languageId]]). */
+  private[graft] def languageIdColumns(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
     val hits = LangMarkers.map { case (lang, words) =>
       lang -> size(filter(toks, w => w.isin(words: _*)))

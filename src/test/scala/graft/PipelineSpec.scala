@@ -540,6 +540,66 @@ class PipelineSpec extends SparkTestBase {
     assert(got.toSeq == Seq(3, 1, 0))
   }
 
+  test("max_freq kernel == interpreted maxRunCount fold (r19)") {
+    val arrs = Seq(
+      Seq("b", "a", "b", "c", "b"), Seq("x"), Seq.empty[String],
+      Seq("a a", "b", "a a", "a", "a"), // multi-word grams, ties
+      Seq("ü", "ü", "u"), Seq.fill(100)("same"))
+    val df = arrs.toDF("arr")
+    val kernel = df.select(graft.functions.TextExprs.max_freq(col("arr")))
+      .collect().map(_.getLong(0))
+    val fold = df.select(CorpusFilters.maxRunCount(col("arr")))
+      .collect().map(_.getInt(0).toLong)
+    assert(kernel.toSeq == fold.toSeq)
+    // and on real corpus 2-grams (the repetitionStats consumer)
+    val g2 = Tables.load(spark, sfDir, "documents")
+      .select(CorpusFilters.wordGrams(col("text"), 2).as("arr"))
+    val k2 = g2.select(graft.functions.TextExprs.max_freq(col("arr")))
+      .collect().map(_.getLong(0))
+    val f2 = g2.select(CorpusFilters.maxRunCount(col("arr")))
+      .collect().map(_.getInt(0).toLong)
+    assert(k2.toSeq == f2.toSeq)
+  }
+
+  test("char_ngrams kernel == array_distinct(transform(sequence, substring)) lambda (r19)") {
+    def lambda(k: Int) = array_distinct(transform(
+      sequence(lit(1), length(col("s")) - (k - 1)),
+      i => call_function("substring", col("s"), i, lit(k))))
+    val edge = Seq("", "a", "ab", "abc", "abcd", "aaaa", "ababab",
+      "héllo wörld", "汉字漢字汉", "a b a b", " ab ",
+      "xy", "😀ab😀") // surrogate pair (4-byte UTF-8)
+    for (k <- Seq(1, 3, 20)) {
+      val df = (edge ++ Tables.load(spark, sfDir, "documents")
+        .select(col("text")).limit(50).collect().map(_.getString(0)).toSeq).toDF("s")
+      val got = df.select(graft.functions.TextExprs.char_ngrams(col("s"), k,
+        distinct = true).as("g")).collect().map(_.getSeq[String](0))
+      val want = df.select(lambda(k).as("g")).collect().map(_.getSeq[String](0))
+      assert(got.toSeq == want.toSeq, s"k=$k")
+    }
+    // null text: kernel is null-safe like the lambda
+    val nulls = Seq[Option[String]](None, Some("abc")).toDF("s")
+    val gn = nulls.select(graft.functions.TextExprs.char_ngrams(col("s"), 3,
+      distinct = true).as("g")).collect().map(r => Option(r.get(0)))
+    assert(gn(0).isEmpty && gn(1).nonEmpty)
+  }
+
+  test("lang_id kernel == split/filter/regexp column formulation (r19)") {
+    import graft.pipeline.TextAnalysis
+    val edge = Seq(
+      "", "   ", "the and of is that with for",        // en sweep
+      "der und die das ist", "le la les et est",       // de / fr
+      "el los y es no para", "the der le el",          // es / 4-way tie -> en
+      "y", " y ", "\tthe\nand ", "THE AND OF",         // single/ws/case
+      "nothing matches here zzz", "汉字 the and of",    // und / han overrides
+      "mixed 漢 text", "no der der le le",             // zh / tie de vs fr -> de
+      "ü ö ä the", "is is is der der der")             // non-ASCII tokens / tie
+    val df = (edge ++ Tables.load(spark, sfDir, "documents")
+      .select(col("text")).limit(50).collect().map(_.getString(0)).toSeq).toDF("text")
+    val kernel = df.select(TextAnalysis.languageId(col("text"))).collect().map(_.getString(0))
+    val cols = df.select(TextAnalysis.languageIdColumns(col("text"))).collect().map(_.getString(0))
+    assert(kernel.toSeq == cols.toSeq)
+  }
+
   test("quality gate rejects on the first failing rule, in order") {
     val df = Seq(
       (1L, Seq.fill(30)("the word and of it").mkString(" ")),     // keep
