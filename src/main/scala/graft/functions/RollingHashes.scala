@@ -79,7 +79,7 @@ case class RollingHashes(str: Expression, k: Expression, seed: Expression,
     copy(str = newFirst, k = newSecond, seed = newThird)
 }
 
-/** `rolling_hashes128(text, k)` — the 128-bit gram identity as
+/** `rolling_hashes128(text, k[, distinct])` — the 128-bit gram identity as
   * ARRAY<BINARY(16)>: both independent polynomial families (bases B and B2)
   * computed in ONE O(n) pass, each window emitted as the 16-byte
   * concatenation of the two fmix64-finalized hashes.
@@ -89,9 +89,17 @@ case class RollingHashes(str: Expression, k: Expression, seed: Expression,
   * struct PER GRAM and `array_distinct` over struct arrays falls off
   * Spark's hash-set fast path into pairwise O(n^2) comparisons (measured:
   * the pair-of-structs cut identity was SLOWER than shuffling 20-char
-  * substrings). BINARY elements keep array_distinct's hash path and make
-  * the shuffle key a flat 16 bytes whatever `k` is. */
-case class RollingHashes128(str: Expression, k: Expression)
+  * substrings). BINARY elements keep the shuffle key a flat 16 bytes
+  * whatever `k` is — but `array_distinct` over ARRAY<BINARY> is ITSELF the
+  * pairwise-quadratic path (BinaryType fails Spark's
+  * `typeWithProperEquals`, so ArrayDistinct linear-scans prior elements per
+  * gram: ~2M equality probes per 2 KB document, measured dominating the
+  * kernel cut gate at 3.2 s vs 1.4 s for the substring identity in r19).
+  * `distinct = true` therefore dedups IN the pass — open addressing on the
+  * two pre-finalized longs, zero per-gram wrapper objects, first-occurrence
+  * order (exactly `array_distinct`'s order; PipelineSpec pins equality). */
+case class RollingHashes128(str: Expression, k: Expression,
+    distinct: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def left: Expression = str
@@ -101,8 +109,10 @@ case class RollingHashes128(str: Expression, k: Expression)
   override def prettyName: String = "rolling_hashes128"
 
   override def nullSafeEval(s: Any, kk: Any): Any = {
-    val out = RollingHashes.compute128(
-      s.asInstanceOf[UTF8String].getBytes, kk.asInstanceOf[Int])
+    val bytes = s.asInstanceOf[UTF8String].getBytes
+    val out =
+      if (distinct) RollingHashes.compute128Distinct(bytes, kk.asInstanceOf[Int])
+      else RollingHashes.compute128(bytes, kk.asInstanceOf[Int])
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.asInstanceOf[Array[Any]])
   }
@@ -110,10 +120,11 @@ case class RollingHashes128(str: Expression, k: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, kk) => {
       val bytes = ctx.freshName("bytes")
+      val fn = if (distinct) "compute128Distinct" else "compute128"
       s"""
         |byte[] $bytes = $s.getBytes();
         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        |  (Object[]) graft.functions.RollingHashes.compute128($bytes, $kk));
+        |  (Object[]) graft.functions.RollingHashes.$fn($bytes, $kk));
       """.stripMargin
     })
 
@@ -192,6 +203,54 @@ object RollingHashes {
     res
   }
 
+  /** [[compute128]] with in-pass dedup on the (h1, h2) pair — open
+    * addressing over the pre-finalized longs (no per-gram wrapper objects),
+    * first-occurrence order. Byte output only materializes for KEPT grams. */
+  def compute128Distinct(bytes: Array[Byte], k: Int): Array[Array[Byte]] = {
+    val n = math.max(bytes.length - k + 1, 0)
+    if (n == 0) return new Array[Array[Byte]](0)
+    var cap = 8
+    while (cap < n * 2) cap <<= 1
+    val t1 = new Array[Long](cap)
+    val t2 = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    val res = new Array[Array[Byte]](n)
+    var kept = 0
+    var bk1 = 1L; var bk2 = 1L
+    var i = 1
+    while (i < k) { bk1 *= B; bk2 *= B2; i += 1 }
+    var h1 = 0L; var h2 = 0L
+    i = 0
+    while (i < bytes.length) {
+      val c = (bytes(i) & 0xff).toLong
+      if (i >= k) {
+        val d = (bytes(i - k) & 0xff).toLong
+        h1 -= bk1 * d; h2 -= bk2 * d
+      }
+      h1 = h1 * B + c; h2 = h2 * B2 + c
+      if (i >= k - 1) {
+        val a = fmix64(h1); val b = fmix64(h2)
+        var idx = (fmix64(a ^ (b * 0x9e3779b97f4a7c15L)) & mask).toInt
+        while (used(idx) && !(t1(idx) == a && t2(idx) == b)) idx = (idx + 1) & mask
+        if (!used(idx)) {
+          used(idx) = true; t1(idx) = a; t2(idx) = b
+          val out = new Array[Byte](16)
+          var j = 0
+          while (j < 8) {
+            out(j) = (a >>> (56 - 8 * j)).toByte
+            out(8 + j) = (b >>> (56 - 8 * j)).toByte
+            j += 1
+          }
+          res(kept) = out
+          kept += 1
+        }
+      }
+      i += 1
+    }
+    if (kept == n) res else java.util.Arrays.copyOf(res, kept)
+  }
+
   /** Column-API entry point. */
   def rolling_hashes(str: Column, k: Int, seed: Long, base: Long = B): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -200,9 +259,9 @@ object RollingHashes {
   }
 
   /** Column-API entry point for the 128-bit identity. */
-  def rolling_hashes128(str: Column, k: Int): Column = {
+  def rolling_hashes128(str: Column, k: Int, distinct: Boolean = false): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.Shims
-    Shims.column(RollingHashes128(Shims.expression(str), Literal(k)))
+    Shims.column(RollingHashes128(Shims.expression(str), Literal(k), distinct))
   }
 }

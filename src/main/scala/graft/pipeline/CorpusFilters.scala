@@ -168,10 +168,14 @@ object CorpusFilters {
     *
     * Two paths, chosen by edge count (the k-means/IVF precedent: fit the
     * bounded part on the driver, keep the corpus-sized part distributed):
-    *  - edge sets up to `driverLimit` collect to the driver and run
+    *  - pair sets up to `driverLimit` rows collect to the driver and run
     *    union-find with union-by-min + path compression — exact, ~16 MB and
     *    milliseconds per million edges, vs ~1 s of job-scheduling overhead
-    *    PER ROUND for the distributed loop;
+    *    PER ROUND for the distributed loop (union-find needs neither
+    *    symmetric nor deduplicated edges, so the raw candidate pairs are
+    *    collected as-is — r19; the pre-r19 threshold counted the
+    *    symmetric-distinct edge set, ≈2× the distinct pairs, so the branch
+    *    cutoff moved slightly but both branches label identically);
     *  - larger edge sets run iterative min-label propagation: each round
     *    joins the current labels across the edge list and takes the min seen,
     *    converging in O(cluster diameter) rounds (near-dup clusters are
@@ -180,7 +184,14 @@ object CorpusFilters {
     */
   def duplicateGroups(pairs: DataFrame, maxIters: Int = 20,
       driverLimit: Long = 1000000L): DataFrame = {
-    val edges = symmetricEdges(pairs)
+    // ONE eager localCheckpoint runs the (possibly expensive) candidate-pair
+    // plan a single time; everything below reads the checkpoint. The pre-r19
+    // shape checkpointed TWICE (pairs, then the symmetric-distinct edges)
+    // and ran a count() action before the collect — union-find needs neither
+    // symmetry nor dedup nor an exact pre-count (a limit(driverLimit+1)
+    // collect answers "small enough?" and delivers the rows in the same
+    // job), so the driver branch now costs one job instead of four.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     // the driver union-find below works on Long keys; non-integral id
     // columns (string doc ids are common) would cast to NULL and crash the
     // typed collect — the distributed branch is id-type-agnostic, use it
@@ -189,45 +200,44 @@ object CorpusFilters {
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     })
-    if (integralIds && edges.count() <= driverLimit) {
+    if (integralIds) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x0: Long): Long = {
-        var x = x0
-        while (parent.getOrElse(x, x) != x) {
-          val p = parent(x)
-          parent(x) = parent.getOrElse(p, p) // path halving
-          x = parent(x)
+      val cap = math.min(driverLimit + 1, Int.MaxValue.toLong).toInt
+      val es = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .limit(cap).as[(Long, Long)].collect()
+      if (es.length <= driverLimit) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) {
+            val pp = parent(x)
+            parent(x) = parent.getOrElse(pp, pp) // path halving
+            x = parent(x)
+          }
+          x
         }
-        x
-      }
-      es.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { // union by min so the root IS the cluster id
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        es.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { // union by min so the root IS the cluster id
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
         }
+        val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+        return ids.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
       }
-      val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
-      return ids.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
     }
-    propagateMinLabels(edges, maxIters)._1
+    propagateMinLabels(symmetricEdges(p), maxIters)._1
   }
 
-  /** Both-directions distinct edge list, materialized once. The eager
-    * localCheckpoint runs the (possibly expensive) candidate-pair plan a
-    * single time — the union's two branches would otherwise each re-run
-    * it, and the propagation loop would re-run it per round on top.
-    * Checkpointing also truncates per-iteration lineage growth. */
-  private def symmetricEdges(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+  /** Both-directions distinct edge list over an already-checkpointed pair
+    * frame, materialized once — the propagation loop reads it per round,
+    * so the distinct shuffle must not re-run per iteration. */
+  private def symmetricEdges(p: DataFrame): DataFrame =
     p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-  }
 
   /** The distributed branch of [[duplicateGroups]]: iterative min-label
     * propagation, two hash joins per round, no driver-side graph. Returns
@@ -281,7 +291,8 @@ object CorpusFilters {
     * unit tests pay minutes of shuffle). Returns (labels, rounds). */
   private[graft] def duplicateGroupsDistributed(
       pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) =
-    propagateMinLabels(symmetricEdges(pairs), maxIters)
+    propagateMinLabels(symmetricEdges(
+      pairs.select(col("id_a"), col("id_b")).localCheckpoint()), maxIters)
 
   /** Unigram language-model quality score: the mean log-probability of a
     * document's tokens under the corpus unigram distribution — the classic

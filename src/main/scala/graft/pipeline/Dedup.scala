@@ -361,12 +361,13 @@ object Dedup {
     * so seeded variants share every collision). Joint collisions are
     * ~2^-128-rare, safe even for the DESTRUCTIVE cut operator at corpus
     * scale where a single 64-bit family would collide for certain
-    * (birthday at ~2^32 distinct grams). Emitted as BINARY(16) per window:
-    * binary elements keep array_distinct's hash fast path (struct arrays
-    * fall into pairwise O(n^2)) and the shuffle key stays 16 bytes for any
-    * gram size k. */
-  private def gramPair(textCol: String, k: Int) =
-    graft.functions.RollingHashes.rolling_hashes128(col(textCol), k)
+    * (birthday at ~2^32 distinct grams). Emitted as BINARY(16) per window
+    * so the shuffle key stays 16 bytes for any gram size k; the per-doc
+    * dedup runs IN the kernel (r19) — `array_distinct` over ARRAY<BINARY>
+    * is Spark's pairwise-quadratic path (BinaryType fails
+    * typeWithProperEquals), measured dominating the kernel cut gate. */
+  private def gramPair(textCol: String, k: Int, distinct: Boolean = false) =
+    graft.functions.RollingHashes.rolling_hashes128(col(textCol), k, distinct)
 
   /** One row per DISTINCT (doc, gram) with the dedup done map-side (narrow,
     * per-doc array) — so downstream per-gram aggregates count documents with
@@ -377,7 +378,7 @@ object Dedup {
       k: Int, useKernel: Boolean, pair: Boolean = false): DataFrame =
     if (useKernel && pair)
       df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(gramPair(textCol, k))).as("gram"))
+        explode(gramPair(textCol, k, distinct = true)).as("gram"))
     else if (useKernel)
       df.select(col(idCol).as("doc_id"),
         explode(array_distinct(rolling_hashes(col(textCol), k, 0L))).as("gram"))

@@ -20,6 +20,22 @@ class PipelineSpec extends SparkTestBase {
       got.map(r => math.max(r.getString(0).getBytes("UTF-8").length - 2, 0)).toSeq)
   }
 
+  test("rolling_hashes128 distinct == array_distinct(rolling_hashes128) (r19)") {
+    import graft.functions.RollingHashes.rolling_hashes128
+    val edge = Seq("", "a", "abcdefgh", "aaaaaaaaaaaaaaaa", "ababababab",
+      "héllo wörld héllo wörld", "the quick brown fox " * 50)
+    for (k <- Seq(3, 20)) {
+      val df = (edge ++ Tables.load(spark, sfDir, "documents")
+        .select(col("text")).limit(50).collect().map(_.getString(0)).toSeq).toDF("s")
+      val kernel = df.select(rolling_hashes128(col("s"), k, distinct = true).as("g"))
+        .collect().map(_.getSeq[Array[Byte]](0).map(_.toSeq))
+      val viaDistinct = df.select(array_distinct(
+          rolling_hashes128(col("s"), k)).as("g"))
+        .collect().map(_.getSeq[Array[Byte]](0).map(_.toSeq))
+      assert(kernel.toSeq == viaDistinct.toSeq, s"k=$k")
+    }
+  }
+
   test("rolling hash equals direct polynomial hash of each window") {
     val s = "abcdef"
     val k = 3
