@@ -273,16 +273,20 @@ object QualityKernel {
     * silently dropping all non-Latin corpora), and the number of DISTINCT
     * stopwords hit (case-insensitive
     * ASCII compare against `stops`). Returns [n_words, letters, symbols,
-    * stop_distinct] — a struct-free long[4] kept cheap enough that a filter
-    * predicate re-evaluating it per branch still runs at scan speed (the
-    * regex/lambda formulation made `filter(keep)` recompute ~5 regex scans
-    * and an interpreted lambda per row, 15 s at 2M docs; this is <1 s). */
+    * stop_distinct, stop_hits] — a struct-free long[5] kept cheap enough
+    * that a filter predicate re-evaluating it per branch still runs at scan
+    * speed (the regex/lambda formulation made `filter(keep)` recompute ~5
+    * regex scans and an interpreted lambda per row, 15 s at 2M docs; this
+    * is <1 s). stop_hits (r19) counts stopword OCCURRENCES — the
+    * qualityFeatures ratio's numerator, whose `filter(toks, isin…)` lambda
+    * was the last interpreted per-token pass in the text-quality family. */
   def stats(s: UTF8String, stops: Array[UTF8String]): ArrayData = {
     val bytes = s.getBytes
     var nWords = 0L
     var letters = 0L
     var symbols = 0L
     var stopMask = 0L
+    var stopHits = 0L
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i)
@@ -315,34 +319,36 @@ object QualityKernel {
           i += 1
         }
         nWords += 1
-        // case-insensitive ASCII compare of word [start,i) against each stopword
+        // case-insensitive ASCII compare of word [start,i) against each
+        // stopword; a token equals at most one stopword, so the occurrence
+        // counter advances once per matching token
         var sw = 0
-        while (sw < stops.length) {
-          if ((stopMask & (1L << sw)) == 0L) {
-            val st = stops(sw).getBytes
-            if (st.length == i - start) {
-              var j = 0
-              var eq = true
-              while (eq && j < st.length) {
-                val a = bytes(start + j)
-                val al = if (a >= 'A' && a <= 'Z') (a + 32).toByte else a
-                if (al != st(j)) eq = false
-                j += 1
-              }
-              if (eq) stopMask |= (1L << sw)
+        var matched = false
+        while (!matched && sw < stops.length) {
+          val st = stops(sw).getBytes
+          if (st.length == i - start) {
+            var j = 0
+            var eq = true
+            while (eq && j < st.length) {
+              val a = bytes(start + j)
+              val al = if (a >= 'A' && a <= 'Z') (a + 32).toByte else a
+              if (al != st(j)) eq = false
+              j += 1
             }
+            if (eq) { stopMask |= (1L << sw); stopHits += 1; matched = true }
           }
           sw += 1
         }
       }
     }
     new GenericArrayData(Array[Any](nWords, letters, symbols,
-      java.lang.Long.bitCount(stopMask).toLong))
+      java.lang.Long.bitCount(stopMask).toLong, stopHits))
   }
 }
 
-/** Codegen'd quality-stat kernel: ARRAY<BIGINT> of
-  * [n_words, non-ws codepoints, symbol codepoints, distinct stopword hits]. */
+/** Codegen'd quality-stat kernel: ARRAY<BIGINT> of [n_words, non-ws
+  * codepoints, symbol codepoints, distinct stopword hits, stopword
+  * occurrence hits]. */
 case class QualityStats(child: Expression, stops: Seq[String]) extends UnaryExpression {
   require(stops.length <= 64, "stopword bitmask holds at most 64 words")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

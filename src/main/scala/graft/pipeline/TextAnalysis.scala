@@ -36,10 +36,15 @@ object TextAnalysis {
     // splitWords, not split(trim(..)): trim strips only spaces, and a
     // leading tab/newline would inflate n_tokens (and skew every ratio
     // whose denominator it feeds) by a phantom empty token
-    val toks = CorpusFilters.splitWords(t)
-    val nToks = size(toks).cast("double")
-    val punct = size(regexp_extract_all(t, lit("[^\\p{L}\\p{Nd}\\s]"), lit(0))).cast("double")
-    val stop = size(filter(toks, w => lower(w).isin(StopWords: _*))).cast("double")
+    // one quality_stats kernel pass (r19): the regex class
+    // `[^\p{L}\p{Nd}\s]` IS the kernel's symbol counter, and the stopword
+    // numerator is its occurrence stat — the regexp_extract_all
+    // materialization and the interpreted per-token filter(isin…) lambda
+    // re-scanned each document ~3x (PipelineSpec pins kernel == twin)
+    val stats = graft.functions.TextExprs.quality_stats(t, StopWords)
+    val nToks = element_at(stats, 1).cast("double")
+    val punct = element_at(stats, 3).cast("double")
+    val stop = element_at(stats, 5).cast("double")
     df.select(
       col(idCol),
       nChars.cast("bigint").as("n_chars"),

@@ -541,13 +541,23 @@ class PipelineSpec extends SparkTestBase {
       length(regexp_replace(t, "\\s", "")).cast("bigint").as("letters"),
       size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("bigint").as("symbols"),
       size(array_distinct(transform(
-        filter(words, w => lower(w).isin(stops: _*)), w => lower(w)))).cast("bigint").as("stops"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        filter(words, w => lower(w).isin(stops: _*)), w => lower(w)))).cast("bigint").as("stops"),
+      size(filter(words, w => lower(w).isin(stops: _*))).cast("bigint").as("stop_hits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val kernel = df.select(graft.functions.TextExprs.quality_stats(t, stops).as("s"))
       .collect().map { r =>
-        val a = r.getSeq[Long](0); (a(0), a(1), a(2), a(3))
+        val a = r.getSeq[Long](0); (a(0), a(1), a(2), a(3), a(4))
       }
     assert(kernel.toSeq == twin.toSeq)
+    // ...and the occurrence stat on real corpus text (the qualityFeatures
+    // numerator; the synthetic rows above cover case folding and repeats)
+    val docs = Tables.load(spark, sfDir, "documents").limit(100)
+    val corpusWords = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val tw = docs.select(size(filter(corpusWords,
+        w => lower(w).isin(stops: _*))).cast("bigint")).collect().map(_.getLong(0))
+    val kn = docs.select(graft.functions.TextExprs.quality_stats(col("text"), stops))
+      .collect().map(_.getSeq[Long](0)(4))
+    assert(kn.toSeq == tw.toSeq)
   }
 
   test("maxRunCount equals the max element frequency") {
