@@ -136,6 +136,8 @@ class FuncCoverageSpec extends SparkTestBase {
     assert(r.getAs[Int]("rh") == 4)
     assert(r.getSeq[String](r.fieldIndex("g2")) == Seq("a b", "b c", "c d"))
     assert(r.getSeq[String](r.fieldIndex("g3d")) == Seq("a b a", "b a b"))
-    assert(r.getSeq[Long](r.fieldIndex("qs")) == Seq(5L, 19L, 0L, 1L))
+    // [n_words, letters, symbols, stop_distinct, stop_hits] — 'the' twice
+    // is 1 distinct stopword, 2 occurrences (the r19 occurrence stat)
+    assert(r.getSeq[Long](r.fieldIndex("qs")) == Seq(5L, 19L, 0L, 1L, 2L))
   }
 }
