@@ -158,6 +158,61 @@ object VecKernels {
     acc
   }
 
+  /** Symmetric int8 quantization in one pass (r19): (scale_raw, codes) with
+    * scale_raw = max|x|/127 and codes_i = floor(x_i/scale_raw + 0.5) as
+    * long — value-for-value the interpreted
+    * `array_max(transform(v, abs)) / 127` + `transform(v, floor(x/s+0.5)
+    * cast bigint)` lambda pipeline it replaces (two interpreted per-element
+    * passes per vector), including its corners: null elements are skipped
+    * by the max and map to null codes; an all-null/empty vector yields a
+    * null scale and all-null codes; scale 0 yields all-ZERO codes (the
+    * lambda's `when(scale === 0, 0L)` maps null elements to 0 there too);
+    * NaN is greatest for the max (Spark's array_max ordering). The caller
+    * rounds scale_raw for display exactly as before. */
+  def quantizeI8(v: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var has = false
+    var hasNaN = false
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = math.abs(v.getDouble(i))
+        if (java.lang.Double.isNaN(x)) hasNaN = true
+        else if (!has || x > maxAbs) { maxAbs = x; has = true }
+        if (!has && hasNaN) {} // NaN alone still counts as a seen element
+      }
+      i += 1
+    }
+    val seen = has || hasNaN
+    val codes = new Array[Any](n)
+    var scaleRaw: java.lang.Double = null
+    if (!seen) {
+      // no non-null elements: scale null, every code null (x/null -> null)
+      i = 0
+      while (i < n) { codes(i) = null; i += 1 }
+    } else {
+      val s = (if (hasNaN) Double.NaN else maxAbs) / 127.0
+      scaleRaw = s
+      if (s == 0.0) {
+        i = 0
+        while (i < n) { codes(i) = 0L; i += 1 } // incl. null positions — lambda parity
+      } else {
+        i = 0
+        while (i < n) {
+          codes(i) =
+            if (v.isNullAt(i)) null
+            else java.lang.Long.valueOf(math.floor(v.getDouble(i) / s + 0.5).toLong)
+          i += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scaleRaw,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)))
+  }
+
   /** argmax over C candidate centroids of dot(v, cents(c)) / norms(c) —
     * ONE expression whatever C is, so the IVF assignment stays a constant-
     * size codegen'd projection at C=1024 where C inlined dot-product
@@ -363,6 +418,21 @@ case class MinHashSig(str: Expression, k: Expression, n: Expression) extends Ter
       a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
 }
 
+/** `quantize_i8(v)` over ARRAY<DOUBLE> — see [[VecKernels.quantizeI8]].
+  * Struct-typed so one pass yields both fields; deterministic, so codegen
+  * subexpression elimination evaluates it once per row. */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = true),
+    StructField("codes", ArrayType(LongType, containsNull = true), nullable = false)))
+  override def prettyName: String = "quantize_i8"
+  override def nullSafeEval(v: Any): Any =
+    VecKernels.quantizeI8(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.quantizeI8($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashExprs {
   def simhash64(c: Column): Column = Shims.column(SimHash64(Shims.expression(c)))
   def phash64(c: Column): Column = Shims.column(PHash64(Shims.expression(c)))
@@ -374,4 +444,6 @@ object HashExprs {
   def vec_argmax_dot(v: Column, cents: Array[Array[Double]],
       norms: Array[Double], ids: Array[Int]): Column =
     Shims.column(VecArgmaxDot(Shims.expression(v), cents, norms, ids))
+  def quantize_i8(v: Column): Column =
+    Shims.column(QuantizeI8(Shims.expression(v)))
 }

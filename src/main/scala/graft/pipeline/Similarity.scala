@@ -324,6 +324,18 @@ object Similarity {
     * HALF_EVEN drift). 4× smaller than float32; dequantized error ≤
     * scale/2 per component. Pure projection. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // one quantize_i8 kernel pass (r19): the lambda pipeline ran TWO
+    // interpreted per-element transforms per vector (abs for the max, then
+    // the code mapping) — PipelineSpec pins kernel == lambda twin
+    val q = graft.functions.HashExprs.quantize_i8(col(vecCol).cast("array<double>"))
+    df.select(col(idCol),
+      round(q.getField("scale"), 9).as("scale"),
+      q.getField("codes").as("codes"))
+  }
+
+  /** The pre-r19 lambda formulation, kept as the kernel's parity baseline
+    * (spec-only; see [[quantizeInt8]]). */
+  private[graft] def quantizeInt8Columns(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val scale = array_max(transform(v, x => abs(x))) / 127.0
     df.select(col(idCol),

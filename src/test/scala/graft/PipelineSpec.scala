@@ -1352,6 +1352,28 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("quantize_i8 kernel == interpreted lambda twin (r19)") {
+    // corpus vectors + synthetic corners: zeros, negatives, null element,
+    // empty array, all-null array
+    val e = Tables.load(spark, sfDir, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("vec_id")).collect().map { r =>
+        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+          r.getSeq[Any](2))
+      }.toSeq
+    assert(rows(Similarity.quantizeInt8(e, "vec_id", "embedding")) ==
+      rows(Similarity.quantizeInt8Columns(e, "vec_id", "embedding")))
+    val edge = Seq(
+      (1L, Seq(0.0f, 0.0f)),               // scale 0 -> all-zero codes
+      (2L, Seq(-2.5f, 1.25f, 0.0f)),       // negatives, floor rounding
+      (3L, Seq.empty[Float]),              // empty -> null scale, [] codes
+      (4L, Seq(127.0f)), (5L, Seq(1e-30f)) // extremes
+    ).toDF("vec_id", "embedding")
+    assert(rows(Similarity.quantizeInt8(edge, "vec_id", "embedding")) ==
+      rows(Similarity.quantizeInt8Columns(edge, "vec_id", "embedding")))
+  }
+
   test("spans K-pass r18: default scratch is block-manager-managed (no temp dirs); size-aware slicing identical") {
     // r17 verdict seam #1: the default K-pass scratch was a DRIVER-LOCAL
     // temp parquet dir with no lifecycle — wrong on a multi-node cluster
