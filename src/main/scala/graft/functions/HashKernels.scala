@@ -179,9 +179,8 @@ object VecKernels {
     while (i < n) {
       if (!v.isNullAt(i)) {
         val x = math.abs(v.getDouble(i))
-        if (java.lang.Double.isNaN(x)) hasNaN = true
+        if (java.lang.Double.isNaN(x)) hasNaN = true // NaN counts as seen
         else if (!has || x > maxAbs) { maxAbs = x; has = true }
-        if (!has && hasNaN) {} // NaN alone still counts as a seen element
       }
       i += 1
     }
